@@ -1,13 +1,248 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.{Aggs, Dedup, Etl, Funcs, Joins}
+import graft.warehouse.StarSchema
+
+/** Driver contract — see SURVEY.md §7. Each entry is one operator from the
+  * SURVEY.md §2 inventory, with equivalent ANSI SQL for the DuckDB oracle.
+  * Column names/aliases match exactly between the Spark plan and the SQL
+  * (the driver sorts columns by name before hashing values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the reference's minimum end-to-end slice (SURVEY.md §7) —
+    * scan → derive → first-match-wins anomaly tag → valid filter → hash agg.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    graft.etl.Anomalies.splitValid(Etl.taggedLineitem(spark, dir))
+      .groupBy("l_returnflag")
+      .agg(round(sum("revenue"), 2).as("total_revenue"),
+        round(avg("unit_price"), 2).as("avg_unit_price"),
+        count(lit(1)).as("n_trips"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---- shared oracle SQL fragments (match the Spark expressions 1:1) ----
+
+  /** time-of-day bucket CASE (Funcs.timePeriod). */
+  private def periodCase(h: String): String =
+    s"CASE WHEN $h BETWEEN 0 AND 5 THEN 'Nuit' WHEN $h BETWEEN 6 AND 11 THEN 'Matin' " +
+    s"WHEN $h BETWEEN 12 AND 17 THEN 'Après-midi' WHEN $h BETWEEN 18 AND 23 THEN 'Soir' " +
+    s"ELSE 'Inconnu' END"
+
+  /** first-match-wins anomaly CASE (Etl.rules); expects unit_price in scope. */
+  private val tagCase: String =
+    "CASE WHEN l_quantity <= 2 THEN 'Durée invalide' " +
+    "WHEN l_extendedprice NOT BETWEEN 1000 AND 100000 THEN 'Distance hors limites' " +
+    "WHEN l_tax <= 0.005 THEN 'Montant de course invalide' " +
+    "WHEN l_discount <= 0.005 THEN 'Passagers invalides' " +
+    "WHEN unit_price NOT BETWEEN 50 AND 5000 THEN 'Vitesse irréaliste' ELSE NULL END"
+
+  /** lineitem + derived metrics + rejection_reason, as a CTE body. */
+  private val taggedCte: String =
+    "WITH m AS (SELECT *, l_extendedprice*(1-l_discount) AS revenue, " +
+    "l_extendedprice/l_quantity AS unit_price FROM lineitem), " +
+    s"t AS (SELECT *, $tagCase AS rejection_reason FROM m)"
+
+  private val paymentCase: String =
+    "CASE WHEN l_returnflag='R' THEN 'Retour' WHEN l_returnflag='A' THEN 'Accepté' END"
+
+  private val dimTimeCte: String =
+    "dtime AS (SELECT datetime, CAST(row_number() OVER (ORDER BY datetime) AS INT) AS time_pk " +
+    "FROM (SELECT DISTINCT l_shipdate AS datetime FROM lineitem))"
+
+  private val dimLocCte: String =
+    "dloc AS (SELECT location_id, CAST(row_number() OVER (ORDER BY location_id) AS INT) AS location_pk " +
+    "FROM (SELECT DISTINCT location_id FROM (SELECT l_partkey AS location_id FROM lineitem " +
+    "UNION ALL SELECT l_suppkey FROM lineitem)))"
+
+  private val dimPayCte: String =
+    "dpay AS (SELECT payment_type, CAST(row_number() OVER (ORDER BY payment_type) AS INT) AS payment_pk " +
+    s"FROM (SELECT DISTINCT $paymentCase AS payment_type FROM lineitem WHERE l_returnflag IN ('R','A')))"
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_scan_project" -> (Etl.scanProject _),
+    "p2_ts_coerce" -> (Etl.tsCoerce _),
+    "p3_null_drop" -> (Etl.nullDrop _),
+    "p4_narrow_cast" -> (Etl.narrowCast _),
+    "p6_derived_metrics" -> (Etl.derivedMetrics _),
+    "p9_anomaly_tag" -> (Etl.anomalyTag _),
+    "p10_valid_split" -> (Etl.validSplit _),
+    "p10_anomaly_split" -> (Etl.anomalySplit _),
+    "f2_time_features" -> (Funcs.timeFeatures _),
+    "f3_day_of_week" -> (Funcs.dayOfWeek _),
+    "f5_label_encode" -> (Funcs.labelEncodeEvents _),
+    "f6_label_encode_priority" -> (Funcs.labelEncodePriority _),
+    "f10_date_parts" -> (Funcs.dateParts _),
+    "j1_time_surrogate_join" -> (Joins.timeSurrogateJoin _),
+    "j2_double_dim_join" -> (Joins.doubleDimJoin _),
+    "j4_label_join" -> (Joins.labelJoin _),
+    "q1_pricing_summary" -> (Aggs.pricingSummary _),
+    "a2_anomaly_value_counts" -> (Aggs.anomalyValueCounts _),
+    "a5_trips_per_day" -> (Aggs.tripsPerDay _),
+    "a6_sum_by_category" -> (Aggs.sumByCategory _),
+    "a7_share_of_total" -> (Aggs.shareOfTotal _),
+    "a8_monthly_revenue" -> (Aggs.monthlyRevenue _),
+    "a9_histogram" -> (Aggs.histogram _),
+    "a10_median_kpi" -> (Aggs.medianKpi _),
+    "a11_daily_avg_revenue" -> (Aggs.dailyAvgRevenue _),
+    "a12_ratio_kpis" -> (Aggs.ratioKpis _),
+    "a13_sum_by_location" -> (Aggs.sumByLocation _),
+    "a14_quality_report" -> (Aggs.qualityReport _),
+    "d1_dedup_subset" -> (Dedup.dedupSubset _),
+    "d2_distinct_dims" -> (Dedup.distinctDims _),
+    "d3_union_locations" -> (Dedup.unionLocations _),
+    "d5_surrogate_keys" -> (Dedup.surrogateKeys _),
+    "w1_dim_time" -> ((s: SparkSession, d: String) => StarSchema.dimTime(s, d).orderBy("time_pk")),
+    "w2_dim_location" -> ((s: SparkSession, d: String) => StarSchema.dimLocation(s, d).orderBy("location_pk")),
+    "w3_dim_payment" -> ((s: SparkSession, d: String) => StarSchema.dimPayment(s, d).orderBy("payment_pk")),
+    "w4_fact_trips" -> (StarSchema.factTripsOrdered _)
+  )
+
+  /** DuckDB-runnable oracle SQL, one per query, aliases matched 1:1. */
+  def oracleSql: Map[String, String] = Map(
+    "s1_scan_project" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, " +
+       "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate FROM lineitem " +
+       "ORDER BY l_orderkey, l_linenumber"),
+    "p2_ts_coerce" ->
+      ("SELECT event_id, strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_sec " +
+       "FROM events ORDER BY event_id"),
+    "p3_null_drop" ->
+      ("SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem " +
+       "WHERE l_shipdate IS NOT NULL AND l_orderkey IS NOT NULL ORDER BY l_orderkey, l_linenumber"),
+    "p4_narrow_cast" ->
+      ("SELECT l_orderkey, CAST(COALESCE(l_linenumber, 0) AS SMALLINT) AS linenumber_i16, " +
+       "CAST(l_quantity AS INT) AS quantity_int FROM lineitem ORDER BY l_orderkey, linenumber_i16"),
+    "p6_derived_metrics" ->
+      ("SELECT l_orderkey, l_linenumber, l_extendedprice*(1-l_discount) AS revenue, " +
+       "l_extendedprice/l_quantity AS unit_price FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "p9_anomaly_tag" ->
+      (s"$taggedCte SELECT l_orderkey, l_linenumber, rejection_reason FROM t " +
+       "ORDER BY l_orderkey, l_linenumber"),
+    "p10_valid_split" ->
+      (s"$taggedCte SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, revenue, unit_price " +
+       "FROM t WHERE rejection_reason IS NULL ORDER BY l_orderkey, l_linenumber"),
+    "p10_anomaly_split" ->
+      (s"$taggedCte SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, rejection_reason " +
+       "FROM t WHERE rejection_reason IS NOT NULL ORDER BY l_orderkey, l_linenumber"),
+    "f2_time_features" ->
+      (s"SELECT CAST(hour(ts) AS INT) AS event_hour, ${periodCase("hour(ts)")} AS time_period, " +
+       "count(*) AS n FROM events GROUP BY 1, 2 ORDER BY event_hour"),
+    "f3_day_of_week" ->
+      ("SELECT dayname(l_shipdate) AS day_of_week, count(*) AS n FROM lineitem " +
+       "GROUP BY 1 ORDER BY n DESC, day_of_week"),
+    "f5_label_encode" ->
+      ("SELECT CASE WHEN event_type='view' THEN 'Vue' WHEN event_type='click' THEN 'Clic' " +
+       "WHEN event_type='purchase' THEN 'Achat' WHEN event_type='signup' THEN 'Inscription' END " +
+       "AS event_label, count(*) AS n FROM events GROUP BY 1 ORDER BY event_label NULLS FIRST"),
+    "f6_label_encode_priority" ->
+      ("SELECT CASE WHEN o_orderpriority='1-URGENT' THEN 'Urgent' WHEN o_orderpriority='2-HIGH' THEN 'Haute' " +
+       "WHEN o_orderpriority='3-MEDIUM' THEN 'Moyenne' WHEN o_orderpriority='4-NOT SPECIFIED' THEN 'Non spécifiée' " +
+       "WHEN o_orderpriority='5-LOW' THEN 'Basse' END AS priority_label, count(*) AS n " +
+       "FROM orders GROUP BY 1 ORDER BY priority_label"),
+    "f10_date_parts" ->
+      ("SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y, CAST(quarter(o_orderdate) AS INT) AS q, " +
+       "CAST(month(o_orderdate) AS INT) AS m FROM orders ORDER BY o_orderkey"),
+    "j1_time_surrogate_join" ->
+      (s"WITH $dimTimeCte SELECT l.l_orderkey, l.l_linenumber, d.time_pk FROM lineitem l " +
+       "JOIN dtime d ON l.l_shipdate = d.datetime ORDER BY l.l_orderkey, l.l_linenumber"),
+    "j2_double_dim_join" ->
+      ("SELECT l.l_orderkey, l.l_linenumber, cn.n_name AS pickup_nation, sn.n_name AS dropoff_nation " +
+       "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+       "JOIN customer c ON o.o_custkey = c.c_custkey " +
+       "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+       "JOIN nation cn ON c.c_nationkey = cn.n_nationkey " +
+       "JOIN nation sn ON s.s_nationkey = sn.n_nationkey " +
+       "ORDER BY l.l_orderkey, l.l_linenumber"),
+    "j4_label_join" ->
+      ("SELECT l_orderkey, l_linenumber, m.payment_label FROM lineitem " +
+       "JOIN (VALUES ('R','Retour'),('A','Accepté')) AS m(flag, payment_label) ON l_returnflag = m.flag " +
+       "ORDER BY l_orderkey, l_linenumber"),
+    "q1_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, " +
+       "round(sum(l_extendedprice),2) AS sum_base_price, " +
+       "round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price, " +
+       "round(avg(l_quantity),2) AS avg_qty, round(avg(l_extendedprice),2) AS avg_price, " +
+       "count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+       "ORDER BY l_returnflag, l_linestatus"),
+    "a2_anomaly_value_counts" ->
+      (s"$taggedCte SELECT rejection_reason, count(*) AS n FROM t WHERE rejection_reason IS NOT NULL " +
+       "GROUP BY 1 ORDER BY n DESC, rejection_reason"),
+    "a5_trips_per_day" ->
+      ("SELECT CAST(l_shipdate AS DATE) AS pickup_date, count(*) AS n FROM lineitem " +
+       "GROUP BY 1 ORDER BY pickup_date"),
+    "a6_sum_by_category" ->
+      ("SELECT l_returnflag, round(sum(l_extendedprice),2) AS total_amount FROM lineitem " +
+       "GROUP BY 1 ORDER BY l_returnflag"),
+    "a7_share_of_total" ->
+      (s"WITH g AS (SELECT ${periodCase("hour(ts)")} AS time_period, sum(value) AS s FROM events GROUP BY 1) " +
+       "SELECT time_period, round(s,2) AS total_value, round(s*100/sum(s) OVER (),2) AS pct " +
+       "FROM g ORDER BY time_period"),
+    "a8_monthly_revenue" ->
+      ("SELECT CAST(year(l_shipdate) AS INT) AS y, CAST(quarter(l_shipdate) AS INT) AS q, " +
+       "CAST(month(l_shipdate) AS INT) AS m, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue " +
+       "FROM lineitem GROUP BY 1, 2, 3 ORDER BY y, q, m"),
+    "a9_histogram" ->
+      ("SELECT CAST(floor(l_quantity/10) AS INT) AS bin, count(*) AS n FROM lineitem " +
+       "GROUP BY 1 ORDER BY bin"),
+    "a10_median_kpi" ->
+      ("SELECT round(median(l_quantity),2) AS median_qty, round(median(l_extendedprice),2) AS median_price " +
+       "FROM lineitem"),
+    "a11_daily_avg_revenue" ->
+      ("WITH d AS (SELECT CAST(l_shipdate AS DATE) AS pickup_date, sum(l_extendedprice*(1-l_discount)) AS s " +
+       "FROM lineitem GROUP BY 1) SELECT round(avg(s),2) AS daily_avg_revenue FROM d"),
+    "a12_ratio_kpis" ->
+      ("SELECT round(sum(l_extendedprice*(1-l_discount))/sum(l_quantity),2) AS revenue_per_unit, " +
+       "round(avg(l_discount)*100,2) AS avg_discount_pct, " +
+       "round(CAST(sum(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS BIGINT)*100.0/count(*),2) AS return_rate_pct " +
+       "FROM lineitem"),
+    "a13_sum_by_location" ->
+      ("SELECT l_partkey AS location_id, round(sum(l_extendedprice),2) AS total_amount FROM lineitem " +
+       "GROUP BY 1 ORDER BY location_id"),
+    "a14_quality_report" ->
+      (s"$taggedCte SELECT count(*) AS total_processed, " +
+       "CAST(sum(CASE WHEN rejection_reason IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS anomaly_count, " +
+       "round(CAST(sum(CASE WHEN rejection_reason IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)*100.0/count(*),2) AS anomaly_rate_pct, " +
+       "round(avg(CASE WHEN rejection_reason IS NULL THEN l_quantity END),2) AS avg_trip_duration, " +
+       "round(avg(CASE WHEN rejection_reason IS NULL THEN unit_price END),2) AS avg_speed, " +
+       "round(sum(CASE WHEN rejection_reason IS NULL THEN l_extendedprice END),2) AS total_fare_amount FROM t"),
+    "d1_dedup_subset" ->
+      ("WITH r AS (SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey " +
+       "ORDER BY l_orderkey, l_linenumber) AS rn FROM lineitem) " +
+       "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM r WHERE rn = 1 " +
+       "ORDER BY l_orderkey, l_linenumber"),
+    "d2_distinct_dims" ->
+      ("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus"),
+    "d3_union_locations" ->
+      ("SELECT DISTINCT location_id FROM (SELECT l_partkey AS location_id FROM lineitem " +
+       "UNION ALL SELECT l_suppkey FROM lineitem) ORDER BY location_id"),
+    "d5_surrogate_keys" ->
+      (s"WITH $dimLocCte SELECT location_id, location_pk FROM dloc ORDER BY location_id"),
+    "w1_dim_time" ->
+      (s"WITH d AS (SELECT DISTINCT l_shipdate AS datetime FROM lineitem) " +
+       "SELECT CAST(row_number() OVER (ORDER BY datetime) AS INT) AS time_pk, datetime, " +
+       s"CAST(hour(datetime) AS INT) AS hour, dayname(datetime) AS day_of_week, " +
+       s"${periodCase("hour(datetime)")} AS time_period FROM d ORDER BY time_pk"),
+    "w2_dim_location" ->
+      (s"WITH $dimLocCte SELECT location_pk, location_id, 'Inconnu' AS borough FROM dloc ORDER BY location_pk"),
+    "w3_dim_payment" ->
+      (s"WITH $dimPayCte SELECT payment_pk, payment_type FROM dpay ORDER BY payment_pk"),
+    "w4_fact_trips" ->
+      (s"WITH $dimTimeCte, $dimLocCte, $dimPayCte " +
+       "SELECT CAST(l.l_orderkey*10 + l.l_linenumber AS BIGINT) AS trip_id, t.time_pk, " +
+       "pu.location_pk AS pickup_loc_pk, ddo.location_pk AS dropoff_loc_pk, p.payment_pk, " +
+       "CAST(l.l_quantity AS SMALLINT) AS passenger_count, l.l_extendedprice AS fare_amount, " +
+       "l.l_extendedprice*(1-l.l_discount) AS total_amount, " +
+       "l.l_extendedprice/l.l_quantity AS avg_speed " +
+       "FROM lineitem l JOIN dtime t ON l.l_shipdate = t.datetime " +
+       "JOIN dloc pu ON l.l_partkey = pu.location_id " +
+       "JOIN dloc ddo ON l.l_suppkey = ddo.location_id " +
+       s"JOIN dpay p ON ($paymentCase) = p.payment_type " +
+       "WHERE l.l_quantity > 0 AND l.l_extendedprice > 0 ORDER BY trip_id")
+  )
 }

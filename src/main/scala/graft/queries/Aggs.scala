@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY.md §2.5) — the dashboard/DAX query layer
+  * plus the transform-stage quality report, phrased over harness tables.
+  *
+  * All are hash aggregations over low-cardinality keys → partial+final
+  * `HashAggregateExec` with map-side combine; at 100 TB the shuffle carries
+  * only one row per (partition, group). Double-valued aggregates are rounded
+  * to 2 decimals so the DuckDB oracle hash-compares despite summation-order
+  * ulps.
+  */
+object Aggs {
+
+  /** Flagship: the reference's core transform+aggregate shape (TPC-H-Q1-ish
+    * pricing summary; SURVEY.md §7 "minimum end-to-end slice"). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        // revenue terms are exactly-4dp decimals, so a 4dp round recovers
+        // the true decimal sum identically in Spark and DuckDB regardless
+        // of summation order; 2dp would sit ON the x.xx50 boundary ~1% of
+        // the time and flip between engines.
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---- A2/D4: grouped value counts, desc-sorted (transform.py:71,135) ----
+  def anomalyValueCounts(spark: SparkSession, dir: String): DataFrame =
+    Etl.taggedLineitem(spark, dir)
+      .filter(col("rejection_reason").isNotNull)
+      .groupBy("rejection_reason").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("rejection_reason"))
+
+  // ---- A5: trips per day (README.md:57-59, ALLEXCEPT analogue) ----
+  def tripsPerDay(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("pickup_date"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("pickup_date")
+
+  // ---- A6: sum by category bar chart ("Total amount by payment type") ----
+  def sumByCategory(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_extendedprice"), 2).as("total_amount"))
+      .orderBy("l_returnflag")
+
+  // ---- A7: donut with %-of-total (window over unpartitioned frame) ----
+  def shareOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(spark, dir)
+      .withColumn("time_period", Funcs.timePeriod(hour(col("ts"))))
+      .groupBy("time_period").agg(sum("value").as("s"))
+    g.select(col("time_period"),
+        round(col("s"), 2).as("total_value"),
+        round(col("s") * 100 / sum("s").over(Window.partitionBy()), 2).as("pct"))
+      .orderBy("time_period")
+  }
+
+  // ---- A8/F10: time-series revenue by year/quarter/month ----
+  def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(year(col("l_shipdate")).as("y"), quarter(col("l_shipdate")).as("q"),
+        month(col("l_shipdate")).as("m"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy("y", "q", "m")
+
+  // ---- A9: histogram / binned count ("Trip Distance Distribution") ----
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(floor(col("l_quantity") / 10).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+
+  // ---- A10: median KPI ("Median Trip Distance") ----
+  def medianKpi(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(round(median(col("l_quantity")), 2).as("median_qty"),
+        round(median(col("l_extendedprice")), 2).as("median_price"))
+
+  // ---- A11: avg of per-day sums ("Daily Avg Revenue") ----
+  def dailyAvgRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("pickup_date"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("s"))
+      .agg(round(avg("s"), 2).as("daily_avg_revenue"))
+
+  // ---- A12: ratio-of-aggregates KPIs (utilization/tipping-rate analogues) ----
+  def ratioKpis(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) / sum(col("l_quantity")), 2)
+          .as("revenue_per_unit"),
+        round(avg(col("l_discount")) * 100, 2).as("avg_discount_pct"),
+        round(sum(when(col("l_returnflag") === "R", 1).otherwise(0)) * lit(100.0) / count(lit(1)), 2)
+          .as("return_rate_pct"))
+
+  // ---- A13: sum by location key (map visual) ----
+  def sumByLocation(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("location_id"))
+      .agg(round(sum("l_extendedprice"), 2).as("total_amount"))
+      .orderBy("location_id")
+
+  // ---- A1/A3/A4/A14: one-pass quality report (transform.py:131-144) ----
+  // Single aggregation over the tagged frame computes totals, anomaly rate,
+  // and valid-branch means/sums in ONE scan — the reference needs two
+  // DataFrames and four passes.
+  def qualityReport(spark: SparkSession, dir: String): DataFrame = {
+    val t = Etl.taggedLineitem(spark, dir)
+    val isAnom = col("rejection_reason").isNotNull
+    t.agg(
+      count(lit(1)).as("total_processed"),
+      sum(when(isAnom, 1).otherwise(0)).as("anomaly_count"),
+      round(sum(when(isAnom, 1).otherwise(0)) * lit(100.0) / count(lit(1)), 2).as("anomaly_rate_pct"),
+      round(avg(when(!isAnom, col("l_quantity"))), 2).as("avg_trip_duration"),
+      round(avg(when(!isAnom, col("unit_price"))), 2).as("avg_speed"),
+      round(sum(when(!isAnom, col("l_extendedprice"))), 2).as("total_fare_amount"))
+  }
+}

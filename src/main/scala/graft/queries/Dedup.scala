@@ -1,0 +1,49 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication / set operators (SURVEY.md §2.6). */
+object Dedup {
+
+  /** D1: dedup on a composite natural key (reference `transform.py:171`
+    * `drop_duplicates(subset=[pickup, dropoff])`, keep='first'). pandas
+    * keep-first is row-order-defined; the distributed equivalent with a
+    * DEFINED order is row_number over (key) ordered by a total tiebreak —
+    * deterministic on any cluster size, unlike `dropDuplicates`. */
+  def dedupSubset(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_partkey", "l_suppkey").orderBy("l_orderkey", "l_linenumber")
+    Tables.lineitem(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** D2: full-row distinct (dimension build, load.py:117,130,140). */
+  def distinctDims(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** D3: vertical union of two key columns (load.py:127-130 — PU ∪ DO
+    * location ids) then distinct. */
+  def unionLocations(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.select(col("l_partkey").as("location_id"))
+      .unionByName(li.select(col("l_suppkey").as("location_id")))
+      .distinct()
+      .orderBy("location_id")
+  }
+
+  /** D5: surrogate key generation (SERIAL analogue, load.py:21-47):
+    * contiguous, deterministic pks via row_number over the natural key.
+    * Dimensions are small by construction, so the single-partition window
+    * sort is fine at any fact scale. */
+  def surrogateKeys(spark: SparkSession, dir: String): DataFrame =
+    unionLocations(spark, dir)
+      .withColumn("location_pk", row_number().over(Window.orderBy("location_id")))
+      .orderBy("location_id")
+}

@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2.4): the star-schema fact×dim lookups of the
+  * reference's load stage (`Scripts_ETL/load.py:155-172`).
+  *
+  * Scale stance: every dimension here is small (distinct timestamps, 2k
+  * part keys, a handful of labels) → `broadcast()` hints keep the fact scan
+  * shuffle-free. At 100 TB the fact side streams through a
+  * BroadcastHashJoin; only genuinely large-large joins (none in the
+  * reference) would shuffle.
+  */
+object Joins {
+
+  /** J1: timestamp-keyed surrogate lookup (load.py:155-159) — build a time
+    * dimension keyed by distinct datetime with a generated pk, then join the
+    * fact on the timestamp value. */
+  def timeSurrogateJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val dimTime = li.select(col("l_shipdate").as("datetime")).distinct()
+      .withColumn("time_pk", row_number().over(Window.orderBy("datetime")))
+    li.join(broadcast(dimTime), li("l_shipdate") === dimTime("datetime"), "inner")
+      .select(col("l_orderkey"), col("l_linenumber"), col("time_pk"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** J2+J3: the same dimension joined twice with alias disambiguation
+    * (load.py:160-167 `suffixes=('_pu','_do')`): nation reached via the
+    * customer side AND via the supplier side of each lineitem. */
+  def doubleDimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val custNation = n.select(col("n_nationkey").as("cn_key"), col("n_name").as("pickup_nation"))
+    val suppNation = n.select(col("n_nationkey").as("sn_key"), col("n_name").as("dropoff_nation"))
+    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(custNation), c("c_nationkey") === custNation("cn_key"))
+      .join(broadcast(suppNation), s("s_nationkey") === suppNation("sn_key"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("pickup_nation"), col("dropoff_nation"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** J4: inner join on a label string against a tiny in-memory dimension
+    * (load.py:168-172). 'N' rows are deliberately unmatched and silently
+    * dropped — the reference's inner-join row-loss semantics, preserved. */
+  def labelJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = Seq(("R", "Retour"), ("A", "Accepté")).toDF("flag", "payment_label")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(labels), col("l_returnflag") === col("flag"), "inner")
+      .select(col("l_orderkey"), col("l_linenumber"), col("payment_label"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.warehouse
+
+import graft.Tables
+import graft.queries.Funcs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's star-schema warehouse load (`Scripts_ETL/load.py`),
+  * re-expressed engine-side: dimensions are deduped and keyed INSIDE Spark
+  * (row_number surrogate keys), which removes the reference's
+  * insert-then-read-back round trip (`load.py:121-152`) entirely.
+  *
+  * Dims: dim_time (distinct shipdate + time features, load.py:19-26),
+  * dim_location (PU ∪ DO ids, load.py:28-33 / 127-130), dim_payment
+  * (distinct labels, load.py:35-40). Fact: 4-way inner join chain
+  * (load.py:155-172) with inner-join row-loss preserved, NUMERIC(8,2)
+  * casts at the sink contract (load.py:209-220) expressed as round().
+  *
+  * Scale: every dim is tiny → broadcast joins; the fact build is one scan
+  * of lineitem with zero shuffles (windows run on the already-small dims).
+  */
+object StarSchema {
+
+  def dimTime(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_shipdate").as("datetime")).distinct()
+      .withColumn("hour", hour(col("datetime")))
+      .withColumn("day_of_week", date_format(col("datetime"), "EEEE"))
+      .withColumn("time_period", Funcs.timePeriod(col("hour")))
+      .withColumn("time_pk", row_number().over(Window.orderBy("datetime")))
+      .select("time_pk", "datetime", "hour", "day_of_week", "time_period")
+
+  def dimLocation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.select(col("l_partkey").as("location_id"))
+      .unionByName(li.select(col("l_suppkey").as("location_id")))
+      .distinct()
+      .withColumn("location_pk", row_number().over(Window.orderBy("location_id")))
+      .withColumn("borough", lit("Inconnu")) // DEFAULT 'Inconnu', load.py:31
+      .select("location_pk", "location_id", "borough")
+  }
+
+  /** Payment dim from the label-encoded fact column; 'N' is deliberately
+    * unmapped (label null) and the null never reaches the dim (the
+    * reference's dim insert skips NaN the same way the fact join drops it). */
+  def dimPayment(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(Funcs.labelMap(col("l_returnflag"), Seq("R" -> "Retour", "A" -> "Accepté"))
+        .as("payment_type"))
+      .filter(col("payment_type").isNotNull)
+      .distinct()
+      .withColumn("payment_pk", row_number().over(Window.orderBy("payment_type")))
+      .select("payment_pk", "payment_type")
+
+  /** The fact build: surrogate-key lookups via broadcast inner joins
+    * (load.py:155-172), measures rounded to the NUMERIC(8,2) contract
+    * (load.py:209-220), CHECK(>0) constraints as validation filters
+    * (load.py:52-57), trip_id as a deterministic BIGSERIAL analogue. */
+  def factTrips(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("payment_label",
+        Funcs.labelMap(col("l_returnflag"), Seq("R" -> "Retour", "A" -> "Accepté")))
+    val t = dimTime(spark, dir)
+    val locPu = dimLocation(spark, dir)
+      .select(col("location_id").as("pu_id"), col("location_pk").as("pickup_loc_pk"))
+    val locDo = dimLocation(spark, dir)
+      .select(col("location_id").as("do_id"), col("location_pk").as("dropoff_loc_pk"))
+    val p = dimPayment(spark, dir)
+
+    li.join(broadcast(t), li("l_shipdate") === t("datetime"), "inner")
+      .join(broadcast(locPu), li("l_partkey") === locPu("pu_id"), "inner")
+      .join(broadcast(locDo), li("l_suppkey") === locDo("do_id"), "inner")
+      .join(broadcast(p), li("payment_label") === p("payment_type"), "inner")
+      .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0) // CHECK(>0)
+      // BIGSERIAL analogue: a key-DERIVED id, not a global row_number — a
+      // global window would single-partition-sort the whole fact, which
+      // dies at 100 TB. Deriving from the natural key is deterministic AND
+      // fully distributed (linenumber < 10 in TPC-H-shaped data).
+      .withColumn("trip_id", (col("l_orderkey") * 10 + col("l_linenumber")).cast("long"))
+      .select(col("trip_id"), col("time_pk"), col("pickup_loc_pk"), col("dropoff_loc_pk"),
+        col("payment_pk"),
+        col("l_quantity").cast("smallint").as("passenger_count"),
+        // raw doubles, not round(): IEEE products/divisions are bit-equal
+        // across engines, per-row round() is not (x.xx5 boundary).
+        col("l_extendedprice").as("fare_amount"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_amount"),
+        (col("l_extendedprice") / col("l_quantity")).as("avg_speed"))
+  }
+
+  def factTripsOrdered(spark: SparkSession, dir: String): DataFrame =
+    factTrips(spark, dir).orderBy("trip_id")
+}
