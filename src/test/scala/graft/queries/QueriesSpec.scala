@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry, Tables}
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the oracle-registered queries at sf0.001 (the
+  * value-exact check against DuckDB runs via Verify + the driver gate;
+  * these specs assert structural properties cheaply in CI). */
+class QueriesSpec extends SparkSpec {
+
+  test("every query has oracle SQL or is explicitly rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("anomaly split partitions lineitem") {
+    val total = Tables.lineitem(spark, sfDir).count()
+    val v = Etl.validSplit(spark, sfDir).count()
+    val a = Etl.anomalySplit(spark, sfDir).count()
+    assert(v + a == total)
+  }
+
+  test("every anomaly row violates its named rule") {
+    val t = Etl.taggedLineitem(spark, sfDir)
+    val bad = Etl.rules.map { case (reason, cond) =>
+      t.filter(col("rejection_reason") === reason && !cond).count()
+    }.sum
+    assert(bad == 0)
+  }
+
+  test("surrogate keys are contiguous and unique") {
+    val pks = Dedup.surrogateKeys(spark, sfDir).select("location_pk")
+      .collect().map(_.getInt(0))
+    assert(pks.toSeq == (1 to pks.length))
+  }
+
+  test("fact join drops exactly the unmatched-label rows") {
+    val li = Tables.lineitem(spark, sfDir)
+    val expected = li.filter(col("l_returnflag").isin("R", "A")).count()
+    assert(graft.warehouse.StarSchema.factTrips(spark, sfDir).count() == expected)
+  }
+
+  test("share-of-total percentages sum to 100") {
+    val pctSum = Aggs.shareOfTotal(spark, sfDir).agg(sum("pct")).head().getDouble(0)
+    assert(math.abs(pctSum - 100.0) < 0.05)
+  }
+}
