@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.{Aggs, Dedup, Etl, Funcs, Joins}
 import graft.warehouse.StarSchema
+import graft.llm.{DocDedup, Multimodal, Similarity, TextStats}
 
 /** Driver contract — see SURVEY.md §7. Each entry is one operator from the
   * SURVEY.md §2 inventory, with equivalent ANSI SQL for the DuckDB oracle.
@@ -100,7 +101,26 @@ object SparkEntry {
     "w1_dim_time" -> ((s: SparkSession, d: String) => StarSchema.dimTime(s, d).orderBy("time_pk")),
     "w2_dim_location" -> ((s: SparkSession, d: String) => StarSchema.dimLocation(s, d).orderBy("location_pk")),
     "w3_dim_payment" -> ((s: SparkSession, d: String) => StarSchema.dimPayment(s, d).orderBy("payment_pk")),
-    "w4_fact_trips" -> (StarSchema.factTripsOrdered _)
+    "w4_fact_trips" -> (StarSchema.factTripsOrdered _),
+    // ---- streaming batch analogue ----
+    "e1_hourly_events" -> ((s: SparkSession, d: String) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .orderBy("window_start", "event_type")),
+    // ---- LLM-pipeline extensions (SURVEY.md §2.9 north star) ----
+    "x1_dedup_exact" -> (DocDedup.exactGroups _),
+    "x2_minhash_digest" -> ((s: SparkSession, d: String) => DocDedup.minhashDigest(s, d)),
+    "x3_minhash_pairs" -> ((s: SparkSession, d: String) => DocDedup.minhashPairs(s, d)),
+    "x4_simhash_digest" -> (DocDedup.simhashDigest _),
+    "x5_embed_neardup" -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
+    "x6_ann_topk" -> ((s: SparkSession, d: String) => Similarity.topKBruteForce(s, d)),
+    "x7_lang_id" -> (TextStats.langId _),
+    "x8_quality_score" -> (TextStats.qualityScore _),
+    "x9_token_count" -> (TextStats.tokenCount _),
+    "x10_fingerprint" -> (TextStats.fingerprint _),
+    "x11_rolling_fingerprint" -> (TextStats.rollingFingerprint _),
+    "m1_media_stats" -> (Multimodal.mediaStats _)
   )
 
   /** DuckDB-runnable oracle SQL, one per query, aliases matched 1:1. */
@@ -243,6 +263,80 @@ object SparkEntry {
        "JOIN dloc pu ON l.l_partkey = pu.location_id " +
        "JOIN dloc ddo ON l.l_suppkey = ddo.location_id " +
        s"JOIN dpay p ON ($paymentCase) = p.payment_type " +
-       "WHERE l.l_quantity > 0 AND l.l_extendedprice > 0 ORDER BY trip_id")
+       "WHERE l.l_quantity > 0 AND l.l_extendedprice > 0 ORDER BY trip_id"),
+    "e1_hourly_events" ->
+      ("SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, " +
+       "round(sum(value),2) AS total_value FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
+    "x1_dedup_exact" ->
+      ("SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id " +
+       "FROM documents GROUP BY 1 ORDER BY content_hash"),
+    // x2/x3/x4/x11: xxhash64-based signatures — not ANSI-SQL-expressible;
+    // rows-only at the gate, exact semantics covered by ScalaTest.
+    "x5_embed_neardup" ->
+      (s"WITH $normCte " +
+       "SELECT id_a, id_b, sim FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+       s"${dotSql("a.vec", "b.vec")}/(a.norm*b.norm) AS sim " +
+       "FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id) WHERE sim >= 0.35 ORDER BY id_a, id_b"),
+    "x6_ann_topk" ->
+      (s"WITH $normCte, q AS (SELECT vec_id AS query_id, vec AS qv, norm AS qn FROM nrm WHERE vec_id < 20), " +
+       s"s AS (SELECT q.query_id, c.vec_id AS neighbor_id, ${dotSql("q.qv", "c.vec")}/(q.qn*c.norm) AS sim " +
+       "FROM q JOIN nrm c ON c.vec_id <> q.query_id) " +
+       "SELECT query_id, rank, neighbor_id, sim FROM (SELECT query_id, neighbor_id, sim, " +
+       "CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s) " +
+       "WHERE rank <= 5 ORDER BY query_id, rank"),
+    "x7_lang_id" ->
+      ("SELECT doc_id, score_en, score_de, score_fr, score_es, " +
+       "CASE WHEN score_en = best AND best > 0 THEN 'en' WHEN score_de = best AND best > 0 THEN 'de' " +
+       "WHEN score_fr = best AND best > 0 THEN 'fr' WHEN score_es = best AND best > 0 THEN 'es' " +
+       "ELSE 'unknown' END AS predicted_lang FROM (SELECT doc_id, " +
+       s"${markerSql("en")} AS score_en, ${markerSql("de")} AS score_de, ${markerSql("fr")} AS score_fr, " +
+       s"${markerSql("es")} AS score_es, " +
+       s"greatest(${markerSql("en")}, ${markerSql("de")}, ${markerSql("fr")}, ${markerSql("es")}) AS best " +
+       "FROM documents) ORDER BY doc_id"),
+    "x8_quality_score" ->
+      ("SELECT doc_id, n_chars_m, n_tokens, avg_token_len, stop_ratio, " +
+       "least(1.0, n_tokens/50.0)*0.4 + (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.3 ELSE 0.0 END) " +
+       "+ least(0.3, stop_ratio*3) AS quality_score FROM (" +
+       "SELECT doc_id, CAST(length(text) AS INT) AS n_chars_m, " +
+       "CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+       "CAST(length(replace(text, ' ', '')) AS DOUBLE)/len(string_split(text, ' ')) AS avg_token_len, " +
+       s"CAST(${stopHitsSql} AS DOUBLE)/len(string_split(text, ' ')) AS stop_ratio " +
+       "FROM documents) ORDER BY doc_id"),
+    "x9_token_count" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens_ws, " +
+       "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_tokens_bpe " +
+       "FROM documents ORDER BY doc_id"),
+    "x10_fingerprint" ->
+      ("SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp " +
+       "FROM documents ORDER BY doc_id"),
+    "m1_media_stats" ->
+      ("SELECT doc_id AS asset_id, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+       "ELSE 'video' END AS media_type, CAST(octet_length(encode(text)) AS INT) AS n_bytes, " +
+       "CAST(doc_id % 16 * 64 + 256 AS INT) AS width, CAST(doc_id % 9 * 64 + 256 AS INT) AS height, " +
+       "n_chars * 10 AS duration_ms FROM documents ORDER BY asset_id")
   )
+
+  // ---- extension SQL fragments ----
+
+  /** per-row norm CTE over double-cast embeddings (bit-exact with Spark's
+    * sequential aggregate() fold — verified empirically). */
+  private val normCte: String =
+    "nrm AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, " +
+    "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS norm FROM embeddings)"
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), t -> t[1]*t[2]))"
+
+  /** marker-word hit count per language (mirror of TextStats.langScore). */
+  private def markerSql(lang: String): String = {
+    val markers = TextStats.langMarkers.toMap.apply(lang)
+    markers.map { m =>
+      s"CAST((length(' '||text||' ')-length(replace(' '||text||' ', '$m', '')))/${m.length} AS INT)"
+    }.mkString("(", " + ", ")")
+  }
+
+  private val stopHitsSql: String =
+    Seq(" the ", " a ", " of ", " and ").map { m =>
+      s"CAST((length(' '||text||' ')-length(replace(' '||text||' ', '$m', '')))/${m.length} AS INT)"
+    }.mkString("(", " + ", ")")
 }

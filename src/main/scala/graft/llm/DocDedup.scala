@@ -1,0 +1,149 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication family for training-data pipelines, over the
+  * `documents` table: exact (hash groupBy), MinHash+LSH, SimHash, and
+  * n-gram Jaccard verification.
+  *
+  * Scale design: signatures (MinHash/SimHash) are pure per-row codegen'd
+  * expressions — one scan, no shuffle. Candidate generation shuffles ONLY
+  * on short band hashes (the LSH trick), never on text; exact Jaccard runs
+  * only on the candidate pairs. This is the standard web-scale dedup
+  * layout (shingle → minhash → band → bucket join).
+  */
+object DocDedup {
+
+  // ---- exact ----
+
+  /** Exact dedup via content hash: one hash-aggregate; keeper = min doc_id
+    * per hash (deterministic). */
+  def exactGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+      .orderBy("content_hash")
+
+  // ---- MinHash + LSH ----
+
+  def tokensCol: Column = split(col("text"), " ")
+
+  /** 3-token shingles (short docs fall back to the whole text). */
+  def shingles(tokens: Column): Column = {
+    val n = size(tokens)
+    when(n >= 3, transform(sequence(lit(0), n - 3), i => concat_ws(" ", slice(tokens, i + 1, lit(3)))))
+      .otherwise(array(concat_ws(" ", tokens)))
+  }
+
+  /** k-component MinHash signature: component i = min over shingles of
+    * xxhash64(shingle ⊕ i). k seeded hash functions without modular
+    * arithmetic; everything stays inside whole-stage codegen. */
+  def minhashSignature(sh: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
+    }: _*)
+
+  def withSignature(docs: DataFrame, k: Int = 64): DataFrame =
+    docs.withColumn("sig", minhashSignature(shingles(tokensCol), k))
+
+  /** Per-doc signature digest (deterministic, rows-only gate entry). */
+  def minhashDigest(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
+    withSignature(Tables.documents(spark, dir), k)
+      .select(col("doc_id"), xxhash64(col("sig").cast("string")).as("sig_hash"))
+      .orderBy("doc_id")
+
+  /** LSH candidate pairs: signature split into `bands` bands of `rowsPer`
+    * components; docs sharing any band hash become a candidate pair, then
+    * estimated Jaccard (fraction of equal signature components) filters. */
+  def minhashPairs(spark: SparkSession, dir: String, k: Int = 64, bands: Int = 16,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val rowsPer = k / bands
+    // Materialization barrier: without it CollapseProject inlines the
+    // 64-component signature expression into every band lambda AND both
+    // join sides — a 32× recompute. At cluster scale this would be a
+    // reliable checkpoint / intermediate parquet of the signature table
+    // (signatures are the natural persisted artifact of a dedup pipeline).
+    val sigs = withSignature(Tables.documents(spark, dir), k)
+      .select("doc_id", "sig").localCheckpoint()
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        j => xxhash64(slice(col("sig"), j * lit(rowsPer) + 1, lit(rowsPer)).cast("string"), j)))
+        .as(Seq("band_idx", "band_hash")))
+    val a = banded.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, col("band_idx") === col("bi") && col("band_hash") === col("bh")
+        && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / k)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("id_a", "id_b", "est_jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash: bit i set iff Σ_tokens (±1 by bit i of xxhash64(token))
+    * is positive. Single codegen'd expression per row. */
+  def simhash(tokens: Column, bits: Int = 64): Column = {
+    val bitCols = (0 until bits).map { i =>
+      val vote = aggregate(tokens, lit(0),
+        (acc, t) => acc + when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  def simhashDigest(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), simhash(tokensCol).as("simhash"))
+      .orderBy("doc_id")
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 4×16-bit chunks (any pair within
+    * hamming distance ≤ maxHamming shares at least one exact chunk), then
+    * exact hamming filter. Same shuffle-on-short-keys layout as MinHash. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    // barrier: see minhashPairs — prevents the 64-bit-vote expression from
+    // being inlined into the 4 chunk lambdas and both join sides
+    val sh = simhashDigest(spark, dir).localCheckpoint()
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    val a = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = chunked.select(col("chunk_idx").as("ci"), col("chunk").as("ch"),
+      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, col("chunk_idx") === col("ci") && col("chunk") === col("ch")
+        && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- exact n-gram Jaccard (verification of candidates) ----
+
+  /** Exact token-3-gram Jaccard for given candidate pairs (id_a, id_b):
+    * |A∩B| / |A∪B| via array_intersect/array_union on distinct shingles. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      array_distinct(shingles(tokensCol)).as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media (image/audio/video) as opaque
+  * `binary` columns with typed metadata, processed per-partition in
+  * batches. The DECODE step is a clearly-marked deterministic STUB (no
+  * media codecs in this environment); everything around it — schema,
+  * partitioning, batch shape, feature layout — is real Spark and tested.
+  *
+  * Layout mirrors production multimodal pipelines: assets stay binary
+  * through the plan (no driver collect), decode/feature-extract runs
+  * inside `mapPartitions` so a real codec drops in without touching the
+  * dataflow, and features come back as fixed-width `Array[Float]` columns
+  * ready for the Similarity operators.
+  */
+object Multimodal {
+
+  /** An opaque media asset: bytes + typed metadata. */
+  case class MediaAsset(asset_id: Long, media_type: String, payload: Array[Byte],
+      width: Int, height: Int, duration_ms: Long)
+
+  /** Decoded features: fixed-width embedding + sampled frame offsets. */
+  case class MediaFeatures(asset_id: Long, media_type: String, n_bytes: Int,
+      embedding: Array[Float], frame_offsets: Array[Int])
+
+  /** Build a synthetic asset table from `documents` (payload = UTF-8 bytes;
+    * stands in for real image/audio blobs with the same schema shape). */
+  def assets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("asset_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+        col("text").cast("binary").as("payload"),
+        (pmod(col("doc_id"), lit(16)) * 64 + 256).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(9)) * 64 + 256).cast("int").as("height"),
+        (col("n_chars") * 10).as("duration_ms"))
+      .as[MediaAsset]
+  }
+
+  /** STUB decoder ???: a real implementation would hand `payload` to a
+    * codec (JPEG/PNG/PCM/H.264). Here: a deterministic byte-histogram
+    * "embedding" so the plumbing is testable end-to-end. Same signature,
+    * same batch discipline. */
+  def decodeStub(payload: Array[Byte], dim: Int = 16): Array[Float] = {
+    val hist = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) { hist((payload(i) & 0xFF) % dim) += 1f; i += 1 }
+    val n = math.max(1, payload.length).toFloat
+    hist.map(_ / n)
+  }
+
+  /** Frame sampling STUB: every `stride` bytes = one "frame" offset. */
+  def sampleFrames(payloadLen: Int, stride: Int = 64, maxFrames: Int = 8): Array[Int] =
+    (0 until payloadLen by stride).take(maxFrames).toArray
+
+  /** Feature extraction: batched per-partition map — the Scala analogue of
+    * a pandas-batch UDF. Each partition processes its assets in one pass;
+    * no data leaves the executor. */
+  def extractFeatures(in: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import in.sparkSession.implicits._
+    in.mapPartitions { it =>
+      it.map { a =>
+        MediaFeatures(a.asset_id, a.media_type, a.payload.length,
+          decodeStub(a.payload), sampleFrames(a.payload.length))
+      }
+    }
+  }
+
+  /** Gate entry: metadata + SQL-expressible stats over the binary column
+    * (octet_length matches DuckDB exactly); features themselves are
+    * covered by ScalaTest. */
+  def mediaStats(spark: SparkSession, dir: String): DataFrame =
+    assets(spark, dir).toDF()
+      .select(col("asset_id"), col("media_type"),
+        length(col("payload")).as("n_bytes"), col("width"), col("height"), col("duration_ms"))
+      .orderBy("asset_id")
+}

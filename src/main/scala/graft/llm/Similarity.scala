@@ -1,0 +1,102 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an `array<float>` embedding column — a core
+  * training-data-pipeline operator the reference lacks.
+  *
+  * All math uses codegen'd higher-order functions (`zip_with` +
+  * `aggregate`), NOT UDFs: the sequential left-fold in double precision is
+  * bit-identical to the DuckDB oracle's `list_sum`/`list_transform` over
+  * `DOUBLE[]`, so even the similarity VALUES hash-match exactly.
+  *
+  * Scale paths:
+  *  - brute-force top-k: fine for a bounded query set (broadcast the
+  *    queries; one pass over the corpus, no shuffle of the big side);
+  *  - `annLsh`: random-hyperplane LSH — corpus bucketed by a 16-bit sign
+  *    code, candidates only join within a bucket. At 100 TB the bucket join
+  *    replaces the quadratic cross product with a shuffle on short codes.
+  */
+object Similarity {
+
+  /** Σ x*y over two double arrays — sequential fold, deterministic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def normSq(a: Column): Column = aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+
+  def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Corpus with a precomputed L2 norm (one pass, reused by every pair). */
+  def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("norm", sqrt(normSq(col("vec"))))
+
+  /** All pairs (i < j) with cosine ≥ threshold — embedding near-duplicate
+    * detection. Quadratic: keep for oracle-scale corpora; the LSH variant
+    * below is the scale path. */
+  def nearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val a = e.select(col("vec_id").as("id_a"), col("vec").as("va"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("vec").as("vb"), col("norm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Brute-force cosine top-k for a bounded query set (vec_id < nQueries):
+    * the small side broadcasts, the corpus streams — no corpus shuffle. */
+  def topKBruteForce(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("vec").as("cv"), col("norm").as("cn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic ±1 random hyperplanes (seeded, driver-side constants —
+    * folded into the plan as literals, never shipped as data). */
+  private def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Random-hyperplane LSH bucket code: bit j = sign(v · h_j). */
+  def lshCode(vec: Column, nPlanes: Int, dim: Int): Column = {
+    val bits = (0 until nPlanes).map { j =>
+      val plane = typedlit(planes(nPlanes, dim)(j))
+      when(dot(vec, plane) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN near-dup pairs: candidates share a 16-bit code bucket; exact
+    * cosine re-scored only within buckets. Approximate (misses pairs that
+    * land in different buckets) — the ScalaTest spec measures recall vs
+    * brute force. */
+  def annPairsLsh(spark: SparkSession, dir: String, threshold: Double = 0.35,
+      nPlanes: Int = 16, dim: Int = 64): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+      .withColumn("code", lshCode(col("vec"), nPlanes, dim))
+    val a = e.select(col("vec_id").as("id_a"), col("vec").as("va"),
+      col("norm").as("na"), col("code"))
+    val b = e.select(col("vec_id").as("id_b"), col("vec").as("vb"),
+      col("norm").as("nb"), col("code").as("code_b"))
+    a.join(b, col("code") === col("code_b") && col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table: language-ID (marker-word heuristic), quality scoring,
+  * token counting (whitespace + BPE-ish regex), and document
+  * fingerprinting. Pure codegen'd expressions — no UDFs, no shuffles; each
+  * query is a single scan at any scale.
+  */
+object TextStats {
+
+  /** Occurrences of `needle` in `hay` via length-difference — expressible
+    * identically in Spark and DuckDB (replace/length), unlike regex counts. */
+  def countOccurrences(hay: Column, needle: String): Column =
+    (length(hay) - length(regexp_replace(hay, java.util.regex.Pattern.quote(needle), "")))
+      ./(lit(needle.length)).cast("int")
+
+  private def padded: Column = concat(lit(" "), col("text"), lit(" "))
+
+  /** Marker-word language scores. The markers are standard high-frequency
+    * function words per language; score = total marker hits. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " la ", " et "),
+    "es" -> Seq(" el ", " los ", " y "))
+
+  def langScore(markers: Seq[String]): Column =
+    markers.map(m => countOccurrences(padded, m)).reduce(_ + _)
+
+  /** x7: language-ID — argmax of marker scores, 'unknown' when no marker
+    * fires. Ties resolve in langMarkers order (greatest-first scan). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id") +: langMarkers.map { case (l, m) => langScore(m).as(s"score_$l") }: _*)
+    val best = langMarkers.map { case (l, _) => col(s"score_$l") }.reduce((a, b) => greatest(a, b))
+    // earlier langs win ties (en first) — build the when-chain left to right
+    val pickFirst = langMarkers.reverse.foldLeft(lit("unknown")) { case (acc, (l, _)) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("predicted_lang", pickFirst)
+      .select("doc_id", "score_en", "score_de", "score_fr", "score_es", "predicted_lang")
+      .orderBy("doc_id")
+  }
+
+  /** x8: quality scoring — length/stopword/shape heuristics in one pass. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_chars_m", length(col("text")))
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("avg_token_len",
+        (length(regexp_replace(col("text"), " ", "")).cast("double")) / col("n_tokens"))
+      .withColumn("stop_hits", langScore(Seq(" the ", " a ", " of ", " and ")))
+      .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_tokens") / lit(50.0)) * lit(0.4)
+          + when(col("avg_token_len").between(2.0, 10.0), 0.3).otherwise(0.0)
+          + least(lit(0.3), col("stop_ratio") * 3))
+      .select("doc_id", "n_chars_m", "n_tokens", "avg_token_len", "stop_ratio", "quality_score")
+      .orderBy("doc_id")
+
+  /** x9: token counting — whitespace tokens and a BPE-ish regex token count
+    * (letter runs / digit runs / single punctuation, the GPT-2 pre-tokenizer
+    * shape). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens_ws", size(split(col("text"), " ")))
+      .withColumn("n_tokens_bpe",
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
+      .select("doc_id", "n_tokens_ws", "n_tokens_bpe")
+      .orderBy("doc_id")
+
+  /** x10: content fingerprint — md5 over whitespace-normalized lowercase
+    * text (the canonical exact-dedup key). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+
+  /** x11: rolling-hash fingerprint (winnowing-style): min/max xxhash64 over
+    * 5-token shingles — robust to local edits, used as a near-dup
+    * prefilter. Not ANSI-SQL-expressible (xxhash64): covered by ScalaTest,
+    * rows-only at the gate. */
+  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = split(col("text"), " ")
+    val n = size(tokens)
+    val shingles = when(n >= 5,
+      transform(sequence(lit(0), n - 5), i => concat_ws(" ", slice(tokens, i + 1, lit(5)))))
+      .otherwise(array(concat_ws(" ", tokens)))
+    Tables.documents(spark, dir)
+      .withColumn("shingle_hashes", transform(shingles, s => xxhash64(s)))
+      .select(col("doc_id"),
+        array_min(col("shingle_hashes")).as("fp_min"),
+        array_max(col("shingle_hashes")).as("fp_max"))
+      .orderBy("doc_id")
+  }
+}

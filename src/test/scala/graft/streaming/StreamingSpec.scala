@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+// top-level: Dataset encoders for inner-class case classes need an outer
+// scope; keep it simple
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val sample = Seq(
+    Ev(1, ts("2024-01-01 10:05:00"), 7, "view", 1.0),
+    Ev(2, ts("2024-01-01 10:20:00"), 7, "click", 2.0),
+    Ev(3, ts("2024-01-01 11:10:00"), 8, "purchase", 30.0),
+    Ev(4, ts("2024-01-01 11:40:00"), 8, "error", -1.0),
+    Ev(5, ts("2024-01-01 11:55:00"), 7, "view", 0.0))
+
+  test("hourlyAgg over a MemoryStream matches the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val q = EventsStream.hourlyAgg(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hourly_test")
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+    val batch = EventsStream.hourlyAgg(sample.toDF())
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+    assert(streamed == batch, "stream and batch must agree (unified API)")
+    assert(streamed.nonEmpty)
+  }
+
+  test("twin-sink foreachBatch splits valid vs anomalies per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft_stream").toString
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val q = mem.toDF().writeStream
+      .foreachBatch(EventsStream.twinSinkWriter(s"$out/valid", s"$out/anomalies") _)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val valid = spark.read.parquet(s"$out/valid")
+    val anoms = spark.read.parquet(s"$out/anomalies")
+    assert(valid.count() == 3) // events 1,2,3
+    assert(anoms.count() == 2) // error event + value<=0
+    assert(!valid.columns.contains("rejection_reason"))
+    // priority: event 4 has value<=0 AND type error → first rule wins
+    val r4 = anoms.filter(col("event_id") === 4).select("rejection_reason").head().getString(0)
+    assert(r4 == "Valeur invalide")
+  }
+
+  test("sessionize keeps running per-user state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.sessionize(mem.toDF())
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("update").start()
+    mem.addData(sample.take(2): _*) // user 7: 2 events
+    q.processAllAvailable()
+    mem.addData(sample.drop(2): _*) // user 8: 2 events, user 7: +1
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sessions_test")
+      .groupBy("user_id").agg(max("n_events").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sessions(7L) == 3L, "state accumulated across batches")
+    assert(sessions(8L) == 2L)
+  }
+}
