@@ -37,13 +37,13 @@ object DocDedup {
       .otherwise(array(concat_ws(" ", tokens)))
   }
 
-  /** k-component MinHash signature: component i = min over shingles of
-    * xxhash64(shingle ⊕ i). k seeded hash functions without modular
-    * arithmetic; everything stays inside whole-stage codegen. */
+  /** k-component MinHash signature over PRE-HASHED shingles: component i =
+    * min over hashes h of xxh64(h, seed=i). Strings are hashed exactly once
+    * (`xxhash64` below); the k× fan-out mixes longs in a custom codegen'd
+    * expression — the naive k×transform(strings) formulation re-reads every
+    * shingle k times interpreted (≈1000× slower at bench scale). */
   def minhashSignature(sh: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
-    }: _*)
+    graft.functions.HashExpressions.minhashSig(transform(sh, s => xxhash64(s)), k)
 
   def withSignature(docs: DataFrame, k: Int = 64): DataFrame =
     docs.withColumn("sig", minhashSignature(shingles(tokensCol), k))
@@ -89,15 +89,9 @@ object DocDedup {
   // ---- SimHash ----
 
   /** 64-bit SimHash: bit i set iff Σ_tokens (±1 by bit i of xxhash64(token))
-    * is positive. Single codegen'd expression per row. */
-  def simhash(tokens: Column, bits: Int = 64): Column = {
-    val bitCols = (0 until bits).map { i =>
-      val vote = aggregate(tokens, lit(0),
-        (acc, t) => acc + when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+    * is positive. Tokens hashed once; bit voting in a codegen'd loop. */
+  def simhash(tokens: Column, bits: Int = 64): Column =
+    graft.functions.HashExpressions.simhash64(transform(tokens, t => xxhash64(t)))
 
   def simhashDigest(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -9,8 +9,12 @@ import org.apache.spark.sql.functions._
 class QueriesSpec extends SparkSpec {
 
   test("every query has oracle SQL or is explicitly rows-only") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // xxhash64-based sketches are not ANSI-SQL-expressible → rows-only
+    val rowsOnly = Set("x2_minhash_digest", "x3_minhash_pairs",
+      "x4_simhash_digest", "x11_rolling_fingerprint")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
+    assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty)
   }
 
   test("flagship entry returns rows") {
