@@ -102,6 +102,16 @@ object SparkEntry {
     "w2_dim_location" -> ((s: SparkSession, d: String) => StarSchema.dimLocation(s, d).orderBy("location_pk")),
     "w3_dim_payment" -> ((s: SparkSession, d: String) => StarSchema.dimPayment(s, d).orderBy("payment_pk")),
     "w4_fact_trips" -> (StarSchema.factTripsOrdered _),
+    "w5_upsert" -> ((s: SparkSession, d: String) => {
+      val o = Tables.orders(s, d)
+      val existing = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit("old").as("src"), col("o_totalprice"))
+      val incoming = o.select(col("o_orderkey"), lit("new").as("src"), col("o_totalprice"))
+      graft.warehouse.Upsert.upsertDoNothing(existing, incoming, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+    "win_trips_per_day" -> (Aggs.tripsPerDayWindow _),
+    "a15_cube_revenue" -> (Aggs.cubeRevenue _),
     // ---- streaming batch analogue ----
     "e1_hourly_events" -> ((s: SparkSession, d: String) =>
       Tables.events(s, d)
@@ -264,6 +274,18 @@ object SparkEntry {
        "JOIN dloc ddo ON l.l_suppkey = ddo.location_id " +
        s"JOIN dpay p ON ($paymentCase) = p.payment_type " +
        "WHERE l.l_quantity > 0 AND l.l_extendedprice > 0 ORDER BY trip_id"),
+    "w5_upsert" ->
+      ("WITH e AS (SELECT o_orderkey, 'old' AS src, o_totalprice FROM orders WHERE o_orderkey % 3 = 0), " +
+       "i AS (SELECT o_orderkey, 'new' AS src, o_totalprice FROM orders) " +
+       "SELECT * FROM e UNION ALL SELECT * FROM i WHERE o_orderkey NOT IN (SELECT o_orderkey FROM e) " +
+       "ORDER BY o_orderkey"),
+    "win_trips_per_day" ->
+      ("SELECT l_orderkey, l_linenumber, count(*) OVER (PARTITION BY CAST(l_shipdate AS DATE)) AS trips_same_day " +
+       "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "a15_cube_revenue" ->
+      ("SELECT CAST(year(l_shipdate) AS INT) AS y, l_returnflag, " +
+       "sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS revenue, count(*) AS n FROM lineitem " +
+       "GROUP BY CUBE (1, 2) ORDER BY y NULLS FIRST, l_returnflag NULLS FIRST"),
     "e1_hourly_events" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, " +
        "round(sum(value),2) AS total_value FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),

@@ -111,6 +111,29 @@ object Aggs {
       .agg(round(sum("l_extendedprice"), 2).as("total_amount"))
       .orderBy("location_id")
 
+  // ---- §2.7: window function attached per-row (DAX ALLEXCEPT analogue) ----
+  def tripsPerDayWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(to_date(col("l_shipdate")))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        count(lit(1)).over(w).as("trips_same_day"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ---- cube: precomputes every dashboard slicer combination (the
+  // reference's Power BI slicers re-aggregate interactively; a cube
+  // materializes all 4 grouping sets in one pass) ----
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      // decimal sum: the grand-total row aggregates the WHOLE table, where
+      // double summation error (~1e-4 at 1e9-scale totals) can cross the
+      // round(4) boundary differently per engine; decimal sums are exact
+      // and identical (the 4dp cast of the per-row double is unambiguous).
+      .cube(year(col("l_shipdate")).as("y"), col("l_returnflag"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+        .as("revenue"), count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("y"), asc_nulls_first("l_returnflag"))
+
   // ---- A1/A3/A4/A14: one-pass quality report (transform.py:131-144) ----
   // Single aggregation over the tagged frame computes totals, anomaly rate,
   // and valid-branch means/sums in ONE scan — the reference needs two
