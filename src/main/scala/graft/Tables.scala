@@ -25,6 +25,9 @@ object Tables {
     * convert here (integer `div` — double division would lose precision on
     * 1e18-scale nanos). Sub-microsecond digits are truncated. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // defensive: required to read TIMESTAMP(NANOS) parquet at all; runtime-
+    // settable, so set it here rather than relying on session-builder config
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -1,0 +1,54 @@
+package graft.sources
+
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Parquet sinks matching the reference's writer contract.
+  *
+  * S3 (reference `extract.py:61-66`, `transform.py:118-121`): snappy
+  * parquet, no index column (Spark never writes one).
+  * S4 (`transform.py:124-127`): timestamped anomaly side-output path.
+  *
+  * Scale: `writePartitioned` is the 100 TB shape — partition pruning on
+  * `pickup_date` (or any low-cardinality derived column) replaces the
+  * reference's Postgres indexes (`load.py:62-67`); a date-partitioned fact
+  * lets every dashboard query scan only its slice.
+  */
+object Sinks {
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "snappy").parquet(path)
+
+  /** Timestamped side-output (anomalies_<yyyyMMdd_HHmmss>.parquet). */
+  def writeTimestamped(df: DataFrame, dir: String, prefix: String = "anomalies",
+      now: LocalDateTime = LocalDateTime.now()): String = {
+    val stamp = now.format(DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
+    val path = s"$dir/${prefix}_$stamp.parquet"
+    writeParquet(df, path)
+    path
+  }
+
+  /** Date-partitioned fact write: the scalable sink. `partitionCol` must be
+    * low-cardinality (a date, not a timestamp). */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").option("compression", "snappy")
+      .partitionBy(partitionCol).parquet(path)
+
+  /** S10: CSV sink/source (the reference's Power BI ingestion path,
+    * README.md:34-37). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** P13: non-empty validation (reference `extract.py:56-57`). `isEmpty`
+    * runs a LocalLimit(1) job — O(first partition), not a full count. */
+  def requireNonEmpty(df: DataFrame, what: String): DataFrame = {
+    if (df.isEmpty) throw new IllegalStateException(s"Aucune donnée valide après traitement: $what")
+    df
+  }
+}

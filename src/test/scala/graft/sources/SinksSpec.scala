@@ -1,0 +1,61 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class SinksSpec extends SparkSpec {
+
+  test("snappy parquet roundtrip preserves data") {
+    val out = Files.createTempDirectory("graft_sink").toString
+    val li = Tables.lineitem(spark, sfDir).limit(100)
+    Sinks.writeParquet(li, s"$out/li")
+    assert(spark.read.parquet(s"$out/li").count() == 100)
+  }
+
+  test("timestamped side-output embeds the stamp in the path") {
+    val out = Files.createTempDirectory("graft_sink").toString
+    val path = Sinks.writeTimestamped(Tables.lineitem(spark, sfDir).limit(5), out,
+      now = java.time.LocalDateTime.of(2026, 8, 12, 10, 30, 0))
+    assert(path.endsWith("anomalies_20260812_103000.parquet"))
+    assert(spark.read.parquet(path).count() == 5)
+  }
+
+  test("partitioned write prunes partitions on read") {
+    val out = Files.createTempDirectory("graft_sink").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .withColumn("ship_date", to_date(col("l_shipdate")))
+    Sinks.writePartitioned(li, s"$out/fact", "ship_date")
+    val oneDay = li.select(max("ship_date")).head().getDate(0)
+    val pruned = spark.read.parquet(s"$out/fact").filter(col("ship_date") === lit(oneDay))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "date filter must hit partition pruning")
+    assert(pruned.count() == li.filter(col("ship_date") === lit(oneDay)).count())
+  }
+
+  test("csv roundtrip (Power BI ingestion path)") {
+    val out = Files.createTempDirectory("graft_sink").toString
+    val df = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderstatus", "o_totalprice").limit(50)
+    Sinks.writeCsv(df, s"$out/csv")
+    val back = Sinks.readCsv(spark, s"$out/csv", df.schema)
+    assert(back.count() == 50)
+    assert(back.schema == df.schema)
+  }
+
+  test("requireNonEmpty throws on empty frames, passes through otherwise") {
+    import spark.implicits._
+    val nonEmpty = Seq(1, 2).toDF("x")
+    assert(Sinks.requireNonEmpty(nonEmpty, "test").count() == 2)
+    intercept[IllegalStateException] {
+      Sinks.requireNonEmpty(nonEmpty.filter($"x" > 10), "empty")
+    }
+  }
+
+  test("SQL view layer answers DAX-measure analogues") {
+    graft.dashboard.Views.register(spark, sfDir)
+    val total = graft.dashboard.Views.measure(spark, "total_trips").head().getLong(0)
+    assert(total > 0)
+    val perDay = graft.dashboard.Views.measure(spark, "trips_per_day")
+    assert(perDay.agg(sum("n")).head().getLong(0) == total)
+  }
+}
