@@ -89,6 +89,44 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) top-k: corpus vectors are assigned to their
+    * most-similar centroid cell; a query probes only its `nProbe` nearest
+    * cells. Centroids here are a deterministic corpus sample (first
+    * nCells vec_ids) — a k-means refinement would drop in without changing
+    * the dataflow. At 100 TB the assignment table is the persisted index;
+    * the probe join shuffles on cell_id only. */
+  def topKIvf(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir)).localCheckpoint()
+    val cents = e.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cell_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
+    // assign every corpus vector to its best cell
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("__csim"), asc("cell_id"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .withColumn("__csim", dot(col("vec"), col("cvec")) / (col("norm") * col("cnorm")))
+      .withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("vec"), col("norm"), col("cell_id"))
+    // each query probes its nProbe closest cells
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
+    val wProbe = Window.partitionBy("query_id").orderBy(desc("__qsim"), asc("cell_id"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("__qsim", dot(col("qv"), col("cvec")) / (col("qn") * col("cnorm")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nProbe)
+      .select("query_id", "qv", "qn", "cell_id")
+    // search only the probed cells
+    val wTop = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+    probes.join(assigned, Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", dot(col("qv"), col("vec")) / (col("qn") * col("norm")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** ANN near-dup pairs: candidates share a 16-bit code bucket; exact
     * cosine re-scored only within buckets. Approximate (misses pairs that
     * land in different buckets) — the ScalaTest spec measures recall vs
