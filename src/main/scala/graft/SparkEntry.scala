@@ -125,6 +125,7 @@ object SparkEntry {
     "x4_simhash_digest" -> (DocDedup.simhashDigest _),
     "x5_embed_neardup" -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
     "x6_ann_topk" -> ((s: SparkSession, d: String) => Similarity.topKBruteForce(s, d)),
+    "x12_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.topKIvf(s, d)),
     "x7_lang_id" -> (TextStats.langId _),
     "x8_quality_score" -> (TextStats.qualityScore _),
     "x9_token_count" -> (TextStats.tokenCount _),
@@ -305,6 +306,19 @@ object SparkEntry {
        "FROM q JOIN nrm c ON c.vec_id <> q.query_id) " +
        "SELECT query_id, rank, neighbor_id, sim FROM (SELECT query_id, neighbor_id, sim, " +
        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s) " +
+       "WHERE rank <= 5 ORDER BY query_id, rank"),
+    "x12_ivf_topk" ->
+      (s"WITH $normCte, cents AS (SELECT vec_id AS cell_id, vec AS cvec, norm AS cnorm FROM nrm WHERE vec_id < 16), " +
+       "assigned AS (SELECT vec_id, vec, norm, cell_id FROM (" +
+       s"SELECT n.vec_id, n.vec, n.norm, c.cell_id, row_number() OVER (PARTITION BY n.vec_id ORDER BY ${dotSql("n.vec", "c.cvec")}/(n.norm*c.cnorm) DESC, c.cell_id) AS rn " +
+       "FROM nrm n, cents c) WHERE rn = 1), " +
+       "probes AS (SELECT query_id, qv, qn, cell_id FROM (" +
+       s"SELECT q.vec_id AS query_id, q.vec AS qv, q.norm AS qn, c.cell_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY ${dotSql("q.vec", "c.cvec")}/(q.norm*c.cnorm) DESC, c.cell_id) AS rn " +
+       "FROM nrm q, cents c WHERE q.vec_id < 20) WHERE rn <= 4) " +
+       "SELECT query_id, rank, neighbor_id, sim FROM (SELECT query_id, neighbor_id, sim, " +
+       "CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM (" +
+       s"SELECT p.query_id, a.vec_id AS neighbor_id, ${dotSql("p.qv", "a.vec")}/(p.qn*a.norm) AS sim " +
+       "FROM probes p JOIN assigned a ON p.cell_id = a.cell_id AND p.query_id <> a.vec_id)) " +
        "WHERE rank <= 5 ORDER BY query_id, rank"),
     "x7_lang_id" ->
       ("SELECT doc_id, score_en, score_de, score_fr, score_es, " +
