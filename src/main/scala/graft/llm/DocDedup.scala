@@ -71,13 +71,17 @@ object DocDedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         j => xxhash64(slice(col("sig"), j * lit(rowsPer) + 1, lit(rowsPer)).cast("string"), j)))
         .as(Seq("band_idx", "band_hash")))
-    val a = banded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
     val b = banded.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
-      col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, col("band_idx") === col("bi") && col("band_hash") === col("bh")
+      col("doc_id").as("id_b"))
+    // dedup candidate id-pairs BEFORE attaching signatures: the distinct
+    // then shuffles 16 bytes per row, not two 64-long arrays
+    val candidates = a.join(b, col("band_idx") === col("bi") && col("band_hash") === col("bh")
         && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / k)

@@ -33,8 +33,12 @@ object TaxiPipeline {
     val coerced = dateCols.foldLeft(projected)((df, c) =>
       df.withColumn(c, to_timestamp(col(c))))
     val cleaned = coerced.na.drop(dateCols)
-    narrowed.foldLeft(cleaned)((df, c) =>
+    val ints = narrowed.foldLeft(cleaned)((df, c) =>
       df.withColumn(c, coalesce(col(c), lit(0)).cast(ShortType)))
+    // float64 contract for measures (reference reads these as float64;
+    // inputs may arrive as decimal from other writers)
+    Seq("trip_distance", "fare_amount", "total_amount").foldLeft(ints)((df, c) =>
+      df.withColumn(c, col(c).cast("double")))
   }
 
   /** Derived metrics (reference `transform.py:33-41`): duration in minutes
