@@ -112,6 +112,7 @@ object SparkEntry {
     }),
     "win_trips_per_day" -> (Aggs.tripsPerDayWindow _),
     "a15_cube_revenue" -> (Aggs.cubeRevenue _),
+    "a16_fact_dashboard" -> (Aggs.factDashboard _),
     // ---- streaming batch analogue ----
     "e1_hourly_events" -> ((s: SparkSession, d: String) =>
       Tables.events(s, d)
@@ -287,6 +288,15 @@ object SparkEntry {
       ("SELECT CAST(year(l_shipdate) AS INT) AS y, l_returnflag, " +
        "sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS revenue, count(*) AS n FROM lineitem " +
        "GROUP BY CUBE (1, 2) ORDER BY y NULLS FIRST, l_returnflag NULLS FIRST"),
+    "a16_fact_dashboard" ->
+      (s"WITH $dimTimeCte, $dimLocCte, $dimPayCte " +
+       s"SELECT p.payment_type, round(sum(l.l_extendedprice),2) AS total_amount, count(*) AS n_trips " +
+       "FROM lineitem l JOIN dtime t ON l.l_shipdate = t.datetime " +
+       "JOIN dloc pu ON l.l_partkey = pu.location_id " +
+       "JOIN dloc ddo ON l.l_suppkey = ddo.location_id " +
+       s"JOIN dpay p ON ($paymentCase) = p.payment_type " +
+       "WHERE l.l_quantity > 0 AND l.l_extendedprice > 0 " +
+       "GROUP BY p.payment_type ORDER BY p.payment_type"),
     "e1_hourly_events" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, " +
        "round(sum(value),2) AS total_value FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),

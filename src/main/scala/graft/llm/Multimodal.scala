@@ -57,6 +57,28 @@ object Multimodal {
   def sampleFrames(payloadLen: Int, stride: Int = 64, maxFrames: Int = 8): Array[Int] =
     (0 until payloadLen by stride).take(maxFrames).toArray
 
+  /** Resize STUB ???: a real implementation re-encodes the pixel buffer; the
+    * metadata transform (the part Spark sees) is real — targets the longest
+    * side to `maxSide`, preserving aspect ratio. */
+  def resizeDims(width: Int, height: Int, maxSide: Int = 512): (Int, Int) = {
+    val longest = math.max(width, height)
+    if (longest <= maxSide) (width, height)
+    else {
+      val scale = maxSide.toDouble / longest
+      (math.max(1, math.round(width * scale).toInt), math.max(1, math.round(height * scale).toInt))
+    }
+  }
+
+  /** Resize over the asset table: metadata columns update; payload passes
+    * through (stub — a codec would rewrite it in the same mapPartitions). */
+  def resize(in: Dataset[MediaAsset], maxSide: Int = 512): Dataset[MediaAsset] = {
+    import in.sparkSession.implicits._
+    in.mapPartitions(_.map { a =>
+      val (w, h) = resizeDims(a.width, a.height, maxSide)
+      a.copy(width = w, height = h)
+    })
+  }
+
   /** Feature extraction: batched per-partition map — the Scala analogue of
     * a pandas-batch UDF. Each partition processes its assets in one pass;
     * no data leaves the executor. */

@@ -82,10 +82,30 @@ object Aggs {
       .orderBy("bin")
 
   // ---- A10: median KPI ("Median Trip Distance") ----
+  // exact median = full-sort shape; correct at oracle scale. At 100 TB use
+  // medianApprox below (single-pass sketch, no sort).
   def medianKpi(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .agg(round(median(col("l_quantity")), 2).as("median_qty"),
         round(median(col("l_extendedprice")), 2).as("median_price"))
+
+  /** Scale path for A10: percentile_approx sketch (mergeable, one pass). */
+  def medianApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("median_qty_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("median_price_approx"))
+
+  /** Dashboard query over the WAREHOUSE (join-once aggregate-many): revenue
+    * by payment label from fact × dim_payment — the reference's BI queries
+    * hit the star schema, not the raw trips. Dim broadcast; fact scan only. */
+  def factDashboard(spark: SparkSession, dir: String): DataFrame = {
+    val fact = graft.warehouse.StarSchema.factTrips(spark, dir)
+    val pay = graft.warehouse.StarSchema.dimPayment(spark, dir)
+    fact.join(broadcast(pay), Seq("payment_pk"))
+      .groupBy("payment_type")
+      .agg(round(sum("fare_amount"), 2).as("total_amount"), count(lit(1)).as("n_trips"))
+      .orderBy("payment_type")
+  }
 
   // ---- A11: avg of per-day sums ("Daily Avg Revenue") ----
   def dailyAvgRevenue(spark: SparkSession, dir: String): DataFrame =

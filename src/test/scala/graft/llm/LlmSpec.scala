@@ -131,4 +131,13 @@ class LlmSpec extends SparkSpec {
     // deterministic stub: same payload → same features
     assert(Multimodal.decodeStub("abc".getBytes).sameElements(Multimodal.decodeStub("abc".getBytes)))
   }
+
+  test("multimodal: resize preserves aspect ratio and caps the longest side") {
+    assert(Multimodal.resizeDims(1024, 512, 512) == (512, 256))
+    assert(Multimodal.resizeDims(300, 200, 512) == (300, 200)) // no upscale
+    assert(Multimodal.resizeDims(200, 2000, 512) == (51, 512))
+    val resized = Multimodal.resize(Multimodal.assets(spark, sfDir), maxSide = 300)
+    assert(resized.filter(a => math.max(a.width, a.height) > 300).count() == 0)
+    assert(resized.count() == Multimodal.assets(spark, sfDir).count())
+  }
 }
