@@ -22,14 +22,22 @@ object VectorExpressions {
       extends BinaryExpression with Serializable {
     override def dataType: DataType = DoubleType
 
+    override def nullable: Boolean = true
+
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
-      var acc = 0.0
-      var i = 0
-      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
-      acc
+      // mismatched dimensions → null, matching the zip_with+aggregate
+      // formulation (zip_with null-pads, the sum becomes null) — a silent
+      // partial sum would hide dimension bugs
+      if (x.numElements() != y.numElements()) null
+      else {
+        val n = x.numElements()
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+        acc
+      }
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -38,12 +46,16 @@ object VectorExpressions {
         val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
         s"""
-           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-           |double $acc = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $acc += $x.getDouble($i) * $y.getDouble($i);
+           |if ($x.numElements() != $y.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $x.numElements();
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $acc += $x.getDouble($i) * $y.getDouble($i);
+           |  }
+           |  ${ev.value} = $acc;
            |}
-           |${ev.value} = $acc;
          """.stripMargin
       })
 

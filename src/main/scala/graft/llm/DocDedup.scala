@@ -59,6 +59,8 @@ object DocDedup {
     * estimated Jaccard (fraction of equal signature components) filters. */
   def minhashPairs(spark: SparkSession, dir: String, k: Int = 64, bands: Int = 16,
       minEstJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide evenly into bands=$bands " +
+      "(truncated banding would silently exclude trailing signature components)")
     val rowsPer = k / bands
     // Materialization barrier: without it CollapseProject inlines the
     // 64-component signature expression into every band lambda AND both
@@ -94,7 +96,7 @@ object DocDedup {
 
   /** 64-bit SimHash: bit i set iff Σ_tokens (±1 by bit i of xxhash64(token))
     * is positive. Tokens hashed once; bit voting in a codegen'd loop. */
-  def simhash(tokens: Column, bits: Int = 64): Column =
+  def simhash(tokens: Column): Column =
     graft.functions.HashExpressions.simhash64(transform(tokens, t => xxhash64(t)))
 
   def simhashDigest(spark: SparkSession, dir: String): DataFrame =

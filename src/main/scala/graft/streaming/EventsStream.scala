@@ -49,8 +49,10 @@ object EventsStream {
   case class UserSession(user_id: Long, n_events: Long, total_value: Double, last_ts: Long)
 
   /** Custom per-key state: running per-user session rollup via
-    * mapGroupsWithState (processing-time timeout). Demonstrates the
-    * KeyValueGroupedDataset state API the brief calls for. */
+    * mapGroupsWithState. NoTimeout keeps the demo deterministic; a
+    * production stream over an unbounded user domain MUST use
+    * ProcessingTimeTimeout/EventTimeTimeout + state.setTimeout, or state
+    * grows without bound. */
   def sessionize(events: DataFrame): org.apache.spark.sql.Dataset[UserSession] = {
     import events.sparkSession.implicits._
     events.selectExpr("user_id", "cast(ts as long) AS ts_sec", "value").as[(Long, Long, Double)]

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 /** End-to-end pipeline main — the one-command replacement for the
   * reference's three scripts (extract.py → transform.py → load.py):
   *
-  *   scripts/run.sh graft.TaxiEtlMain <inputTrips.parquet> <outputDir>
+  *   scripts/run.sh graft.taxi.TaxiEtlMain <inputTrips.parquet> <outputDir>
   *
   * Produces, under outputDir: extract/ (the 11-column contract),
   * transform/transformed_data.parquet + anomalies_<ts>.parquet +
@@ -46,6 +46,7 @@ object TaxiEtlMain {
     val report = TaxiPipeline.qualityReport(validCached, anomCached)
     val detailJson = report.anomalyDetails.toSeq.sortBy(-_._2)
       .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+    def num(d: Double): String = if (d.isNaN || d.isInfinite) "null" else d.toString
     val reportJson =
       s"""{
          |  "total_processed": ${report.totalProcessed},
@@ -53,9 +54,9 @@ object TaxiEtlMain {
          |  "anomaly_rate": "${f"${report.anomalyRatePct}%.2f"}%",
          |  "anomaly_details": $detailJson,
          |  "data_quality_metrics": {
-         |    "avg_trip_duration": ${report.avgTripDuration},
-         |    "avg_speed": ${report.avgSpeed},
-         |    "total_fare_amount": ${report.totalFareAmount}
+         |    "avg_trip_duration": ${num(report.avgTripDuration)},
+         |    "avg_speed": ${num(report.avgSpeed)},
+         |    "total_fare_amount": ${num(report.totalFareAmount)}
          |  }
          |}""".stripMargin
     val reportPath = java.nio.file.Paths.get(s"$outDir/transform/transformation_report.json")

@@ -122,7 +122,10 @@ object TaxiPipeline {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val nAnom = detail.values.sum
     val total = v.getLong(0) + nAnom
+    // aggregates are null when the valid branch is empty (100% anomalous
+    // input) — report NaN rather than NPE mid-pipeline
+    def d(i: Int): Double = if (v.isNullAt(i)) Double.NaN else v.getDouble(i)
     QualityReport(total, nAnom, if (total == 0) 0 else nAnom * 100.0 / total, detail,
-      v.getDouble(1), v.getDouble(2), v.getDouble(3))
+      d(1), d(2), d(3))
   }
 }

@@ -46,9 +46,10 @@ object TaxiWarehouse {
     * DECIMAL contract at this, the sink boundary. */
   def factTrips(valid: DataFrame): DataFrame = {
     val t = dimTime(valid).select("time_pk", "datetime")
-    val pu = dimLocation(valid).select(col("location_id").as("pu_id"),
+    val loc = dimLocation(valid).localCheckpoint() // built once, joined twice
+    val pu = loc.select(col("location_id").as("pu_id"),
       col("location_pk").as("pickup_loc_pk"))
-    val dof = dimLocation(valid).select(col("location_id").as("do_id"),
+    val dof = loc.select(col("location_id").as("do_id"),
       col("location_pk").as("dropoff_loc_pk"))
     val p = dimPayment(valid)
     valid

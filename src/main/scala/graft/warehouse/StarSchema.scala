@@ -62,9 +62,13 @@ object StarSchema {
       .withColumn("payment_label",
         Funcs.labelMap(col("l_returnflag"), Seq("R" -> "Retour", "A" -> "Accepté")))
     val t = dimTime(spark, dir)
-    val locPu = dimLocation(spark, dir)
+    // build dim_location ONCE and alias it for the PU/DO joins — without
+    // the barrier each alias re-runs the union+distinct+window (2 extra
+    // lineitem scans and 2 shuffles per alias)
+    val loc = dimLocation(spark, dir).localCheckpoint()
+    val locPu = loc
       .select(col("location_id").as("pu_id"), col("location_pk").as("pickup_loc_pk"))
-    val locDo = dimLocation(spark, dir)
+    val locDo = loc
       .select(col("location_id").as("do_id"), col("location_pk").as("dropoff_loc_pk"))
     val p = dimPayment(spark, dir)
 

@@ -14,5 +14,10 @@ import org.apache.spark.sql.functions._
 object Upsert {
 
   def upsertDoNothing(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
-    existing.unionByName(incoming.join(existing.select(keys.map(col): _*), keys, "left_anti"))
+    // dropDuplicates mirrors the row-wise insert keeping ONE row per new
+    // key (which of an intra-batch duplicate set survives is arbitrary in
+    // a distributed insert too; pass a pre-deduped frame for determinism)
+    existing.unionByName(
+      incoming.dropDuplicates(keys)
+        .join(existing.select(keys.map(col): _*), keys, "left_anti"))
 }
