@@ -119,6 +119,13 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
         .orderBy("window_start", "event_type")),
+    "e2_sessionize" -> ((s: SparkSession, d: String) => Funcs.sessionizeEvents(s, d)),
+    "x13_text_normalize" -> (Funcs.textNormalize _),
+    "a10b_quartiles" -> ((s: SparkSession, d: String) =>
+      Tables.lineitem(s, d).agg(
+        percentile(col("l_extendedprice"), lit(0.25)).as("q1"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("q2"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("q3"))),
     // ---- LLM-pipeline extensions (SURVEY.md §2.9 north star) ----
     "x1_dedup_exact" -> (DocDedup.exactGroups _),
     "x2_minhash_digest" -> ((s: SparkSession, d: String) => DocDedup.minhashDigest(s, d)),
@@ -300,6 +307,21 @@ object SparkEntry {
     "e1_hourly_events" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, " +
        "round(sum(value),2) AS total_value FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
+    "e2_sessionize" ->
+      ("WITH g AS (SELECT user_id, event_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+       "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess " +
+       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+       "s AS (SELECT user_id, event_id, ts, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g) " +
+       "SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end " +
+       "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+    "x13_text_normalize" ->
+      ("SELECT doc_id, trim(regexp_replace(regexp_replace(" +
+       s"translate(lower(text), '${Funcs.accented}', '${Funcs.unaccented}'), " +
+       "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text FROM documents ORDER BY doc_id"),
+    "a10b_quartiles" ->
+      ("SELECT quantile_cont(l_extendedprice, 0.25) AS q1, quantile_cont(l_extendedprice, 0.5) AS q2, " +
+       "quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem"),
     "x1_dedup_exact" ->
       ("SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id " +
        "FROM documents GROUP BY 1 ORDER BY content_hash"),

@@ -66,6 +66,43 @@ object Funcs {
       .groupBy("priority_label").agg(count(lit(1)).as("n"))
       .orderBy("priority_label")
 
+  // ---- gap-based sessionization (batch): session = maximal run of events
+  // per user with < 30 min between consecutive events. lag + running sum
+  // of session-start flags — the standard windowed formulation; the
+  // streaming stateful variant lives in streaming.EventsStream. ----
+  def sessionizeEvents(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // micros on both sides — a seconds cast would truncate while the
+      // DuckDB oracle compares fractional seconds
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapSec * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_sess").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  // ---- text normalization: lower, accent-strip, punctuation removal,
+  // whitespace collapse (the canonicalization step before dedup) ----
+  val accented = "àâäéèêëîïôöùûüç"
+  val unaccented = "aaaeeeeiioouuuc"
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(translate(lower(c), accented, unaccented), "[^a-z0-9 ]", " "),
+      " +", " "))
+
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), normalizeText(col("text")).as("norm_text"))
+      .orderBy("doc_id")
+
   // ---- F10: month/quarter/year extraction (dashboard axes) ----
   def dateParts(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
