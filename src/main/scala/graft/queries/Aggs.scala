@@ -99,8 +99,10 @@ object Aggs {
     * by payment label from fact × dim_payment — the reference's BI queries
     * hit the star schema, not the raw trips. Dim broadcast; fact scan only. */
   def factDashboard(spark: SparkSession, dir: String): DataFrame = {
-    val fact = graft.warehouse.StarSchema.factTrips(spark, dir)
-    val pay = graft.warehouse.StarSchema.dimPayment(spark, dir)
+    val star = graft.warehouse.StarSchema
+    val pay = star.dimPayment(spark, dir).localCheckpoint() // built once, used twice
+    val fact = star.factTripsWith(spark, dir, star.dimTime(spark, dir),
+      star.dimLocation(spark, dir).localCheckpoint(), pay)
     fact.join(broadcast(pay), Seq("payment_pk"))
       .groupBy("payment_type")
       .agg(round(sum("fare_amount"), 2).as("total_amount"), count(lit(1)).as("n_trips"))

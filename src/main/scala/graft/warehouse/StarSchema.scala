@@ -57,20 +57,25 @@ object StarSchema {
     * (load.py:155-172), measures rounded to the NUMERIC(8,2) contract
     * (load.py:209-220), CHECK(>0) constraints as validation filters
     * (load.py:52-57), trip_id as a deterministic BIGSERIAL analogue. */
-  def factTrips(spark: SparkSession, dir: String): DataFrame = {
+  def factTrips(spark: SparkSession, dir: String): DataFrame =
+    factTripsWith(spark, dir, dimTime(spark, dir),
+      // build dim_location ONCE and alias it for the PU/DO joins — without
+      // the barrier each alias re-runs the union+distinct+window (2 extra
+      // lineitem scans and 2 shuffles per alias)
+      dimLocation(spark, dir).localCheckpoint(),
+      dimPayment(spark, dir))
+
+  /** Fact build over PREBUILT dims — callers composing multiple
+    * star-schema queries build each dim once and pass it in. */
+  def factTripsWith(spark: SparkSession, dir: String, t: DataFrame, loc: DataFrame,
+      p: DataFrame): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .withColumn("payment_label",
         Funcs.labelMap(col("l_returnflag"), Seq("R" -> "Retour", "A" -> "Accepté")))
-    val t = dimTime(spark, dir)
-    // build dim_location ONCE and alias it for the PU/DO joins — without
-    // the barrier each alias re-runs the union+distinct+window (2 extra
-    // lineitem scans and 2 shuffles per alias)
-    val loc = dimLocation(spark, dir).localCheckpoint()
     val locPu = loc
       .select(col("location_id").as("pu_id"), col("location_pk").as("pickup_loc_pk"))
     val locDo = loc
       .select(col("location_id").as("do_id"), col("location_pk").as("dropoff_loc_pk"))
-    val p = dimPayment(spark, dir)
 
     li.join(broadcast(t), li("l_shipdate") === t("datetime"), "inner")
       .join(broadcast(locPu), li("l_partkey") === locPu("pu_id"), "inner")
