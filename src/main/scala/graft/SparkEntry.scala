@@ -120,6 +120,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
         .orderBy("window_start", "event_type")),
     "e2_sessionize" -> ((s: SparkSession, d: String) => Funcs.sessionizeEvents(s, d)),
+    "d6_distinct_agg" -> ((s: SparkSession, d: String) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy("l_returnflag")),
+    "w6_salted_join" -> ((s: SparkSession, d: String) =>
+      graft.operators.Skew.saltedJoin(
+          Tables.lineitem(s, d).withColumnRenamed("l_suppkey", "s_suppkey"),
+          Tables.supplier(s, d), "s_suppkey",
+          saltBy = col("l_orderkey") * 10 + col("l_linenumber"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+        .orderBy("s_suppkey")),
     "x13_text_normalize" -> (Funcs.textNormalize _),
     "a10b_quartiles" -> ((s: SparkSession, d: String) =>
       Tables.lineitem(s, d).agg(
@@ -315,6 +329,15 @@ object SparkEntry {
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g) " +
        "SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end " +
        "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+    "d6_distinct_agg" ->
+      ("SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers, " +
+       "count(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+    // the salted join's oracle is the PLAIN join — salting must be
+    // semantically invisible
+    "w6_salted_join" ->
+      ("SELECT s.s_suppkey, s.s_name, count(*) AS n, round(sum(l.l_extendedprice),2) AS total " +
+       "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+       "GROUP BY 1, 2 ORDER BY s.s_suppkey"),
     "x13_text_normalize" ->
       ("SELECT doc_id, trim(regexp_replace(regexp_replace(" +
        s"translate(lower(text), '${Funcs.accented}', '${Funcs.unaccented}'), " +

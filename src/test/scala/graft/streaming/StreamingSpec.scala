@@ -60,6 +60,30 @@ class StreamingSpec extends SparkSpec {
     assert(r4 == "Valeur invalide")
   }
 
+  test("file-source stream over the harness events parquet matches batch") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // stage the (nanos-timestamped) events file into a stream-source dir
+    val dir = Files.createTempDirectory("graft_stream_src")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventsStream.hourlyAgg(stream)
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("file_hourly").agg(sum("n")).head().getLong(0)
+    val batchTotal = graft.Tables.events(spark, sfDir).count()
+    assert(streamed == batchTotal, "every event lands in exactly one window")
+  }
+
   test("sessionize keeps running per-user state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
