@@ -71,6 +71,13 @@ object SparkEntry {
     "p3_null_drop" -> (Etl.nullDrop _),
     "p4_narrow_cast" -> (Etl.narrowCast _),
     "p6_derived_metrics" -> (Etl.derivedMetrics _),
+    "p8_pushdown_filter" -> (Etl.pushdownFilter _),
+    "f12_json_props" -> ((s: SparkSession, d: String) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")),
+    "x2b_minhash_md5" -> ((s: SparkSession, d: String) => DocDedup.minhashMd5(s, d)),
     "p9_anomaly_tag" -> (Etl.anomalyTag _),
     "p10_valid_split" -> (Etl.validSplit _),
     "p10_anomaly_split" -> (Etl.anomalySplit _),
@@ -174,6 +181,22 @@ object SparkEntry {
     "p6_derived_metrics" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice*(1-l_discount) AS revenue, " +
        "l_extendedprice/l_quantity AS unit_price FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "p8_pushdown_filter" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem " +
+       "WHERE l_shipdate >= TIMESTAMP '2001-01-01' AND l_quantity > 45 " +
+       "ORDER BY l_orderkey, l_linenumber"),
+    "f12_json_props" ->
+      ("SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events " +
+       "ORDER BY event_id"),
+    "x2b_minhash_md5" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
+       "list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
+       "ELSE [array_to_string(t, ' ')] END AS s FROM tok) SELECT doc_id, " +
+       (0 until 8).map(i =>
+         s"list_min(list_transform(s, x -> CAST(concat('0x', substr(md5(concat(x, '#$i')),1,15)) AS BIGINT))) AS mh$i")
+         .mkString(", ") +
+       " FROM sh ORDER BY doc_id"),
     "p9_anomaly_tag" ->
       (s"$taggedCte SELECT l_orderkey, l_linenumber, rejection_reason FROM t " +
        "ORDER BY l_orderkey, l_linenumber"),

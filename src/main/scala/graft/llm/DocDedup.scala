@@ -48,6 +48,22 @@ object DocDedup {
   def withSignature(docs: DataFrame, k: Int = 64): DataFrame =
     docs.withColumn("sig", minhashSignature(shingles(tokensCol), k))
 
+  /** md5-based MinHash (k small): slower than the xxhash64 production path
+    * but expressible identically in DuckDB — the oracle-checked correctness
+    * witness for the MinHash construction (component i = min over shingles
+    * of the first 60 bits of md5(shingle + '#' + i)). */
+  def minhashMd5(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val sh = shingles(tokensCol)
+    val comps = (0 until k).map { i =>
+      array_min(transform(sh, s =>
+        conv(substring(md5(concat(s, lit(s"#$i")).cast("binary")), 1, 15), 16, 10)
+          .cast("long"))).as(s"mh$i")
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: comps: _*)
+      .orderBy("doc_id")
+  }
+
   /** Per-doc signature digest (deterministic, rows-only gate entry). */
   def minhashDigest(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
     withSignature(Tables.documents(spark, dir), k)

@@ -77,6 +77,15 @@ object Etl {
         col("l_quantity").cast("int").as("quantity_int"))
       .orderBy("l_orderkey", "linenumber_i16")
 
+  // ---- P8 + §4 pushdown: a selective predicate that must reach the
+  // parquet scan (PushedFilters asserted in OperatorsSpec) ----
+  def pushdownFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp") &&
+        col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+
   // ---- P6/P7/F1/F7/F8: derived metric columns (transform.py:35-40) ----
   def derivedMetrics(spark: SparkSession, dir: String): DataFrame =
     withMetrics(Tables.lineitem(spark, dir))
