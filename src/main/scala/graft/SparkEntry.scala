@@ -78,6 +78,7 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy("event_id")),
     "x2b_minhash_md5" -> ((s: SparkSession, d: String) => DocDedup.minhashMd5(s, d)),
+    "x4b_simhash_md5" -> ((s: SparkSession, d: String) => DocDedup.simhashMd5(s, d)),
     "p9_anomaly_tag" -> (Etl.anomalyTag _),
     "p10_valid_split" -> (Etl.validSplit _),
     "p10_anomaly_split" -> (Etl.anomalySplit _),
@@ -197,6 +198,14 @@ object SparkEntry {
          s"list_min(list_transform(s, x -> CAST(concat('0x', substr(md5(concat(x, '#$i')),1,15)) AS BIGINT))) AS mh$i")
          .mkString(", ") +
        " FROM sh ORDER BY doc_id"),
+    "x4b_simhash_md5" ->
+      ("WITH h AS (SELECT doc_id, list_transform(string_split(text, ' '), t -> " +
+       "CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)) AS hs FROM documents) " +
+       "SELECT doc_id, (" +
+       (0 until 16).map(i =>
+         s"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+         s"THEN CAST(1 AS BIGINT) << $i ELSE 0 END)").mkString(" + ") +
+       ") AS simhash16 FROM h ORDER BY doc_id"),
     "p9_anomaly_tag" ->
       (s"$taggedCte SELECT l_orderkey, l_linenumber, rejection_reason FROM t " +
        "ORDER BY l_orderkey, l_linenumber"),

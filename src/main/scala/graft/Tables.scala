@@ -35,4 +35,18 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  // typed variants (Dataset[T]) for pipelines that want field checks
+  def lineitemDs(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.schema.LineItem] = {
+    import spark.implicits._
+    lineitem(spark, dir).as[graft.schema.LineItem]
+  }
+  def eventsDs(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.schema.Event] = {
+    import spark.implicits._
+    events(spark, dir).as[graft.schema.Event]
+  }
+  def documentsDs(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.schema.Document] = {
+    import spark.implicits._
+    documents(spark, dir).as[graft.schema.Document]
+  }
 }

@@ -115,6 +115,23 @@ object DocDedup {
   def simhash(tokens: Column): Column =
     graft.functions.HashExpressions.simhash64(transform(tokens, t => xxhash64(t)))
 
+  /** md5-based 16-bit SimHash witness (oracle-checked; see minhashMd5 — the
+    * same cross-engine-hash trick applied to the bit-vote construction).
+    * Token hash = first 60 bits of md5(token); bit i of the fingerprint =
+    * sign of Σ_tokens (±1 by bit i). */
+  def simhashMd5(spark: SparkSession, dir: String, bits: Int = 16): DataFrame = {
+    val hs = transform(tokensCol, t =>
+      conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
+    val fp = (0 until bits).map { i =>
+      val vote = aggregate(hs, lit(0),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fp.as("simhash16"))
+      .orderBy("doc_id")
+  }
+
   def simhashDigest(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), simhash(tokensCol).as("simhash"))
