@@ -79,6 +79,13 @@ object SparkEntry {
         .orderBy("event_id")),
     "x2b_minhash_md5" -> ((s: SparkSession, d: String) => DocDedup.minhashMd5(s, d)),
     "x4b_simhash_md5" -> ((s: SparkSession, d: String) => DocDedup.simhashMd5(s, d)),
+    "x14_topk_operator" -> ((s: SparkSession, d: String) => {
+      graft.functions.GraftFunctions.register(s) // idempotent: strategy + functions
+      graft.plans.TopKPerKey(Tables.lineitem(s, d), Seq(col("l_returnflag")),
+          Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc), 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    }),
     "p9_anomaly_tag" -> (Etl.anomalyTag _),
     "p10_valid_split" -> (Etl.validSplit _),
     "p10_anomaly_split" -> (Etl.anomalySplit _),
@@ -198,6 +205,11 @@ object SparkEntry {
          s"list_min(list_transform(s, x -> CAST(concat('0x', substr(md5(concat(x, '#$i')),1,15)) AS BIGINT))) AS mh$i")
          .mkString(", ") +
        " FROM sh ORDER BY doc_id"),
+    "x14_topk_operator" ->
+      ("WITH r AS (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, " +
+       "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn " +
+       "FROM lineitem) SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM r " +
+       "WHERE rn <= 3 ORDER BY l_returnflag, l_orderkey, l_linenumber"),
     "x4b_simhash_md5" ->
       ("WITH h AS (SELECT doc_id, list_transform(string_split(text, ' '), t -> " +
        "CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)) AS hs FROM documents) " +

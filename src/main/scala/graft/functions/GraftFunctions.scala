@@ -22,20 +22,27 @@ object GraftFunctions {
     ("graft_simhash", "64-bit simhash from array<long> hashes",
       (es: Seq[Expression]) => HashExpressions.SimHash64(es.head)))
 
-  /** Imperative registration on a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Imperative registration on a live session: SQL functions + the TopK
+    * planner strategy (spark.experimental.extraStrategies is public API). */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, _, builder) =>
       org.apache.spark.sql.GraftBridge.registerFunction(spark, name, builder)
     }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+  }
 }
 
 /** Config-based injection: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
   * wires the functions into every session of the application — the standard
   * extension-library deployment (SparkSessionExtensions is public API). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name, usage), builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }

@@ -1,0 +1,82 @@
+package graft.plans
+
+import scala.collection.mutable
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator Catalyst extension: top-k rows per key.
+  *
+  * The built-in formulation (`row_number().over(partitionBy(key).orderBy(o))
+  * .filter(rn <= k)`) SORTS every partition fully — O(n log n) per key and
+  * a full materialized sort buffer. This operator keeps a bounded k-row
+  * heap per key — O(n log k), no full sort — which at 100 TB is the
+  * difference between a spilling sort and a streaming pass.
+  *
+  * Ladder level (c): LogicalPlan + SparkStrategy + SparkPlan, registered
+  * either via `spark.experimental.extraStrategies` (GraftFunctions.register)
+  * or `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions).
+  */
+case class TopKPerKeyPlan(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
+}
+
+case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  /** All rows of a key must meet in one partition (the shuffle this
+    * requests carries the RAW rows once — same as the window formulation). */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keys, childOutput)
+      val rowOrd: Ordering[InternalRow] =
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.create(order, childOutput)
+      // max-heap per key: the head is the WORST retained row; a new row
+      // replaces it when better. O(log k) per row, k rows retained per key.
+      val heaps = mutable.LinkedHashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val key = keyProj(row).copy()
+        val heap = heaps.getOrElseUpdate(key,
+          mutable.PriorityQueue.empty[InternalRow](rowOrd))
+        if (heap.size < k) heap += row.copy()
+        else if (rowOrd.compare(row, heap.head) < 0) { heap.dequeue(); heap += row.copy() }
+      }
+      heaps.valuesIterator.flatMap(_.toSeq.sorted(rowOrd))
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyPlan(k, keys, order, child) =>
+      TopKPerKeyExec(k, keys, order, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKey {
+  /** Top-k rows per key. `orderCols` should include a unique tiebreak for
+    * deterministic results (same requirement as the window formulation). */
+  def apply(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column], k: Int): DataFrame = {
+    val keys = keyCols.map(GraftBridge.convertedExpression)
+    val order = orderCols.map(GraftBridge.convertedExpression).map {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    }
+    GraftBridge.ofRows(df.sparkSession,
+      TopKPerKeyPlan(k, keys, order, GraftBridge.logicalPlan(df)))
+  }
+}

@@ -14,4 +14,17 @@ object GraftBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  def logicalPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Eagerly convert a Column to its catalyst Expression (the lazy
+    * `expression` wrapper keeps ColumnNodes — e.g. a `.desc` SortOrder —
+    * opaque until analysis, which breaks pattern matches on SortOrder). */
+  def convertedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -62,6 +62,25 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.3, s"IVF should beat random cell selection, got $recall")
   }
 
+  test("TopKPerKey custom operator matches the window formulation exactly") {
+    GraftFunctions.register(spark)
+    val li = Tables.lineitem(spark, sfDir)
+    val ordering = Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val custom = graft.plans.TopKPerKey(li, Seq(col("l_returnflag")), ordering, 5)
+    // the strategy must actually plan our exec node
+    // TreeNode.nodeName strips the Exec suffix in plan strings
+    assert(custom.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy(ordering: _*)
+    val windowed = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5).drop("rn")
+    val a = custom.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .collect().map(_.toSeq).toSet
+    val b = windowed.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .collect().map(_.toSeq).toSet
+    assert(a == b, s"custom ${a.size} rows vs window ${b.size}")
+    assert(a.size == 15) // 3 flags x top 5
+  }
+
   test("plan shape guards: broadcast star join, pruned scan") {
     val w4 = graft.warehouse.StarSchema.factTrips(spark, sfDir)
       .queryExecution.executedPlan.toString
