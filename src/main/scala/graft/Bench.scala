@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered gate query at SPARK_GRAFT_SF_DIR
+  * and prints ONE compact JSON line (the driver parses it from the tail of
+  * the sbt output, so the line must stay short: 3-decimal times, no
+  * whitespace). A query that throws reports `null` for its time and its
+  * name in "errors" — never a normal-looking elapsed value. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,14 +24,19 @@ object Bench {
     // attributed to whichever query happens to run first
     try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val results: Seq[(String, Option[Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+      }
+    def f3(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.fold("null")(t => "%.2f".format(t))
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, None) => "\"" + k + "\"" }
+    val total = results.flatMap(_._2).sum
     // Reference-equivalent pipeline timings (BASELINE.md's only published
     // numbers are for ONE transform pass: load→detect 0.86 s and
     // load→anomalies-saved 6.65 s at 2M rows). These keys give the
@@ -41,10 +52,17 @@ object Bench {
     graft.etl.Anomalies.splitAnomalies(tagged)
       .write.mode("overwrite").option("compression", "snappy").parquet(s"$tmp/anomalies")
     val e2eSec = (System.nanoTime() - t2) / 1e9
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""pipeline_rows":$rows,"pipeline_detect_sec":$detectSec,""" +
-      s""""pipeline_detect_mrows_per_sec":${rows / detectSec / 1e6},""" +
-      s""""pipeline_anomaly_save_sec":$e2eSec}""")
+    def line(queries: String): String =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$queries,""" +
+        s""""errors":[${errors.mkString(",")}],"sf":"$sfDir","pipeline_rows":$rows,""" +
+        s""""pipeline_detect_sec":${f3(detectSec)},""" +
+        s""""pipeline_detect_mrows_per_sec":${f3(rows / detectSec / 1e6)},""" +
+        s""""pipeline_anomaly_save_sec":${f3(e2eSec)}}"""
+    // The driver parses this line out of the LAST 2000 chars of the sbt
+    // output (sbt appends its own ~92-char success line), so the line must
+    // never exceed ~1850 chars; drop the per-query map before overflowing.
+    val full = line(qs)
+    println(if (full.length <= 1850) full else line("{}"))
     spark.stop()
   }
 }

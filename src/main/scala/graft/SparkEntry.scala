@@ -351,7 +351,8 @@ object SparkEntry {
        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
     "a15_cube_revenue" ->
       ("SELECT CAST(year(l_shipdate) AS INT) AS y, l_returnflag, " +
-       "sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS revenue, count(*) AS n FROM lineitem " +
+       "sum(CAST(round((l_extendedprice*(1-l_discount))*10000) AS BIGINT))/10000.0 AS revenue, " +
+       "count(*) AS n FROM lineitem " +
        "GROUP BY CUBE (1, 2) ORDER BY y NULLS FIRST, l_returnflag NULLS FIRST"),
     "a16_fact_dashboard" ->
       (s"WITH $dimTimeCte, $dimLocCte, $dimPayCte " +

@@ -71,6 +71,8 @@ object TopKPerKey {
   /** Top-k rows per key. `orderCols` should include a unique tiebreak for
     * deterministic results (same requirement as the window formulation). */
   def apply(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column], k: Int): DataFrame = {
+    require(k > 0, s"TopKPerKey requires k > 0, got $k (with k<=0 the per-key " +
+      "heap would be read while empty at execution time, deep inside a task)")
     val keys = keyCols.map(GraftBridge.convertedExpression)
     val order = orderCols.map(GraftBridge.convertedExpression).map {
       case so: SortOrder => so

@@ -147,13 +147,18 @@ object Aggs {
   // materializes all 4 grouping sets in one pass) ----
   def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      // decimal sum: the grand-total row aggregates the WHOLE table, where
-      // double summation error (~1e-4 at 1e9-scale totals) can cross the
-      // round(4) boundary differently per engine; decimal sums are exact
-      // and identical (the 4dp cast of the per-row double is unambiguous).
+      // Exact grand-total sum via scaled integers: the true revenue term is
+      // a 4dp decimal, so round(x*10000) sits within ~1e-7 of an integer —
+      // never near a .5 boundary — and both engines recover the SAME long.
+      // (A double→decimal(18,4) cast here is NOT portable: Spark rounds the
+      // shortest decimal string of the double, DuckDB the exact binary
+      // value, and ~1/10k rows land on a x.xxxx5 boundary and flip.)
+      // Long summation is order-independent and exact; the final /10000.0
+      // is one deterministic IEEE op.
       .cube(year(col("l_shipdate")).as("y"), col("l_returnflag"))
-      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
-        .as("revenue"), count(lit(1)).as("n"))
+      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")) / 10000.0).as("revenue"),
+        count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("y"), asc_nulls_first("l_returnflag"))
 
   // ---- A1/A3/A4/A14: one-pass quality report (transform.py:131-144) ----

@@ -43,21 +43,29 @@ object TaxiPipeline {
 
   /** Derived metrics (reference `transform.py:33-41`): duration in minutes
     * from timestamp subtraction, speed = distance/hours rounded to 2 (the
-    * reference rounds BEFORE the range rule — preserved; ÷0 yields
-    * Infinity in pandas and Spark alike, later killed by the speed rule). */
+    * reference rounds BEFORE the range rule — preserved). ÷0 diverges:
+    * pandas yields Infinity, Spark non-ANSI double division yields NULL —
+    * both are tagged anomalous by the (null-aware) speed rule below, and
+    * the duration<=0 rule fires first anyway, so the split matches. */
   def calculateMetrics(df: DataFrame): DataFrame =
     df.withColumn("trip_duration",
         (col("tpep_dropoff_datetime").cast("long") - col("tpep_pickup_datetime").cast("long")) / 60.0)
       .withColumn("avg_speed", round(col("trip_distance") / (col("trip_duration") / 60.0), 2))
 
   /** The five prioritized rules, exact labels and bounds
-    * (reference `transform.py:47-53`; pandas `between` is inclusive). */
+    * (reference `transform.py:47-53`; pandas `between` is inclusive).
+    * The negated range rules must reject NULL explicitly: pandas
+    * `~df.between(...)` on NaN yields True (anomaly), but a Spark
+    * three-valued `!between` on NULL yields NULL and the when-chain would
+    * skip the rule, silently classifying a NaN-distance row as VALID.
+    * The positive `<= 0` rules need no guard — pandas `NaN <= 0` is False
+    * and Spark NULL is skipped: same outcome. */
   val rules: Seq[(String, Column)] = Seq(
     "Durée invalide"             -> (col("trip_duration") <= 0),
-    "Distance hors limites"      -> !col("trip_distance").between(0.1, 100),
+    "Distance hors limites"      -> (col("trip_distance").isNull || !col("trip_distance").between(0.1, 100)),
     "Montant de course invalide" -> (col("fare_amount") <= 0),
     "Passagers invalides"        -> (col("passenger_count") <= 0),
-    "Vitesse irréaliste"         -> !col("avg_speed").between(1, 100)
+    "Vitesse irréaliste"         -> (col("avg_speed").isNull || !col("avg_speed").between(1, 100))
   )
 
   def tagAnomalies(df: DataFrame): DataFrame = Anomalies.tagged(df, rules)

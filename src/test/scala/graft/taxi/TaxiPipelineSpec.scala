@@ -114,6 +114,25 @@ class TaxiPipelineSpec extends SparkSpec {
     assert(math.abs(r.anomalyRatePct - 60.0) < 1e-9)
   }
 
+  test("null trip_distance is an anomaly, not VALID (pandas ~NaN.between == True)") {
+    // The reference extract does NOT null-fill trip_distance, so NaN
+    // distances reach the rules; pandas `~df.between(...)` on NaN yields
+    // True → 'Distance hors limites'. A naive Spark `!between` would skip
+    // the rule on NULL and mislabel the row VALID.
+    import spark.implicits._
+    val rows = Seq[(java.lang.Double, String, String, Int, Double, Double)](
+      (null, "2024-03-01 08:00:00", "2024-03-01 08:30:00", 2, 20.0, 24.0), // null distance
+      (5.0, "2024-03-01 09:00:00", "2024-03-01 09:30:00", 2, 20.0, 24.0)   // clean
+    ).toDF("trip_distance", "tpep_pickup_datetime", "tpep_dropoff_datetime",
+      "passenger_count", "fare_amount", "total_amount")
+      .withColumn("tpep_pickup_datetime", org.apache.spark.sql.functions.to_timestamp($"tpep_pickup_datetime"))
+      .withColumn("tpep_dropoff_datetime", org.apache.spark.sql.functions.to_timestamp($"tpep_dropoff_datetime"))
+    val t = TaxiPipeline.tagAnomalies(TaxiPipeline.calculateMetrics(rows))
+    val tags = t.orderBy("tpep_pickup_datetime")
+      .select("rejection_reason").collect().map(_.getString(0)).toSeq
+    assert(tags == Seq("Distance hors limites", null))
+  }
+
   test("star schema: payment-null rows silently drop from the fact (inner join)") {
     val (valid, _) = TaxiPipeline.transform(extracted)
     val fact = TaxiWarehouse.factTrips(valid)
