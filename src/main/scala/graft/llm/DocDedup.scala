@@ -80,11 +80,13 @@ object DocDedup {
     val rowsPer = k / bands
     // Materialization barrier: without it CollapseProject inlines the
     // 64-component signature expression into every band lambda AND both
-    // join sides — a 32× recompute. At cluster scale this would be a
-    // reliable checkpoint / intermediate parquet of the signature table
-    // (signatures are the natural persisted artifact of a dedup pipeline).
+    // join sides — a 32× recompute. persist() is the right barrier: the
+    // CacheManager swaps in an InMemoryRelation at plan time (blocking the
+    // collapse) and computes lazily ONCE, without localCheckpoint's eager
+    // job + RDD serialization. At cluster scale this would be a persisted
+    // parquet signature table (the natural artifact of a dedup pipeline).
     val sigs = withSignature(Tables.documents(spark, dir), k)
-      .select("doc_id", "sig").localCheckpoint()
+      .select("doc_id", "sig").persist()
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         j => xxhash64(slice(col("sig"), j * lit(rowsPer) + 1, lit(rowsPer)).cast("string"), j)))
@@ -145,8 +147,9 @@ object DocDedup {
     * exact hamming filter. Same shuffle-on-short-keys layout as MinHash. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     // barrier: see minhashPairs — prevents the 64-bit-vote expression from
-    // being inlined into the 4 chunk lambdas and both join sides
-    val sh = simhashDigest(spark, dir).localCheckpoint()
+    // being inlined into the 4 chunk lambdas and both join sides (persist =
+    // lazy plan-time barrier, no eager checkpoint job)
+    val sh = simhashDigest(spark, dir).persist()
     val chunked = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(j =>
         shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL)): _*))

@@ -97,7 +97,7 @@ object Similarity {
     * the probe join shuffles on cell_id only. */
   def topKIvf(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, dir)).localCheckpoint()
+    val e = withNorm(Tables.embeddings(spark, dir)).persist()
     // vec_id < nCells (not orderBy.limit): identical on dense 0-based ids
     // and exactly mirrors the oracle SQL predicate — no silent coupling to
     // id-domain assumptions

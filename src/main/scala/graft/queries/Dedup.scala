@@ -13,14 +13,20 @@ object Dedup {
     * keep-first is row-order-defined; the distributed equivalent with a
     * DEFINED order is row_number over (key) ordered by a total tiebreak —
     * deterministic on any cluster size, unlike `dropDuplicates`. */
-  def dedupSubset(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_partkey", "l_suppkey").orderBy("l_orderkey", "l_linenumber")
+  def dedupSubset(spark: SparkSession, dir: String): DataFrame =
+    // min(struct(tiebreak…)) instead of a row_number window: the window
+    // shuffles EVERY row then sorts each partition; the aggregate gets
+    // map-side partial aggregation, so only one candidate row per key per
+    // mapper reaches the shuffle — at 100 TB that is the difference
+    // between shuffling the table and shuffling the (smaller) key set.
+    // struct comparison is lexicographic, and (orderkey, linenumber) is
+    // unique, so the kept row is identical to the rn=1 window pick.
     Tables.lineitem(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(struct(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))).as("r"))
+      .select(col("r.l_orderkey").as("l_orderkey"), col("r.l_linenumber").as("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("r.l_quantity").as("l_quantity"))
       .orderBy("l_orderkey", "l_linenumber")
-  }
 
   /** D2: full-row distinct (dimension build, load.py:117,130,140). */
   def distinctDims(spark: SparkSession, dir: String): DataFrame =

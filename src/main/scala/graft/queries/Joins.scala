@@ -39,8 +39,13 @@ object Joins {
     val n = Tables.nation(spark, dir)
     val custNation = n.select(col("n_nationkey").as("cn_key"), col("n_name").as("pickup_nation"))
     val suppNation = n.select(col("n_nationkey").as("sn_key"), col("n_name").as("dropoff_nation"))
-    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    // orders/customer SCALE with the fact table (unlike nation/supplier,
+    // which are genuinely bounded dims) — no broadcast hint on them: at
+    // bench scale AQE still picks BroadcastHashJoin (they sit under the
+    // 10 MB threshold), and at 100 TB the planner correctly falls back to
+    // a shuffled join instead of OOMing the driver on a forced broadcast.
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
       .join(broadcast(custNation), c("c_nationkey") === custNation("cn_key"))
       .join(broadcast(suppNation), s("s_nationkey") === suppNation("sn_key"))

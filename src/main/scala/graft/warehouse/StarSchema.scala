@@ -59,11 +59,55 @@ object StarSchema {
     * (load.py:52-57), trip_id as a deterministic BIGSERIAL analogue. */
   def factTrips(spark: SparkSession, dir: String): DataFrame =
     factTripsWith(spark, dir, dimTime(spark, dir),
-      // build dim_location ONCE and alias it for the PU/DO joins — without
-      // the barrier each alias re-runs the union+distinct+window (2 extra
-      // lineitem scans and 2 shuffles per alias)
-      dimLocation(spark, dir).localCheckpoint(),
+      // build dim_location ONCE and share it between the PU/DO aliases —
+      // without reuse each alias re-runs the union+distinct+window (2 extra
+      // lineitem scans and 2 shuffles per alias). persist() (lazy, in-memory
+      // columnar) beats localCheckpoint() here: the checkpoint is an EAGER
+      // barrier job + RDD serialization pass, ~3× slower end-to-end.
+      dimLocation(spark, dir).persist(),
       dimPayment(spark, dir))
+
+  /** Scale path: all three dims from ONE scan of the fact table via
+    * grouping sets, instead of three separate scans. At 100 TB the repeated
+    * fact scans dominate the dim build (3× the IO); the Expand operator
+    * multiplies rows 4× but partial aggregation collapses them to the
+    * distinct values before the (tiny) shuffle. Values are identical to
+    * dimTime/dimLocation/dimPayment — spec-asserted. The grouped result is
+    * persisted: it is dim-sized (thousands of rows), never fact-sized.
+    *
+    * grouping_id bit i (MSB = first grouping column) is 1 where the column
+    * is aggregated away, so with columns (shipdate, partkey, suppkey,
+    * label): {shipdate}=0111=7, {partkey}=1011=11, {suppkey}=1101=13,
+    * {label}=1110=14. */
+  def dims(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val base = Tables.lineitem(spark, dir).select(
+      col("l_shipdate"), col("l_partkey"), col("l_suppkey"),
+      Funcs.labelMap(col("l_returnflag"), Seq("R" -> "Retour", "A" -> "Accepté"))
+        .as("payment_label"))
+    val g = base.groupingSets(
+        Seq(Seq(col("l_shipdate")), Seq(col("l_partkey")), Seq(col("l_suppkey")),
+          Seq(col("payment_label"))),
+        col("l_shipdate"), col("l_partkey"), col("l_suppkey"), col("payment_label"))
+      .agg(grouping_id().as("gid"))
+      .persist()
+    val t = g.filter(col("gid") === 7).select(col("l_shipdate").as("datetime"))
+      .withColumn("hour", hour(col("datetime")))
+      .withColumn("day_of_week", date_format(col("datetime"), "EEEE"))
+      .withColumn("time_period", Funcs.timePeriod(col("hour")))
+      .withColumn("time_pk", row_number().over(Window.orderBy("datetime")))
+      .select("time_pk", "datetime", "hour", "day_of_week", "time_period")
+    val loc = g.filter(col("gid") === 11).select(col("l_partkey").as("location_id"))
+      .unionByName(g.filter(col("gid") === 13).select(col("l_suppkey").as("location_id")))
+      .distinct()
+      .withColumn("location_pk", row_number().over(Window.orderBy("location_id")))
+      .withColumn("borough", lit("Inconnu"))
+      .select("location_pk", "location_id", "borough")
+    val pay = g.filter(col("gid") === 14).select(col("payment_label").as("payment_type"))
+      .filter(col("payment_type").isNotNull)
+      .withColumn("payment_pk", row_number().over(Window.orderBy("payment_type")))
+      .select("payment_pk", "payment_type")
+    (t, loc, pay)
+  }
 
   /** Fact build over PREBUILT dims — callers composing multiple
     * star-schema queries build each dim once and pass it in. */

@@ -42,6 +42,16 @@ class QueriesSpec extends SparkSpec {
     assert(pks.toSeq == (1 to pks.length))
   }
 
+  test("one-pass grouping-sets dims equal the three individual dim builds") {
+    val star = graft.warehouse.StarSchema
+    val (t, loc, pay) = star.dims(spark, sfDir)
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    assert(same(t, star.dimTime(spark, sfDir)))
+    assert(same(loc, star.dimLocation(spark, sfDir)))
+    assert(same(pay, star.dimPayment(spark, sfDir)))
+  }
+
   test("fact join drops exactly the unmatched-label rows") {
     val li = Tables.lineitem(spark, sfDir)
     val expected = li.filter(col("l_returnflag").isin("R", "A")).count()
