@@ -32,7 +32,7 @@ object Bench {
         name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
     def f3(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) =>
+    def qsJson(rs: Seq[(String, Option[Double])]): String = rs.map { case (k, v) =>
       "\"" + k + "\":" + v.fold("null")(t => "%.2f".format(t))
     }.mkString("{", ",", "}")
     val errors = results.collect { case (k, None) => "\"" + k + "\"" }
@@ -60,9 +60,22 @@ object Bench {
         s""""pipeline_anomaly_save_sec":${f3(e2eSec)}}"""
     // The driver parses this line out of the LAST 2000 chars of the sbt
     // output (sbt appends its own ~92-char success line), so the line must
-    // never exceed ~1850 chars; drop the per-query map before overflowing.
-    val full = line(qs)
-    println(if (full.length <= 1850) full else line("{}"))
+    // never exceed ~1850 chars. If the full per-query map overflows, keep
+    // the SLOWEST queries (the informative ones for grading) and count the
+    // omitted fast tail instead of dropping everything.
+    val full = line(qsJson(results))
+    val out = if (full.length <= 1850) full else {
+      val bySlowest = results.sortBy(-_._2.getOrElse(Double.MaxValue))
+      val keep = (results.size to 1 by -1).view
+        .map { n =>
+          val kept = bySlowest.take(n)
+          line(qsJson(kept.sortBy(_._1)).dropRight(1) +
+            s""","queries_omitted":${results.size - n}}""")
+        }
+        .find(_.length <= 1850)
+      keep.getOrElse(line("{}"))
+    }
+    println(out)
     spark.stop()
   }
 }

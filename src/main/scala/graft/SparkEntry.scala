@@ -97,6 +97,12 @@ object SparkEntry {
     "j1_time_surrogate_join" -> (Joins.timeSurrogateJoin _),
     "j2_double_dim_join" -> (Joins.doubleDimJoin _),
     "j4_label_join" -> (Joins.labelJoin _),
+    "j5_semi_join" -> (Joins.semiJoin _),
+    "j6_anti_join" -> (Joins.antiJoin _),
+    "a17_pivot_quantity" -> (Aggs.pivotQuantity _),
+    "a18_cumulative_quantity" -> (Aggs.cumulativeQuantity _),
+    "x15_ngram_jaccard" -> ((s: SparkSession, d: String) => DocDedup.ngramJaccardPairs(s, d)),
+    "x16_token_freq" -> ((s: SparkSession, d: String) => graft.llm.TextStats.tokenFreq(s, d)),
     "q1_pricing_summary" -> (Aggs.pricingSummary _),
     "a2_anomaly_value_counts" -> (Aggs.anomalyValueCounts _),
     "a5_trips_per_day" -> (Aggs.tripsPerDay _),
@@ -260,6 +266,44 @@ object SparkEntry {
       ("SELECT l_orderkey, l_linenumber, m.payment_label FROM lineitem " +
        "JOIN (VALUES ('R','Retour'),('A','Accepté')) AS m(flag, payment_label) ON l_returnflag = m.flag " +
        "ORDER BY l_orderkey, l_linenumber"),
+    "j5_semi_join" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders o WHERE EXISTS " +
+       "(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') " +
+       "ORDER BY o_orderkey"),
+    "j6_anti_join" ->
+      ("SELECT o_orderkey, o_orderdate FROM orders o WHERE NOT EXISTS " +
+       "(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey " +
+       "AND l.l_shipdate >= TIMESTAMP '1997-06-01') ORDER BY o_orderkey"),
+    "a17_pivot_quantity" ->
+      ("SELECT CAST(year(l_shipdate) AS INT) AS y, " +
+       "sum(CASE WHEN l_returnflag='A' THEN l_quantity END) AS \"A\", " +
+       "sum(CASE WHEN l_returnflag='N' THEN l_quantity END) AS \"N\", " +
+       "sum(CASE WHEN l_returnflag='R' THEN l_quantity END) AS \"R\" " +
+       "FROM lineitem GROUP BY 1 ORDER BY y"),
+    "a18_cumulative_quantity" ->
+      ("WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d, sum(l_quantity) AS s " +
+       "FROM lineitem GROUP BY 1) " +
+       "SELECT d, s, sum(s) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+       "FROM daily ORDER BY d"),
+    "x15_ngram_jaccard" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
+       "list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
+       "ELSE [array_to_string(t, ' ')] END AS s FROM tok), " +
+       "mh AS (SELECT doc_id, i, list_min(list_transform(s, x -> " +
+       "CAST(concat('0x', substr(md5(concat(x, '#', i)),1,15)) AS BIGINT))) AS comp " +
+       "FROM sh, range(0, 8) AS r(i)), " +
+       "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM mh a " +
+       "JOIN mh b ON a.i = b.i AND a.comp = b.comp AND a.doc_id < b.doc_id), " +
+       "shd AS (SELECT doc_id, list_distinct(s) AS s FROM sh) " +
+       "SELECT id_a, id_b, jaccard FROM (SELECT c.id_a, c.id_b, " +
+       "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard " +
+       "FROM cand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b) " +
+       "WHERE jaccard >= 0.5 ORDER BY id_a, id_b"),
+    "x16_token_freq" ->
+      ("SELECT token, count(*) AS n FROM " +
+       "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
+       "GROUP BY token ORDER BY n DESC, token LIMIT 20"),
     "q1_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, " +
        "round(sum(l_extendedprice),2) AS sum_base_price, " +

@@ -169,6 +169,31 @@ object DocDedup {
 
   // ---- exact n-gram Jaccard (verification of candidates) ----
 
+  /** End-to-end near-dup pipeline with an ORACLE-EXPRESSIBLE candidate
+    * stage: md5-minhash components (the `minhashMd5` witness construction)
+    * act as k single-row LSH bands — docs sharing ANY component become a
+    * candidate pair — then exact 3-gram Jaccard verifies. Same
+    * shuffle-on-short-keys layout as the xxhash64 production path
+    * (`minhashPairs`), but every stage runs identically in DuckDB, so the
+    * whole LSH→verify composition is hash-checked, not just its pieces. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, k: Int = 8,
+      minJaccard: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // barrier: stop the k md5-minhash expressions collapsing into both
+    // self-join sides (2× recompute of k×|shingles| md5 calls)
+    val mhWide = minhashMd5(spark, dir, k).persist()
+    val mh = mhWide.select(col("doc_id"),
+      posexplode(array((0 until k).map(i => col(s"mh$i")): _*)).as(Seq("i", "comp")))
+    val a = mh.select(col("i"), col("comp"), col("doc_id").as("id_a"))
+    val b = mh.select(col("i").as("bi"), col("comp").as("bc"), col("doc_id").as("id_b"))
+    val candidates = a.join(b, col("i") === col("bi") && col("comp") === col("bc")
+        && col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    ngramJaccard(docs, candidates)
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Exact token-3-gram Jaccard for given candidate pairs (id_a, id_b):
     * |A∩B| / |A∪B| via array_intersect/array_union on distinct shingles. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {

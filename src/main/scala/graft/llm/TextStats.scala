@@ -81,6 +81,17 @@ object TextStats {
       .select("doc_id", "fp")
       .orderBy("doc_id")
 
+  /** x16: corpus token frequency — the Generator (explode) path: one
+    * flatMap scan, then a hash aggregate over tokens with map-side partial
+    * counts, so the shuffle carries (token, partial_count) not the token
+    * stream. Top-N with a total-order tiebreak for determinism. */
+  def tokenFreq(spark: SparkSession, dir: String, topN: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(topN)
+
   /** x11: rolling-hash fingerprint (winnowing-style): min/max xxhash64 over
     * 5-token shingles — robust to local edits, used as a near-dup
     * prefilter. Not ANSI-SQL-expressible (xxhash64): covered by ScalaTest,

@@ -163,6 +163,31 @@ object Aggs {
         count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("y"), asc_nulls_first("l_returnflag"))
 
+  // ---- pivot: the Power BI matrix visual (rows × slicer columns) as a
+  // one-pass pivoted aggregation. Explicit value list ⇒ single shuffle
+  // (no values-discovery pre-pass) and a fixed output schema at any SF. ----
+  def pivotQuantity(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(year(col("l_shipdate")).as("y"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum("l_quantity"))
+      .orderBy("y")
+
+  // ---- window frame: cumulative revenue over time (running-total KPI
+  // line). Two-level: per-day partial aggregation first (shuffle carries
+  // one row per day), THEN the ordered frame over the tiny daily series —
+  // never a global sort of the raw fact. Integer-valued doubles keep the
+  // running sum exact in both engines regardless of accumulation order. ----
+  def cumulativeQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(sum("l_quantity").as("s"))
+    daily
+      .withColumn("cum", sum("s").over(
+        Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("d")
+  }
+
   // ---- A1/A3/A4/A14: one-pass quality report (transform.py:131-144) ----
   // Single aggregation over the tagged frame computes totals, anomaly rate,
   // and valid-branch means/sums in ONE scan — the reference needs two

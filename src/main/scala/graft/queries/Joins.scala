@@ -53,6 +53,34 @@ object Joins {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Left-semi join (SQL EXISTS): orders with at least one returned line.
+    * The semi join shuffles only the join keys of the probe side and stops
+    * at the first match per key — no fact×fact row explosion, no payload
+    * columns from the build side ever move. This is the scalable EXISTS
+    * plan at any data size (a naive inner-join + distinct would shuffle
+    * the matched rows then de-duplicate them again). */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    o.join(returned, o("o_orderkey") === returned("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Left-anti join (SQL NOT EXISTS): orders with no line shipped on/after
+    * the cutoff — the same plan shape the warehouse upsert uses
+    * (`warehouse.Upsert`): build side reduced to keys, probe side streamed. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val recent = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp"))
+      .select("l_orderkey")
+    o.join(recent, o("o_orderkey") === recent("l_orderkey"), "left_anti")
+      .select("o_orderkey", "o_orderdate")
+      .orderBy("o_orderkey")
+  }
+
   /** J4: inner join on a label string against a tiny in-memory dimension
     * (load.py:168-172). 'N' rows are deliberately unmatched and silently
     * dropped — the reference's inner-join row-loss semantics, preserved. */
