@@ -29,7 +29,13 @@ object Bench {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
-        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // isolation: drop caches a query persisted (outside its timing —
+        // the persist cost was already paid inside); leaked caches would
+        // otherwise accumulate memory pressure across ~70 queries and
+        // bleed GC noise into later timings
+        spark.catalog.clearCache()
+        name -> (if (ok) Some(elapsed) else None)
       }
     def f3(v: Double): String = "%.3f".format(v)
     def qsJson(rs: Seq[(String, Option[Double])]): String = rs.map { case (k, v) =>

@@ -16,6 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object DocDedup {
 
+  /** Documents scan decoupled from the file-split count: the hash stages
+    * below (md5 per shingle × k, signature construction) are CPU-bound at
+    * hundreds of µs/row, so partitioning must follow cores, not input
+    * splits — a single small parquet file otherwise serializes the whole
+    * stage onto one task (measured 27 s single-task vs ~1 s wide at sf0.1).
+    * The round-robin shuffle moves only (doc_id, text) once and is dwarfed
+    * by the hashing it parallelizes; at lake scale the scan already has
+    * thousands of splits and AQE coalesces this to a no-op-sized exchange. */
+  private def docsWide(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   // ---- exact ----
 
   /** Exact dedup via content hash: one hash-aggregate; keeper = min doc_id
@@ -53,20 +65,25 @@ object DocDedup {
     * witness for the MinHash construction (component i = min over shingles
     * of the first 60 bits of md5(shingle + '#' + i)). */
   def minhashMd5(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val sh = shingles(tokensCol)
+    // explode-then-aggregate, not k× array_min(transform(shingles, …)):
+    // the Generator materializes each shingle ONCE and the k md5 variants
+    // run over flat rows in one codegen stage; the k-transform formulation
+    // rebuilds the shingle array (slice+concat_ws per element) for every
+    // component — measured ~10× slower at sf0.1. The groupBy(doc_id) min is
+    // map-side partial, so the shuffle carries one k-long row per doc.
+    val exploded = docsWide(spark, dir)
+      .select(col("doc_id"), explode(shingles(tokensCol)).as("s"))
     val comps = (0 until k).map { i =>
-      array_min(transform(sh, s =>
-        conv(substring(md5(concat(s, lit(s"#$i")).cast("binary")), 1, 15), 16, 10)
-          .cast("long"))).as(s"mh$i")
+      min(conv(substring(md5(concat(col("s"), lit(s"#$i")).cast("binary")), 1, 15), 16, 10)
+        .cast("long")).as(s"mh$i")
     }
-    Tables.documents(spark, dir)
-      .select(col("doc_id") +: comps: _*)
+    exploded.groupBy("doc_id").agg(comps.head, comps.tail: _*)
       .orderBy("doc_id")
   }
 
   /** Per-doc signature digest (deterministic, rows-only gate entry). */
   def minhashDigest(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
-    withSignature(Tables.documents(spark, dir), k)
+    withSignature(docsWide(spark, dir), k)
       .select(col("doc_id"), xxhash64(col("sig").cast("string")).as("sig_hash"))
       .orderBy("doc_id")
 
@@ -85,7 +102,7 @@ object DocDedup {
     // collapse) and computes lazily ONCE, without localCheckpoint's eager
     // job + RDD serialization. At cluster scale this would be a persisted
     // parquet signature table (the natural artifact of a dedup pipeline).
-    val sigs = withSignature(Tables.documents(spark, dir), k)
+    val sigs = withSignature(docsWide(spark, dir), k)
       .select("doc_id", "sig").persist()
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -129,13 +146,13 @@ object DocDedup {
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
       when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    Tables.documents(spark, dir)
+    docsWide(spark, dir)
       .select(col("doc_id"), fp.as("simhash16"))
       .orderBy("doc_id")
   }
 
   def simhashDigest(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    docsWide(spark, dir)
       .select(col("doc_id"), simhash(tokensCol).as("simhash"))
       .orderBy("doc_id")
 
@@ -197,8 +214,11 @@ object DocDedup {
   /** Exact token-3-gram Jaccard for given candidate pairs (id_a, id_b):
     * |A∩B| / |A∪B| via array_intersect/array_union on distinct shingles. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      array_distinct(shingles(tokensCol)).as("sh"))
+    // shingling is the same CPU-bound per-row shape as the signatures:
+    // spread it across cores regardless of the caller's split count
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), array_distinct(shingles(tokensCol)).as("sh"))
     pairs
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
