@@ -99,8 +99,14 @@ object SparkEntry {
     "j4_label_join" -> (Joins.labelJoin _),
     "j5_semi_join" -> (Joins.semiJoin _),
     "j6_anti_join" -> (Joins.antiJoin _),
+    "j7_asof_join" -> (Joins.asofAttribution _),
+    "j8_range_bin_join" -> (Joins.rangeBinJoin _),
     "a17_pivot_quantity" -> (Aggs.pivotQuantity _),
     "a18_cumulative_quantity" -> (Aggs.cumulativeQuantity _),
+    "a19_rollup_revenue" -> (Aggs.rollupRevenue _),
+    "a20_group_quartiles" -> (Aggs.groupQuartiles _),
+    "d7_except_keys" -> (Dedup.exceptKeys _),
+    "d8_intersect_keys" -> (Dedup.intersectKeys _),
     "x15_ngram_jaccard" -> ((s: SparkSession, d: String) => DocDedup.ngramJaccardPairs(s, d)),
     "x16_token_freq" -> ((s: SparkSession, d: String) => graft.llm.TextStats.tokenFreq(s, d)),
     "q1_pricing_summary" -> (Aggs.pricingSummary _),
@@ -274,6 +280,32 @@ object SparkEntry {
       ("SELECT o_orderkey, o_orderdate FROM orders o WHERE NOT EXISTS " +
        "(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey " +
        "AND l.l_shipdate >= TIMESTAMP '1997-06-01') ORDER BY o_orderkey"),
+    "j7_asof_join" ->
+      ("WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), " +
+       "v AS (SELECT user_id, ts FROM events WHERE event_type = 'view') " +
+       "SELECT c.event_id, c.user_id, c.ts, v.ts AS view_ts " +
+       "FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts " +
+       "ORDER BY c.event_id"),
+    "j8_range_bin_join" ->
+      ("SELECT b.bin_label, count(*) AS n, round(sum(l.l_extendedprice),2) AS total_price " +
+       "FROM lineitem l JOIN (VALUES (0,10,'small'),(10,25,'mid'),(25,40,'large'),(40,1000,'huge')) " +
+       "AS b(lo, hi, bin_label) ON l.l_quantity >= b.lo AND l.l_quantity < b.hi " +
+       "GROUP BY 1 ORDER BY bin_label"),
+    "a19_rollup_revenue" ->
+      ("SELECT CAST(year(l_shipdate) AS INT) AS y, CAST(quarter(l_shipdate) AS INT) AS q, " +
+       "sum(CAST(round((l_extendedprice*(1-l_discount))*10000) AS BIGINT))/10000.0 AS revenue, " +
+       "count(*) AS n FROM lineitem " +
+       "GROUP BY ROLLUP (1, 2) ORDER BY y NULLS FIRST, q NULLS FIRST"),
+    "a20_group_quartiles" ->
+      ("SELECT l_returnflag, quantile_cont(l_extendedprice, 0.25) AS q1, " +
+       "quantile_cont(l_extendedprice, 0.5) AS q2, quantile_cont(l_extendedprice, 0.75) AS q3 " +
+       "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
+    "d7_except_keys" ->
+      ("SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996 EXCEPT " +
+       "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997 ORDER BY o_custkey"),
+    "d8_intersect_keys" ->
+      ("SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R' INTERSECT " +
+       "SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A' ORDER BY l_partkey"),
     "a17_pivot_quantity" ->
       ("SELECT CAST(year(l_shipdate) AS INT) AS y, " +
        "sum(CASE WHEN l_returnflag='A' THEN l_quantity END) AS \"A\", " +

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed as-of join — for each left row, the single right row with the
+  * greatest right timestamp <= the left timestamp within the same key
+  * (the attribution / point-in-time-lookup operator; DuckDB spells it
+  * `ASOF JOIN`, Spark has no built-in).
+  *
+  * Implementation is the scalable union-and-scan formulation, NOT a
+  * per-left-row range join: tag both inputs, union them, and run ONE
+  * `last(<right ts>, ignoreNulls) OVER (PARTITION BY key ORDER BY ts,
+  * side ROWS UNBOUNDED PRECEDING)` pass. Cost is a single shuffle on the
+  * key plus a per-key sort — the same plan shape as sessionization — and
+  * it never materializes the |left| × |right-candidates| intermediate a
+  * range join would. Right rows sort BEFORE left rows at equal
+  * timestamps (side 0 < 1), making the match inclusive (>=), matching
+  * DuckDB's `ON l.ts >= r.ts`.
+  *
+  * Skew note: partitioning is by the as-of key, so a pathological key
+  * holding most rows serializes that key's sort; at lake scale pre-split
+  * hot keys by a time-bucket prefix and as-of within buckets.
+  */
+object AsofJoin {
+
+  /** Left rows + `outCol` = greatest right `rightTs` <= left `tsCol` for
+    * the same `keys` (null when no prior right row exists — filter
+    * `outCol.isNotNull` for inner-asof semantics). Only the matched
+    * TIMESTAMP is attached: when several right rows tie on (key, ts) the
+    * result is still deterministic — callers needing right payload
+    * columns join them back on (keys :+ outCol) after deduping ties. */
+  def asofTs(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, rightTs: String, outCol: String): DataFrame = {
+    val sideTag = "__asof_side"
+    val probe = left.withColumn(sideTag, lit(1))
+    // build side carries ONLY (keys, ts): left payload columns are null-
+    // padded so the union stays narrow no matter how wide `left` is
+    val build = probe.columns.foldLeft(
+      right.select(keys.map(col) :+ col(rightTs).cast("timestamp").as(tsCol): _*)
+        .withColumn(sideTag, lit(0))) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(probe.schema(c).dataType))
+    }
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col(sideTag).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probe.unionByName(build.select(probe.columns.map(col): _*))
+      .withColumn(outCol,
+        last(when(col(sideTag) === 0, col(tsCol)), ignoreNulls = true).over(w))
+      .filter(col(sideTag) === 1)
+      .drop(sideTag)
+  }
+}

@@ -188,6 +188,29 @@ object Aggs {
       .orderBy("d")
   }
 
+  // ---- rollup: hierarchical subtotals (year ⊃ quarter ⊃ grand total) —
+  // the drill-down axis of the dashboard's time slicer in one pass.
+  // Same scaled-integer revenue trick as the cube (see cubeRevenue). ----
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(year(col("l_shipdate")).as("y"), quarter(col("l_shipdate")).as("q"))
+      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")) / 10000.0).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("y"), asc_nulls_first("q"))
+
+  // ---- exact per-group percentiles (the A10b construction, grouped):
+  // interpolated quantiles per category. Exact percentile is a per-group
+  // sort; at 100 TB swap in percentile_approx (mergeable sketch, one
+  // pass) — see medianApprox. ----
+  def groupQuartiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"), lit(0.25)).as("q1"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("q2"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("q3"))
+      .orderBy("l_returnflag")
+
   // ---- A1/A3/A4/A14: one-pass quality report (transform.py:131-144) ----
   // Single aggregation over the tagged frame computes totals, anomaly rate,
   // and valid-branch means/sums in ONE scan — the reference needs two

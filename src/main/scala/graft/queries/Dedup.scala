@@ -52,4 +52,23 @@ object Dedup {
     unionLocations(spark, dir)
       .withColumn("location_pk", row_number().over(Window.orderBy("location_id")))
       .orderBy("location_id")
+
+  /** D7: EXCEPT — customers who ordered in 1996 but not in 1997 (churn
+    * cohort). Spark plans `except` as a left-anti join over distinct rows:
+    * both sides reduce to distinct keys BEFORE the shuffle (partial agg),
+    * so the exchange carries key sets, not order rows. */
+  def exceptKeys(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def inYear(y: Int) = o.filter(year(col("o_orderdate")) === y).select("o_custkey")
+    inYear(1996).except(inYear(1997)).orderBy("o_custkey")
+  }
+
+  /** D8: INTERSECT — parts that appear in both returned ('R') and
+    * accepted ('A') lineitems. Planned as a left-semi join over distinct
+    * rows — same key-set-only shuffle shape as D7. */
+  def intersectKeys(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def flagged(f: String) = li.filter(col("l_returnflag") === f).select("l_partkey")
+    flagged("R").intersect(flagged("A")).orderBy("l_partkey")
+  }
 }

@@ -92,4 +92,37 @@ object Joins {
       .select(col("l_orderkey"), col("l_linenumber"), col("payment_label"))
       .orderBy("l_orderkey", "l_linenumber")
   }
+
+  /** J7: keyed as-of join (attribution): each click event matched to the
+    * most recent 'view' by the same user at or before it — via
+    * `operators.AsofJoin` (one shuffle on user_id, no range-join blowup).
+    * Inner-asof semantics: clicks with no prior view are dropped, like
+    * DuckDB's `ASOF JOIN`. */
+  def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view").select("user_id", "ts")
+    graft.operators.AsofJoin.asofTs(clicks, views, Seq("user_id"), "ts", "ts", "view_ts")
+      .filter(col("view_ts").isNotNull)
+      .select("event_id", "user_id", "ts", "view_ts")
+      .orderBy("event_id")
+  }
+
+  /** J8: range join against a tiny literal bin table (the general form of
+    * A9's fixed-width histogram: arbitrary bin edges). The build side is
+    * broadcast, so the non-equi predicate runs as a BroadcastNestedLoop
+    * probe over 4 rows per record — no shuffle, scales linearly in the
+    * fact. (A large-×-large range join would instead bucketize both sides
+    * on coarse ranges and equi-join the bucket id first.) */
+  def rangeBinJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bins = Seq((0, 10, "small"), (10, 25, "mid"), (25, 40, "large"),
+      (40, 1000, "huge")).toDF("lo", "hi", "bin_label")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(bins), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy("bin_label")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total_price"))
+      .orderBy("bin_label")
+  }
 }
