@@ -139,15 +139,19 @@ object DocDedup {
     * Token hash = first 60 bits of md5(token); bit i of the fingerprint =
     * sign of Σ_tokens (±1 by bit i). */
   def simhashMd5(spark: SparkSession, dir: String, bits: Int = 16): DataFrame = {
-    val hs = transform(tokensCol, t =>
-      conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
+    // explode-then-aggregate (see minhashMd5): each token is md5-hashed
+    // ONCE, with the `bits` per-bit votes as aggregate sums over the flat
+    // token rows — the per-bit `aggregate(hs, …)` formulation recomputed
+    // the full token-hash array for every bit (bits× the md5 work).
+    val hashed = docsWide(spark, dir)
+      .select(col("doc_id"), explode(tokensCol).as("t"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10).cast("long").as("h"))
     val fp = (0 until bits).map { i =>
-      val vote = aggregate(hs, lit(0),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      val vote = sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
       when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    docsWide(spark, dir)
-      .select(col("doc_id"), fp.as("simhash16"))
+    hashed.groupBy("doc_id").agg(fp.as("simhash16"))
       .orderBy("doc_id")
   }
 

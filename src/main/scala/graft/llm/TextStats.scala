@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
+  /** Documents scan repartitioned to cores (see DocDedup.docsWide): the
+    * regex/hash scoring below is CPU-bound per row, so a single-file scan
+    * must not pin the stage to one task. */
+  private def docsWide(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** Occurrences of `needle` in `hay` via length-difference — expressible
     * identically in Spark and DuckDB (replace/length), unlike regex counts. */
   def countOccurrences(hay: Column, needle: String): Column =
@@ -34,7 +41,7 @@ object TextStats {
   /** x7: language-ID — argmax of marker scores, 'unknown' when no marker
     * fires. Ties resolve in langMarkers order (greatest-first scan). */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val scored = Tables.documents(spark, dir)
+    val scored = docsWide(spark, dir)
       .select(col("doc_id") +: langMarkers.map { case (l, m) => langScore(m).as(s"score_$l") }: _*)
     val best = langMarkers.map { case (l, _) => col(s"score_$l") }.reduce((a, b) => greatest(a, b))
     // earlier langs win ties (en first) — build the when-chain left to right
@@ -48,7 +55,7 @@ object TextStats {
 
   /** x8: quality scoring — length/stopword/shape heuristics in one pass. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    docsWide(spark, dir)
       .withColumn("n_chars_m", length(col("text")))
       .withColumn("n_tokens", size(split(col("text"), " ")))
       .withColumn("avg_token_len",
@@ -66,7 +73,7 @@ object TextStats {
     * (letter runs / digit runs / single punctuation, the GPT-2 pre-tokenizer
     * shape). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    docsWide(spark, dir)
       .withColumn("n_tokens_ws", size(split(col("text"), " ")))
       .withColumn("n_tokens_bpe",
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
@@ -76,7 +83,7 @@ object TextStats {
   /** x10: content fingerprint — md5 over whitespace-normalized lowercase
     * text (the canonical exact-dedup key). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    docsWide(spark, dir)
       .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")))
       .select("doc_id", "fp")
       .orderBy("doc_id")
@@ -86,7 +93,7 @@ object TextStats {
     * counts, so the shuffle carries (token, partial_count) not the token
     * stream. Top-N with a total-order tiebreak for determinism. */
   def tokenFreq(spark: SparkSession, dir: String, topN: Int = 20): DataFrame =
-    Tables.documents(spark, dir)
+    docsWide(spark, dir)
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("token"))
@@ -102,7 +109,7 @@ object TextStats {
     val shingles = when(n >= 5,
       transform(sequence(lit(0), n - 5), i => concat_ws(" ", slice(tokens, i + 1, lit(5)))))
       .otherwise(array(concat_ws(" ", tokens)))
-    Tables.documents(spark, dir)
+    docsWide(spark, dir)
       .withColumn("shingle_hashes", transform(shingles, s => xxhash64(s)))
       .select(col("doc_id"),
         array_min(col("shingle_hashes")).as("fp_min"),
