@@ -107,6 +107,8 @@ object SparkEntry {
     "a20_group_quartiles" -> (Aggs.groupQuartiles _),
     "d7_except_keys" -> (Dedup.exceptKeys _),
     "d8_intersect_keys" -> (Dedup.intersectKeys _),
+    "e3_event_gaps" -> (Funcs.eventGaps _),
+    "win_decile_by_group" -> (Funcs.decileByGroup _),
     "x15_ngram_jaccard" -> ((s: SparkSession, d: String) => DocDedup.ngramJaccardPairs(s, d)),
     "x16_token_freq" -> ((s: SparkSession, d: String) => graft.llm.TextStats.tokenFreq(s, d)),
     "q1_pricing_summary" -> (Aggs.pricingSummary _),
@@ -291,6 +293,15 @@ object SparkEntry {
        "FROM lineitem l JOIN (VALUES (0,10,'small'),(10,25,'mid'),(25,40,'large'),(40,1000,'huge')) " +
        "AS b(lo, hi, bin_label) ON l.l_quantity >= b.lo AND l.l_quantity < b.hi " +
        "GROUP BY 1 ORDER BY bin_label"),
+    "e3_event_gaps" ->
+      ("SELECT event_id, user_id, " +
+       "CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) " +
+       "AS DOUBLE)/1e6 AS gap_sec FROM events ORDER BY event_id"),
+    "win_decile_by_group" ->
+      ("SELECT l_orderkey, l_linenumber, l_returnflag, " +
+       "CAST(ntile(10) OVER (PARTITION BY l_returnflag " +
+       "ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS INT) AS decile " +
+       "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
     "a19_rollup_revenue" ->
       ("SELECT CAST(year(l_shipdate) AS INT) AS y, CAST(quarter(l_shipdate) AS INT) AS q, " +
        "sum(CAST(round((l_extendedprice*(1-l_discount))*10000) AS BIGINT))/10000.0 AS revenue, " +

@@ -89,6 +89,33 @@ object Funcs {
       .orderBy("user_id", "session_id")
   }
 
+  // ---- lag/lead: inter-event gap per user (the raw feature under
+  // sessionization). Same keyed-window shuffle shape as sessionizeEvents;
+  // null delta on each user's first event. ----
+  def eventGaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("gap_sec",
+        ((unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))) / 1e6))
+      .select("event_id", "user_id", "gap_sec")
+      .orderBy("event_id")
+  }
+
+  // ---- ntile: per-group decile assignment (feature bucketing for model
+  // inputs). Partitioned by the group key, so each decile sort is a
+  // per-key partition sort — never a global sort. Total order inside the
+  // window (price, orderkey, linenumber) makes tile edges deterministic. ----
+  def decileByGroup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        ntile(10).over(w).as("decile"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   // ---- text normalization: lower, accent-strip, punctuation removal,
   // whitespace collapse (the canonicalization step before dedup) ----
   val accented = "àâäéèêëîïôöùûüç"

@@ -46,6 +46,18 @@ object EventsStream {
     } finally tagged.unpersist()
   }
 
+  /** Streaming exact dedup: at-least-once sources redeliver rows, so the
+    * ingest edge dedups on event_id. `dropDuplicatesWithinWatermark` keys
+    * the state store on event_id but EVICTS entries once the watermark
+    * passes them — bounded state, unlike a bare dropDuplicates on a
+    * stream (which accumulates every key forever). Duplicates arriving
+    * within the 2-hour lateness horizon are suppressed; later than that
+    * they are by-definition outside the correctness contract. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class UserSession(user_id: Long, n_events: Long, total_value: Double, last_ts: Long)
 
   /** Custom per-key state: running per-user session rollup via

@@ -102,4 +102,21 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(7L) == 3L, "state accumulated across batches")
     assert(sessions(8L) == 2L)
   }
+
+  test("streaming dedup suppresses redelivered events within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.dedupEvents(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    mem.addData(sample.take(3): _*) // at-least-once redelivery of 1,2,3
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_test").select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L, 4L, 5L), "each event exactly once")
+  }
 }
