@@ -336,8 +336,10 @@ object SparkEntry {
        "mh AS (SELECT doc_id, i, list_min(list_transform(s, x -> " +
        "CAST(concat('0x', substr(md5(concat(x, '#', i)),1,15)) AS BIGINT))) AS comp " +
        "FROM sh, range(0, 8) AS r(i)), " +
-       "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM mh a " +
-       "JOIN mh b ON a.i = b.i AND a.comp = b.comp AND a.doc_id < b.doc_id), " +
+       "band AS (SELECT m0.doc_id, m0.i // 2 AS j, m0.comp AS c0, m1.comp AS c1 FROM mh m0 " +
+       "JOIN mh m1 ON m0.doc_id = m1.doc_id AND m1.i = m0.i + 1 WHERE m0.i % 2 = 0), " +
+       "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a " +
+       "JOIN band b ON a.j = b.j AND a.c0 = b.c0 AND a.c1 = b.c1 AND a.doc_id < b.doc_id), " +
        "shd AS (SELECT doc_id, list_distinct(s) AS s FROM sh) " +
        "SELECT id_a, id_b, jaccard FROM (SELECT c.id_a, c.id_b, " +
        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard " +
