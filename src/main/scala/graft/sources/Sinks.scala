@@ -36,6 +36,19 @@ object Sinks {
     df.write.mode("overwrite").option("compression", "snappy")
       .partitionBy(partitionCol).parquet(path)
 
+  /** Bucketed table write: pre-shuffles ONCE at write time into
+    * `nBuckets` hash buckets on the join key (+ sorted within buckets).
+    * Two tables bucketed identically join with ZERO exchanges — the
+    * shuffle that dominates repeated fact⋈fact joins at 100 TB is paid
+    * once and amortized over every later query. Requires a catalog table
+    * (bucket metadata lives in the metastore), hence saveAsTable. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int = 8): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .option("compression", "snappy")
+      .format("parquet").saveAsTable(table)
+
   /** S10: CSV sink/source (the reference's Power BI ingestion path,
     * README.md:34-37). */
   def writeCsv(df: DataFrame, path: String): Unit =

@@ -51,6 +51,31 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables join with zero shuffle exchanges") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+    Sinks.writeBucketed(li, "li_bucketed_test", "l_orderkey")
+    Sinks.writeBucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "o_bucketed_test", "l_orderkey")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a sort-merge join so the exchange (or its absence) is visible
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed_test")
+        .join(spark.table("o_bucketed_test"), Seq("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "identically-bucketed sides must co-locate without a shuffle:\n" + plan)
+      assert(joined.count() == li.count(), "orderkeys are a foreign key into orders")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed_test")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed_test")
+    }
+  }
+
   test("SQL view layer answers DAX-measure analogues") {
     graft.dashboard.Views.register(spark, sfDir)
     val total = graft.dashboard.Views.measure(spark, "total_trips").head().getLong(0)
