@@ -108,6 +108,9 @@ object SparkEntry {
     "d7_except_keys" -> (Dedup.exceptKeys _),
     "d8_intersect_keys" -> (Dedup.intersectKeys _),
     "e3_event_gaps" -> (Funcs.eventGaps _),
+    // rows-only: sketch internals are engine-specific (HLL++/KLL);
+    // AggsSpec pins estimates within tolerance of the exact aggregates
+    "a21_sketch_kpis" -> (Aggs.sketchKpis _),
     "win_decile_by_group" -> (Funcs.decileByGroup _),
     "x15_ngram_jaccard" -> ((s: SparkSession, d: String) => DocDedup.ngramJaccardPairs(s, d)),
     "x16_token_freq" -> ((s: SparkSession, d: String) => graft.llm.TextStats.tokenFreq(s, d)),

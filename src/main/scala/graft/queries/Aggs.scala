@@ -89,6 +89,22 @@ object Aggs {
       .agg(round(median(col("l_quantity")), 2).as("median_qty"),
         round(median(col("l_extendedprice")), 2).as("median_price"))
 
+  /** Sketch-KPI gate: the 100 TB replacements for exact countDistinct
+    * (`d6`) and exact percentile (`a10`/`a20`) — HyperLogLog++ and
+    * KLL-style quantile sketches are MERGEABLE, so both run as one-pass
+    * partial aggregates with O(sketch) shuffle bytes instead of a
+    * per-group distinct shuffle / sort. Sketch internals differ across
+    * engines, so this gate is rows-only; AggsSpec pins each estimate
+    * within tolerance of its exact counterpart. */
+  def sketchKpis(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_suppkey")).as("approx_suppliers"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("approx_median_price"))
+      .orderBy("l_returnflag")
+
   /** Scale path for A10: percentile_approx sketch (mergeable, one pass). */
   def medianApprox(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
 class QueriesSpec extends SparkSpec {
 
   test("every query has oracle SQL or is explicitly rows-only") {
-    // xxhash64-based sketches are not ANSI-SQL-expressible → rows-only
+    // xxhash64-based sketches are not ANSI-SQL-expressible, and HLL/KLL
+    // sketch estimates are engine-specific → rows-only
     val rowsOnly = Set("x2_minhash_digest", "x3_minhash_pairs",
-      "x4_simhash_digest", "x11_rolling_fingerprint")
+      "x4_simhash_digest", "x11_rolling_fingerprint", "a21_sketch_kpis")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty)
@@ -61,5 +62,23 @@ class QueriesSpec extends SparkSpec {
   test("share-of-total percentages sum to 100") {
     val pctSum = Aggs.shareOfTotal(spark, sfDir).agg(sum("pct")).head().getDouble(0)
     assert(math.abs(pctSum - 100.0) < 0.05)
+  }
+
+  test("sketch KPIs land within tolerance of their exact counterparts") {
+    val approx = Aggs.sketchKpis(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("s"), countDistinct(col("l_partkey")).as("p"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, (as, ap, am)) <- approx) {
+      val (es, ep, em) = exact(k)
+      assert(math.abs(as - es).toDouble / es < 0.05, s"$k suppliers: $as vs $es")
+      assert(math.abs(ap - ep).toDouble / ep < 0.05, s"$k parts: $ap vs $ep")
+      // percentile_approx with accuracy 10000 is near-exact at this scale
+      assert(math.abs(am - em) / em < 0.01, s"$k median: $am vs $em")
+    }
   }
 }
