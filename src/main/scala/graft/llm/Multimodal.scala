@@ -80,14 +80,21 @@ object Multimodal {
   }
 
   /** Feature extraction: batched per-partition map — the Scala analogue of
-    * a pandas-batch UDF. Each partition processes its assets in one pass;
-    * no data leaves the executor. */
-  def extractFeatures(in: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    * a pandas-batch UDF (mapInPandas): assets stream through in
+    * `batchSize` groups, the shape a vectorized codec/model inference
+    * wants, and nothing leaves the executor. The stub decodes
+    * element-wise inside the batch; a real model would run ONE batched
+    * forward pass per group. grouped() is lazy over the partition
+    * iterator, so peak memory is one batch of payloads, not the
+    * partition. */
+  def extractFeatures(in: Dataset[MediaAsset], batchSize: Int = 32): Dataset[MediaFeatures] = {
     import in.sparkSession.implicits._
     in.mapPartitions { it =>
-      it.map { a =>
-        MediaFeatures(a.asset_id, a.media_type, a.payload.length,
-          decodeStub(a.payload), sampleFrames(a.payload.length))
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { a =>
+          MediaFeatures(a.asset_id, a.media_type, a.payload.length,
+            decodeStub(a.payload), sampleFrames(a.payload.length))
+        }
       }
     }
   }
