@@ -101,6 +101,7 @@ object SparkEntry {
     "j6_anti_join" -> (Joins.antiJoin _),
     "j7_asof_join" -> (Joins.asofAttribution _),
     "j8_range_bin_join" -> (Joins.rangeBinJoin _),
+    "j9_interval_join" -> (Joins.intervalActivity _),
     "a17_pivot_quantity" -> (Aggs.pivotQuantity _),
     "a18_cumulative_quantity" -> (Aggs.cumulativeQuantity _),
     "a19_rollup_revenue" -> (Aggs.rollupRevenue _),
@@ -305,6 +306,13 @@ object SparkEntry {
        "CAST(ntile(10) OVER (PARTITION BY l_returnflag " +
        "ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS INT) AS decile " +
        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "j9_interval_join" ->
+      ("SELECT p.event_id, count(c.event_id) AS n_clicks_1h, " +
+       "round(coalesce(sum(c.value), 0), 2) AS click_value_1h " +
+       "FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p " +
+       "LEFT JOIN (SELECT event_id, ts, value FROM events WHERE event_type = 'click') c " +
+       "ON c.ts > p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts " +
+       "GROUP BY 1 ORDER BY p.event_id"),
     "a19_rollup_revenue" ->
       ("SELECT CAST(year(l_shipdate) AS INT) AS y, CAST(quarter(l_shipdate) AS INT) AS q, " +
        "sum(CAST(round((l_extendedprice*(1-l_discount))*10000) AS BIGINT))/10000.0 AS revenue, " +

@@ -109,6 +109,24 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** J9: large-×-large trailing-interval join via `operators.IntervalJoin`
+    * — per purchase event, click activity (any user) in the preceding
+    * hour: the "recent context" feature family of a training pipeline.
+    * Neither side broadcasts at scale; the bucket equi-join keeps it a
+    * plain shuffle. Left-join + count(c_id) keeps zero-activity purchases
+    * with n=0. */
+  def intervalActivity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase").select(col("event_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"), col("value").as("c_value"))
+    graft.operators.IntervalJoin.joinTrailing(p, "ts", c, "c_ts", 3600)
+      .groupBy("event_id")
+      .agg(count(col("c_id")).as("n_clicks_1h"),
+        round(coalesce(sum("c_value"), lit(0.0)), 2).as("click_value_1h"))
+      .orderBy("event_id")
+  }
+
   /** J8: range join against a tiny literal bin table (the general form of
     * A9's fixed-width histogram: arbitrary bin edges). The build side is
     * broadcast, so the non-equi predicate runs as a BroadcastNestedLoop

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class IntervalJoinSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("bucketized interval join equals the naive non-equi join") {
+    val ev = graft.Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase").select(col("event_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"))
+    val bucketized = IntervalJoin.joinTrailing(p, "ts", c, "c_ts", 3600, "inner")
+      .select("event_id", "c_id")
+    val naive = p.join(c,
+      unix_micros(col("c_ts")) > unix_micros(col("ts")) - 3600000000L &&
+        col("c_ts") <= col("ts"), "inner")
+      .select("event_id", "c_id")
+    assert(bucketized.count() == naive.count())
+    assert(bucketized.except(naive).isEmpty && naive.except(bucketized).isEmpty)
+  }
+
+  test("boundary semantics: (leftTs - w, leftTs] — exclusive start, inclusive end") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 12:00:00"))).toDF("id", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 11:00:00")), // exactly leftTs - w -> excluded
+      (11L, ts("2024-01-01 11:00:00.000001")), // just inside
+      (12L, ts("2024-01-01 12:00:00")), // equal -> included
+      (13L, ts("2024-01-01 12:00:00.000001")) // future -> excluded
+    ).toDF("rid", "rt")
+    val got = IntervalJoin.joinTrailing(left, "t", right, "rt", 3600, "inner")
+      .select("rid").collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L, 12L))
+  }
+
+  test("left join keeps zero-match rows and never double-counts across buckets") {
+    val out = graft.queries.Joins.intervalActivity(spark, sfDir)
+    val nPurchases = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.count() == nPurchases, "one output row per purchase")
+    assert(out.filter(col("n_clicks_1h") === 0).count() >= 0) // schema sanity
+    // cross-check one aggregate against the naive computation
+    val ev = graft.Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase").select(col("event_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"))
+    val naive = p.join(c,
+      unix_micros(col("c_ts")) > unix_micros(col("ts")) - 3600000000L &&
+        col("c_ts") <= col("ts"), "left")
+      .groupBy("event_id").agg(count(col("c_id")).as("n"))
+    val diff = out.join(naive, Seq("event_id"))
+      .filter(col("n_clicks_1h") =!= col("n"))
+    assert(diff.count() == 0)
+  }
+}
