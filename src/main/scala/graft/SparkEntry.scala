@@ -114,6 +114,7 @@ object SparkEntry {
     "a21_sketch_kpis" -> (Aggs.sketchKpis _),
     "win_decile_by_group" -> (Funcs.decileByGroup _),
     "x15_ngram_jaccard" -> ((s: SparkSession, d: String) => DocDedup.ngramJaccardPairs(s, d)),
+    "x17_dedup_clusters" -> ((s: SparkSession, d: String) => DocDedup.dedupClustersGate(s, d)),
     "x16_token_freq" -> ((s: SparkSession, d: String) => graft.llm.TextStats.tokenFreq(s, d)),
     "q1_pricing_summary" -> (Aggs.pricingSummary _),
     "a2_anomaly_value_counts" -> (Aggs.anomalyValueCounts _),
@@ -339,23 +340,18 @@ object SparkEntry {
        "FROM lineitem GROUP BY 1) " +
        "SELECT d, s, sum(s) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
        "FROM daily ORDER BY d"),
-    "x15_ngram_jaccard" ->
-      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-       "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
-       "list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
-       "ELSE [array_to_string(t, ' ')] END AS s FROM tok), " +
-       "mh AS (SELECT doc_id, i, list_min(list_transform(s, x -> " +
-       "CAST(concat('0x', substr(md5(concat(x, '#', i)),1,15)) AS BIGINT))) AS comp " +
-       "FROM sh, range(0, 8) AS r(i)), " +
-       "band AS (SELECT m0.doc_id, m0.i // 2 AS j, m0.comp AS c0, m1.comp AS c1 FROM mh m0 " +
-       "JOIN mh m1 ON m0.doc_id = m1.doc_id AND m1.i = m0.i + 1 WHERE m0.i % 2 = 0), " +
-       "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a " +
-       "JOIN band b ON a.j = b.j AND a.c0 = b.c0 AND a.c1 = b.c1 AND a.doc_id < b.doc_id), " +
-       "shd AS (SELECT doc_id, list_distinct(s) AS s FROM sh) " +
-       "SELECT id_a, id_b, jaccard FROM (SELECT c.id_a, c.id_b, " +
-       "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard " +
-       "FROM cand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b) " +
-       "WHERE jaccard >= 0.5 ORDER BY id_a, id_b"),
+    "x15_ngram_jaccard" -> (x15PairsSql + " ORDER BY id_a, id_b"),
+    // connected components over the x15 pairs: DuckDB side = recursive-CTE
+    // reachability (min reachable id per node == min-label-propagation
+    // fixpoint on an undirected graph)
+    "x17_dedup_clusters" ->
+      (s"WITH RECURSIVE pairs AS ($x15PairsSql), " +
+       "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+       "UNION ALL SELECT id_b, id_a FROM pairs), " +
+       "reach(node, lab) AS (SELECT src, src FROM (SELECT DISTINCT src FROM e) " +
+       "UNION SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node) " +
+       "SELECT node AS doc_id, min(lab) AS cluster_id FROM reach " +
+       "GROUP BY node ORDER BY doc_id"),
     "x16_token_freq" ->
       ("SELECT token, count(*) AS n FROM " +
        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
@@ -553,6 +549,26 @@ object SparkEntry {
   )
 
   // ---- extension SQL fragments ----
+
+  /** x15 near-dup pipeline body (no final ORDER BY) — shared between the
+    * x15 gate and the x17 cluster-resolution recursive CTE. */
+  private val x15PairsSql: String =
+    "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+    "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
+    "list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
+    "ELSE [array_to_string(t, ' ')] END AS s FROM tok), " +
+    "mh AS (SELECT doc_id, i, list_min(list_transform(s, x -> " +
+    "CAST(concat('0x', substr(md5(concat(x, '#', i)),1,15)) AS BIGINT))) AS comp " +
+    "FROM sh, range(0, 8) AS r(i)), " +
+    "band AS (SELECT m0.doc_id, m0.i // 2 AS j, m0.comp AS c0, m1.comp AS c1 FROM mh m0 " +
+    "JOIN mh m1 ON m0.doc_id = m1.doc_id AND m1.i = m0.i + 1 WHERE m0.i % 2 = 0), " +
+    "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a " +
+    "JOIN band b ON a.j = b.j AND a.c0 = b.c0 AND a.c1 = b.c1 AND a.doc_id < b.doc_id), " +
+    "shd AS (SELECT doc_id, list_distinct(s) AS s FROM sh) " +
+    "SELECT id_a, id_b, jaccard FROM (SELECT c.id_a, c.id_b, " +
+    "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard " +
+    "FROM cand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b) " +
+    "WHERE jaccard >= 0.5"
 
   /** per-row norm CTE over double-cast embeddings (bit-exact with Spark's
     * sequential aggregate() fold — verified empirically). */

@@ -222,6 +222,50 @@ object DocDedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Near-dup CLUSTER RESOLUTION — the last step of a dedup pipeline:
+    * verified pairs form an undirected graph; each connected component is
+    * one duplicate cluster and its minimum doc_id the canonical keeper.
+    *
+    * Distributed min-label propagation: every node starts labeled with
+    * itself; each round, a node takes the min of its own label and its
+    * neighbors' labels (one equi-join + one min-aggregate = one shuffle
+    * per round); converged when no label changes. Rounds needed = cluster
+    * diameter — near-dup clusters are shallow (pairs/triangles), so this
+    * terminates in 2-3 rounds; `maxIters` bounds pathological chains.
+    * This is the standard large-scale connected-components layout (the
+    * driver sees only the per-round convergence count, never the data).
+    * Labels are persisted per round and lineage stays flat — at lake
+    * scale each round would checkpoint to parquet. */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbr = e.join(labels, e("dst") === labels("node"))
+        .select(e("src").as("node"), col("lab"))
+      val next = labels.unionByName(nbr)
+        .groupBy("node").agg(min("lab").as("lab")).persist()
+      changed = next.join(labels.withColumnRenamed("lab", "old"), "node")
+        .filter(col("lab") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    e.unpersist()
+    labels.select(col("node").as("doc_id"), col("lab").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Gate entry: clusters over the oracle-checked x15 near-dup pairs —
+    * the full pipeline shingle→minhash→bands→exact-Jaccard→components is
+    * hash-checked end to end (DuckDB side: recursive CTE reachability). */
+  def dedupClustersGate(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(ngramJaccardPairs(spark, dir).drop("jaccard"))
+
   /** Exact token-3-gram Jaccard for given candidate pairs (id_a, id_b):
     * |A∩B| / |A∪B| via array_intersect/array_union on distinct shingles. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {

@@ -140,4 +140,29 @@ class LlmSpec extends SparkSpec {
     assert(resized.filter(a => math.max(a.width, a.height) > 300).count() == 0)
     assert(resized.count() == Multimodal.assets(spark, sfDir).count())
   }
+
+  test("dedup clusters: label propagation resolves multi-hop components") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 round), triangle 10-11-12,
+    // isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = DocDedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedup clusters on real pairs: every pair ends in one cluster") {
+    val pairs = DocDedup.ngramJaccardPairs(spark, sfDir).drop("jaccard").cache()
+    val clusters = DocDedup.dedupClusters(pairs)
+    val joined = pairs
+      .join(clusters.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("cluster_id", "ca"), Seq("id_a"))
+      .join(clusters.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("cluster_id", "cb"), Seq("id_b"))
+    assert(joined.filter(org.apache.spark.sql.functions.col("ca") =!=
+      org.apache.spark.sql.functions.col("cb")).count() == 0,
+      "paired docs must share a cluster")
+  }
 }
