@@ -116,6 +116,7 @@ object SparkEntry {
     "x15_ngram_jaccard" -> ((s: SparkSession, d: String) => DocDedup.ngramJaccardPairs(s, d)),
     "x17_dedup_clusters" -> ((s: SparkSession, d: String) => DocDedup.dedupClustersGate(s, d)),
     "x16_token_freq" -> ((s: SparkSession, d: String) => graft.llm.TextStats.tokenFreq(s, d)),
+    "x18_hash_split" -> ((s: SparkSession, d: String) => graft.llm.TextStats.hashSplit(s, d)),
     "q1_pricing_summary" -> (Aggs.pricingSummary _),
     "a2_anomaly_value_counts" -> (Aggs.anomalyValueCounts _),
     "a5_trips_per_day" -> (Aggs.tripsPerDay _),
@@ -356,6 +357,9 @@ object SparkEntry {
       ("SELECT token, count(*) AS n FROM " +
        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
        "GROUP BY token ORDER BY n DESC, token LIMIT 20"),
+    "x18_hash_split" ->
+      ("SELECT doc_id, CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,2)) AS INT) < 205 " +
+       "THEN 'train' ELSE 'test' END AS split FROM documents ORDER BY doc_id"),
     "q1_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, " +
        "round(sum(l_extendedprice),2) AS sum_base_price, " +

@@ -99,6 +99,19 @@ object TextStats {
       .orderBy(desc("n"), asc("token"))
       .limit(topN)
 
+  /** x18: deterministic train/test split — the reproducible-sampling
+    * primitive of a training pipeline. Bucket = first byte of
+    * md5(doc_id): uniform over 0..255, so <205 ≈ 80.1% train; the split
+    * is a pure per-row function of the key — stable across runs, engines,
+    * partitionings, and appends (new rows never reshuffle old ones),
+    * unlike rand()/sample() whose draw depends on partition layout. */
+  def hashSplit(spark: SparkSession, dir: String, trainBuckets: Int = 205): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2), 16, 10)
+          .cast("int") < trainBuckets, "train").otherwise("test").as("split"))
+      .orderBy("doc_id")
+
   /** x11: rolling-hash fingerprint (winnowing-style): min/max xxhash64 over
     * 5-token shingles — robust to local edits, used as a near-dup
     * prefilter. Not ANSI-SQL-expressible (xxhash64): covered by ScalaTest,

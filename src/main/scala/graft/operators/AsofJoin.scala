@@ -52,4 +52,46 @@ object AsofJoin {
       .filter(col(sideTag) === 1)
       .drop(sideTag)
   }
+
+  /** Full as-of join: left rows + the PAYLOAD of the matched right row
+    * (null-struct when no prior right row exists). Payload columns ride
+    * the same single window pass inside one struct; ties on (key, ts) are
+    * broken deterministically by taking the struct-max over `tieCols`
+    * (appended to the struct ordering AFTER ts, so later tie columns win
+    * only within the same timestamp). `rightCols` must not collide with
+    * left column names. */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, rightTs: String, rightCols: Seq[String],
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val sideTag = "__asof_side"
+    val payload = "__asof_payload"
+    val probe = left.withColumn(sideTag, lit(1))
+    val rightStruct = struct(
+      (Seq(col(rightTs).cast("timestamp").as("__ts")) ++
+        tieCols.map(col) ++ rightCols.map(col)): _*)
+    val build0 = right
+      .select(keys.map(col) :+ col(rightTs).cast("timestamp").as(tsCol)
+        :+ rightStruct.as(payload): _*)
+      .withColumn(sideTag, lit(0))
+    val build = probe.columns.foldLeft(build0) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(probe.schema(c).dataType))
+    }
+    val withPayload = probe.withColumn(payload,
+      lit(null).cast(build0.schema(payload).dataType))
+    val outCols = withPayload.columns
+    // max over the running frame: struct comparison is lexicographic, so
+    // the greatest (__ts, tieCols…) payload at or before the current row
+    // wins — equal timestamps resolve by tieCols, deterministically
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col(sideTag).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = withPayload.unionByName(build.select(outCols.map(col): _*))
+      .withColumn(payload, max(col(payload)).over(w))
+      .filter(col(sideTag) === 1)
+      .drop(sideTag)
+    rightCols.foldLeft(matched) { (df, c) =>
+      df.withColumn(c, col(s"$payload.$c"))
+    }.drop(payload)
+  }
 }

@@ -141,6 +141,18 @@ class LlmSpec extends SparkSpec {
     assert(resized.count() == Multimodal.assets(spark, sfDir).count())
   }
 
+  test("hash split: ~80/20, deterministic, and append-stable") {
+    val s1 = TextStats.hashSplit(spark, sfDir).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = TextStats.hashSplit(spark, sfDir).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2, "pure function of the key: identical across runs")
+    val trainFrac = s1.values.count(_ == "train").toDouble / s1.size
+    assert(math.abs(trainFrac - 205.0 / 256) < 0.08, s"train fraction $trainFrac")
+    // append-stability: the split of a subset equals the subset of the split
+    val subset = TextStats.hashSplit(spark, sfDir).filter(col("doc_id") < 100)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(subset == s1.filter(_._1 < 100))
+  }
+
   test("dedup clusters: label propagation resolves multi-hop components") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 round), triangle 10-11-12,

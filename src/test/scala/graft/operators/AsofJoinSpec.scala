@@ -52,6 +52,35 @@ class AsofJoinSpec extends SparkSpec {
     assert(gaps.count() == 0)
   }
 
+  test("payload asof join attaches the matched right row's columns") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2024-01-01 12:00:00")),
+      (2L, 10L, ts("2024-01-01 08:00:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), "early", 1.5),
+      (10L, ts("2024-01-01 11:00:00"), "late", 2.5)
+    ).toDF("k", "rt", "tag", "v")
+    val out = AsofJoin.asof(left, right, Seq("k"), "t", "rt",
+      rightCols = Seq("tag", "v")).collect()
+      .map(r => r.getLong(0) -> (Option(r.getAs[String]("tag")),
+        Option(r.getAs[Any]("v")))).toMap
+    assert(out(1L) == (Some("late"), Some(2.5))) // greatest rt <= t
+    assert(out(2L) == (None, None)) // no prior right row
+  }
+
+  test("payload asof join breaks equal-timestamp ties by tieCols, deterministically") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      (5L, ts("2024-01-01 10:00:00"), 100L, "a"),
+      (5L, ts("2024-01-01 10:00:00"), 200L, "b") // max rid wins the tie
+    ).toDF("k", "rt", "rid", "tag")
+    val got = AsofJoin.asof(left, right, Seq("k"), "t", "rt",
+      rightCols = Seq("tag"), tieCols = Seq("rid"))
+      .head().getAs[String]("tag")
+    assert(got == "b")
+  }
+
   test("range-bin join covers every in-range row exactly once") {
     val binned = graft.queries.Joins.rangeBinJoin(spark, sfDir)
     val nBinned = binned.agg(sum("n")).head().getLong(0)
