@@ -117,6 +117,8 @@ object SparkEntry {
     "x17_dedup_clusters" -> ((s: SparkSession, d: String) => DocDedup.dedupClustersGate(s, d)),
     "x16_token_freq" -> ((s: SparkSession, d: String) => graft.llm.TextStats.tokenFreq(s, d)),
     "x18_hash_split" -> ((s: SparkSession, d: String) => graft.llm.TextStats.hashSplit(s, d)),
+    "x19_sequence_packing" -> ((s: SparkSession, d: String) => graft.llm.Packing.sequencePacking(s, d)),
+    "x20_chunking" -> ((s: SparkSession, d: String) => graft.llm.Packing.chunkDocuments(s, d)),
     "q1_pricing_summary" -> (Aggs.pricingSummary _),
     "a2_anomaly_value_counts" -> (Aggs.anomalyValueCounts _),
     "a5_trips_per_day" -> (Aggs.tripsPerDay _),
@@ -360,6 +362,17 @@ object SparkEntry {
     "x18_hash_split" ->
       ("SELECT doc_id, CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,2)) AS INT) < 205 " +
        "THEN 'train' ELSE 'test' END AS split FROM documents ORDER BY doc_id"),
+    "x19_sequence_packing" ->
+      ("WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+       "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,1)) AS INT) AS bucket FROM documents), " +
+       "c AS (SELECT doc_id, n_tokens, bucket, sum(n_tokens) OVER " +
+       "(PARTITION BY bucket ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d) " +
+       "SELECT doc_id, n_tokens, CAST(bucket AS BIGINT)*1000000 + CAST(floor((cum - n_tokens)/512.0) AS BIGINT) AS pack_id " +
+       "FROM c ORDER BY doc_id"),
+    "x20_chunking" ->
+      ("SELECT doc_id, CAST(i AS INT) AS chunk_idx, substr(text, CAST(i AS INT)*150 + 1, 200) AS chunk_text " +
+       "FROM (SELECT doc_id, text, unnest(range((length(text)-1)//150 + 1)) AS i FROM documents) " +
+       "ORDER BY doc_id, chunk_idx"),
     "q1_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, " +
        "round(sum(l_extendedprice),2) AS sum_base_price, " +

@@ -1,0 +1,57 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence construction for LLM training: packing short documents into
+  * fixed token budgets and chunking long documents into overlapping
+  * windows — the two layout transforms between a cleaned corpus and a
+  * trainer's fixed-length batches.
+  */
+object Packing {
+
+  /** x19: greedy sequence packing — assign each doc to a pack so packs
+    * hold ~`budget` tokens. Distributed layout: docs first land in one of
+    * `buckets` md5 hash buckets (pure function of doc_id — append-stable
+    * like `TextStats.hashSplit`), then a per-bucket running token total
+    * assigns pack = floor(tokens-before-me / budget). The window sorts
+    * WITHIN buckets only — 16 independent partition sorts, never a global
+    * sort — and pack ids are bucket-prefixed so they never collide across
+    * buckets. A doc straddling a boundary belongs to the pack where it
+    * starts (standard streaming-packing approximation; packs overshoot by
+    * at most one doc). */
+  def sequencePacking(spark: SparkSession, dir: String, budget: Int = 512,
+      buckets: Int = 16): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1), 16, 10)
+      .cast("int")
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("bucket", bucket)
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("bucket").cast("long") * 1000000 +
+          floor((col("cum") - col("n_tokens")) / budget)).as("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  /** x20: overlapping chunking — split each document into windows of
+    * `size` chars every `stride` chars (size - stride chars of overlap),
+    * the RAG/pretraining context-window transform. One Generator
+    * (posexplode over an offset sequence) per row: no shuffle, no UDF,
+    * output grows by len/stride per doc at any scale. */
+  def chunkDocuments(spark: SparkSession, dir: String, size: Int = 200,
+      stride: Int = 150): DataFrame = {
+    require(stride > 0 && size >= stride, "need 0 < stride <= size")
+    val nChunks = (floor((length(col("text")) - 1) / stride) + 1).cast("int")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        expr(s"substring(text, chunk_idx * $stride + 1, $size)").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+}
