@@ -109,6 +109,7 @@ object SparkEntry {
     "d7_except_keys" -> (Dedup.exceptKeys _),
     "d8_intersect_keys" -> (Dedup.intersectKeys _),
     "e3_event_gaps" -> (Funcs.eventGaps _),
+    "x21_stratified_sample" -> (Funcs.stratifiedSample _),
     // rows-only: sketch internals are engine-specific (HLL++/KLL);
     // AggsSpec pins estimates within tolerance of the exact aggregates
     "a21_sketch_kpis" -> (Aggs.sketchKpis _),
@@ -301,6 +302,11 @@ object SparkEntry {
        "FROM lineitem l JOIN (VALUES (0,10,'small'),(10,25,'mid'),(25,40,'large'),(40,1000,'huge')) " +
        "AS b(lo, hi, bin_label) ON l.l_quantity >= b.lo AND l.l_quantity < b.hi " +
        "GROUP BY 1 ORDER BY bin_label"),
+    "x21_stratified_sample" ->
+      ("SELECT event_id, event_type, value FROM events " +
+       "WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),1,2)) AS INT) < " +
+       "CASE event_type WHEN 'view' THEN 26 WHEN 'click' THEN 128 ELSE 256 END " +
+       "ORDER BY event_id"),
     "e3_event_gaps" ->
       ("SELECT event_id, user_id, " +
        "CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) " +

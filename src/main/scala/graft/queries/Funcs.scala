@@ -116,6 +116,25 @@ object Funcs {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  // ---- deterministic stratified downsampling: per-class keep rates as
+  // md5-bucket thresholds (class rebalancing for training data). Same
+  // pure-function-of-the-key stability as TextStats.hashSplit — no
+  // rand(), so the sample is reproducible across runs/engines/appends and
+  // a row's fate never depends on partition layout. One scan, no
+  // shuffle; the filter pushes nothing to parquet (hash of a column) but
+  // costs one md5 per row. ----
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("event_id").cast("string").cast("binary")), 1, 2), 16, 10)
+      .cast("int")
+    val keepBelow = when(col("event_type") === "view", 26) // ~10%
+      .when(col("event_type") === "click", 128) // 50%
+      .otherwise(256) // purchase/signup/error: keep all
+    Tables.events(spark, dir)
+      .filter(bucket < keepBelow)
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   // ---- text normalization: lower, accent-strip, punctuation removal,
   // whitespace collapse (the canonicalization step before dedup) ----
   val accented = "àâäéèêëîïôöùûüç"
