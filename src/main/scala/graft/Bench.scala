@@ -32,10 +32,17 @@ object Bench {
     // pipeline_* metrics below force real materialization (filter-count on
     // the when-chain + a parquet write) for the baseline comparison.
     def force(df: org.apache.spark.sql.DataFrame): Unit = { df.count(); () }
-    // untimed warm-up: JVM/codegen/file-listing startup shouldn't be
-    // attributed to whichever query happens to run first
-    try force(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
-    catch { case _: Throwable => }
+    // untimed warm-up: JVM JIT/file-listing startup shouldn't be
+    // attributed to whichever query happens to exercise an execution
+    // family first (measured ~4 s of first-run JIT tax on the 4-way
+    // broadcast star join alone). One representative per major exec path:
+    // hash agg, broadcast star join, window, generator+hash expressions.
+    for (q <- Seq("q1_pricing_summary", "w4_fact_trips", "win_trips_per_day",
+        "x2b_minhash_md5")) {
+      try force(SparkEntry.queries(q)(spark, sfDir))
+      catch { case _: Throwable => }
+      spark.catalog.clearCache()
+    }
     val results: Seq[(String, Option[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
