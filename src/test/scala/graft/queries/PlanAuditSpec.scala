@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Whole-suite physical-plan audit: every gate query's executed plan is
+  * checked for the properties that matter at 100 TB. Catches silent plan
+  * regressions (a lost broadcast hint, an accidental cartesian) that
+  * row-level correctness gates cannot see. */
+class PlanAuditSpec extends SparkSpec {
+
+  // brute-force similarity scans are *defined* as all-pairs over a
+  // broadcast side; everything else must never produce a cartesian
+  private val allPairsByDesign = Set("x5_embed_neardup", "x6_ann_topk", "x12_ivf_topk")
+
+  private lazy val plans: Map[String, String] = {
+    graft.functions.GraftFunctions.register(spark)
+    SparkEntry.queries.map { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      spark.catalog.clearCache()
+      name -> plan
+    }
+  }
+
+  test("no query plans a cartesian product (except all-pairs similarity by design)") {
+    val offenders = plans.collect {
+      case (n, p) if !allPairsByDesign(n) && p.contains("CartesianProduct") => n
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("non-similarity queries avoid nested-loop joins except tiny broadcast probes") {
+    // BroadcastNestedLoopJoin is legitimate ONLY when the build side is a
+    // handful of literal rows (range bins) or by-design all-pairs scans
+    val allowed = allPairsByDesign + "j8_range_bin_join"
+    val offenders = plans.collect {
+      case (n, p) if !allowed(n) && p.contains("BroadcastNestedLoopJoin") => n
+    }
+    assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
+  }
+
+  test("every query stays under a sane exchange budget") {
+    // a gate query is one operator family exercised once; double-digit
+    // shuffle counts signal accidental recomputation of a shared subtree.
+    // x17 is exempt: its iterative rounds persist each label generation,
+    // and InMemoryRelation PRINTS the full cached child tree per round
+    // (nested, so the string counts every prior round's exchanges many
+    // times over) — execution scans the caches, it does not re-shuffle.
+    val budget = 14
+    val offenders = plans.removed("x17_dedup_clusters").map { case (n, p) =>
+      n -> "Exchange (hash|range|Single)".r.findAllIn(p).size
+    }.filter(_._2 > budget)
+    assert(offenders.isEmpty, s"exchange-heavy plans: $offenders")
+  }
+
+  test("the star-schema fact build broadcasts every dimension") {
+    val p = plans("w4_fact_trips")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 4, "4 dims -> 4 broadcast joins")
+    assert(!p.contains("SortMergeJoin"), "fact side must never shuffle in the star build")
+  }
+}
