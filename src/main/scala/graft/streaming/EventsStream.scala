@@ -46,6 +46,24 @@ object EventsStream {
     } finally tagged.unpersist()
   }
 
+  /** Stream-stream interval join: clicks matched to same-user views from
+    * the preceding hour. Both sides carry watermarks and the join
+    * condition bounds view_ts to a window of click ts, so Spark can size
+    * the join state and EVICT rows the watermark has passed — the
+    * unbounded-state trap of a naive stream-stream join. Works unchanged
+    * on batch frames (the unified-API property the specs assert). */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"), col("user_id"),
+      col("ts").as("click_ts")).withWatermark("click_ts", "1 hour")
+    val v = views.select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+      col("ts").as("view_ts")).withWatermark("view_ts", "2 hours")
+    c.join(v,
+      col("user_id") === col("v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select("click_id", "user_id", "click_ts", "view_id", "view_ts")
+  }
+
   /** Streaming exact dedup: at-least-once sources redeliver rows, so the
     * ingest edge dedups on event_id. `dropDuplicatesWithinWatermark` keys
     * the state store on event_id but EVICTS entries once the watermark

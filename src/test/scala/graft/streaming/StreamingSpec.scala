@@ -103,6 +103,34 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(8L) == 2L)
   }
 
+  test("stream-stream interval join matches the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      Ev(100, ts("2024-01-01 10:30:00"), 7, "click", 1.0),
+      Ev(101, ts("2024-01-01 12:00:00"), 7, "click", 1.0), // no view in window
+      Ev(102, ts("2024-01-01 10:30:00"), 8, "click", 1.0)) // other user's views only
+    val views = Seq(
+      Ev(200, ts("2024-01-01 10:00:00"), 7, "view", 0.0), // in window for 100
+      Ev(201, ts("2024-01-01 10:25:00"), 7, "view", 0.0), // in window for 100
+      Ev(202, ts("2024-01-01 09:00:00"), 7, "view", 0.0)) // too old for both
+    val cm = MemoryStream[Ev]; val vm = MemoryStream[Ev]
+    cm.addData(clicks: _*); vm.addData(views: _*)
+    val q = EventsStream.clickViewJoin(cm.toDF(), vm.toDF())
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssjoin_test")
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == Set((100L, 200L), (100L, 201L)))
+    val batch = EventsStream.clickViewJoin(clicks.toDF(), views.toDF())
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, "unified API: stream == batch")
+  }
+
   test("streaming dedup suppresses redelivered events within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
