@@ -191,7 +191,8 @@ object SparkEntry {
     "x9_token_count" -> (TextStats.tokenCount _),
     "x10_fingerprint" -> (TextStats.fingerprint _),
     "x11_rolling_fingerprint" -> (TextStats.rollingFingerprint _),
-    "m1_media_stats" -> (Multimodal.mediaStats _)
+    "m1_media_stats" -> (Multimodal.mediaStats _),
+    "m2_media_resize" -> ((s: SparkSession, d: String) => Multimodal.mediaResize(s, d))
   )
 
   /** DuckDB-runnable oracle SQL, one per query, aliases matched 1:1. */
@@ -568,7 +569,15 @@ object SparkEntry {
       ("SELECT doc_id AS asset_id, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
        "ELSE 'video' END AS media_type, CAST(octet_length(encode(text)) AS INT) AS n_bytes, " +
        "CAST(doc_id % 16 * 64 + 256 AS INT) AS width, CAST(doc_id % 9 * 64 + 256 AS INT) AS height, " +
-       "n_chars * 10 AS duration_ms FROM documents ORDER BY asset_id")
+       "n_chars * 10 AS duration_ms FROM documents ORDER BY asset_id"),
+    "m2_media_resize" ->
+      ("WITH a AS (SELECT doc_id AS asset_id, CAST(doc_id % 16 * 64 + 256 AS INT) AS width, " +
+       "CAST(doc_id % 9 * 64 + 256 AS INT) AS height FROM documents), " +
+       "s AS (SELECT *, greatest(width, height) AS longest FROM a) " +
+       "SELECT asset_id, width, height, " +
+       "CASE WHEN longest <= 512 THEN width ELSE greatest(1, CAST(floor(width*512.0/longest) AS INT)) END AS new_width, " +
+       "CASE WHEN longest <= 512 THEN height ELSE greatest(1, CAST(floor(height*512.0/longest) AS INT)) END AS new_height " +
+       "FROM s ORDER BY asset_id")
   )
 
   // ---- extension SQL fragments ----

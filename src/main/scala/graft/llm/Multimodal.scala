@@ -99,6 +99,22 @@ object Multimodal {
     }
   }
 
+  /** m2 gate: the resize metadata transform, column-expressed so the
+    * whole asset→resize pipeline is oracle-checkable (the payload
+    * re-encode is the stubbed part; the dimension arithmetic is the part
+    * Spark's planner sees). floor-based scaling: identical integer
+    * results in both engines (no round-half ambiguity). */
+  def mediaResize(spark: SparkSession, dir: String, maxSide: Int = 512): DataFrame = {
+    val a = assets(spark, dir).toDF()
+    val longest = greatest(col("width"), col("height"))
+    def scaled(c: org.apache.spark.sql.Column) =
+      greatest(lit(1), floor(c * maxSide / longest).cast("int"))
+    a.select(col("asset_id"), col("width"), col("height"),
+        when(longest <= maxSide, col("width")).otherwise(scaled(col("width"))).as("new_width"),
+        when(longest <= maxSide, col("height")).otherwise(scaled(col("height"))).as("new_height"))
+      .orderBy("asset_id")
+  }
+
   /** Gate entry: metadata + SQL-expressible stats over the binary column
     * (octet_length matches DuckDB exactly); features themselves are
     * covered by ScalaTest. */
