@@ -118,6 +118,8 @@ object SparkEntry {
     "x17_dedup_clusters" -> ((s: SparkSession, d: String) => DocDedup.dedupClustersGate(s, d)),
     "x16_token_freq" -> ((s: SparkSession, d: String) => graft.llm.TextStats.tokenFreq(s, d)),
     "x18_hash_split" -> ((s: SparkSession, d: String) => graft.llm.TextStats.hashSplit(s, d)),
+    "x22_top_terms" -> ((s: SparkSession, d: String) => graft.llm.TextStats.topTerms(s, d)),
+    "x23_inverted_index" -> ((s: SparkSession, d: String) => graft.llm.TextStats.invertedIndex(s, d)),
     "x19_sequence_packing" -> ((s: SparkSession, d: String) => graft.llm.Packing.sequencePacking(s, d)),
     "x20_chunking" -> ((s: SparkSession, d: String) => graft.llm.Packing.chunkDocuments(s, d)),
     "q1_pricing_summary" -> (Aggs.pricingSummary _),
@@ -369,6 +371,18 @@ object SparkEntry {
     "x18_hash_split" ->
       ("SELECT doc_id, CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,2)) AS INT) < 205 " +
        "THEN 'train' ELSE 'test' END AS split FROM documents ORDER BY doc_id"),
+    "x22_top_terms" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+       "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+       "df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1), " +
+       "r AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, (tf.tf * 1000000) // df.df AS score, " +
+       "CAST(row_number() OVER (PARTITION BY tf.doc_id ORDER BY (tf.tf * 1000000) // df.df DESC, tf.token) AS INT) AS rank " +
+       "FROM tf JOIN df USING (token)) " +
+       "SELECT doc_id, rank, token, tf, df FROM r WHERE rank <= 3 ORDER BY doc_id, rank"),
+    "x23_inverted_index" ->
+      ("SELECT token, count(DISTINCT doc_id) AS df, list_sort(list(DISTINCT doc_id)) AS postings " +
+       "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) " +
+       "GROUP BY token HAVING count(DISTINCT doc_id) >= 50 ORDER BY token"),
     "x19_sequence_packing" ->
       ("WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,1)) AS INT) AS bucket FROM documents), " +

@@ -99,6 +99,50 @@ object TextStats {
       .orderBy(desc("n"), asc("token"))
       .limit(topN)
 
+  /** x22: top terms per document by df-normalized term frequency — the
+    * TF-IDF shape with an EXACT integer weight (score = tf·10⁶ div df)
+    * instead of a transcendental idf: `ln` is libm-dependent and can
+    * differ in the last ulp across engines, while integer division is
+    * bit-identical everywhere, so the gate stays hash-exact. Plan: one
+    * explode scan → (doc,token) tf counts → token df by partial-agg →
+    * broadcast df back → per-doc top-k window over ~|unique tokens per
+    * doc| rows. The df table is vocabulary-sized: broadcastable at any
+    * corpus size that fits a vocabulary. */
+  def topTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = docsWide(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tokens.groupBy("token").agg(countDistinct("doc_id").as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score"), asc("token"))
+    tf.join(broadcast(df), "token")
+      // `div`: exact integer division (a double quotient + floor can land
+      // on the wrong side when the true ratio sits just below an integer)
+      .withColumn("score", expr("(tf * 1000000L) div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** x23: inverted-index construction — token → sorted posting list of
+    * doc_ids, for tokens above a document-frequency floor. One explode
+    * scan, distinct (token, doc) pairs by hash-agg, postings assembled
+    * with collect_set + sort (deterministic array). At corpus scale the
+    * index is written partitioned by token hash; posting lists for
+    * stop-word-frequency tokens are the skew to watch (the df floor here
+    * is also the skew cap in reverse — production indexes chunk hot
+    * postings). */
+  def invertedIndex(spark: SparkSession, dir: String, minDf: Int = 50): DataFrame =
+    docsWide(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(countDistinct("doc_id").as("df"),
+        sort_array(collect_set(col("doc_id"))).as("postings"))
+      .filter(col("df") >= minDf)
+      .orderBy("token")
+
   /** x18: deterministic train/test split — the reproducible-sampling
     * primitive of a training pipeline. Bucket = first byte of
     * md5(doc_id): uniform over 0..255, so <205 ≈ 80.1% train; the split
