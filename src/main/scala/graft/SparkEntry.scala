@@ -188,6 +188,7 @@ object SparkEntry {
     "x5_embed_neardup" -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
     "x6_ann_topk" -> ((s: SparkSession, d: String) => Similarity.topKBruteForce(s, d)),
     "x12_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.topKIvf(s, d)),
+    "x24_vector_stats" -> ((s: SparkSession, d: String) => Similarity.vectorStats(s, d)),
     "x7_lang_id" -> (TextStats.langId _),
     "x8_quality_score" -> (TextStats.qualityScore _),
     "x9_token_count" -> (TextStats.tokenCount _),
@@ -554,6 +555,13 @@ object SparkEntry {
        s"SELECT p.query_id, a.vec_id AS neighbor_id, ${dotSql("p.qv", "a.vec")}/(p.qn*a.norm) AS sim " +
        "FROM probes p JOIN assigned a ON p.cell_id = a.cell_id AND p.query_id <> a.vec_id)) " +
        "WHERE rank <= 5 ORDER BY query_id, rank"),
+    "x24_vector_stats" ->
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings) " +
+       "SELECT vec_id, sqrt(list_sum(list_transform(vec, x -> x*x))) AS l2_norm, " +
+       "CAST(len(list_filter(vec, x -> x > 0)) AS INT) AS n_pos, " +
+       "list_max(list_transform(vec, x -> abs(x))) AS max_abs, " +
+       "vec[1] / sqrt(list_sum(list_transform(vec, x -> x*x))) AS unit_first " +
+       "FROM v ORDER BY vec_id"),
     "x7_lang_id" ->
       ("SELECT doc_id, score_en, score_de, score_fr, score_es, " +
        "CASE WHEN score_en = best AND best > 0 THEN 'en' WHEN score_de = best AND best > 0 THEN 'de' " +

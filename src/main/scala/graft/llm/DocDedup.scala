@@ -237,8 +237,12 @@ object DocDedup {
     * Labels are persisted per round and lineage stays flat — at lake
     * scale each round would checkpoint to parquet. */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // barrier BEFORE the union: both edge directions reference the pairs
+    // plan, and without it the (potentially expensive — x15 is a whole
+    // LSH pipeline) pair computation executes once PER BRANCH
+    val p = pairs.persist()
+    val e = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node")).persist()
@@ -256,6 +260,7 @@ object DocDedup {
       iter += 1
     }
     e.unpersist()
+    p.unpersist()
     labels.select(col("node").as("doc_id"), col("lab").as("cluster_id"))
       .orderBy("doc_id")
   }

@@ -43,6 +43,23 @@ object Similarity {
     emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
       .withColumn("norm", sqrt(normSq(col("vec"))))
 
+  /** x24: per-vector feature statistics — the higher-order-function
+    * surface (`aggregate`, `filter`, `transform`, `array_max`) exercised
+    * directly over the embedding column: L2 norm, positive-component
+    * count, max |x|, and the L2-NORMALIZED vector's first component
+    * (unit-scaling is the standard pre-index transform). One scan, all
+    * codegen'd HOFs, no UDFs. */
+  def vectorStats(spark: SparkSession, dir: String): DataFrame = {
+    val vec = asDouble(col("embedding"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        sqrt(normSqHof(vec)).as("l2_norm"),
+        size(filter(vec, x => x > 0)).as("n_pos"),
+        array_max(transform(vec, x => abs(x))).as("max_abs"),
+        (element_at(vec, 1) / sqrt(normSqHof(vec))).as("unit_first"))
+      .orderBy("vec_id")
+  }
+
   /** All pairs (i < j) with cosine ≥ threshold — embedding near-duplicate
     * detection. Quadratic: keep for oracle-scale corpora; the LSH variant
     * below is the scale path. */
