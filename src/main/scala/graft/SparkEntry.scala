@@ -108,6 +108,7 @@ object SparkEntry {
     "a20_group_quartiles" -> (Aggs.groupQuartiles _),
     "d7_except_keys" -> (Dedup.exceptKeys _),
     "d8_intersect_keys" -> (Dedup.intersectKeys _),
+    "d9_string_agg" -> (Dedup.stringAgg _),
     "e3_event_gaps" -> (Funcs.eventGaps _),
     "x21_stratified_sample" -> (Funcs.stratifiedSample _),
     // rows-only: sketch internals are engine-specific (HLL++/KLL);
@@ -342,6 +343,10 @@ object SparkEntry {
     "d8_intersect_keys" ->
       ("SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R' INTERSECT " +
        "SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A' ORDER BY l_partkey"),
+    "d9_string_agg" ->
+      ("SELECT CAST(year(o_orderdate) AS INT) AS y, " +
+       "string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS priorities, " +
+       "count(DISTINCT o_orderpriority) AS n_priorities FROM orders GROUP BY 1 ORDER BY y"),
     "a17_pivot_quantity" ->
       ("SELECT CAST(year(l_shipdate) AS INT) AS y, " +
        "sum(CASE WHEN l_returnflag='A' THEN l_quantity END) AS \"A\", " +

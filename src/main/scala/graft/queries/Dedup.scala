@@ -71,4 +71,17 @@ object Dedup {
     def flagged(f: String) = li.filter(col("l_returnflag") === f).select("l_partkey")
     flagged("R").intersect(flagged("A")).orderBy("l_partkey")
   }
+
+  /** D9: string aggregation (group_concat) — label sets rolled up into
+    * one delimited string per group, the report/export shape. Determinism
+    * requires imposing the order explicitly: collect_set is
+    * order-arbitrary, so sort the array BEFORE joining (DuckDB mirrors
+    * with `string_agg(DISTINCT … ORDER BY …)`). */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("int").as("y"))
+      .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), "|")
+        .as("priorities"),
+        countDistinct("o_orderpriority").as("n_priorities"))
+      .orderBy("y")
 }
