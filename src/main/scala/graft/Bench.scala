@@ -56,9 +56,12 @@ object Bench {
         spark.catalog.clearCache()
         name -> (if (ok) Some(elapsed) else None)
       }
-    def f3(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: default-locale format would print decimal COMMAS under
+    // e.g. de_DE and corrupt the machine-parsed JSON line
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     def qsJson(rs: Seq[(String, Option[Double])]): String = rs.map { case (k, v) =>
-      "\"" + k + "\":" + v.fold("null")(t => "%.2f".format(t))
+      "\"" + k + "\":" + v.fold("null")(t =>
+        String.format(java.util.Locale.ROOT, "%.2f", t))
     }.mkString("{", ",", "}")
     val errors = results.collect { case (k, None) => "\"" + k + "\"" }
     val total = results.flatMap(_._2).sum
@@ -92,7 +95,9 @@ object Bench {
     // omitted fast tail instead of dropping everything.
     val full = line(qsJson(results))
     val out = if (full.length <= 1850) full else {
-      val bySlowest = results.sortBy(-_._2.getOrElse(Double.MaxValue))
+      // errored queries (None) sort LAST — their names are already in the
+      // errors array; keeping them would evict real slow-query timings
+      val bySlowest = results.sortBy(-_._2.getOrElse(-1.0))
       val keep = (results.size to 1 by -1).view
         .map { n =>
           val kept = bySlowest.take(n)

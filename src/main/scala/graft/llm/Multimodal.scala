@@ -59,13 +59,15 @@ object Multimodal {
 
   /** Resize STUB ???: a real implementation re-encodes the pixel buffer; the
     * metadata transform (the part Spark sees) is real — targets the longest
-    * side to `maxSide`, preserving aspect ratio. */
+    * side to `maxSide`, preserving aspect ratio. Floor-scaled, the SAME
+    * rule as the column-expressed `mediaResize` gate (round-half would
+    * both diverge from it and be engine-ambiguous). */
   def resizeDims(width: Int, height: Int, maxSide: Int = 512): (Int, Int) = {
     val longest = math.max(width, height)
     if (longest <= maxSide) (width, height)
     else {
       val scale = maxSide.toDouble / longest
-      (math.max(1, math.round(width * scale).toInt), math.max(1, math.round(height * scale).toInt))
+      (math.max(1, math.floor(width * scale).toInt), math.max(1, math.floor(height * scale).toInt))
     }
   }
 

@@ -14,7 +14,7 @@ object Packing {
 
   /** x19: greedy sequence packing — assign each doc to a pack so packs
     * hold ~`budget` tokens. Distributed layout: docs first land in one of
-    * `buckets` md5 hash buckets (pure function of doc_id — append-stable
+    * 16 md5 hash buckets (pure function of doc_id — append-stable
     * like `TextStats.hashSplit`), then a per-bucket running token total
     * assigns pack = floor(tokens-before-me / budget). The window sorts
     * WITHIN buckets only — 16 independent partition sorts, never a global
@@ -22,8 +22,10 @@ object Packing {
     * buckets. A doc straddling a boundary belongs to the pack where it
     * starts (standard streaming-packing approximation; packs overshoot by
     * at most one doc). */
-  def sequencePacking(spark: SparkSession, dir: String, budget: Int = 512,
-      buckets: Int = 16): DataFrame = {
+  def sequencePacking(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    // 16 md5 buckets (one hex digit) — fixed, matching the oracle SQL;
+    // a skew-heavier corpus would take more hex digits, not a parameter
+    // this gate can vary
     val bucket = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1), 16, 10)
       .cast("int")
     val w = Window.partitionBy("bucket").orderBy("doc_id")
@@ -47,9 +49,13 @@ object Packing {
       stride: Int = 150): DataFrame = {
     require(stride > 0 && size >= stride, "need 0 < stride <= size")
     val nChunks = (floor((length(col("text")) - 1) / stride) + 1).cast("int")
+    // empty text → zero chunks (sequence(0, -1) would count DOWN and emit
+    // two bogus chunks; the oracle's range(0) is empty — match it)
+    val offsets = when(length(col("text")) > 0, sequence(lit(0), nChunks - 1))
+      .otherwise(array().cast("array<int>"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+        explode(offsets).as("chunk_idx"))
       .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
         expr(s"substring(text, chunk_idx * $stride + 1, $size)").as("chunk_text"))
       .orderBy("doc_id", "chunk_idx")

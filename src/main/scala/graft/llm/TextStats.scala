@@ -110,8 +110,11 @@ object TextStats {
     * corpus size that fits a vocabulary. */
   def topTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // barrier: tf and df both consume the exploded token stream — persist
+    // it or the tokenize scan runs once per branch (see DocDedup)
     val tokens = docsWide(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .persist()
     val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tokens.groupBy("token").agg(countDistinct("doc_id").as("df"))
     val w = Window.partitionBy("doc_id")

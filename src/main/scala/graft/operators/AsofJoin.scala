@@ -30,28 +30,13 @@ object AsofJoin {
     * `outCol.isNotNull` for inner-asof semantics). Only the matched
     * TIMESTAMP is attached: when several right rows tie on (key, ts) the
     * result is still deterministic — callers needing right payload
-    * columns join them back on (keys :+ outCol) after deduping ties. */
+    * columns use `asof` with tie columns instead. Thin wrapper over
+    * `asof` (the matched ts rides as a one-column payload). */
   def asofTs(left: DataFrame, right: DataFrame, keys: Seq[String],
-      tsCol: String, rightTs: String, outCol: String): DataFrame = {
-    val sideTag = "__asof_side"
-    val probe = left.withColumn(sideTag, lit(1))
-    // build side carries ONLY (keys, ts): left payload columns are null-
-    // padded so the union stays narrow no matter how wide `left` is
-    val build = probe.columns.foldLeft(
-      right.select(keys.map(col) :+ col(rightTs).cast("timestamp").as(tsCol): _*)
-        .withColumn(sideTag, lit(0))) { (df, c) =>
-      if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(probe.schema(c).dataType))
-    }
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col(sideTag).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    probe.unionByName(build.select(probe.columns.map(col): _*))
-      .withColumn(outCol,
-        last(when(col(sideTag) === 0, col(tsCol)), ignoreNulls = true).over(w))
-      .filter(col(sideTag) === 1)
-      .drop(sideTag)
-  }
+      tsCol: String, rightTs: String, outCol: String): DataFrame =
+    asof(left,
+      right.withColumn(outCol, col(rightTs).cast("timestamp")),
+      keys, tsCol, rightTs, rightCols = Seq(outCol))
 
   /** Full as-of join: left rows + the PAYLOAD of the matched right row
     * (null-struct when no prior right row exists). Payload columns ride
