@@ -237,30 +237,34 @@ object DocDedup {
     * Labels are persisted per round and lineage stays flat — at lake
     * scale each round would checkpoint to parquet. */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // barrier BEFORE the union: both edge directions reference the pairs
-    // plan, and without it the (potentially expensive — x15 is a whole
-    // LSH pipeline) pair computation executes once PER BRANCH
-    val p = pairs.persist()
+    // localCheckpoint, not persist: persist caches DATA but keeps the full
+    // logical plan, so every round's plan would embed the previous round's
+    // (the lineage DOUBLES per round — Catalyst re-analysis alone measured
+    // 5-6 s/round on a 477-node graph by round 2). Checkpointing cuts the
+    // (potentially huge — x15 is a whole LSH pipeline) upstream plan to a
+    // flat scan, and does the same per round so analysis cost stays
+    // constant. At lake scale this becomes reliable-storage checkpoint()
+    // (or a per-round parquet round-trip) — same lineage-cut, executor-
+    // failure-tolerant.
+    // checkpoint pairs BEFORE the union: both edge directions reference the
+    // pairs plan, and each would otherwise recompute the whole pipeline
+    val p = pairs.localCheckpoint()
     val e = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
     var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("lab", col("node")).persist()
+      .withColumn("lab", col("node")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
       val nbr = e.join(labels, e("dst") === labels("node"))
         .select(e("src").as("node"), col("lab"))
       val next = labels.unionByName(nbr)
-        .groupBy("node").agg(min("lab").as("lab")).persist()
+        .groupBy("node").agg(min("lab").as("lab")).localCheckpoint()
       changed = next.join(labels.withColumnRenamed("lab", "old"), "node")
         .filter(col("lab") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    e.unpersist()
-    p.unpersist()
     labels.select(col("node").as("doc_id"), col("lab").as("cluster_id"))
       .orderBy("doc_id")
   }
