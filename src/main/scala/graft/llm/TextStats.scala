@@ -110,13 +110,14 @@ object TextStats {
     * corpus size that fits a vocabulary. */
   def topTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // barrier: tf and df both consume the exploded token stream — persist
-    // it or the tokenize scan runs once per branch (see DocDedup)
     val tokens = docsWide(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .persist()
-    val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tokens.groupBy("token").agg(countDistinct("doc_id").as("df"))
+    // df derives from tf, not from the raw token stream: tf rows are
+    // already distinct (doc, token) pairs, so count-per-token over tf ==
+    // countDistinct(doc_id) over tokens — one explode pass instead of two,
+    // and the barrier persist moves to the much smaller tf table
+    val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")).persist()
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(desc("score"), asc("token"))
     tf.join(broadcast(df), "token")
