@@ -196,7 +196,14 @@ object SparkEntry {
     "x10_fingerprint" -> (TextStats.fingerprint _),
     "x11_rolling_fingerprint" -> (TextStats.rollingFingerprint _),
     "m1_media_stats" -> (Multimodal.mediaStats _),
-    "m2_media_resize" -> ((s: SparkSession, d: String) => Multimodal.mediaResize(s, d))
+    "m2_media_resize" -> ((s: SparkSession, d: String) => Multimodal.mediaResize(s, d)),
+    "m3_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    "x25_pair_counts" -> ((s: SparkSession, d: String) => TextStats.pairCounts(s, d)),
+    "x26_kmeans_iter" -> ((s: SparkSession, d: String) => graft.llm.Clustering.lloydIter(s, d)),
+    "x26b_kmeans_assign" -> ((s: SparkSession, d: String) => graft.llm.Clustering.assign(s, d)),
+    "x27_source_quota" -> ((s: SparkSession, d: String) => TextStats.sourceQuota(s, d)),
+    "e4_funnel" -> (Funcs.funnel _),
+    "f13_zorder_key" -> (Funcs.zorderKey _)
   )
 
   /** DuckDB-runnable oracle SQL, one per query, aliases matched 1:1. */
@@ -604,7 +611,47 @@ object SparkEntry {
        "SELECT asset_id, width, height, " +
        "CASE WHEN longest <= 512 THEN width ELSE greatest(1, CAST(floor(width*512.0/longest) AS INT)) END AS new_width, " +
        "CASE WHEN longest <= 512 THEN height ELSE greatest(1, CAST(floor(height*512.0/longest) AS INT)) END AS new_height " +
-       "FROM s ORDER BY asset_id")
+       "FROM s ORDER BY asset_id"),
+    // media_type 'video' ⇔ doc_id % 3 = 2 (assets() maps pmod(doc_id,3));
+    // 9500 = (maxFrames-1)*strideMs — the per-asset fan-out cap
+    "m3_frame_sample" ->
+      ("WITH a AS (SELECT doc_id AS asset_id, n_chars*10 AS duration_ms FROM documents " +
+       "WHERE doc_id % 3 = 2), " +
+       "f AS (SELECT asset_id, duration_ms, " +
+       "unnest(range(0, least(duration_ms, 9500) + 1, 500)) AS ts FROM a) " +
+       "SELECT asset_id, duration_ms, CAST(ts/500 AS INT) AS frame_idx, ts AS frame_ts_ms " +
+       "FROM f ORDER BY asset_id, frame_idx"),
+    "x25_pair_counts" ->
+      ("WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents), " +
+       "idx AS (SELECT t, unnest(range(1, len(t))) AS i FROM tok), " +
+       "p AS (SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT)+1] AS w2 FROM idx) " +
+       "SELECT w1, w2, count(*) AS n FROM p GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 30"),
+    "x26_kmeans_iter" ->
+      (s"WITH $kmeansAssignCte " +
+       "SELECT cell_id AS cluster_id, CAST(i - 1 AS INT) AS dim_idx, count(*) AS n_members, " +
+       "round(avg(vec[CAST(i AS INT)]), 6) AS centroid " +
+       "FROM asg, range(1, 65) r(i) GROUP BY 1, 2 ORDER BY cluster_id, dim_idx"),
+    "x26b_kmeans_assign" ->
+      (s"WITH $kmeansAssignCte SELECT vec_id, cell_id AS cluster_id FROM asg ORDER BY vec_id"),
+    "x27_source_quota" ->
+      ("WITH r AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source " +
+       "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk FROM documents) " +
+       "SELECT doc_id, source, rk FROM r WHERE rk <= 10 ORDER BY doc_id"),
+    "e4_funnel" ->
+      ("WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events WHERE event_type='view' GROUP BY 1), " +
+       "c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e " +
+       "JOIN v ON e.user_id = v.user_id AND e.ts >= v.view_ts WHERE e.event_type='click' GROUP BY 1), " +
+       "p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e " +
+       "JOIN c ON e.user_id = c.user_id AND e.ts >= c.click_ts WHERE e.event_type='purchase' GROUP BY 1) " +
+       "SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts FROM v " +
+       "LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id ORDER BY v.user_id"),
+    "f13_zorder_key" ->
+      ("SELECT l_orderkey, l_linenumber, (" +
+       (0 until 16).map { i =>
+         s"(((CAST(l_partkey % 65536 AS BIGINT) >> $i) & 1) << ${2 * i}) + " +
+         s"(((CAST(l_suppkey % 65536 AS BIGINT) >> $i) & 1) << ${2 * i + 1})"
+       }.mkString(" + ") +
+       ") AS zkey FROM lineitem ORDER BY l_orderkey, l_linenumber")
   )
 
   // ---- extension SQL fragments ----
@@ -628,6 +675,17 @@ object SparkEntry {
     "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard " +
     "FROM cand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b) " +
     "WHERE jaccard >= 0.5"
+
+  /** k-means assignment CTE (x26/x26b): nearest of the k=8 seed centroids
+    * by squared L2, ties to the smaller cell_id — the DuckDB mirror of
+    * Clustering.assigned (same list fold shape as dotSql). */
+  private val kmeansAssignCte: String =
+    "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings), " +
+    "seeds AS (SELECT vec_id AS cell_id, vec AS cvec FROM v WHERE vec_id < 8), " +
+    "a AS (SELECT vec_id, cell_id, vec, row_number() OVER (PARTITION BY vec_id ORDER BY " +
+    "list_sum(list_transform(list_zip(vec, cvec), t -> (t[1]-t[2])*(t[1]-t[2]))), cell_id) AS rn " +
+    "FROM v, seeds), " +
+    "asg AS (SELECT vec_id, cell_id, vec FROM a WHERE rn = 1)"
 
   /** per-row norm CTE over double-cast embeddings (bit-exact with Spark's
     * sequential aggregate() fold — verified empirically). */

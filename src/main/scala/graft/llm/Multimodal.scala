@@ -117,6 +117,28 @@ object Multimodal {
       .orderBy("asset_id")
   }
 
+  /** m3 gate: video frame-sampling plan — one row per sampled frame
+    * timestamp, every `strideMs` ms from 0 through duration, capped at
+    * `maxFrames` per asset. The DECODE of each frame is the stubbed part;
+    * the row explosion (sequence + posexplode, a Generator — no join, no
+    * shuffle) is the Spark-side plumbing a real sampler rides on. The cap
+    * bounds the fan-out per asset: the explode multiplies rows ≤64× no
+    * matter how long the video, so downstream partition sizing stays
+    * predictable at lake scale. */
+  def frameSample(spark: SparkSession, dir: String, strideMs: Int = 500,
+      maxFrames: Int = 20): DataFrame = {
+    require(strideMs > 0 && maxFrames > 0, "need positive stride and frame cap")
+    val lastTs = least(col("duration_ms"), lit((maxFrames - 1).toLong * strideMs))
+    assets(spark, dir).toDF()
+      .filter(col("media_type") === "video")
+      .select(col("asset_id"), col("duration_ms"),
+        posexplode(sequence(lit(0L), lastTs, lit(strideMs.toLong)))
+          .as(Seq("frame_idx", "frame_ts_ms")))
+      .select(col("asset_id"), col("duration_ms"),
+        col("frame_idx").cast("int").as("frame_idx"), col("frame_ts_ms"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
   /** Gate entry: metadata + SQL-expressible stats over the binary column
     * (octet_length matches DuckDB exactly); features themselves are
     * covered by ScalaTest. */

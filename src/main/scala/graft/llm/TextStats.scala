@@ -177,4 +177,44 @@ object TextStats {
         array_max(col("shingle_hashes")).as("fp_max"))
       .orderBy("doc_id")
   }
+
+  /** x25: corpus-wide adjacent token-pair counts — the inner loop of BPE
+    * tokenizer training (each merge round picks the most frequent pair).
+    * Pairs come from zipping the token array with its own tail — a
+    * per-row Generator, no self-join — then one hash-aggregate. The
+    * shuffle after partial aggregation carries one row per distinct pair
+    * per task: vocabulary-sized, not corpus-sized, at any scale. A full
+    * BPE trainer is this query in a loop with a merge step applied
+    * between rounds (same layout as dedupClusters' iterate-and-checkpoint). */
+  def pairCounts(spark: SparkSession, dir: String, topN: Int = 30): DataFrame = {
+    val t = split(col("text"), " ")
+    // zip_with pads the shorter side with null: the final (last-token,
+    // null) pair is dropped by the filter; single-token docs produce none
+    docsWide(spark, dir)
+      .select(explode(zip_with(t, slice(t, lit(2), size(t)),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .filter(col("p.w2").isNotNull)
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  /** x27: per-source quota capping — web corpora cap documents per domain
+    * so no single host dominates training. Keeps the first `maxPerSource`
+    * docs per source in md5(doc_id) order: a deterministic "random"
+    * sample that is stable across runs/engines/appends (same rationale as
+    * hashSplit). One keyed window — scales with per-source cardinality;
+    * a pathological mega-source would switch to the hash-threshold
+    * sample (x21 stratifiedSample) which needs no sort at all. */
+  def sourceQuota(spark: SparkSession, dir: String, maxPerSource: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxPerSource)
+      .select(col("doc_id"), col("source"), col("rk").cast("int").as("rk"))
+      .orderBy("doc_id")
+  }
 }

@@ -157,4 +157,39 @@ object Funcs {
         quarter(col("o_orderdate")).as("q"),
         month(col("o_orderdate")).as("m"))
       .orderBy("o_orderkey")
+
+  // ---- e4: ordered funnel (view → click → purchase) per user. Each
+  // stage is "earliest event of this type AT OR AFTER the previous
+  // stage's timestamp": three filtered min-aggregates chained by
+  // per-user joins. Every intermediate is one row per user (partial
+  // aggregation collapses before each shuffle), so stage joins are
+  // user-cardinality, never event-cardinality, at any scale. Left joins
+  // preserve drop-off (null = user never reached the stage) — the
+  // conversion-rate readout is count(stage_ts) / count(*). ----
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def stage(t: String) = e.filter(col("event_type") === t).select("user_id", "ts")
+    val v = stage("view").groupBy("user_id").agg(min("ts").as("view_ts"))
+    val c = stage("click").join(v, "user_id").filter(col("ts") >= col("view_ts"))
+      .groupBy("user_id").agg(min("ts").as("click_ts"))
+    val p = stage("purchase").join(c, "user_id").filter(col("ts") >= col("click_ts"))
+      .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select("user_id", "view_ts", "click_ts", "purchase_ts")
+      .orderBy("user_id")
+  }
+
+  // ---- f13: Z-order layout key (functions.LayoutExpressions.ZOrderKey,
+  // a codegen'd Morton interleave). The gate hashes the key itself; the
+  // layout USE — repartitionByRange(zkey) + sortWithinPartitions at write
+  // time for two-dimensional row-group pruning — is spec-asserted
+  // (OperatorsSpec) and documented in SCALE.md. Inputs mod 2^16 keep the
+  // oracle SQL's bit-arithmetic mirror at 32 terms. ----
+  def zorderKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.functions.LayoutExpressions.zorder(
+          pmod(col("l_partkey"), lit(65536)), pmod(col("l_suppkey"), lit(65536)))
+          .as("zkey"))
+      .orderBy("l_orderkey", "l_linenumber")
 }
