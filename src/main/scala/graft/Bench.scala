@@ -43,18 +43,27 @@ object Bench {
       catch { case _: Throwable => }
       spark.catalog.clearCache()
     }
-    val results: Seq[(String, Option[Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Median-of-3 per query: identical code measured 4.55 s vs 67.8 s on
+    // the same query across single-shot rounds (GC/page-cache noise) — a
+    // single sample cannot grade a round. The three repeats run back to
+    // back so each query's samples share the same JVM/cache weather.
+    def median3(name: String, run: () => Unit): Option[Double] = {
+      val samples = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
-        val ok = try { force(fn(spark, sfDir)); true }
-                 catch { case _: Throwable => false }
+        val ok = try { run(); true } catch { case _: Throwable => false }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // isolation: drop caches a query persisted (outside its timing —
         // the persist cost was already paid inside); leaked caches would
         // otherwise accumulate memory pressure across ~70 queries and
         // bleed GC noise into later timings
         spark.catalog.clearCache()
-        name -> (if (ok) Some(elapsed) else None)
+        if (ok) Some(elapsed) else None
+      }
+      if (samples.size < 3) None else Some(samples.sorted.apply(1))
+    }
+    val results: Seq[(String, Option[Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> median3(name, () => force(fn(spark, sfDir)))
       }
     // Locale.ROOT: default-locale format would print decimal COMMAS under
     // e.g. de_DE and corrupt the machine-parsed JSON line
@@ -73,19 +82,19 @@ object Bench {
     def detect(): Long = graft.queries.Etl.taggedLineitem(spark, sfDir)
       .filter(org.apache.spark.sql.functions.col("rejection_reason").isNotNull).count()
     detect() // untimed: codegen compile + JIT, not per-run cost
-    val t1 = System.nanoTime()
-    detect()
-    val detectSec = (System.nanoTime() - t1) / 1e9
+    def med3(run: () => Unit): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+    }.sorted.apply(1)
+    val detectSec = med3(() => { detect(); () })
     val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
-    val t2 = System.nanoTime()
     val tagged = graft.queries.Etl.taggedLineitem(spark, sfDir)
     // no repartition: at this anomaly count (~60k rows) the shuffle costs
     // more than the parallel parquet encode saves (A/B measured 0.7 s
     // narrow vs 1.2 s repartitioned); at lake scale the scan has thousands
     // of splits and the write parallelizes on its own
-    graft.etl.Anomalies.splitAnomalies(tagged)
-      .write.mode("overwrite").option("compression", "snappy").parquet(s"$tmp/anomalies")
-    val e2eSec = (System.nanoTime() - t2) / 1e9
+    val e2eSec = med3(() =>
+      graft.etl.Anomalies.splitAnomalies(tagged)
+        .write.mode("overwrite").option("compression", "snappy").parquet(s"$tmp/anomalies"))
     def line(queries: String): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$queries,""" +
         s""""errors":[${errors.mkString(",")}],"sf":"$sfDir","pipeline_rows":$rows,""" +

@@ -187,6 +187,9 @@ object SparkEntry {
     "x3_minhash_pairs" -> ((s: SparkSession, d: String) => DocDedup.minhashPairs(s, d)),
     "x4_simhash_digest" -> (DocDedup.simhashDigest _),
     "x5_embed_neardup" -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
+    // the SCALE path for embedding near-dup: LSH-bucketed candidates, no
+    // cartesian anywhere in the plan (x5 stays as the small-scale verifier)
+    "x5b_ann_neardup" -> ((s: SparkSession, d: String) => Similarity.annPairsLsh(s, d)),
     "x6_ann_topk" -> ((s: SparkSession, d: String) => Similarity.topKBruteForce(s, d)),
     "x12_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.topKIvf(s, d)),
     "x24_vector_stats" -> ((s: SparkSession, d: String) => Similarity.vectorStats(s, d)),
@@ -235,11 +238,15 @@ object SparkEntry {
       ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
        "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
        "list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
-       "ELSE [array_to_string(t, ' ')] END AS s FROM tok) SELECT doc_id, " +
+       "ELSE [array_to_string(t, ' ')] END AS s FROM tok), " +
+       "hs AS (SELECT doc_id, list_transform(s, x -> " +
+       s"CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % ${DocDedup.mixP}) AS hl FROM sh) " +
+       "SELECT doc_id, " +
        (0 until 8).map(i =>
-         s"list_min(list_transform(s, x -> CAST(concat('0x', substr(md5(concat(x, '#$i')),1,15)) AS BIGINT))) AS mh$i")
+         s"list_min(list_transform(hl, h -> (h * ${DocDedup.mixA(i)} + ${DocDedup.mixB(i)}) " +
+         s"% ${DocDedup.mixP})) AS mh$i")
          .mkString(", ") +
-       " FROM sh ORDER BY doc_id"),
+       " FROM hs ORDER BY doc_id"),
     "x14_topk_operator" ->
       ("WITH r AS (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, " +
        "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn " +
@@ -393,7 +400,8 @@ object SparkEntry {
        "FROM tf JOIN df USING (token)) " +
        "SELECT doc_id, rank, token, tf, df FROM r WHERE rank <= 3 ORDER BY doc_id, rank"),
     "x23_inverted_index" ->
-      ("SELECT token, count(DISTINCT doc_id) AS df, list_sort(list(DISTINCT doc_id)) AS postings " +
+      ("SELECT token, count(DISTINCT doc_id) AS df, " +
+       "array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings " +
        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) " +
        "GROUP BY token HAVING count(DISTINCT doc_id) >= 50 ORDER BY token"),
     "x19_sequence_packing" ->
@@ -472,8 +480,14 @@ object SparkEntry {
        "SELECT CAST(row_number() OVER (ORDER BY datetime) AS INT) AS time_pk, datetime, " +
        s"CAST(hour(datetime) AS INT) AS hour, dayname(datetime) AS day_of_week, " +
        s"${periodCase("hour(datetime)")} AS time_period FROM d ORDER BY time_pk"),
+    // zone mirror of StarSchema.zoneLookup: ids ≡ 6 (mod 7) absent → the
+    // LEFT JOIN default 'Inconnu' (load.py:31) stays exercised
     "w2_dim_location" ->
-      (s"WITH $dimLocCte SELECT location_pk, location_id, 'Inconnu' AS borough FROM dloc ORDER BY location_pk"),
+      (s"WITH $dimLocCte, zones AS (SELECT r AS location_id, " +
+       "['Manhattan','Brooklyn','Queens','Bronx','Staten Island','EWR'][CAST(r % 7 AS INT)+1] " +
+       "AS borough FROM range(0, 200000) t(r) WHERE r % 7 <> 6) " +
+       "SELECT location_pk, location_id, coalesce(z.borough, 'Inconnu') AS borough " +
+       "FROM dloc LEFT JOIN zones z USING (location_id) ORDER BY location_pk"),
     "w3_dim_payment" ->
       (s"WITH $dimPayCte SELECT payment_pk, payment_type FROM dpay ORDER BY payment_pk"),
     "w4_fact_trips" ->
@@ -547,6 +561,29 @@ object SparkEntry {
        "SELECT id_a, id_b, sim FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
        s"${dotSql("a.vec", "b.vec")}/(a.norm*b.norm) AS sim " +
        "FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id) WHERE sim >= 0.35 ORDER BY id_a, id_b"),
+    "x5b_ann_neardup" -> {
+      // the ±1 plane matrix folds into the SQL as literals — the per-table
+      // bucket codes, the (table, code) equi-join, and the exact rescoring
+      // all run identically in DuckDB, so the scale path is hash-checked too
+      val nPlanes = 6; val nTables = 8
+      val ps = Similarity.planes(nPlanes * nTables, 64)
+      val codeArr = (0 until nTables).map { t =>
+        (0 until nPlanes).map { j =>
+          val planeLit = ps(t * nPlanes + j).map(v => if (v > 0) "1.0" else "-1.0")
+            .mkString("[", ",", "]")
+          s"(CASE WHEN list_sum(list_transform(list_zip(vec, $planeLit), t -> t[1]*t[2])) >= 0 " +
+            s"THEN CAST(1 AS BIGINT) << $j ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+      }.mkString("[", ", ", "]")
+      s"WITH $normCte, cs AS (SELECT vec_id, vec, norm, $codeArr AS codes FROM nrm), " +
+        s"coded AS (SELECT vec_id, t, codes[CAST(t AS INT)+1] AS code FROM cs, range(0, $nTables) r(t)), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM coded a " +
+        "JOIN coded b ON a.t = b.t AND a.code = b.code AND a.vec_id < b.vec_id) " +
+        "SELECT id_a, id_b, sim FROM (SELECT c.id_a, c.id_b, " +
+        s"${dotSql("x.vec", "y.vec")}/(x.norm*y.norm) AS sim FROM cand c " +
+        "JOIN cs x ON x.vec_id = c.id_a JOIN cs y ON y.vec_id = c.id_b) " +
+        "WHERE sim >= 0.35 ORDER BY id_a, id_b"
+    },
     "x6_ann_topk" ->
       (s"WITH $normCte, q AS (SELECT vec_id AS query_id, vec AS qv, norm AS qn FROM nrm WHERE vec_id < 20), " +
        s"s AS (SELECT q.query_id, c.vec_id AS neighbor_id, ${dotSql("q.qv", "c.vec")}/(q.qn*c.norm) AS sim " +
@@ -663,9 +700,12 @@ object SparkEntry {
     "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
     "list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
     "ELSE [array_to_string(t, ' ')] END AS s FROM tok), " +
-    "mh AS (SELECT doc_id, i, list_min(list_transform(s, x -> " +
-    "CAST(concat('0x', substr(md5(concat(x, '#', i)),1,15)) AS BIGINT))) AS comp " +
-    "FROM sh, range(0, 8) AS r(i)), " +
+    "hs AS (SELECT doc_id, list_transform(s, x -> " +
+    s"CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % ${DocDedup.mixP}) AS hl FROM sh), " +
+    s"mh AS (SELECT doc_id, i, list_min(list_transform(hl, h -> (h * " +
+    s"([${DocDedup.mixA.mkString(",")}][CAST(i AS INT)+1]) + " +
+    s"[${DocDedup.mixB.mkString(",")}][CAST(i AS INT)+1]) % ${DocDedup.mixP})) AS comp " +
+    "FROM hs, range(0, 8) AS r(i)), " +
     "band AS (SELECT m0.doc_id, m0.i // 2 AS j, m0.comp AS c0, m1.comp AS c1 FROM mh m0 " +
     "JOIN mh m1 ON m0.doc_id = m1.doc_id AND m1.i = m0.i + 1 WHERE m0.i % 2 = 0), " +
     "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a " +

@@ -2,7 +2,6 @@ package graft.llm
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding-space clustering for training-data pipelines: k-means (the
@@ -31,13 +30,15 @@ object Clustering {
     * centroids (deterministic seeds: vec_id < k), then emit the updated
     * per-cluster mean, one row per (cluster, dimension).
     *
-    * Assignment here is crossJoin(broadcast(seeds)) + per-vector
-    * row_number — n×k rows through a keyed window, which is exact and
-    * oracle-mirrorable. The 100 TB variant replaces the window with
-    * `min_by(struct(dist2, cell_id))` aggregation (map-side partial
-    * combine: the shuffle carries one row per vector, not k) or an
-    * argmin over an array of broadcast centroid literals (no shuffle at
-    * all); both pick the same (min dist2, min cell_id) winner.
+    * Assignment is an argmin over an array of centroid LITERALS: the k
+    * seed vectors (k×dim doubles — driver-sized at ANY corpus size) are
+    * collected once and folded into the plan, so the assignment pass is a
+    * pure map — no join of any kind, no window, no shuffle. This is the
+    * 100 TB shape: the one collect is the k-means state itself (what a
+    * driver-side Lloyd loop carries between iterations by definition),
+    * never corpus data. Ties (equal d2) go to the smaller cell_id:
+    * `array_position` returns the FIRST index holding the min and the
+    * seed arrays are ordered by cell_id.
     *
     * Update: posexplode to (cluster, dim, component) and hash-aggregate —
     * the shuffle after partial aggregation is O(k × dim), independent of
@@ -48,13 +49,19 @@ object Clustering {
   private def assigned(spark: SparkSession, dir: String, k: Int): DataFrame = {
     require(k > 0, s"k-means needs k > 0, got $k")
     val v = vecs(spark, dir)
-    val seeds = v.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cell_id"), col("vec").as("cvec"))
-    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell_id"))
-    v.crossJoin(broadcast(seeds))
-      .withColumn("d2", dist2(col("vec"), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val seedRows = v.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long"), col("vec"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .sortBy(_._1)
+    require(seedRows.nonEmpty, s"no seed vectors with vec_id < $k")
+    val cellIds = array(seedRows.map { case (id, _) => lit(id) }: _*)
+    val cvecs = array(seedRows.map { case (_, cv) => typedlit(cv) }: _*)
+    val dists = transform(cvecs, cv => dist2(col("vec"), cv))
+    // first occurrence of the min == smallest cell_id among ties; the min
+    // is an exact element of the array so the equality probe is bit-safe
+    val bestIdx = array_position(dists, array_min(dists)).cast("int")
+    v.withColumn("cell_id", element_at(cellIds, bestIdx))
       .select(col("vec_id"), col("cell_id"), col("vec"))
   }
 

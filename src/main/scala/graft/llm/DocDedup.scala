@@ -60,24 +60,40 @@ object DocDedup {
   def withSignature(docs: DataFrame, k: Int = 64): DataFrame =
     docs.withColumn("sig", minhashSignature(shingles(tokensCol), k))
 
-  /** md5-based MinHash (k small): slower than the xxhash64 production path
-    * but expressible identically in DuckDB — the oracle-checked correctness
-    * witness for the MinHash construction (component i = min over shingles
-    * of the first 60 bits of md5(shingle + '#' + i)). */
+  /** Cross-engine mixing constants for the md5-witness MinHash below:
+    * component i = min over shingles of ((h · mixA(i) + mixB(i)) mod P)
+    * where h = (first 60 bits of md5(shingle)) mod P and P = 2³¹−1
+    * (prime). Reducing h below 2³¹ first keeps every product under 2⁶² —
+    * overflow-free in BOTH engines (DuckDB raises on BIGINT overflow;
+    * Java would silently wrap, diverging). The per-component (multiplier,
+    * offset) pairs form the standard universal linear-congruential hash
+    * family, so estimator quality matches a per-component digest at 1/k
+    * the hashing cost — md5 runs ONCE per shingle, not k times. */
+  val mixP: Long = 2147483647L
+  val mixA: Seq[Long] = Seq(1103515245L, 1299709L, 104729L, 179426549L,
+    32452843L, 49979687L, 67867967L, 86028121L)
+  val mixB: Seq[Long] = Seq(12345L, 54321L, 7919L, 104659L, 15485863L,
+    982451653L, 57885161L, 37156667L)
+
+  /** md5-based MinHash (k small): the oracle-checked correctness witness
+    * for the MinHash construction — every step (md5, modular mixing, min)
+    * is expressible identically in DuckDB. */
   def minhashMd5(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    require(k <= mixA.size, s"md5 witness carries ${mixA.size} mixing pairs, asked for $k")
     // explode-then-aggregate, not k× array_min(transform(shingles, …)):
-    // the Generator materializes each shingle ONCE and the k md5 variants
-    // run over flat rows in one codegen stage; the k-transform formulation
-    // rebuilds the shingle array (slice+concat_ws per element) for every
-    // component — measured ~10× slower at sf0.1. The groupBy(doc_id) min is
-    // map-side partial, so the shuffle carries one k-long row per doc.
-    val exploded = docsWide(spark, dir)
+    // the Generator materializes each shingle ONCE and hashes it ONCE; the
+    // k components are arithmetic over the flat (doc_id, h) rows in one
+    // codegen stage. The groupBy(doc_id) min is map-side partial, so the
+    // shuffle carries one k-long row per doc.
+    val hashed = docsWide(spark, dir)
       .select(col("doc_id"), explode(shingles(tokensCol)).as("s"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10).cast("long") % mixP)
+          .as("h"))
     val comps = (0 until k).map { i =>
-      min(conv(substring(md5(concat(col("s"), lit(s"#$i")).cast("binary")), 1, 15), 16, 10)
-        .cast("long")).as(s"mh$i")
+      min((col("h") * mixA(i) + mixB(i)) % mixP).as(s"mh$i")
     }
-    exploded.groupBy("doc_id").agg(comps.head, comps.tail: _*)
+    hashed.groupBy("doc_id").agg(comps.head, comps.tail: _*)
       .orderBy("doc_id")
   }
 
@@ -97,13 +113,16 @@ object DocDedup {
     val rowsPer = k / bands
     // Materialization barrier: without it CollapseProject inlines the
     // 64-component signature expression into every band lambda AND both
-    // join sides — a 32× recompute. persist() is the right barrier: the
-    // CacheManager swaps in an InMemoryRelation at plan time (blocking the
-    // collapse) and computes lazily ONCE, without localCheckpoint's eager
-    // job + RDD serialization. At cluster scale this would be a persisted
-    // parquet signature table (the natural artifact of a dedup pipeline).
+    // join sides — a 32× recompute. localCheckpoint(eager=false) is the
+    // right barrier: the plan becomes a LogicalRDD at build time (blocking
+    // the collapse), computes lazily ONCE on first action, and — unlike
+    // persist(), which the CacheManager pins until an explicit unpersist —
+    // is RELEASED by the ContextCleaner when the result goes out of scope,
+    // so library callers cannot leak cache across queries. At cluster
+    // scale this would be a persisted parquet signature table (the natural
+    // artifact of a dedup pipeline).
     val sigs = withSignature(docsWide(spark, dir), k)
-      .select("doc_id", "sig").persist()
+      .select("doc_id", "sig").localCheckpoint(eager = false)
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         j => xxhash64(slice(col("sig"), j * lit(rowsPer) + 1, lit(rowsPer)).cast("string"), j)))
@@ -168,9 +187,9 @@ object DocDedup {
     * exact hamming filter. Same shuffle-on-short-keys layout as MinHash. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     // barrier: see minhashPairs — prevents the 64-bit-vote expression from
-    // being inlined into the 4 chunk lambdas and both join sides (persist =
-    // lazy plan-time barrier, no eager checkpoint job)
-    val sh = simhashDigest(spark, dir).persist()
+    // being inlined into the 4 chunk lambdas and both join sides (lazy
+    // plan-time barrier, GC-released)
+    val sh = simhashDigest(spark, dir).localCheckpoint(eager = false)
     val chunked = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(j =>
         shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL)): _*))
@@ -206,8 +225,8 @@ object DocDedup {
     require(k % 2 == 0, s"k=$k must be even for 2-row bands")
     val docs = Tables.documents(spark, dir)
     // barrier: stop the k md5-minhash expressions collapsing into both
-    // self-join sides (2× recompute of k×|shingles| md5 calls)
-    val mhWide = minhashMd5(spark, dir, k).persist()
+    // self-join sides (2× recompute of the per-shingle md5 pass)
+    val mhWide = minhashMd5(spark, dir, k).localCheckpoint(eager = false)
     val bands = mhWide.select(col("doc_id"),
       posexplode(array((0 until k / 2).map(j =>
         struct(col(s"mh${2 * j}").as("c0"), col(s"mh${2 * j + 1}").as("c1"))): _*))
@@ -265,6 +284,12 @@ object DocDedup {
       labels = next
       iter += 1
     }
+    // exiting via maxIters with labels still moving would return WRONG
+    // cluster ids (a long chain only partially propagated) with no signal —
+    // fail loudly instead; callers with genuinely deep graphs raise maxIters
+    require(changed == 0,
+      s"connected-components did not converge after $maxIters rounds " +
+        s"($changed labels still changing — graph diameter exceeds maxIters)")
     labels.select(col("node").as("doc_id"), col("lab").as("cluster_id"))
       .orderBy("doc_id")
   }

@@ -91,8 +91,9 @@ object Similarity {
   }
 
   /** Deterministic ±1 random hyperplanes (seeded, driver-side constants —
-    * folded into the plan as literals, never shipped as data). */
-  private def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    * folded into the plan as literals, never shipped as data). Exposed
+    * within the library so the oracle SQL embeds the SAME matrix. */
+  private[graft] def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
@@ -114,7 +115,9 @@ object Similarity {
     * the probe join shuffles on cell_id only. */
   def topKIvf(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, dir)).persist()
+    // lazy local checkpoint: shared by centroids/assignment/queries without
+    // recompute, released by GC (persist would pin it in the CacheManager)
+    val e = withNorm(Tables.embeddings(spark, dir)).localCheckpoint(eager = false)
     // vec_id < nCells (not orderBy.limit): identical on dense 0-based ids
     // and exactly mirrors the oracle SQL predicate — no silent coupling to
     // id-domain assumptions
@@ -147,19 +150,45 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** ANN near-dup pairs: candidates share a 16-bit code bucket; exact
-    * cosine re-scored only within buckets. Approximate (misses pairs that
-    * land in different buckets) — the ScalaTest spec measures recall vs
-    * brute force. */
+  /** ANN near-dup pairs via MULTI-TABLE random-hyperplane LSH — the scale
+    * path for embedding near-dup (the all-pairs `nearDupPairs` is its
+    * small-scale verifier). Candidates are pairs sharing a full
+    * `nPlanes`-bit code in ANY of the `nTables` tables: per-table recall
+    * for cosine s is (1−θ(s)/π)^nPlanes and the tables union, so
+    * (nPlanes, nTables) is the recall/candidate-volume dial — 6×8 suits a
+    * mid-similarity threshold; a ≥0.9 near-dup sweep at corpus scale
+    * would raise nPlanes (sharper buckets) and keep a handful of tables.
+    *
+    * Layout is exactly `DocDedup.minhashPairs`: one scan computes all
+    * codes, the self-join shuffles (table, code, id) triples only,
+    * id-pairs are deduped BEFORE vectors attach, and exact cosine
+    * rescoring touches candidates only. No cartesian anywhere. */
   def annPairsLsh(spark: SparkSession, dir: String, threshold: Double = 0.35,
-      nPlanes: Int = 16, dim: Int = 64): DataFrame = {
+      nPlanes: Int = 6, nTables: Int = 8, dim: Int = 64): DataFrame = {
+    val allPlanes = planes(nPlanes * nTables, dim) // one seeded matrix, sliced per table
+    val codes = array((0 until nTables).map { t =>
+      (0 until nPlanes).map { j =>
+        when(dot(col("vec"), typedlit(allPlanes(t * nPlanes + j))) >= 0,
+          shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    // barrier (see minhashPairs): without it the 48-dot-product code
+    // expression inlines into both join sides and the rescore lookup
     val e = withNorm(Tables.embeddings(spark, dir))
-      .withColumn("code", lshCode(col("vec"), nPlanes, dim))
-    val a = e.select(col("vec_id").as("id_a"), col("vec").as("va"),
-      col("norm").as("na"), col("code"))
-    val b = e.select(col("vec_id").as("id_b"), col("vec").as("vb"),
-      col("norm").as("nb"), col("code").as("code_b"))
-    a.join(b, col("code") === col("code_b") && col("id_a") < col("id_b"))
+      .withColumn("codes", codes).localCheckpoint(eager = false)
+    val coded = e.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("tbl", "code")))
+    val a = coded.select(col("tbl"), col("code"), col("vec_id").as("id_a"))
+    val b = coded.select(col("tbl").as("tb"), col("code").as("cb"),
+      col("vec_id").as("id_b"))
+    val candidates = a.join(b, col("tbl") === col("tb") && col("code") === col("cb")
+        && col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(e.select(col("vec_id").as("id_a"), col("vec").as("va"), col("norm").as("na")),
+        Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("vec").as("vb"), col("norm").as("nb")),
+        Seq("id_b"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")

@@ -115,8 +115,10 @@ object TextStats {
     // df derives from tf, not from the raw token stream: tf rows are
     // already distinct (doc, token) pairs, so count-per-token over tf ==
     // countDistinct(doc_id) over tokens — one explode pass instead of two,
-    // and the barrier persist moves to the much smaller tf table
-    val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")).persist()
+    // and the barrier moves to the much smaller tf table (lazy local
+    // checkpoint: plan-time barrier, GC-released — see DocDedup)
+    val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(desc("score"), asc("token"))
@@ -137,13 +139,17 @@ object TextStats {
     * index is written partitioned by token hash; posting lists for
     * stop-word-frequency tokens are the skew to watch (the df floor here
     * is also the skew cap in reverse — production indexes chunk hot
-    * postings). */
+    * postings). Postings surface as a comma-delimited string, not an
+    * array: the correctness harness hashes flat cells, and the string is
+    * a faithful (order-preserving, lossless for integer ids) encoding
+    * both engines produce identically. */
   def invertedIndex(spark: SparkSession, dir: String, minDf: Int = 50): DataFrame =
     docsWide(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("token")
       .agg(countDistinct("doc_id").as("df"),
-        sort_array(collect_set(col("doc_id"))).as("postings"))
+        array_join(sort_array(collect_set(col("doc_id"))).cast("array<string>"), ",")
+          .as("postings"))
       .filter(col("df") >= minDf)
       .orderBy("token")
 

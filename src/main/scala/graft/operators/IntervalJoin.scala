@@ -18,26 +18,47 @@ import org.apache.spark.sql.functions._
   * windows can sub-bucket with a salt on the same layout.
   *
   * The two bucket copies of a left row match DISJOINT right rows (each
-  * right row has exactly one bucket), so no dedup pass is needed.
+  * right row has exactly one bucket), so matches need no dedup pass; for
+  * "left" semantics the bucket join runs INNER and unmatched left rows
+  * re-enter exactly once via an anti-join (a naive left bucket join would
+  * emit a spurious null-right row whenever ONE bucket copy matches
+  * nothing, even though the sibling copy matched).
   */
 object IntervalJoin {
 
   /** Column names must already be disjoint between `left` and `right`
     * (alias before calling). `joinType` "left" keeps unmatched left rows
-    * (right columns null) — note a left row appears once per bucket copy,
-    * so aggregate by a left key afterwards rather than counting rows. */
+    * (right columns null) with exact row-level left-join semantics. */
   def joinTrailing(left: DataFrame, leftTs: String, right: DataFrame, rightTs: String,
       windowSec: Long, joinType: String = "left"): DataFrame = {
     require(windowSec > 0, s"windowSec must be positive, got $windowSec")
+    require(Set("inner", "left")(joinType), s"joinType must be inner|left, got $joinType")
     val w = windowSec * 1000000L // micros: exact integer bucket arithmetic
+    // row identity for the anti-join restore: partition-local ids are
+    // stable for a deterministic input plan, and the id never leaves this
+    // operator
+    val lid = left.withColumn("__ivl_id", monotonically_increasing_id())
     val lBucket = floor(unix_micros(col(leftTs)) / w)
-    val lb = left.withColumn("__ivl_bucket", explode(array(lBucket, lBucket - 1)))
+    val lb = lid.withColumn("__ivl_bucket", explode(array(lBucket, lBucket - 1)))
     val rb = right.withColumn("__ivr_bucket", floor(unix_micros(col(rightTs)) / w))
-    lb.join(rb,
+    val matched = lb.join(rb,
         col("__ivl_bucket") === col("__ivr_bucket") &&
           unix_micros(col(rightTs)) > unix_micros(col(leftTs)) - w &&
           col(rightTs) <= col(leftTs),
-        joinType)
+        "inner")
       .drop("__ivl_bucket", "__ivr_bucket")
+    val result =
+      if (joinType == "inner") matched
+      else {
+        // unmatched lefts re-enter ONCE (not once per bucket copy), right
+        // columns null — the anti-join shuffles ids only, never right rows
+        val nullRight = right.schema.fields.toSeq
+          .map(f => lit(null).cast(f.dataType).as(f.name))
+        val unmatched = lid
+          .join(matched.select("__ivl_id").distinct(), Seq("__ivl_id"), "left_anti")
+          .select(lid.columns.map(col).toSeq ++ nullRight: _*)
+        matched.unionByName(unmatched)
+      }
+    result.drop("__ivl_id")
   }
 }

@@ -31,14 +31,34 @@ object StarSchema {
       .withColumn("time_pk", row_number().over(Window.orderBy("datetime")))
       .select("time_pk", "datetime", "hour", "day_of_week", "time_period")
 
+  /** Synthetic TLC-style zone lookup (reference `README.md:41` joins a
+    * taxi-zone table; `load.py:31` defaults missing boroughs to
+    * 'Inconnu'): deterministic (location_id, borough) rows with ids
+    * ≡ 6 (mod 7) deliberately ABSENT so the left-join default path stays
+    * exercised. Tiny (fits any broadcast threshold) at every scale —
+    * NYC has 265 zones; this covers the harness id domain. */
+  def zoneLookup(spark: SparkSession): DataFrame = {
+    val boroughs = Seq("Manhattan", "Brooklyn", "Queens", "Bronx",
+      "Staten Island", "EWR")
+    spark.range(0, 200000)
+      .filter(col("id") % 7 =!= 6)
+      .select(col("id").as("location_id"),
+        element_at(typedlit(boroughs), (col("id") % 7).cast("int") + 1).as("borough"))
+  }
+
+  /** Borough resolution shared by both dim builds: broadcast left join
+    * against the zone lookup, unmatched ids → 'Inconnu' (load.py:31). */
+  private def withBorough(ids: DataFrame): DataFrame =
+    ids.join(broadcast(zoneLookup(ids.sparkSession)), Seq("location_id"), "left")
+      .withColumn("borough", coalesce(col("borough"), lit("Inconnu")))
+
   def dimLocation(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    li.select(col("l_partkey").as("location_id"))
+    val ids = li.select(col("l_partkey").as("location_id"))
       .unionByName(li.select(col("l_suppkey").as("location_id")))
       .distinct()
       .withColumn("location_pk", row_number().over(Window.orderBy("location_id")))
-      .withColumn("borough", lit("Inconnu")) // DEFAULT 'Inconnu', load.py:31
-      .select("location_pk", "location_id", "borough")
+    withBorough(ids).select("location_pk", "location_id", "borough")
   }
 
   /** Payment dim from the label-encoded fact column; 'N' is deliberately
@@ -61,10 +81,11 @@ object StarSchema {
     factTripsWith(spark, dir, dimTime(spark, dir),
       // build dim_location ONCE and share it between the PU/DO aliases —
       // without reuse each alias re-runs the union+distinct+window (2 extra
-      // lineitem scans and 2 shuffles per alias). persist() (lazy, in-memory
-      // columnar) beats localCheckpoint() here: the checkpoint is an EAGER
-      // barrier job + RDD serialization pass, ~3× slower end-to-end.
-      dimLocation(spark, dir).persist(),
+      // lineitem scans and 2 shuffles per alias). Lazy localCheckpoint:
+      // plan-time barrier with no eager job (the eager variant measured
+      // ~3× slower here), released by GC instead of pinned in the
+      // CacheManager like persist().
+      dimLocation(spark, dir).localCheckpoint(eager = false),
       dimPayment(spark, dir))
 
   /** Scale path: all three dims from ONE scan of the fact table via
@@ -89,19 +110,18 @@ object StarSchema {
           Seq(col("payment_label"))),
         col("l_shipdate"), col("l_partkey"), col("l_suppkey"), col("payment_label"))
       .agg(grouping_id().as("gid"))
-      .persist()
+      .localCheckpoint(eager = false) // barrier, GC-released (see factTrips)
     val t = g.filter(col("gid") === 7).select(col("l_shipdate").as("datetime"))
       .withColumn("hour", hour(col("datetime")))
       .withColumn("day_of_week", date_format(col("datetime"), "EEEE"))
       .withColumn("time_period", Funcs.timePeriod(col("hour")))
       .withColumn("time_pk", row_number().over(Window.orderBy("datetime")))
       .select("time_pk", "datetime", "hour", "day_of_week", "time_period")
-    val loc = g.filter(col("gid") === 11).select(col("l_partkey").as("location_id"))
+    val locIds = g.filter(col("gid") === 11).select(col("l_partkey").as("location_id"))
       .unionByName(g.filter(col("gid") === 13).select(col("l_suppkey").as("location_id")))
       .distinct()
       .withColumn("location_pk", row_number().over(Window.orderBy("location_id")))
-      .withColumn("borough", lit("Inconnu"))
-      .select("location_pk", "location_id", "borough")
+    val loc = withBorough(locIds).select("location_pk", "location_id", "borough")
     val pay = g.filter(col("gid") === 14).select(col("payment_label").as("payment_type"))
       .filter(col("payment_type").isNotNull)
       .withColumn("payment_pk", row_number().over(Window.orderBy("payment_type")))
