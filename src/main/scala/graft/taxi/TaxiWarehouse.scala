@@ -46,7 +46,8 @@ object TaxiWarehouse {
     * DECIMAL contract at this, the sink boundary. */
   def factTrips(valid: DataFrame): DataFrame = {
     val t = dimTime(valid).select("time_pk", "datetime")
-    val loc = dimLocation(valid).persist() // built once, joined twice (lazy barrier)
+    // built once, joined twice: lazy plan-time barrier, GC-released
+    val loc = dimLocation(valid).localCheckpoint(eager = false)
     val pu = loc.select(col("location_id").as("pu_id"),
       col("location_pk").as("pickup_loc_pk"))
     val dof = loc.select(col("location_id").as("do_id"),

@@ -64,16 +64,32 @@ class LlmSpec extends SparkSpec {
     assert(blocked == exhaustive)
   }
 
-  test("ANN LSH recall vs brute force is reasonable") {
+  test("ANN LSH recall vs brute force is pinned") {
     val exact = Similarity.nearDupPairs(spark, sfDir, threshold = 0.3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.annPairsLsh(spark, sfDir, threshold = 0.3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(approx.subsetOf(exact), "LSH must not invent pairs")
-    if (exact.nonEmpty) {
-      val recall = approx.size.toDouble / exact.size
-      info(s"ANN recall: $recall (${approx.size}/${exact.size})")
+    assert(approx.subsetOf(exact), "LSH must not invent pairs (exact rescoring)")
+    assert(exact.nonEmpty, "fixture must contain near-dup pairs")
+    // seeded planes + fixed corpus → recall is DETERMINISTIC (measured
+    // 0.358 for 8 tables × 6 planes at threshold 0.3); pin a floor so a
+    // silent banding/seed regression cannot pass as green
+    val recall = approx.size.toDouble / exact.size
+    assert(recall >= 0.3, s"ANN recall regressed: $recall (${approx.size}/${exact.size})")
+  }
+
+  test("dedup clusters: unconverged propagation fails loudly, not silently") {
+    import spark.implicits._
+    // chain 1-2-…-8: diameter 7, min label needs 7 rounds to reach node 8
+    val chain = (1L to 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      DocDedup.dedupClusters(chain, maxIters = 2).collect()
     }
+    assert(ex.getMessage.contains("did not converge"))
+    // with enough rounds the same graph resolves to one cluster, label 1
+    val labs = DocDedup.dedupClusters(chain, maxIters = 10)
+      .collect().map(_.getLong(1)).distinct.toSeq
+    assert(labs == Seq(1L))
   }
 
   test("top-k neighbors are correctly ranked") {

@@ -37,6 +37,32 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got == Set(11L, 12L))
   }
 
+  test("left join is ROW-level exact: no spurious null-right rows from bucket copies") {
+    import spark.implicits._
+    // L1 matches a right row in its OWN bucket only (the bucket-1 copy
+    // matches nothing — the case that used to emit a spurious null row);
+    // L2 matches via its bucket-1 copy only; L3 matches nothing at all.
+    val left = Seq(
+      (1L, ts("2024-01-01 10:30:00")),
+      (2L, ts("2024-01-01 09:10:00")),
+      (3L, ts("2024-01-01 23:00:00"))
+    ).toDF("lid", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00")), // same hour-bucket as L1
+      (20L, ts("2024-01-01 08:40:00"))  // previous bucket relative to L2
+    ).toDF("rid", "rt")
+    val got = IntervalJoin.joinTrailing(left, "t", right, "rt", 3600, "left")
+      .select("lid", "rid")
+    val naive = left.join(right,
+      unix_micros(col("rt")) > unix_micros(col("t")) - 3600000000L &&
+        col("rt") <= col("t"), "left")
+      .select("lid", "rid")
+    assert(got.count() == 3, "exactly one row per left (1 match, 1 match, 1 null)")
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
+    val nulls = got.filter(col("rid").isNull).collect().map(_.getLong(0)).toSeq
+    assert(nulls == Seq(3L), "only the truly unmatched left row carries nulls")
+  }
+
   test("left join keeps zero-match rows and never double-counts across buckets") {
     val out = graft.queries.Joins.intervalActivity(spark, sfDir)
     val nPurchases = graft.Tables.events(spark, sfDir)

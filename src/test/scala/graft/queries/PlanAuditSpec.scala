@@ -57,4 +57,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size == 4, "4 dims -> 4 broadcast joins")
     assert(!p.contains("SortMergeJoin"), "fact side must never shuffle in the star build")
   }
+
+  test("no gate query pins CacheManager state (library code never persist()s)") {
+    // building every query (plans above ran with clearCache between) must
+    // leave the catalog cache empty WITHOUT any cleanup: barriers are lazy
+    // localCheckpoints released by GC, so direct library callers cannot
+    // accumulate cached plans across queries
+    plans // force the lazy audit first (it clears its own caches)
+    SparkEntry.queries.foreach { case (_, fn) => fn(spark, sfDir) }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a gate query registered a persist() with the CacheManager")
+  }
 }

@@ -114,6 +114,30 @@ class TaxiPipelineSpec extends SparkSpec {
     assert(math.abs(r.anomalyRatePct - 60.0) < 1e-9)
   }
 
+  test("dashboard KPI measures match hand-computed golden values") {
+    // deterministic valid set (tiebreak keeps VendorID 1 of the dup pair):
+    //   dist 5.0  pax 2  total 24.0  03-01 08:00 Matin       speed 10.0
+    //   dist 2.0  pax 1  total 11.0  03-01 13:00 Après-midi  speed 10.0
+    //   dist 15.0 pax 3  total 48.0  03-02 19:00 Soir        speed 15.0
+    //   dist 5.0  pax 1  total 24.0  03-08 09:00 Matin       speed 10.0
+    val valid = TaxiPipeline.dedupTrips(
+      TaxiPipeline.encodeFeatures(TaxiPipeline.addTimeFeatures(
+        TaxiPipeline.validTrips(tagged))), tiebreak = Seq("VendorID"))
+    val kpi = TaxiDashboard.kpiCards(valid).head()
+    assert(kpi.getAs[Double]("median_trip_distance") == 5.0) // sorted 2,5,5,15
+    assert(kpi.getAs[Double]("avg_commercial_speed_kmh") == 18.1) // 11.25 mph × 1.609
+    assert(kpi.getAs[Long]("total_trips") == 4L)
+    // per-day sums 35.0 / 48.0 / 24.0 → avg 35.67
+    val rev = TaxiDashboard.dailyAvgRevenue(valid).head().getAs[Double]("daily_avg_revenue")
+    assert(rev == 35.67)
+    // donut: Matin 3/7, Soir 3/7, Après-midi 1/7 (share layout mirrors the
+    // reference donut: descending share, deterministic tiebreak)
+    val donut = TaxiDashboard.passengerDonut(valid).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("passengers"), r.getAs[Double]("pct")))
+    assert(donut.toSeq == Seq(
+      ("Matin", 3L, 42.86), ("Soir", 3L, 42.86), ("Après-midi", 1L, 14.29)))
+  }
+
   test("null trip_distance is an anomaly, not VALID (pandas ~NaN.between == True)") {
     // The reference extract does NOT null-fill trip_distance, so NaN
     // distances reach the rules; pandas `~df.between(...)` on NaN yields
