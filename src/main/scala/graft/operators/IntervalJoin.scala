@@ -38,9 +38,14 @@ object IntervalJoin {
     // stable for a deterministic input plan, and the id never leaves this
     // operator
     val lid = left.withColumn("__ivl_id", monotonically_increasing_id())
-    val lBucket = floor(unix_micros(col(leftTs)) / w)
+    // `div`, not floor(a/b): long/long promotes to DOUBLE division, whose
+    // rounding can misassign a bucket near boundaries at wide windows;
+    // integer division is exact (post-1970 timestamps are non-negative, so
+    // truncation == floor)
+    def bucket(tsCol: String) = expr(s"unix_micros($tsCol) div ${w}L")
+    val lBucket = bucket(leftTs)
     val lb = lid.withColumn("__ivl_bucket", explode(array(lBucket, lBucket - 1)))
-    val rb = right.withColumn("__ivr_bucket", floor(unix_micros(col(rightTs)) / w))
+    val rb = right.withColumn("__ivr_bucket", bucket(rightTs))
     val matched = lb.join(rb,
         col("__ivl_bucket") === col("__ivr_bucket") &&
           unix_micros(col(rightTs)) > unix_micros(col(leftTs)) - w &&
