@@ -205,6 +205,7 @@ object SparkEntry {
     "x26_kmeans_iter" -> ((s: SparkSession, d: String) => graft.llm.Clustering.lloydIter(s, d)),
     "x26b_kmeans_assign" -> ((s: SparkSession, d: String) => graft.llm.Clustering.assign(s, d)),
     "x27_source_quota" -> ((s: SparkSession, d: String) => TextStats.sourceQuota(s, d)),
+    "x28_repetition" -> ((s: SparkSession, d: String) => TextStats.repetitionStats(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -674,6 +675,15 @@ object SparkEntry {
       ("WITH r AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source " +
        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk FROM documents) " +
        "SELECT doc_id, source, rk FROM r WHERE rk <= 10 ORDER BY doc_id"),
+    "x28_repetition" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tok), " +
+       "p AS (SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT)+1] AS w2 FROM idx), " +
+       "c AS (SELECT doc_id, w1, w2, count(*) AS n FROM p GROUP BY 1, 2, 3) " +
+       "SELECT doc_id, sum(n) AS n_bigrams, count(*) AS n_distinct_bigrams, " +
+       "CAST(sum(n) - count(*) AS DOUBLE)/sum(n) AS dup_bigram_frac, " +
+       "CAST(max(n) AS DOUBLE)/sum(n) AS top_bigram_share " +
+       "FROM c GROUP BY doc_id ORDER BY doc_id"),
     "e4_funnel" ->
       ("WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events WHERE event_type='view' GROUP BY 1), " +
        "c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e " +

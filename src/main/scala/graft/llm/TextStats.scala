@@ -206,6 +206,40 @@ object TextStats {
       .limit(topN)
   }
 
+  /** x28: repetition statistics — the Gopher-style quality-filter signal
+    * (repetitious documents are boilerplate/spam and get dropped before
+    * training): per document, the duplicate-bigram fraction and the share
+    * of the single most frequent bigram. Layout: one zip-with-tail
+    * Generator (no self-join) → per-(doc, bigram) counts → per-doc
+    * aggregate; both aggregations are hash-aggs with map-side partials,
+    * so the shuffles carry (doc, bigram)-distinct then doc-distinct rows.
+    * Docs with fewer than two tokens have no bigrams and drop out —
+    * mirrored by the oracle. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    repetitionStatsOf(docsWide(spark, dir))
+
+  /** Library form over any (doc_id, text) frame. */
+  def repetitionStatsOf(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val pairs = docs
+      .select(col("doc_id"), explode(zip_with(t, slice(t, lit(2), size(t)),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .filter(col("p.w2").isNotNull)
+    pairs.groupBy(col("doc_id"), col("p.w1"), col("p.w2"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max("n").as("top_bigram_n"))
+      .withColumn("dup_bigram_frac",
+        (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") / col("n_bigrams"))
+      .withColumn("top_bigram_share",
+        col("top_bigram_n").cast("double") / col("n_bigrams"))
+      .select("doc_id", "n_bigrams", "n_distinct_bigrams", "dup_bigram_frac",
+        "top_bigram_share")
+      .orderBy("doc_id")
+  }
+
   /** x27: per-source quota capping — web corpora cap documents per domain
     * so no single host dominates training. Keeps the first `maxPerSource`
     * docs per source in md5(doc_id) order: a deterministic "random"

@@ -169,6 +169,26 @@ class LlmSpec extends SparkSpec {
     assert(subset == s1.filter(_._1 < 100))
   }
 
+  test("repetition stats: planted boilerplate scores high, varied text low") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam"),            // 3 bigrams, all (spam,spam)
+      (2L, "one two three four five"),        // 4 distinct bigrams
+      (3L, "solo")                            // <2 tokens → no output row
+    ).toDF("doc_id", "text")
+    val r = TextStats.repetitionStatsOf(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(1L, 2L))
+    assert(r(1L).getAs[Double]("dup_bigram_frac") == 2.0 / 3)
+    assert(r(1L).getAs[Double]("top_bigram_share") == 1.0)
+    assert(r(2L).getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(r(2L).getAs[Double]("top_bigram_share") == 0.25)
+    // corpus-wide: fractions stay in [0, 1]
+    val c = TextStats.repetitionStats(spark, sfDir)
+    assert(c.filter(col("dup_bigram_frac") < 0 || col("dup_bigram_frac") > 1
+      || col("top_bigram_share") <= 0 || col("top_bigram_share") > 1).count() == 0)
+  }
+
   test("dedup clusters: label propagation resolves multi-hop components") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 round), triangle 10-11-12,
