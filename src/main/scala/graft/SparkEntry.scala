@@ -680,9 +680,9 @@ object SparkEntry {
        "idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tok), " +
        "p AS (SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT)+1] AS w2 FROM idx), " +
        "c AS (SELECT doc_id, w1, w2, count(*) AS n FROM p GROUP BY 1, 2, 3) " +
-       "SELECT doc_id, sum(n) AS n_bigrams, count(*) AS n_distinct_bigrams, " +
-       "CAST(sum(n) - count(*) AS DOUBLE)/sum(n) AS dup_bigram_frac, " +
-       "CAST(max(n) AS DOUBLE)/sum(n) AS top_bigram_share " +
+       "SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams, count(*) AS n_distinct_bigrams, " +
+       "CAST(sum(n) - count(*) AS DOUBLE)/CAST(sum(n) AS BIGINT) AS dup_bigram_frac, " +
+       "CAST(max(n) AS DOUBLE)/CAST(sum(n) AS BIGINT) AS top_bigram_share " +
        "FROM c GROUP BY doc_id ORDER BY doc_id"),
     "e4_funnel" ->
       ("WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events WHERE event_type='view' GROUP BY 1), " +
