@@ -79,6 +79,7 @@ object SparkEntry {
         .orderBy("event_id")),
     "x2b_minhash_md5" -> ((s: SparkSession, d: String) => DocDedup.minhashMd5(s, d)),
     "x4b_simhash_md5" -> ((s: SparkSession, d: String) => DocDedup.simhashMd5(s, d)),
+    "x4c_simhash_pairs" -> ((s: SparkSession, d: String) => DocDedup.simhashPairsMd5(s, d)),
     "x14_topk_operator" -> ((s: SparkSession, d: String) => {
       graft.functions.GraftFunctions.register(s) // idempotent: strategy + functions
       graft.plans.TopKPerKey(Tables.lineitem(s, d), Seq(col("l_returnflag")),
@@ -254,13 +255,17 @@ object SparkEntry {
        "FROM lineitem) SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM r " +
        "WHERE rn <= 3 ORDER BY l_returnflag, l_orderkey, l_linenumber"),
     "x4b_simhash_md5" ->
-      ("WITH h AS (SELECT doc_id, list_transform(string_split(text, ' '), t -> " +
-       "CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)) AS hs FROM documents) " +
-       "SELECT doc_id, (" +
-       (0 until 16).map(i =>
-         s"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
-         s"THEN CAST(1 AS BIGINT) << $i ELSE 0 END)").mkString(" + ") +
-       ") AS simhash16 FROM h ORDER BY doc_id"),
+      (s"WITH $simhash16Cte SELECT doc_id, simhash16 FROM sh16 ORDER BY doc_id"),
+    "x4c_simhash_pairs" ->
+      (s"WITH $simhash16Cte, " +
+       "ch AS (SELECT doc_id, simhash16, i, CASE WHEN i = 0 THEN simhash16 & 255 " +
+       "ELSE (simhash16 >> 8) & 255 END AS chunk FROM sh16, range(0, 2) r(i)), " +
+       "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, " +
+       "a.simhash16 AS sa, b.simhash16 AS sb FROM ch a " +
+       "JOIN ch b ON a.i = b.i AND a.chunk = b.chunk AND a.doc_id < b.doc_id) " +
+       "SELECT id_a, id_b, hamming FROM (SELECT id_a, id_b, " +
+       "CAST(bit_count(xor(sa, sb)) AS INT) AS hamming FROM cand) " +
+       "WHERE hamming <= 1 ORDER BY id_a, id_b"),
     "p9_anomaly_tag" ->
       (s"$taggedCte SELECT l_orderkey, l_linenumber, rejection_reason FROM t " +
        "ORDER BY l_orderkey, l_linenumber"),
@@ -725,6 +730,18 @@ object SparkEntry {
     "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard " +
     "FROM cand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b) " +
     "WHERE jaccard >= 0.5"
+
+  /** 16-bit md5-witness simhash construction (shared by x4b and the x4c
+    * blocking pipeline): token hash = first 60 bits of md5(token); bit i =
+    * sign of Σ ±1 votes (mirror of DocDedup.simhashMd5). */
+  private val simhash16Cte: String =
+    "h AS (SELECT doc_id, list_transform(string_split(text, ' '), t -> " +
+    "CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)) AS hs FROM documents), " +
+    "sh16 AS (SELECT doc_id, (" +
+    (0 until 16).map(i =>
+      s"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+      s"THEN CAST(1 AS BIGINT) << $i ELSE 0 END)").mkString(" + ") +
+    ") AS simhash16 FROM h)"
 
   /** k-means assignment CTE (x26/x26b): nearest of the k=8 seed centroids
     * by squared L2, ties to the smaller cell_id — the DuckDB mirror of

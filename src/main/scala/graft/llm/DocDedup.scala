@@ -174,6 +174,33 @@ object DocDedup {
       .orderBy("doc_id")
   }
 
+  /** md5-witness SimHash near-dup PIPELINE (oracle-checked end to end —
+    * the simhash analogue of x15): 16-bit md5 simhash, blocked on 2×8-bit
+    * chunks, exact hamming filter. Blocking is EXACT for hamming ≤ 1
+    * (pigeonhole: one bit flip cannot touch both chunks), which is why
+    * maxHamming is capped; the production path (`simhashPairs`, 64-bit /
+    * 4 chunks) covers hamming ≤ 3 the same way. */
+  def simhashPairsMd5(spark: SparkSession, dir: String, maxHamming: Int = 1): DataFrame = {
+    require(maxHamming <= 1, "2-chunk blocking is exact only for hamming <= 1")
+    // barrier: see simhashPairs
+    val sh = simhashMd5(spark, dir).localCheckpoint(eager = false)
+    val chunked = sh.select(col("doc_id"), col("simhash16"),
+      posexplode(array(col("simhash16").bitwiseAND(255L),
+        shiftright(col("simhash16"), 8).bitwiseAND(255L)))
+        .as(Seq("chunk_idx", "chunk")))
+    val a = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("id_a"), col("simhash16").as("sh_a"))
+    val b = chunked.select(col("chunk_idx").as("ci"), col("chunk").as("ch"),
+      col("doc_id").as("id_b"), col("simhash16").as("sh_b"))
+    a.join(b, col("chunk_idx") === col("ci") && col("chunk") === col("ch")
+        && col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   def simhashDigest(spark: SparkSession, dir: String): DataFrame =
     docsWide(spark, dir)
       .select(col("doc_id"), simhash(tokensCol).as("simhash"))
