@@ -116,11 +116,13 @@ object Aggs {
     * hit the star schema, not the raw trips. Dim broadcast; fact scan only. */
   def factDashboard(spark: SparkSession, dir: String): DataFrame = {
     val star = graft.warehouse.StarSchema
-    // lazy localCheckpoint barriers (GC-released, no CacheManager pinning):
-    // dims are built once and reused across the fact joins and the lookup
-    val pay = star.dimPayment(spark, dir).localCheckpoint(eager = false)
-    val fact = star.factTripsWith(spark, dir, star.dimTime(spark, dir),
-      star.dimLocation(spark, dir).localCheckpoint(eager = false), pay)
+    // one-scan grouping-sets dim build (see StarSchema.dims) + lazy
+    // localCheckpoint barriers (GC-released, no CacheManager pinning) on
+    // the dims reused across the fact joins and the final lookup
+    val (t, loc, pay0) = star.dims(spark, dir)
+    val pay = pay0.localCheckpoint(eager = false)
+    val fact = star.factTripsWith(spark, dir, t,
+      loc.localCheckpoint(eager = false), pay)
     fact.join(broadcast(pay), Seq("payment_pk"))
       .groupBy("payment_type")
       .agg(round(sum("fare_amount"), 2).as("total_amount"), count(lit(1)).as("n_trips"))

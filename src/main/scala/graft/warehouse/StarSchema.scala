@@ -77,16 +77,16 @@ object StarSchema {
     * (load.py:155-172), measures rounded to the NUMERIC(8,2) contract
     * (load.py:209-220), CHECK(>0) constraints as validation filters
     * (load.py:52-57), trip_id as a deterministic BIGSERIAL analogue. */
-  def factTrips(spark: SparkSession, dir: String): DataFrame =
-    factTripsWith(spark, dir, dimTime(spark, dir),
-      // build dim_location ONCE and share it between the PU/DO aliases —
-      // without reuse each alias re-runs the union+distinct+window (2 extra
-      // lineitem scans and 2 shuffles per alias). Lazy localCheckpoint:
-      // plan-time barrier with no eager job (the eager variant measured
-      // ~3× slower here), released by GC instead of pinned in the
-      // CacheManager like persist().
-      dimLocation(spark, dir).localCheckpoint(eager = false),
-      dimPayment(spark, dir))
+  def factTrips(spark: SparkSession, dir: String): DataFrame = {
+    // all three dims from the ONE-SCAN grouping-sets path (`dims`): at
+    // 100 TB the repeated fact scans are 3× the IO of the dim build.
+    // dim_location gets its own lazy-localCheckpoint barrier: it is shared
+    // between the PU/DO aliases — without the barrier each alias re-runs
+    // the union+distinct+window (and the zone join would print as a 5th
+    // BroadcastHashJoin inside the fact plan).
+    val (t, loc, pay) = dims(spark, dir)
+    factTripsWith(spark, dir, t, loc.localCheckpoint(eager = false), pay)
+  }
 
   /** Scale path: all three dims from ONE scan of the fact table via
     * grouping sets, instead of three separate scans. At 100 TB the repeated
