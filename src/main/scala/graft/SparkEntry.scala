@@ -162,6 +162,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
         .orderBy("window_start", "event_type")),
     "e2_sessionize" -> ((s: SparkSession, d: String) => Funcs.sessionizeEvents(s, d)),
+    // the stream-stream interval join run on its BATCH twin (unified API):
+    // gates the streaming operator's join semantics against the oracle
+    "e5_click_view_join" -> ((s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+      graft.streaming.EventsStream.clickViewJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "view"))
+        .orderBy("click_id", "view_id")
+    }),
     "d6_distinct_agg" -> ((s: SparkSession, d: String) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -541,6 +550,13 @@ object SparkEntry {
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g) " +
        "SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end " +
        "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+    "e5_click_view_join" ->
+      ("SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts, " +
+       "v.event_id AS view_id, v.ts AS view_ts " +
+       "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c " +
+       "JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v " +
+       "ON c.user_id = v.user_id AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR " +
+       "ORDER BY click_id, view_id"),
     "d6_distinct_agg" ->
       ("SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers, " +
        "count(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
