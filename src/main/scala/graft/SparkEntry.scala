@@ -203,6 +203,7 @@ object SparkEntry {
     "x6_ann_topk" -> ((s: SparkSession, d: String) => Similarity.topKBruteForce(s, d)),
     "x12_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.topKIvf(s, d)),
     "x24_vector_stats" -> ((s: SparkSession, d: String) => Similarity.vectorStats(s, d)),
+    "x29_quantize_int8" -> ((s: SparkSession, d: String) => Similarity.quantizeInt8(s, d)),
     "x7_lang_id" -> (TextStats.langId _),
     "x8_quality_score" -> (TextStats.qualityScore _),
     "x9_token_count" -> (TextStats.tokenCount _),
@@ -633,6 +634,13 @@ object SparkEntry {
        "list_max(list_transform(vec, x -> abs(x))) AS max_abs, " +
        "vec[1] / sqrt(list_sum(list_transform(vec, x -> x*x))) AS unit_first " +
        "FROM v ORDER BY vec_id"),
+    "x29_quantize_int8" ->
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings), " +
+       "s AS (SELECT vec_id, vec, greatest(list_max(list_transform(vec, x -> abs(x)))/127.0, 1e-30) AS scale FROM v), " +
+       "q AS (SELECT vec_id, scale, vec, list_transform(vec, x -> CAST(floor(x/scale + 0.5) AS INT)) AS qv FROM s) " +
+       "SELECT vec_id, scale, array_to_string(qv, ',') AS q_csv, " +
+       "list_max(list_transform(list_zip(vec, qv), t -> abs(t[1] - t[2]*scale))) AS max_abs_err " +
+       "FROM q ORDER BY vec_id"),
     "x7_lang_id" ->
       ("SELECT doc_id, score_en, score_de, score_fr, score_es, " +
        "CASE WHEN score_en = best AND best > 0 THEN 'en' WHEN score_de = best AND best > 0 THEN 'de' " +

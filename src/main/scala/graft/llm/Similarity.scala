@@ -150,6 +150,28 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** x29: symmetric int8 scalar quantization of embeddings — the
+    * storage/bandwidth step before ANN indexing at corpus scale (4× smaller
+    * than float32; dot products stay SIMD-friendly). Per vector:
+    * scale = max|x|/127, q_i = ⌊x_i/scale + 0.5⌋ (floor-plus-half, NOT
+    * `round`: the two engines agree bit-for-bit on floor over identical
+    * IEEE intermediates, while round's half-case tie-breaking is
+    * engine-defined). One scan, pure codegen'd HOFs; emits the quantized
+    * vector as CSV (the harness hashes flat cells) plus the max absolute
+    * reconstruction error. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val vec = asDouble(col("embedding"))
+    Tables.embeddings(spark, dir)
+      .withColumn("scale",
+        greatest(array_max(transform(vec, x => abs(x))) / 127.0, lit(1e-30)))
+      .withColumn("qv", transform(vec, x => floor(x / col("scale") + 0.5).cast("int")))
+      .select(col("vec_id"), col("scale"),
+        array_join(col("qv").cast("array<string>"), ",").as("q_csv"),
+        array_max(zip_with(vec, col("qv"),
+          (x, q) => abs(x - q * col("scale")))).as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
   /** ANN near-dup pairs via MULTI-TABLE random-hyperplane LSH — the scale
     * path for embedding near-dup (the all-pairs `nearDupPairs` is its
     * small-scale verifier). Candidates are pairs sharing a full

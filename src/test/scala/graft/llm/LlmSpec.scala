@@ -189,6 +189,24 @@ class LlmSpec extends SparkSpec {
       || col("top_bigram_share") <= 0 || col("top_bigram_share") > 1).count() == 0)
   }
 
+  test("BPE trainer: merge sequence and greedy non-overlapping rewrite") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val (merges, corpus) = BpeTrainer.train(docs, nMerges = 5, sep = "+")
+    // round 0: (a,b) appears 4× corpus-wide; round 1: (a+b,a+b) 2× in doc 1
+    // (greedy: first two a+b merge, the third survives); then nothing ≥ 2
+    assert(merges.map(m => (m.w1, m.w2, m.n)) ==
+      Seq(("a", "b", 4L), ("a+b", "a+b", 2L)))
+    val toks = corpus.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(toks(1L) == Seq("a+b+a+b", "a+b"))
+    assert(toks(2L) == Seq("a+b", "c"))
+    // overlap semantics: "a a a" merges once, the middle token is consumed
+    val tri = Seq((1L, "a a a")).toDF("doc_id", "text")
+      .select(BpeTrainer.mergePair(split($"text", " "), "a", "a", "+").as("t"))
+      .head().getSeq[String](0)
+    assert(tri == Seq("a+a", "a"))
+  }
+
   test("dedup clusters: label propagation resolves multi-hop components") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 round), triangle 10-11-12,
