@@ -118,6 +118,7 @@ object SparkEntry {
     "win_decile_by_group" -> (Funcs.decileByGroup _),
     "x15_ngram_jaccard" -> ((s: SparkSession, d: String) => DocDedup.ngramJaccardPairs(s, d)),
     "x17_dedup_clusters" -> ((s: SparkSession, d: String) => DocDedup.dedupClustersGate(s, d)),
+    "x30_dedup_apply" -> ((s: SparkSession, d: String) => DocDedup.dedupApply(s, d)),
     "x16_token_freq" -> ((s: SparkSession, d: String) => graft.llm.TextStats.tokenFreq(s, d)),
     "x18_hash_split" -> ((s: SparkSession, d: String) => graft.llm.TextStats.hashSplit(s, d)),
     "x22_top_terms" -> ((s: SparkSession, d: String) => graft.llm.TextStats.topTerms(s, d)),
@@ -400,6 +401,18 @@ object SparkEntry {
        "UNION SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node) " +
        "SELECT node AS doc_id, min(lab) AS cluster_id FROM reach " +
        "GROUP BY node ORDER BY doc_id"),
+    // the deduped corpus: drop every node whose component min-label is not
+    // itself (keeper = min doc_id per connected component, as in x17)
+    "x30_dedup_apply" ->
+      (s"WITH RECURSIVE pairs AS ($x15PairsSql), " +
+       "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+       "UNION ALL SELECT id_b, id_a FROM pairs), " +
+       "reach(node, lab) AS (SELECT src, src FROM (SELECT DISTINCT src FROM e) " +
+       "UNION SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node), " +
+       "losers AS (SELECT node FROM (SELECT node, min(lab) AS cluster_id FROM reach " +
+       "GROUP BY node) WHERE cluster_id <> node) " +
+       "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM losers) " +
+       "ORDER BY doc_id"),
     "x16_token_freq" ->
       ("SELECT token, count(*) AS n FROM " +
        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +

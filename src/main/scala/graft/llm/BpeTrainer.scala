@@ -59,6 +59,17 @@ object BpeTrainer {
     * and its round index (0-based — the apply order at tokenize time). */
   final case class Merge(w1: String, w2: String, n: Long, round: Int)
 
+  /** Tokenize-time twin of `train`: apply an ordered merge table by
+    * folding the rules in learned order — the plan composes one fold per
+    * rule, fine for the small merge tables trained here (a production
+    * tokenizer with 50k merges would compile the table into a single
+    * trie-walking expression instead; same dataflow, zero shuffles). */
+  def tokenize(docs: DataFrame, merges: Seq[Merge], sep: String = ""): DataFrame =
+    merges.sortBy(_.round).foldLeft(
+      docs.select(col("doc_id"), split(col("text"), " ").as("toks"))) {
+      (c, m) => c.withColumn("toks", mergePair(col("toks"), m.w1, m.w2, sep))
+    }
+
   /** Train `nMerges` rounds over a (doc_id, text) frame; stops early when
     * no pair reaches `minCount`. Returns the ordered merge table and the
     * rewritten corpus (doc_id, toks). Ties break deterministically on

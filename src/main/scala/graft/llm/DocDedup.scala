@@ -327,6 +327,21 @@ object DocDedup {
   def dedupClustersGate(spark: SparkSession, dir: String): DataFrame =
     dedupClusters(ngramJaccardPairs(spark, dir).drop("jaccard"))
 
+  /** x30: APPLY the dedup — the end product of the whole pipeline: the
+    * corpus with every non-canonical near-duplicate removed (keeper = the
+    * cluster's minimum doc_id, i.e. the row whose label equals itself).
+    * One anti-join of the corpus against the (tiny) loser set; at lake
+    * scale the loser list is the persisted artifact a re-run would reuse. */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val losers = dedupClustersGate(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    Tables.documents(spark, dir)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** Exact token-3-gram Jaccard for given candidate pairs (id_a, id_b):
     * |A∩B| / |A∪B| via array_intersect/array_union on distinct shingles. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {

@@ -205,6 +205,21 @@ class LlmSpec extends SparkSpec {
       .select(BpeTrainer.mergePair(split($"text", " "), "a", "a", "+").as("t"))
       .head().getSeq[String](0)
     assert(tri == Seq("a+a", "a"))
+    // tokenize with the learned table reproduces the trained corpus exactly
+    val retok = BpeTrainer.tokenize(docs, merges, sep = "+").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(retok == toks)
+  }
+
+  test("dedup apply: losers removed, keepers and unpaired docs survive") {
+    val clusters = DocDedup.dedupClustersGate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val losers = clusters.collect { case (d, c) if d != c => d }.toSet
+    val kept = DocDedup.dedupApply(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val all = graft.Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == all -- losers)
+    assert(losers.nonEmpty, "fixture plants near-dups, so some docs must drop")
   }
 
   test("dedup clusters: label propagation resolves multi-hop components") {
