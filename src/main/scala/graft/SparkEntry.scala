@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.{Aggs, Dedup, Etl, Funcs, Joins}
 import graft.warehouse.StarSchema
-import graft.llm.{DocDedup, Multimodal, Similarity, TextStats}
+import graft.llm.{Curation, DocDedup, Multimodal, Similarity, TextStats}
 
 /** Driver contract — see SURVEY.md §7. Each entry is one operator from the
   * SURVEY.md §2 inventory, with equivalent ANSI SQL for the DuckDB oracle.
@@ -218,6 +218,10 @@ object SparkEntry {
     "x26b_kmeans_assign" -> ((s: SparkSession, d: String) => graft.llm.Clustering.assign(s, d)),
     "x27_source_quota" -> ((s: SparkSession, d: String) => TextStats.sourceQuota(s, d)),
     "x28_repetition" -> ((s: SparkSession, d: String) => TextStats.repetitionStats(s, d)),
+    "x31_decontaminate" -> ((s: SparkSession, d: String) => Curation.decontaminate(s, d)),
+    "x32_mixture_weights" -> ((s: SparkSession, d: String) => Curation.mixtureWeights(s, d)),
+    "x33_shuffle_shards" -> ((s: SparkSession, d: String) => Curation.shuffleShards(s, d)),
+    "x34_clean_text" -> ((s: SparkSession, d: String) => Curation.cleanText(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -726,6 +730,40 @@ object SparkEntry {
        "CAST(sum(n) - count(*) AS DOUBLE)/CAST(sum(n) AS BIGINT) AS dup_bigram_frac, " +
        "CAST(max(n) AS DOUBLE)/CAST(sum(n) AS BIGINT) AS top_bigram_share " +
        "FROM c GROUP BY doc_id ORDER BY doc_id"),
+    "x31_decontaminate" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
+       "list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
+       "ELSE [array_to_string(t, ' ')] END AS s FROM tok), " +
+       "flat AS (SELECT DISTINCT doc_id, " +
+       "CAST(concat('0x', substr(md5(sx), 1, 15)) AS BIGINT) AS h " +
+       "FROM (SELECT doc_id, unnest(s) AS sx FROM sh)), " +
+       "bench AS (SELECT DISTINCT h FROM flat WHERE doc_id % 17 = 0), " +
+       "corpus AS (SELECT doc_id, h FROM flat WHERE doc_id % 17 <> 0) " +
+       "SELECT c.doc_id, count(*) AS n_shingles, count(b.h) AS n_hits, " +
+       "CAST(count(b.h) * 5 >= count(*) AS INT) AS contaminated " +
+       "FROM corpus c LEFT JOIN bench b USING (h) GROUP BY 1 ORDER BY 1"),
+    "x32_mixture_weights" ->
+      ("WITH s AS (SELECT source, count(*) AS n_docs, " +
+       "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM documents GROUP BY 1), " +
+       "q AS (SELECT source, n_docs, n_tokens, " +
+       "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS sqrt_scaled FROM s) " +
+       "SELECT source, n_docs, n_tokens, sqrt_scaled, " +
+       "CAST(sqrt_scaled AS DOUBLE) / CAST(sum(sqrt_scaled) OVER () AS DOUBLE) AS weight " +
+       "FROM q ORDER BY source"),
+    "x33_shuffle_shards" ->
+      ("WITH h AS (SELECT doc_id, " +
+       "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM documents) " +
+       "SELECT doc_id, CAST(h % 8 AS INT) AS shard, " +
+       "CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos " +
+       "FROM h ORDER BY shard, pos"),
+    "x34_clean_text" ->
+      ("WITH c AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS ct " +
+       "FROM documents), " +
+       "t AS (SELECT doc_id, list_filter(string_split(ct, ' '), x -> len(x) >= 3 " +
+       "AND x NOT IN ('the', 'a', 'of', 'and', 'to', 'in')) AS toks FROM c) " +
+       "SELECT doc_id, array_to_string(toks, ' ') AS clean_text, " +
+       "CAST(len(toks) AS INT) AS n_tokens_kept FROM t ORDER BY doc_id"),
     "e4_funnel" ->
       ("WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events WHERE event_type='view' GROUP BY 1), " +
        "c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e " +

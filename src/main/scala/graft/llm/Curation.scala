@@ -1,0 +1,129 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation stages for a large-scale training-data pipeline, over
+  * the `documents` table: benchmark decontamination (n-gram overlap with a
+  * held-out eval set), source mixture weights (temperature sampling),
+  * deterministic global shuffle + sharding, and text cleaning.
+  *
+  * Scale design: every stage is a single scan plus at most one shuffle on
+  * short keys. Decontamination joins the corpus's shingle hashes against a
+  * broadcast eval-set hash set — eval benchmarks are MBs even when the
+  * corpus is 100 TB, so the build side always fits in a broadcast.
+  */
+object Curation {
+
+  /** Documents scan repartitioned to cores (see DocDedup.docsWide): the
+    * per-row hashing below is CPU-bound, so a single-file local scan must
+    * not pin the stage to one task. At lake scale the scan already has
+    * thousands of splits and AQE coalesces this exchange away. */
+  private def docsWide(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+
+  /** md5-derived 60-bit non-negative long: the cross-engine hash used by
+    * every oracle-checked curation stage (DuckDB mirror:
+    * `CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)`). */
+  private def md5Long(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Per-doc DISTINCT shingle hashes (3-token shingles, DocDedup's
+    * construction). The distinct collapses repeated shingles map-side
+    * before anything downstream shuffles. */
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(DocDedup.shingles(DocDedup.tokensCol)).as("s"))
+      .select(col("doc_id"), md5Long(col("s")).as("h"))
+      .distinct()
+
+  /** x31: benchmark decontamination — the standard pre-training hygiene
+    * step (n-gram collision against the eval suite; reference pipelines
+    * drop or flag any training doc sharing a large shingle fraction with a
+    * benchmark). Here the deterministic eval split is `doc_id % mod == 0`;
+    * a corpus doc is contaminated when >= tauNum/tauDen of its distinct
+    * 3-token shingles appear anywhere in the eval set.
+    *
+    * The threshold compare is pure integer arithmetic
+    * (`n_hits * tauDen >= n_shingles * tauNum`) so the oracle hashes
+    * bit-identically — no float ratio crosses the engine boundary.
+    *
+    * 100 TB: eval shingle hashes broadcast (tiny); the corpus side is one
+    * scan + per-doc distinct + map-side-combinable count aggregate. */
+  def decontaminate(spark: SparkSession, dir: String, mod: Int = 17,
+      tauNum: Int = 1, tauDen: Int = 5): DataFrame = {
+    val docs = docsWide(spark, dir)
+    val bench = shingleHashes(docs.filter(col("doc_id") % mod === 0))
+      .select("h").distinct().withColumn("bh", lit(1))
+    shingleHashes(docs.filter(col("doc_id") % mod =!= 0))
+      .join(broadcast(bench), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("bh")).as("n_hits"))
+      .withColumn("contaminated",
+        (col("n_hits") * tauDen >= col("n_shingles") * tauNum).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** x32: source mixture weights — temperature sampling over sources with
+    * alpha = 0.5 (weight_i proportional to sqrt(n_i), the multilingual /
+    * multi-corpus rebalancing rule). `sqrt_scaled = floor(sqrt(n_docs)*1e6)`
+    * quantizes the only float to an exact integer BEFORE the cross-row sum,
+    * so the normalizing total is association-order-independent and the
+    * final weight is one double division of two exact longs — bit-identical
+    * in any engine.
+    *
+    * 100 TB: one map-side-combined aggregate to #sources rows; the global
+    * window runs on that tiny result, not the corpus. */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("sqrt_scaled",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+    perSource
+      .withColumn("weight",
+        col("sqrt_scaled").cast("double") /
+          sum("sqrt_scaled").over(Window.partitionBy()).cast("double"))
+      .select("source", "n_docs", "n_tokens", "sqrt_scaled", "weight")
+      .orderBy("source")
+  }
+
+  /** x33: deterministic global shuffle + sharding — the "shuffle the
+    * corpus before training" step, made reproducible: order key =
+    * md5(doc_id), shard = key mod `shards`, pos = rank within shard. Any
+    * engine (or a re-run after appends to OTHER shards) reproduces the
+    * same placement.
+    *
+    * 100 TB: one hash shuffle on `shard` + an in-partition sort — exactly
+    * the write pattern of a sharded training-data export
+    * (`repartition(shard).sortWithinPartitions(h)`). */
+  def shuffleShards(spark: SparkSession, dir: String, shards: Int = 8): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5Long(col("doc_id").cast("string")).as("h"))
+      .withColumn("shard", (col("h") % shards).cast("int"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+
+  /** Stopword list for cleanText — standard English function words. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** x34: text cleaning — lowercase, strip non-alphanumerics, drop
+    * stopwords and tokens shorter than 3 chars, re-join. Pure codegen'd
+    * higher-order functions (no UDF): one scan at any scale. */
+  def cleanText(spark: SparkSession, dir: String): DataFrame = {
+    val stripped = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
+    val kept = filter(split(stripped, " "),
+      t => length(t) >= 3 && !t.isInCollection(stopwords))
+    docsWide(spark, dir)
+      .select(col("doc_id"), kept.as("toks"))
+      .select(col("doc_id"),
+        array_join(col("toks"), " ").as("clean_text"),
+        size(col("toks")).as("n_tokens_kept"))
+      .orderBy("doc_id")
+  }
+}

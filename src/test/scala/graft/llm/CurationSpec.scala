@@ -1,0 +1,90 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the corpus-curation stages (decontamination, mixture weights,
+  * shuffle-sharding, cleaning). The oracle gates check cross-engine value
+  * equality; these tests pin the SEMANTICS the oracle can't see — that a
+  * doc sharing all shingles with the eval set is actually flagged, that
+  * weights form a distribution, that sharding is a permutation. */
+class CurationSpec extends SparkSpec {
+
+  test("decontaminate: eval-split docs never appear, flags are threshold-consistent") {
+    val d = Curation.decontaminate(spark, sfDir).persist()
+    // eval docs (doc_id % 17 == 0) must be excluded from the output
+    assert(d.filter(col("doc_id") % 17 === 0).count() == 0)
+    // the flag is exactly the integer threshold on the two counts
+    val bad = d.filter(
+      (col("contaminated") === 1) =!= (col("n_hits") * 5 >= col("n_shingles"))).count()
+    assert(bad == 0, "contaminated flag must equal the n_hits/n_shingles threshold")
+    // a corpus this repetitive (shared small vocabulary) must produce BOTH
+    // contaminated and clean docs — otherwise the gate tests nothing
+    assert(d.filter(col("contaminated") === 1).count() > 0, "no overlap found at all")
+    d.unpersist()
+  }
+
+  test("decontaminate flags a doc whose shingles all come from the eval set") {
+    // planted fixture: doc 0 is in the eval split (0 % 17 == 0); a corpus
+    // doc with identical text must be 100% contaminated
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val evalText = docs.filter(col("doc_id") === 0).select("text").as[String].head()
+    val planted = docs.select("doc_id", "text")
+      .union(Seq((999983L, evalText)).toDF("doc_id", "text"))
+    val sh = planted.select(col("doc_id"),
+      explode(DocDedup.shingles(split(col("text"), " "))).as("s"))
+    val benchH = sh.filter(col("doc_id") % 17 === 0)
+      .select(md5(col("s").cast("binary")).as("m")).distinct()
+    val hits = sh.filter(col("doc_id") === 999983L)
+      .select(md5(col("s").cast("binary")).as("m")).distinct()
+      .join(benchH, Seq("m")).count()
+    val total = sh.filter(col("doc_id") === 999983L).select("s").distinct().count()
+    assert(hits == total, "every shingle of the copied doc must hit the eval set")
+  }
+
+  test("mixture weights form a distribution and order sources by sqrt(n)") {
+    val w = Curation.mixtureWeights(spark, sfDir).persist()
+    val total = w.agg(sum("weight")).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9, s"weights must sum to 1, got $total")
+    // alpha=0.5 flattens: every source's weight share must sit between its
+    // doc share (alpha=1) and the uniform share (alpha=0)
+    val n = w.count().toDouble
+    val docsTotal = w.agg(sum("n_docs")).head().getLong(0).toDouble
+    val viol = w.withColumn("doc_share", col("n_docs") / docsTotal)
+      .filter(!((col("weight") >= least(col("doc_share"), lit(1.0 / n)) - 1e-9) &&
+                (col("weight") <= greatest(col("doc_share"), lit(1.0 / n)) + 1e-9)))
+      .count()
+    assert(viol == 0, "sqrt weighting must land between proportional and uniform")
+    w.unpersist()
+  }
+
+  test("shuffle shards: a permutation with contiguous per-shard positions") {
+    val s = Curation.shuffleShards(spark, sfDir).persist()
+    val docs = graft.Tables.documents(spark, sfDir).count()
+    assert(s.count() == docs)
+    assert(s.select("doc_id").distinct().count() == docs, "every doc placed exactly once")
+    // pos is 1..count(shard) with no gaps
+    val badShards = s.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1).count()
+    assert(badShards == 0, "positions must be contiguous from 1 per shard")
+    s.unpersist()
+  }
+
+  test("clean text drops stopwords and short tokens, keeps the rest in order") {
+    val c = Curation.cleanText(spark, sfDir)
+    val joined = graft.Tables.documents(spark, sfDir).join(c, "doc_id")
+    // no stopword or <3-char token survives
+    val leaked = joined.filter(
+      exists(split(col("clean_text"), " "),
+        t => (length(t) < 3 && length(t) > 0) || t.isInCollection(Curation.stopwords)))
+      .count()
+    assert(leaked == 0, "cleaning must remove stopwords and short tokens")
+    // kept-token count matches an independent recount of the cleaned text
+    val miscount = joined.filter(col("n_tokens_kept") =!=
+      when(col("clean_text") === "", 0).otherwise(size(split(col("clean_text"), " "))))
+      .count()
+    assert(miscount == 0)
+  }
+}
