@@ -210,6 +210,7 @@ object SparkEntry {
     "x9_token_count" -> (TextStats.tokenCount _),
     "x10_fingerprint" -> (TextStats.fingerprint _),
     "x11_rolling_fingerprint" -> (TextStats.rollingFingerprint _),
+    "x11b_winnow" -> ((s: SparkSession, d: String) => TextStats.winnow(s, d)),
     "m1_media_stats" -> (Multimodal.mediaStats _),
     "m2_media_resize" -> ((s: SparkSession, d: String) => Multimodal.mediaResize(s, d)),
     "m3_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -730,6 +731,19 @@ object SparkEntry {
        "CAST(sum(n) - count(*) AS DOUBLE)/CAST(sum(n) AS BIGINT) AS dup_bigram_frac, " +
        "CAST(max(n) AS DOUBLE)/CAST(sum(n) AS BIGINT) AS top_bigram_share " +
        "FROM c GROUP BY doc_id ORDER BY doc_id"),
+    "x11b_winnow" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "sh AS (SELECT doc_id, CASE WHEN len(t) >= 5 THEN " +
+       "list_transform(range(1, len(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])) " +
+       "ELSE [array_to_string(t, ' ')] END AS s FROM tok), " +
+       "hs AS (SELECT doc_id, list_transform(s, x -> " +
+       "CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS hl FROM sh), " +
+       "wn AS (SELECT doc_id, CASE WHEN len(hl) >= 4 THEN " +
+       "list_transform(range(1, len(hl)-2), i -> list_min(hl[i:i+3])) " +
+       "ELSE [list_min(hl)] END AS wins FROM hs), " +
+       "se AS (SELECT doc_id, list_sort(list_distinct(wins)) AS sel FROM wn) " +
+       "SELECT doc_id, CAST(len(sel) AS INT) AS n_fp, " +
+       "array_to_string(sel, ',') AS fp_csv FROM se ORDER BY doc_id"),
     "x31_decontaminate" ->
       ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
        "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +

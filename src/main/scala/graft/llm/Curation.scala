@@ -112,15 +112,21 @@ object Curation {
   /** Stopword list for cleanText — standard English function words. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
-  /** x34: text cleaning — lowercase, strip non-alphanumerics, drop
-    * stopwords and tokens shorter than 3 chars, re-join. Pure codegen'd
+  /** The x34 cleaning transform as a column function (exposed so callers
+    * and the idempotence spec can apply it to arbitrary text columns):
+    * lowercase, strip non-alphanumerics, drop stopwords and tokens shorter
+    * than 3 chars. */
+  def cleanedTokens(text: Column): Column = {
+    val stripped = regexp_replace(lower(text), "[^a-z0-9 ]", "")
+    filter(split(stripped, " "),
+      t => length(t) >= 3 && !t.isInCollection(stopwords))
+  }
+
+  /** x34: text cleaning — `cleanedTokens` re-joined. Pure codegen'd
     * higher-order functions (no UDF): one scan at any scale. */
   def cleanText(spark: SparkSession, dir: String): DataFrame = {
-    val stripped = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
-    val kept = filter(split(stripped, " "),
-      t => length(t) >= 3 && !t.isInCollection(stopwords))
     docsWide(spark, dir)
-      .select(col("doc_id"), kept.as("toks"))
+      .select(col("doc_id"), cleanedTokens(col("text")).as("toks"))
       .select(col("doc_id"),
         array_join(col("toks"), " ").as("clean_text"),
         size(col("toks")).as("n_tokens_kept"))

@@ -184,6 +184,36 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** x11b: winnowing fingerprint selection (the MOSS scheme) — the
+    * oracle-checked witness for the rolling-fingerprint family: from the
+    * 5-token shingle hash sequence, select the minimum of every sliding
+    * window of `w` hashes, dedup and sort the selections. Guarantees any
+    * shared run of w+4 tokens contributes a shared fingerprint, so it's
+    * the near-dup prefilter that bounds fingerprints per doc at ~n/w.
+    * Hashes are md5-derived longs (same construction DuckDB can mirror,
+    * see x2b); the production path stays xxhash64 (x11). One scan, all
+    * array ops codegen-friendly, no shuffle. */
+  def winnow(spark: SparkSession, dir: String, w: Int = 4): DataFrame = {
+    val tokens = split(col("text"), " ")
+    val n = size(tokens)
+    val shingles = when(n >= 5,
+      transform(sequence(lit(0), n - 5), i => concat_ws(" ", slice(tokens, i + 1, lit(5)))))
+      .otherwise(array(concat_ws(" ", tokens)))
+    val hashes = transform(shingles,
+      s => conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long"))
+    val nh = size(col("hl"))
+    val wins = when(nh >= w,
+      transform(sequence(lit(0), nh - w), i => array_min(slice(col("hl"), i + 1, lit(w)))))
+      .otherwise(array(array_min(col("hl"))))
+    docsWide(spark, dir)
+      .withColumn("hl", hashes)
+      .withColumn("sel", array_sort(array_distinct(wins)))
+      .select(col("doc_id"),
+        size(col("sel")).as("n_fp"),
+        array_join(transform(col("sel"), x => x.cast("string")), ",").as("fp_csv"))
+      .orderBy("doc_id")
+  }
+
   /** x25: corpus-wide adjacent token-pair counts — the inner loop of BPE
     * tokenizer training (each merge round picks the most frequent pair).
     * Pairs come from zipping the token array with its own tail — a

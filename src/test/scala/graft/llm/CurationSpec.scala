@@ -87,4 +87,58 @@ class CurationSpec extends SparkSpec {
       .count()
     assert(miscount == 0)
   }
+
+  test("cleaning is idempotent: re-cleaning cleaned text is a no-op") {
+    val c = Curation.cleanText(spark, sfDir)
+    val diff = c.filter(
+      array_join(Curation.cleanedTokens(col("clean_text")), " ") =!= col("clean_text"))
+      .count()
+    assert(diff == 0, "clean(clean(text)) must equal clean(text)")
+  }
+
+  test("shard placement is append-stable: a doc's shard ignores the rest of the corpus") {
+    // the 100 TB property that matters: appending new docs must never move
+    // existing docs to a different shard, and must preserve their relative
+    // order within a shard (only positions shift). Compare full corpus vs
+    // a half-corpus subset.
+    val full = Curation.shuffleShards(spark, sfDir).persist()
+    val subsetIds = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 0).select("doc_id")
+    val sub = subsetIds.join(full, "doc_id")
+      .select(col("doc_id"), col("shard").as("shard_full"), col("pos").as("pos_full"))
+    // recompute from scratch on the subset (simulates the smaller corpus)
+    val recomputed = Curation.shuffleShards(spark, sfDir)
+      .join(subsetIds, "doc_id") // same md5 key — placement is per-doc
+    val moved = recomputed.join(sub, "doc_id")
+      .filter(col("shard") =!= col("shard_full")).count()
+    assert(moved == 0, "shard must be a pure function of doc_id")
+    // relative order within each shard is preserved between corpus sizes
+    import org.apache.spark.sql.expressions.Window
+    val rerank = sub.withColumn("pos_sub",
+      row_number().over(Window.partitionBy("shard_full").orderBy("pos_full")))
+    val order = rerank.groupBy("shard_full")
+      .agg(count(lit(1)).as("n"), max("pos_sub").as("mx"))
+      .filter(col("mx") =!= col("n")).count()
+    assert(order == 0)
+    full.unpersist()
+  }
+
+  test("winnow fingerprints are a bounded subset of the shingle hashes") {
+    val wn = TextStats.winnow(spark, sfDir).persist()
+    // every doc yields at least one fingerprint and never more than its
+    // window-minima count; the CSV round-trips to n_fp distinct values
+    val bad = wn.filter(col("n_fp") < 1 ||
+      size(array_distinct(split(col("fp_csv"), ","))) =!= col("n_fp")).count()
+    assert(bad == 0)
+    // winnowing compresses: far fewer fingerprints than shingles on real docs
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 4).as("n_shingles"))
+      .filter(col("n_shingles") >= 4)
+    val over = wn.join(docs, "doc_id").filter(col("n_fp") > col("n_shingles")).count()
+    assert(over == 0, "cannot select more fingerprints than shingles")
+    val ratio = wn.join(docs, "doc_id")
+      .agg(avg(col("n_fp").cast("double") / col("n_shingles"))).head().getDouble(0)
+    assert(ratio < 0.75, s"winnowing should thin the fingerprint set, got $ratio")
+    wn.unpersist()
+  }
 }
