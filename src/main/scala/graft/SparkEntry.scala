@@ -223,6 +223,8 @@ object SparkEntry {
     "x32_mixture_weights" -> ((s: SparkSession, d: String) => Curation.mixtureWeights(s, d)),
     "x33_shuffle_shards" -> ((s: SparkSession, d: String) => Curation.shuffleShards(s, d)),
     "x34_clean_text" -> ((s: SparkSession, d: String) => Curation.cleanText(s, d)),
+    "x35_incremental_dedup" -> ((s: SparkSession, d: String) => DocDedup.incrementalDedup(s, d)),
+    "x36_length_filter" -> ((s: SparkSession, d: String) => Curation.lengthFilter(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -771,6 +773,25 @@ object SparkEntry {
        "SELECT doc_id, CAST(h % 8 AS INT) AS shard, " +
        "CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos " +
        "FROM h ORDER BY shard, pos"),
+    "x35_incremental_dedup" ->
+      (s"WITH $simhash16Cte, " +
+       "sig AS (SELECT d.doc_id, md5(d.text) AS ch, s.simhash16 " +
+       "FROM documents d JOIN sh16 s ON d.doc_id = s.doc_id), " +
+       "exc AS (SELECT DISTINCT ch FROM sig WHERE doc_id % 2 = 0), " +
+       "exs AS (SELECT DISTINCT simhash16 FROM sig WHERE doc_id % 2 = 0) " +
+       "SELECT s.doc_id, CASE WHEN e.ch IS NOT NULL THEN 'dup_exact' " +
+       "WHEN x.simhash16 IS NOT NULL THEN 'dup_near' ELSE 'kept' END AS status " +
+       "FROM sig s LEFT JOIN exc e ON s.ch = e.ch " +
+       "LEFT JOIN exs x ON s.simhash16 = x.simhash16 " +
+       "WHERE s.doc_id % 2 = 1 ORDER BY s.doc_id"),
+    "x36_length_filter" ->
+      ("WITH hist AS (SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1), " +
+       "c AS (SELECT n_chars, sum(cnt) OVER (ORDER BY n_chars) AS cum, " +
+       "sum(cnt) OVER () AS total FROM hist), " +
+       "th AS (SELECT min(CASE WHEN cum*100 >= total*5 THEN n_chars END) AS lo, " +
+       "min(CASE WHEN cum*100 >= total*95 THEN n_chars END) AS hi FROM c) " +
+       "SELECT doc_id, n_chars FROM documents, th " +
+       "WHERE n_chars BETWEEN lo AND hi ORDER BY doc_id"),
     "x34_clean_text" ->
       ("WITH c AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS ct " +
        "FROM documents), " +

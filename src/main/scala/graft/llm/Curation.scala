@@ -112,6 +112,60 @@ object Curation {
   /** Stopword list for cleanText — standard English function words. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
+  /** x36: corpus length filter by exact global quantiles, computed the
+    * scale-safe way: a value histogram (count per distinct n_chars) plus a
+    * running sum over the TINY distinct-value table picks the
+    * percentile_disc cutoffs without ever globally sorting the corpus —
+    * the single-partition window runs on #distinct-lengths rows, not
+    * documents. Keep = lo <= n_chars <= hi where lo/hi are the smallest
+    * values whose cumulative count reaches loPct/hiPct of the total
+    * (integer compare: cum*100 >= total*pct — no float quantile math to
+    * diverge across engines). The one-row threshold frame attaches via a
+    * broadcast nested-loop probe — with a single build row that is one
+    * comparison per doc, the same legitimate shape as the range-bin
+    * lookup (j8), and allowlisted the same way in PlanAuditSpec. */
+  def lengthFilter(spark: SparkSession, dir: String,
+      loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(Window.orderBy("n_chars")))
+      .withColumn("total", sum("cnt").over(Window.partitionBy()))
+    val th = cum.agg(
+      min(when(col("cum") * 100 >= col("total") * loPct, col("n_chars"))).as("lo"),
+      min(when(col("cum") * 100 >= col("total") * hiPct, col("n_chars"))).as("hi"))
+    docs.crossJoin(broadcast(th))
+      .filter(col("n_chars").between(col("lo"), col("hi")))
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Stream-safe decontamination: drop any doc sharing at least one
+    * 3-token shingle with the static eval-set hash table. Unlike x31's
+    * per-doc ratio (which needs an aggregate), this is a stateless row
+    * filter — the eval hashes collapse to ONE array row that attaches via
+    * a 1-row stream-static broadcast join (legal in Structured Streaming
+    * append mode, no watermark/state), and the overlap test is a
+    * codegen'd `arrays_overlap`. Works identically on a batch frame;
+    * StreamingSpec asserts stream == batch. */
+  def decontaminateAny(docs: DataFrame, benchHashes: DataFrame): DataFrame = {
+    val benchArr = broadcast(
+      benchHashes.agg(collect_set(col("h")).as("bench_hs")).withColumn("k", lit(1)))
+    docs
+      .withColumn("hs", transform(DocDedup.shingles(DocDedup.tokensCol), s => md5Long(s)))
+      .withColumn("k", lit(1))
+      .join(benchArr, Seq("k"))
+      .filter(!arrays_overlap(col("hs"), col("bench_hs")))
+      .drop("hs", "bench_hs", "k")
+  }
+
+  /** The eval-set shingle-hash table for `decontaminateAny` (batch side;
+    * a real deployment persists this tiny table once per benchmark
+    * release). */
+  def benchShingleHashes(spark: SparkSession, dir: String, mod: Int = 17): DataFrame =
+    shingleHashes(Tables.documents(spark, dir).filter(col("doc_id") % mod === 0))
+      .select("h").distinct()
+
   /** The x34 cleaning transform as a column function (exposed so callers
     * and the idempotence spec can apply it to arbitrary text columns):
     * lowercase, strip non-alphanumerics, drop stopwords and tokens shorter

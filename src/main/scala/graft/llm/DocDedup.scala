@@ -157,12 +157,17 @@ object DocDedup {
     * same cross-engine-hash trick applied to the bit-vote construction).
     * Token hash = first 60 bits of md5(token); bit i of the fingerprint =
     * sign of Σ_tokens (±1 by bit i). */
-  def simhashMd5(spark: SparkSession, dir: String, bits: Int = 16): DataFrame = {
+  def simhashMd5(spark: SparkSession, dir: String, bits: Int = 16): DataFrame =
+    simhashMd5Of(docsWide(spark, dir), bits).orderBy("doc_id")
+
+  /** The md5-SimHash construction over an arbitrary (doc_id, text) frame
+    * (shared by x4b and the incremental-ingest dedup). */
+  def simhashMd5Of(docs: DataFrame, bits: Int = 16): DataFrame = {
     // explode-then-aggregate (see minhashMd5): each token is md5-hashed
     // ONCE, with the `bits` per-bit votes as aggregate sums over the flat
     // token rows — the per-bit `aggregate(hs, …)` formulation recomputed
     // the full token-hash array for every bit (bits× the md5 work).
-    val hashed = docsWide(spark, dir)
+    val hashed = docs
       .select(col("doc_id"), explode(tokensCol).as("t"))
       .select(col("doc_id"),
         conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10).cast("long").as("h"))
@@ -171,7 +176,6 @@ object DocDedup {
       when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ + _)
     hashed.groupBy("doc_id").agg(fp.as("simhash16"))
-      .orderBy("doc_id")
   }
 
   /** md5-witness SimHash near-dup PIPELINE (oracle-checked end to end —
@@ -339,6 +343,46 @@ object DocDedup {
     Tables.documents(spark, dir)
       .join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** x35: incremental ingestion dedup — the continuous-crawl pattern: a
+    * new batch lands against the historical corpus and must not re-ingest
+    * what's already there. Here the deterministic split is existing =
+    * even doc_ids, incoming = odd. An incoming doc is dropped as
+    * `dup_exact` when its content hash matches ANY existing doc, else as
+    * `dup_near` when its 16-bit md5 simhash collides with an existing
+    * signature, else `kept`.
+    *
+    * 100 TB design: the historical side reduces to two DISTINCT signature
+    * sets (content hashes + simhashes) — the persisted index a daily
+    * ingest would maintain incrementally; both joins are hash equi-joins
+    * on short keys, and the incoming batch is scanned once behind a lazy
+    * localCheckpoint barrier (the signature agg must not recompute per
+    * branch; GC releases it, see minhashPairs). */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedupOf(docsWide(spark, dir), col("doc_id") % 2 === 0)
+
+  /** The incremental-dedup construction over an arbitrary (doc_id, text)
+    * frame with an `isExisting` predicate marking the historical side. */
+  def incrementalDedupOf(docs: DataFrame, isExisting: Column): DataFrame = {
+    val sig = docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("ch"),
+        isExisting.as("is_existing"))
+      .join(simhashMd5Of(docs), Seq("doc_id"))
+      .select("doc_id", "ch", "simhash16", "is_existing")
+      .localCheckpoint(false)
+    val exCh = sig.filter(col("is_existing"))
+      .select("ch").distinct().withColumn("ex_ch", lit(1))
+    val exSh = sig.filter(col("is_existing"))
+      .select("simhash16").distinct().withColumn("ex_sh", lit(1))
+    sig.filter(!col("is_existing"))
+      .join(exCh, Seq("ch"), "left")
+      .join(exSh, Seq("simhash16"), "left")
+      .select(col("doc_id"),
+        when(col("ex_ch") === 1, "dup_exact")
+          .when(col("ex_sh") === 1, "dup_near")
+          .otherwise("kept").as("status"))
       .orderBy("doc_id")
   }
 

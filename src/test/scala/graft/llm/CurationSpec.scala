@@ -123,6 +123,52 @@ class CurationSpec extends SparkSpec {
     full.unpersist()
   }
 
+  test("incremental dedup: planted exact / near / novel incoming docs classify correctly") {
+    import spark.implicits._
+    // existing corpus: ids 0, 2, 4; incoming batch: ids 1, 3, 5.
+    // id 1 copies id 0 byte-for-byte → dup_exact.
+    // id 3 repeats id 2's single token one extra time: different bytes,
+    // but the all-same-token simhash votes have the same sign per bit →
+    // identical simhash16 → dup_near (deterministic by construction).
+    // id 5 is unrelated → kept.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "omega omega omega omega"),
+      (3L, "omega omega omega omega omega"),
+      (4L, "filler text row"),
+      (5L, "completely different content here")
+    ).toDF("doc_id", "text")
+    val got = DocDedup.incrementalDedupOf(docs, col("doc_id") % 2 === 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "dup_exact", 3L -> "dup_near", 5L -> "kept"))
+  }
+
+  test("length filter matches an independently computed percentile_disc interval") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val lens = docs.select("n_chars").collect().map(_.getLong(0)).sorted
+    val total = lens.length
+    // percentile_disc: smallest value whose cumulative count reaches p% —
+    // computed scalar-side as the independent witness
+    def cutoff(pct: Int): Long = {
+      val counts = lens.groupBy(identity).toSeq.sortBy(_._1)
+      var cum = 0
+      var res = lens.last
+      var found = false
+      for ((v, g) <- counts) {
+        cum += g.length
+        if (!found && cum * 100 >= total * pct) { res = v; found = true }
+      }
+      res
+    }
+    val (lo, hi) = (cutoff(5), cutoff(95))
+    val expected = lens.count(v => v >= lo && v <= hi)
+    val kept = Curation.lengthFilter(spark, sfDir)
+    assert(kept.count() == expected)
+    val outside = kept.filter(col("n_chars") < lo || col("n_chars") > hi).count()
+    assert(outside == 0)
+  }
+
   test("winnow fingerprints are a bounded subset of the shingle hashes") {
     val wn = TextStats.winnow(spark, sfDir).persist()
     // every doc yields at least one fingerprint and never more than its

@@ -30,8 +30,9 @@ class PlanAuditSpec extends SparkSpec {
 
   test("non-similarity queries avoid nested-loop joins except tiny broadcast probes") {
     // BroadcastNestedLoopJoin is legitimate ONLY when the build side is a
-    // handful of literal rows (range bins) or by-design all-pairs scans
-    val allowed = allPairsByDesign + "j8_range_bin_join"
+    // handful of literal rows (range bins, the 1-row quantile-threshold
+    // frame of the length filter) or by-design all-pairs scans
+    val allowed = allPairsByDesign + "j8_range_bin_join" + "x36_length_filter"
     val offenders = plans.collect {
       case (n, p) if !allowed(n) && p.contains("BroadcastNestedLoopJoin") => n
     }

@@ -147,4 +147,32 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(ids.sorted == Seq(1L, 2L, 3L, 4L, 5L), "each event exactly once")
   }
+
+  test("stream-static decontamination filter: stream == batch, eval copies dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static side: the eval-set shingle hashes from the corpus; streamed
+    // side: a mix of corpus docs — including doc 0, which IS in the eval
+    // split (0 % 17 == 0) and must be filtered out of the stream
+    val bench = graft.llm.Curation.benchShingleHashes(spark, sfDir)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 40)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val streamIn = mem.toDF().toDF("doc_id", "text")
+    val q = graft.llm.Curation.decontaminateAny(streamIn, bench)
+      .writeStream.format("memory").queryName("decon_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("decon_test").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val batch = graft.llm.Curation.decontaminateAny(
+        docs.toDF("doc_id", "text"), bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch, "unified API: stream == batch")
+    assert(!streamed.contains(0L), "an eval-split doc shares all its shingles — dropped")
+    assert(streamed.nonEmpty, "clean docs must pass the filter")
+  }
 }
