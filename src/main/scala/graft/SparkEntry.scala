@@ -225,6 +225,7 @@ object SparkEntry {
     "x34_clean_text" -> ((s: SparkSession, d: String) => Curation.cleanText(s, d)),
     "x35_incremental_dedup" -> ((s: SparkSession, d: String) => DocDedup.incrementalDedup(s, d)),
     "x36_length_filter" -> ((s: SparkSession, d: String) => Curation.lengthFilter(s, d)),
+    "x37_curation_report" -> ((s: SparkSession, d: String) => TextStats.curationReport(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -792,6 +793,27 @@ object SparkEntry {
        "min(CASE WHEN cum*100 >= total*95 THEN n_chars END) AS hi FROM c) " +
        "SELECT doc_id, n_chars FROM documents, th " +
        "WHERE n_chars BETWEEN lo AND hi ORDER BY doc_id"),
+    "x37_curation_report" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tok), " +
+       "p AS (SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT)+1] AS w2 FROM idx), " +
+       "c AS (SELECT doc_id, w1, w2, count(*) AS n FROM p GROUP BY 1, 2, 3), " +
+       "rep AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams, " +
+       "count(*) AS n_distinct_bigrams, " +
+       "CAST(sum(n) - count(*) AS DOUBLE)/CAST(sum(n) AS BIGINT) AS dup_bigram_frac, " +
+       "CAST(max(n) AS DOUBLE)/CAST(sum(n) AS BIGINT) AS top_bigram_share " +
+       "FROM c GROUP BY doc_id), " +
+       "lang AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+       "CASE WHEN score_en = best AND best > 0 THEN 'en' WHEN score_de = best AND best > 0 THEN 'de' " +
+       "WHEN score_fr = best AND best > 0 THEN 'fr' WHEN score_es = best AND best > 0 THEN 'es' " +
+       "ELSE 'unknown' END AS predicted_lang FROM (SELECT doc_id, text, " +
+       s"${markerSql("en")} AS score_en, ${markerSql("de")} AS score_de, " +
+       s"${markerSql("fr")} AS score_fr, ${markerSql("es")} AS score_es, " +
+       s"greatest(${markerSql("en")}, ${markerSql("de")}, ${markerSql("fr")}, ${markerSql("es")}) AS best " +
+       "FROM documents)) " +
+       "SELECT r.doc_id, l.predicted_lang, l.n_tokens, r.n_bigrams, " +
+       "r.n_distinct_bigrams, r.dup_bigram_frac, r.top_bigram_share " +
+       "FROM rep r JOIN lang l ON r.doc_id = l.doc_id ORDER BY r.doc_id"),
     "x34_clean_text" ->
       ("WITH c AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS ct " +
        "FROM documents), " +

@@ -40,18 +40,22 @@ object TextStats {
 
   /** x7: language-ID — argmax of marker scores, 'unknown' when no marker
     * fires. Ties resolve in langMarkers order (greatest-first scan). */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val scored = docsWide(spark, dir)
-      .select(col("doc_id") +: langMarkers.map { case (l, m) => langScore(m).as(s"score_$l") }: _*)
+  /** Argmax over the per-language `score_*` columns, 'unknown' when no
+    * marker fires; earlier langs win ties (en first) — the when-chain is
+    * built left to right. Expects the score columns to be present. */
+  private def pickLang: Column = {
     val best = langMarkers.map { case (l, _) => col(s"score_$l") }.reduce((a, b) => greatest(a, b))
-    // earlier langs win ties (en first) — build the when-chain left to right
-    val pickFirst = langMarkers.reverse.foldLeft(lit("unknown")) { case (acc, (l, _)) =>
+    langMarkers.reverse.foldLeft(lit("unknown")) { case (acc, (l, _)) =>
       when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
     }
-    scored.withColumn("predicted_lang", pickFirst)
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    docsWide(spark, dir)
+      .select(col("doc_id") +: langMarkers.map { case (l, m) => langScore(m).as(s"score_$l") }: _*)
+      .withColumn("predicted_lang", pickLang)
       .select("doc_id", "score_en", "score_de", "score_fr", "score_es", "predicted_lang")
       .orderBy("doc_id")
-  }
 
   /** x8: quality scoring — length/stopword/shape heuristics in one pass. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
@@ -211,6 +215,43 @@ object TextStats {
       .select(col("doc_id"),
         size(col("sel")).as("n_fp"),
         array_join(transform(col("sel"), x => x.cast("string")), ",").as("fp_csv"))
+      .orderBy("doc_id")
+  }
+
+  /** x37: fused curation report — the per-doc curation signals (language
+    * ID, token count, repetition stats) in ONE scan and one Generator
+    * pass, instead of the N separate report jobs the individual gates
+    * run. The scalar signals (lang scores, n_tokens) are computed in the
+    * pre-explode projection, ride the bigram rows, and are recovered with
+    * `first()` inside the same hash aggregates that compute the
+    * repetition stats — at 100 TB this is the difference between reading
+    * the corpus once and reading it N times. Docs with fewer than two
+    * tokens have no bigrams and drop out (x28 semantics). */
+  def curationReport(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val base = docsWide(spark, dir)
+      .select(col("doc_id") +: col("text") +: size(t).as("n_tokens") +:
+        langMarkers.map { case (l, m) => langScore(m).as(s"score_$l") }: _*)
+      .withColumn("predicted_lang", pickLang)
+    base
+      .select(col("doc_id"), col("predicted_lang"), col("n_tokens"),
+        explode(zip_with(t, slice(t, lit(2), size(t)),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .filter(col("p.w2").isNotNull)
+      .groupBy(col("doc_id"), col("p.w1"), col("p.w2"))
+      .agg(count(lit(1)).as("n"),
+        first("predicted_lang").as("predicted_lang"), first("n_tokens").as("n_tokens"))
+      .groupBy("doc_id")
+      .agg(first("predicted_lang").as("predicted_lang"),
+        first("n_tokens").as("n_tokens"),
+        sum("n").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max("n").as("top_bigram_n"))
+      .select(col("doc_id"), col("predicted_lang"), col("n_tokens"),
+        col("n_bigrams"), col("n_distinct_bigrams"),
+        ((col("n_bigrams") - col("n_distinct_bigrams")).cast("double") / col("n_bigrams"))
+          .as("dup_bigram_frac"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top_bigram_share"))
       .orderBy("doc_id")
   }
 

@@ -58,6 +58,17 @@ object Sinks {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** JSON-lines sink/source: the interchange format for event feeds and
+    * annotation payloads. Reads take an EXPLICIT schema — at lake scale
+    * schema inference is a full extra pass over the data (and silently
+    * widens types); a declared schema also lets the scan prune columns. */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJson(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** P13: non-empty validation (reference `extract.py:56-57`). `isEmpty`
     * runs a LocalLimit(1) job — O(first partition), not a full count. */
   def requireNonEmpty(df: DataFrame, what: String): DataFrame = {

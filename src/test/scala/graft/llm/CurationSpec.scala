@@ -169,6 +169,20 @@ class CurationSpec extends SparkSpec {
     assert(outside == 0)
   }
 
+  test("fused curation report equals the join of its standalone gates") {
+    // the fusion must be a pure layout optimization: one scan, same values
+    val fused = TextStats.curationReport(spark, sfDir)
+    val expected = TextStats.langId(spark, sfDir).select("doc_id", "predicted_lang")
+      .join(TextStats.repetitionStats(spark, sfDir), "doc_id")
+      .join(graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens")), "doc_id")
+      .select("doc_id", "predicted_lang", "n_tokens", "n_bigrams",
+        "n_distinct_bigrams", "dup_bigram_frac", "top_bigram_share")
+    val a = fused.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = expected.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b, "fused one-pass report must match the N-pass composition")
+  }
+
   test("winnow fingerprints are a bounded subset of the shingle hashes") {
     val wn = TextStats.winnow(spark, sfDir).persist()
     // every doc yields at least one fingerprint and never more than its
