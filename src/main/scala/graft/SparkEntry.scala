@@ -226,6 +226,7 @@ object SparkEntry {
     "x35_incremental_dedup" -> ((s: SparkSession, d: String) => DocDedup.incrementalDedup(s, d)),
     "x36_length_filter" -> ((s: SparkSession, d: String) => Curation.lengthFilter(s, d)),
     "x37_curation_report" -> ((s: SparkSession, d: String) => TextStats.curationReport(s, d)),
+    "x38_training_set" -> ((s: SparkSession, d: String) => Curation.trainingSet(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -793,6 +794,27 @@ object SparkEntry {
        "min(CASE WHEN cum*100 >= total*95 THEN n_chars END) AS hi FROM c) " +
        "SELECT doc_id, n_chars FROM documents, th " +
        "WHERE n_chars BETWEEN lo AND hi ORDER BY doc_id"),
+    "x38_training_set" ->
+      ("WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), " +
+       "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
+       "list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
+       "ELSE [array_to_string(t, ' ')] END AS s FROM tok), " +
+       "flat AS (SELECT DISTINCT doc_id, " +
+       "CAST(concat('0x', substr(md5(sx), 1, 15)) AS BIGINT) AS h " +
+       "FROM (SELECT doc_id, unnest(s) AS sx FROM sh)), " +
+       "bench AS (SELECT DISTINCT h FROM flat WHERE doc_id % 17 = 0), " +
+       "clean AS (SELECT c.doc_id FROM (SELECT doc_id, h FROM flat WHERE doc_id % 17 <> 0) c " +
+       "LEFT JOIN bench b USING (h) GROUP BY c.doc_id HAVING count(b.h) * 5 < count(*)), " +
+       "hist AS (SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1), " +
+       "cm AS (SELECT n_chars, sum(cnt) OVER (ORDER BY n_chars) AS cum, " +
+       "sum(cnt) OVER () AS total FROM hist), " +
+       "th AS (SELECT min(CASE WHEN cum*100 >= total*5 THEN n_chars END) AS lo, " +
+       "min(CASE WHEN cum*100 >= total*95 THEN n_chars END) AS hi FROM cm) " +
+       "SELECT d.doc_id FROM documents d, th " +
+       "WHERE d.n_chars BETWEEN lo AND hi " +
+       "AND d.doc_id IN (SELECT doc_id FROM keepers) " +
+       "AND d.doc_id IN (SELECT doc_id FROM clean) ORDER BY d.doc_id"),
     "x37_curation_report" ->
       ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
        "idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tok), " +

@@ -166,6 +166,34 @@ object Curation {
     shingleHashes(Tables.documents(spark, dir).filter(col("doc_id") % mod === 0))
       .select("h").distinct()
 
+  /** x38: the capstone — the final training-set doc list, composing the
+    * curation stages end to end: keep a doc iff it is (a) the canonical
+    * copy of its exact-duplicate group (min doc_id per content hash),
+    * (b) in the corpus split and NOT contaminated by the eval set (x31's
+    * integer threshold), and (c) inside the exact p5–p95 length interval
+    * (x36). Each stage is the oracle-checked operator above; this query
+    * chains them the way a production pipeline would, so the gate checks
+    * the COMPOSITION, not just the parts.
+    *
+    * 100 TB: three keep-lists (keeper ids, clean ids, length interval),
+    * each shuffle-light by construction, intersected with semi-joins on
+    * doc_id — the only corpus-width data movement is the id column. */
+  def trainingSet(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keepers = docs
+      .groupBy(md5(col("text").cast("binary")).as("ch"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val clean = decontaminate(spark, dir)
+      .filter(col("contaminated") === 0)
+      .select("doc_id")
+    lengthFilter(spark, dir)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(clean, Seq("doc_id"), "left_semi")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** The x34 cleaning transform as a column function (exposed so callers
     * and the idempotence spec can apply it to arbitrary text columns):
     * lowercase, strip non-alphanumerics, drop stopwords and tokens shorter

@@ -169,6 +169,24 @@ class CurationSpec extends SparkSpec {
     assert(outside == 0)
   }
 
+  test("training set composes its stages: subset of every keep-list, no eval docs") {
+    val ts = Curation.trainingSet(spark, sfDir).persist()
+    assert(ts.count() > 0, "the pipeline must keep something")
+    // never train on the benchmark: eval-split docs are structurally excluded
+    assert(ts.filter(col("doc_id") % 17 === 0).count() == 0)
+    // subset of each stage's keep-list
+    val lf = Curation.lengthFilter(spark, sfDir).select("doc_id")
+    assert(ts.join(lf, Seq("doc_id"), "left_anti").count() == 0, "length filter violated")
+    val clean = Curation.decontaminate(spark, sfDir)
+      .filter(col("contaminated") === 0).select("doc_id")
+    assert(ts.join(clean, Seq("doc_id"), "left_anti").count() == 0, "contaminated doc kept")
+    val keepers = graft.Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text").cast("binary"))).agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    assert(ts.join(keepers, Seq("doc_id"), "left_anti").count() == 0, "non-canonical dup kept")
+    ts.unpersist()
+  }
+
   test("fused curation report equals the join of its standalone gates") {
     // the fusion must be a pure layout optimization: one scan, same values
     val fused = TextStats.curationReport(spark, sfDir)

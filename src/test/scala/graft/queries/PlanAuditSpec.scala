@@ -31,8 +31,10 @@ class PlanAuditSpec extends SparkSpec {
   test("non-similarity queries avoid nested-loop joins except tiny broadcast probes") {
     // BroadcastNestedLoopJoin is legitimate ONLY when the build side is a
     // handful of literal rows (range bins, the 1-row quantile-threshold
-    // frame of the length filter) or by-design all-pairs scans
-    val allowed = allPairsByDesign + "j8_range_bin_join" + "x36_length_filter"
+    // frame of the length filter — also inside the x38 composition) or
+    // by-design all-pairs scans
+    val allowed = allPairsByDesign + "j8_range_bin_join" + "x36_length_filter" +
+      "x38_training_set"
     val offenders = plans.collect {
       case (n, p) if !allowed(n) && p.contains("BroadcastNestedLoopJoin") => n
     }
