@@ -227,6 +227,9 @@ object SparkEntry {
     "x36_length_filter" -> ((s: SparkSession, d: String) => Curation.lengthFilter(s, d)),
     "x37_curation_report" -> ((s: SparkSession, d: String) => TextStats.curationReport(s, d)),
     "x38_training_set" -> ((s: SparkSession, d: String) => Curation.trainingSet(s, d)),
+    "x39_span_dedup" -> ((s: SparkSession, d: String) => DocDedup.spanDedup(s, d)),
+    "x40_pii_redact" -> ((s: SparkSession, d: String) => Curation.piiRedact(s, d)),
+    "x41_rarity_score" -> ((s: SparkSession, d: String) => TextStats.rarityScore(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -843,6 +846,36 @@ object SparkEntry {
        "AND x NOT IN ('the', 'a', 'of', 'and', 'to', 'in')) AS toks FROM c) " +
        "SELECT doc_id, array_to_string(toks, ' ') AS clean_text, " +
        "CAST(len(toks) AS INT) AS n_tokens_kept FROM t ORDER BY doc_id"),
+    "x39_span_dedup" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE length(text) > 0), " +
+       "s AS (SELECT doc_id, CAST(i AS INT) AS span_idx, " +
+       "array_to_string(ts[CAST(i*4+1 AS INT) : CAST(i*4+4 AS INT)], ' ') AS span " +
+       "FROM t, UNNEST(range(CAST(floor((len(ts)-1)/4.0) AS BIGINT) + 1)) AS u(i)), " +
+       "k AS (SELECT doc_id, span_idx, span, " +
+       "min(doc_id*1000000 + span_idx) OVER (PARTITION BY " +
+       "CAST(concat('0x', substr(md5(span), 1, 15)) AS BIGINT)) AS fk FROM s) " +
+       "SELECT doc_id, CAST(count(*) AS INT) AS n_spans_kept, " +
+       "string_agg(span, ' ' ORDER BY span_idx) AS dedup_text " +
+       "FROM k WHERE doc_id*1000000 + span_idx = fk " +
+       "GROUP BY doc_id ORDER BY doc_id"),
+    "x40_pii_redact" ->
+      ("WITH a AS (SELECT doc_id, concat(text, ' contact user', CAST(doc_id AS VARCHAR), " +
+       "'@mail.com phone 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS aug FROM documents), " +
+       "r AS (SELECT doc_id, regexp_replace(regexp_replace(aug, " +
+       "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+       "'\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS redacted FROM a) " +
+       "SELECT doc_id, redacted, " +
+       "CAST((length(redacted) - length(replace(redacted, '<EMAIL>', '')))/7 AS INT) AS n_emails, " +
+       "CAST((length(redacted) - length(replace(redacted, '<PHONE>', '')))/7 AS INT) AS n_phones " +
+       "FROM r ORDER BY doc_id"),
+    "x41_rarity_score" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+       "v AS (SELECT token, count(*) AS n FROM tok GROUP BY 1), " +
+       "r AS (SELECT token, row_number() OVER (ORDER BY n DESC, token) AS rnk FROM v) " +
+       "SELECT doc_id, count(*) AS n_tokens, CAST(sum(rnk) AS BIGINT) AS sum_rank, " +
+       "CAST(max(rnk) AS BIGINT) AS max_rank, " +
+       "(CAST(sum(rnk) AS BIGINT) * 1000000) // count(*) AS mean_rank_ppm " +
+       "FROM tok JOIN r USING (token) GROUP BY doc_id ORDER BY doc_id"),
     "e4_funnel" ->
       ("WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events WHERE event_type='view' GROUP BY 1), " +
        "c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e " +

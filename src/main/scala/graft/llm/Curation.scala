@@ -194,6 +194,47 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** PII patterns shared by `redactPii` and its spec: RE2-compatible (no
+    * backrefs/lookaround) so the same pattern string runs in Spark's Java
+    * regex and the DuckDB oracle's RE2. */
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phonePattern = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** The redaction transform: emails then phones, each replaced by a typed
+    * placeholder. Order matters (an email never contains the phone shape
+    * here, but fixing the order keeps the output deterministic). */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  /** x40: PII redaction — the pre-training privacy scrub (emails/phone
+    * numbers → typed placeholders). The synthetic corpus contains no PII,
+    * so the GATE plants it deterministically inside the query — the same
+    * `contact user<id>@mail.com phone 555-XXXX` suffix is built from
+    * doc_id in both engines, then redacted — which makes the hash check
+    * exercise the actual cross-engine regex semantics instead of passing
+    * vacuously on no-match inputs. Redaction counts come from
+    * length-difference against a placeholder-free erase (the same
+    * occurrence-count trick as TextStats.countOccurrences).
+    *
+    * Scale: pure codegen'd regexp_replace — one scan, no shuffle, no UDF. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@mail.com phone 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    docsWide(spark, dir)
+      .withColumn("aug", planted)
+      .withColumn("redacted", redactPii(col("aug")))
+      .withColumn("n_emails",
+        ((length(col("redacted")) -
+          length(replace(col("redacted"), lit("<EMAIL>")))) / 7).cast("int"))
+      .withColumn("n_phones",
+        ((length(col("redacted")) -
+          length(replace(col("redacted"), lit("<PHONE>")))) / 7).cast("int"))
+      .select("doc_id", "redacted", "n_emails", "n_phones")
+      .orderBy("doc_id")
+  }
+
   /** The x34 cleaning transform as a column function (exposed so callers
     * and the idempotence spec can apply it to arbitrary text columns):
     * lowercase, strip non-alphanumerics, drop stopwords and tokens shorter

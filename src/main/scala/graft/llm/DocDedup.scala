@@ -386,6 +386,55 @@ object DocDedup {
       .orderBy("doc_id")
   }
 
+  /** x39: span-level (paragraph-level) exact dedup with document
+    * reassembly — the C4/Dolma curation step that removes REPEATED SPANS
+    * across the whole corpus, not just duplicate documents: split each doc
+    * into fixed `spanTokens`-token spans (the corpus has no natural
+    * paragraph breaks; a real corpus would split on "\n\n" instead — same
+    * plan), keep only the globally FIRST occurrence of each distinct span
+    * (min (doc_id, span_idx), deterministic), and rebuild every document
+    * from its surviving spans in original order. Documents whose spans all
+    * appeared earlier elsewhere vanish entirely, like boilerplate pages.
+    *
+    * Scale: two shuffles, both on short keys — the first-occurrence window
+    * partitions by the 60-bit span hash (groups are duplicate-count-sized,
+    * never skewed beyond boilerplate frequency), the reassembly aggregates
+    * by doc_id with map-side partial collect. Span text rides the shuffle
+    * only to be re-emitted in the rebuilt doc; a hash-only variant would
+    * re-join against the corpus instead (more traffic, not less, at
+    * typical span lengths). */
+  def spanDedup(spark: SparkSession, dir: String, spanTokens: Int = 4): DataFrame =
+    spanDedupDocs(docsWide(spark, dir), spanTokens)
+
+  /** Core of x39 over an arbitrary (doc_id, text) frame — split out so
+    * specs can run it on planted fixtures. */
+  def spanDedupDocs(docs: DataFrame, spanTokens: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = split(col("text"), " ")
+    val nSpans = (floor((size(ts) - 1).cast("double") / spanTokens) + 1).cast("int")
+    val spans = docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nSpans - 1),
+          i => concat_ws(" ", slice(ts, i * spanTokens + 1, lit(spanTokens))))))
+      .withColumnRenamed("pos", "span_idx")
+      .withColumnRenamed("col", "span")
+    // integer composite (doc_id, span_idx) key: exact first-occurrence
+    // ordering that hashes identically in the DuckDB oracle (span_idx is
+    // bounded by the longest doc / spanTokens, far under 1e6)
+    val key = col("doc_id") * 1000000L + col("span_idx")
+    val firstKey = min(key).over(
+      Window.partitionBy(conv(substring(md5(col("span").cast("binary")), 1, 15), 16, 10).cast("long")))
+    spans
+      .withColumn("keep", key === firstKey)
+      .filter(col("keep"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_spans_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("span_idx"), col("span")))),
+          s => s("span")), " ").as("dedup_text"))
+      .orderBy("doc_id")
+  }
+
   /** Exact token-3-gram Jaccard for given candidate pairs (id_a, id_b):
     * |A∩B| / |A∪B| via array_intersect/array_union on distinct shingles. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {

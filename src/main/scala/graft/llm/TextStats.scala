@@ -136,6 +136,42 @@ object TextStats {
       .orderBy("doc_id", "rank")
   }
 
+  /** x41: unigram-rarity scoring — the perplexity-proxy quality signal
+    * (a KenLM-style filter ranks docs by average token surprisal; this is
+    * the integer-exact analogue: surprisal ∝ frequency RANK, so
+    * mean-rank-per-token orders documents the same way without a
+    * transcendental `ln` crossing the engine boundary — libm logs can
+    * differ in the last ulp and flip a floor()). Rank = position in the
+    * corpus frequency table (count desc, token asc — total order);
+    * mean_rank_ppm = sum(rank)·10⁶ div n_tokens, exact int64.
+    *
+    * Scale: one explode scan → map-side-combined vocab aggregate (the
+    * global rank window runs on VOCAB rows, not the corpus) → broadcast
+    * the vocab back over a second token scan → per-doc aggregate. The
+    * vocabulary is the only globally-sorted object, and it is bounded by
+    * language, not corpus size. */
+  def rarityScore(spark: SparkSession, dir: String): DataFrame =
+    rarityScoreDocs(docsWide(spark, dir))
+
+  /** Core of x41 over an arbitrary (doc_id, text) frame — split out so
+    * specs can run it on planted fixtures. */
+  def rarityScoreDocs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val vocab = tokens.groupBy("token").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(Window.orderBy(desc("n"), asc("token"))).cast("long"))
+      .select("token", "rank")
+    tokens.join(broadcast(vocab), Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("rank").as("sum_rank"),
+        max("rank").as("max_rank"))
+      .withColumn("mean_rank_ppm", expr("(sum_rank * 1000000L) div n_tokens"))
+      .select("doc_id", "n_tokens", "sum_rank", "max_rank", "mean_rank_ppm")
+      .orderBy("doc_id")
+  }
+
   /** x23: inverted-index construction — token → sorted posting list of
     * doc_ids, for tokens above a document-frequency floor. One explode
     * scan, distinct (token, doc) pairs by hash-agg, postings assembled

@@ -219,4 +219,65 @@ class CurationSpec extends SparkSpec {
     assert(ratio < 0.75, s"winnowing should thin the fingerprint set, got $ratio")
     wn.unpersist()
   }
+
+  test("span dedup keeps exactly the first occurrence of each span and reassembles in order") {
+    import spark.implicits._
+    // doc 1 owns both its spans; doc 2 repeats doc 1's first span (dropped)
+    // but keeps its own tail; doc 3 is ENTIRELY doc 1's first span → vanishes
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y z w"),
+      (3L, "a b c d")).toDF("doc_id", "text")
+    val out = DocDedup.spanDedupDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(out == Seq((1L, 2, "a b c d e f g h"), (2L, 1, "x y z w")))
+  }
+
+  test("span dedup: every distinct span survives exactly once corpus-wide") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val out = DocDedup.spanDedup(spark, sfDir)
+    val ts = split(col("text"), " ")
+    val nSpans = (floor((size(ts) - 1).cast("double") / 4) + 1).cast("int")
+    val distinctSpans = docs.filter(length(col("text")) > 0)
+      .select(explode(org.apache.spark.sql.functions.transform(
+        sequence(lit(0), nSpans - 1), i => concat_ws(" ", slice(ts, i * 4 + 1, lit(4))))).as("span"))
+      .select(countDistinct("span")).head().getLong(0)
+    val kept = out.agg(sum("n_spans_kept")).head().getLong(0)
+    assert(kept == distinctSpans,
+      s"kept spans ($kept) must equal distinct input spans ($distinctSpans)")
+  }
+
+  test("PII redaction scrubs emails and phones, leaves clean text alone") {
+    import spark.implicits._
+    val fixture = Seq(
+      "write john.doe+x@sub.example.co.uk today",
+      "call 555-0142 or 555-9999 now",
+      "mixed a.b@c.io and 123-4567 here",
+      "nothing sensitive in this one 12-34 a@b").toDF("text")
+    val red = fixture.select(Curation.redactPii(col("text")).as("r")).as[String].collect()
+    assert(red(0) == "write <EMAIL> today")
+    assert(red(1) == "call <PHONE> or <PHONE> now")
+    assert(red(2) == "mixed <EMAIL> and <PHONE> here")
+    // too-short digits and a bare a@b (no dot-TLD) must NOT be redacted
+    assert(red(3) == "nothing sensitive in this one 12-34 a@b")
+  }
+
+  test("x40 gate plants exactly one email and one phone per doc") {
+    val out = Curation.piiRedact(spark, sfDir).persist()
+    assert(out.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1).count() == 0)
+    // nothing email-shaped survives redaction
+    assert(out.filter(col("redacted").contains("@")).count() == 0)
+    out.unpersist()
+  }
+
+  test("rarity score is exact on a planted vocabulary") {
+    import spark.implicits._
+    // corpus: 'x' ×3, 'y' ×2, 'z' ×1 → ranks x=1, y=2, z=3
+    val docs = Seq((1L, "x y x"), (2L, "y z x")).toDF("doc_id", "text")
+    val out = TextStats.rarityScoreDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // doc 1: ranks (1,2,1) → sum 4, max 2, ppm floor(4e6/3)
+    // doc 2: ranks (2,3,1) → sum 6, max 3, ppm 2e6
+    assert(out == Seq((1L, 3L, 4L, 2L, 1333333L), (2L, 3L, 6L, 3L, 2000000L)))
+  }
 }
