@@ -230,6 +230,7 @@ object SparkEntry {
     "x39_span_dedup" -> ((s: SparkSession, d: String) => DocDedup.spanDedup(s, d)),
     "x40_pii_redact" -> ((s: SparkSession, d: String) => Curation.piiRedact(s, d)),
     "x41_rarity_score" -> ((s: SparkSession, d: String) => TextStats.rarityScore(s, d)),
+    "x42_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -868,6 +869,18 @@ object SparkEntry {
        "CAST((length(redacted) - length(replace(redacted, '<EMAIL>', '')))/7 AS INT) AS n_emails, " +
        "CAST((length(redacted) - length(replace(redacted, '<PHONE>', '')))/7 AS INT) AS n_phones " +
        "FROM r ORDER BY doc_id"),
+    "x42_semantic_dedup" ->
+      (s"WITH $normCte, " +
+       "cents AS (SELECT vec_id AS cell_id, vec AS cvec, norm AS cnorm FROM nrm WHERE vec_id < 16), " +
+       "assigned AS (SELECT vec_id, vec, norm, cell_id FROM (" +
+       s"SELECT n.vec_id, n.vec, n.norm, c.cell_id, row_number() OVER (PARTITION BY n.vec_id ORDER BY ${dotSql("n.vec", "c.cvec")}/(n.norm*c.cnorm) DESC, c.cell_id) AS rn " +
+       "FROM nrm n, cents c) WHERE rn = 1), " +
+       "dups AS (SELECT b.vec_id AS vec_id, count(*) AS n_dup_of " +
+       "FROM assigned a JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id " +
+       s"WHERE ${dotSql("a.vec", "b.vec")}/(a.norm*b.norm) >= 0.35 GROUP BY b.vec_id) " +
+       "SELECT s.vec_id, s.cell_id, CAST(coalesce(d.n_dup_of, 0) AS BIGINT) AS n_dup_of, " +
+       "CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept " +
+       "FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id ORDER BY s.vec_id"),
     "x41_rarity_score" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
        "v AS (SELECT token, count(*) AS n FROM tok GROUP BY 1), " +

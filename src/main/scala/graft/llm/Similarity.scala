@@ -172,6 +172,56 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** x42: semantic dedup (the SemDeDup recipe, Abbas et al. 2023): cluster
+    * embeddings around centroids, then prune near-duplicates WITHIN each
+    * cluster — the clusters bound the quadratic so the all-pairs scan never
+    * touches the whole corpus. Centroids are the deterministic sample used
+    * by IVF (a k-means refinement drops in unchanged); within a cell, a
+    * vector is dropped when ANY lower-id cell-mate has cosine ≥ threshold
+    * (the standard keep-first greedy representative choice — deterministic,
+    * order-independent across partitions because the rule is a pure
+    * predicate on ids).
+    *
+    * Output: per vector, its cell, how many in-cell keepers it duplicates
+    * (`n_dup_of`, 0 = kept), and the keep flag.
+    *
+    * Scale: assignment is the IVF probe (broadcast nCells rows, one pass);
+    * the pair join is an EQUI-join on cell_id — shuffle on cell ids, each
+    * cell's pair scan is (cell size)², the SemDeDup contract (cells are
+    * sized by the centroid count, ~corpus/nCells). The id<id predicate and
+    * threshold prune inside the join; no global cartesian exists. */
+  def semanticDedup(spark: SparkSession, dir: String, nCells: Int = 16,
+      threshold: Double = 0.35): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir)).localCheckpoint(eager = false)
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("__csim"), asc("cell_id"))
+    // barrier: both sides of the pair join and the final attach reuse the
+    // assignment — without it the n×k scoring recomputes three times
+    val assigned = e.join(broadcast(cents), lit(true))
+      .withColumn("__csim", dot(col("vec"), col("cvec")) / (col("norm") * col("cnorm")))
+      .withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("vec"), col("norm"), col("cell_id"))
+      .localCheckpoint(eager = false)
+    val a = assigned.select(col("cell_id"), col("vec_id").as("id_a"),
+      col("vec").as("va"), col("norm").as("na"))
+    val b = assigned.select(col("cell_id"), col("vec_id").as("id_b"),
+      col("vec").as("vb"), col("norm").as("nb"))
+    val dups = a.join(b, Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(count(lit(1)).as("n_dup_of"))
+    assigned.select("vec_id", "cell_id")
+      .join(dups, Seq("vec_id"), "left")
+      .withColumn("n_dup_of", coalesce(col("n_dup_of"), lit(0L)))
+      .withColumn("kept", (col("n_dup_of") === 0).cast("int"))
+      .select("vec_id", "cell_id", "n_dup_of", "kept")
+      .orderBy("vec_id")
+  }
+
   /** ANN near-dup pairs via MULTI-TABLE random-hyperplane LSH — the scale
     * path for embedding near-dup (the all-pairs `nearDupPairs` is its
     * small-scale verifier). Candidates are pairs sharing a full

@@ -246,4 +246,30 @@ class LlmSpec extends SparkSpec {
       org.apache.spark.sql.functions.col("cb")).count() == 0,
       "paired docs must share a cluster")
   }
+
+  test("semantic dedup agrees with the all-pairs scan restricted to cells") {
+    import org.apache.spark.sql.expressions.Window
+    val sd = Similarity.semanticDedup(spark, sfDir).persist()
+    // one verdict per vector; keep flag is exactly n_dup_of == 0
+    assert(sd.count() == graft.Tables.embeddings(spark, sfDir).count())
+    assert(sd.filter((col("kept") === 1) =!= (col("n_dup_of") === 0)).count() == 0)
+    // the smallest id in every cell has no earlier cell-mate to duplicate
+    val minDropped = sd
+      .withColumn("mn", min("vec_id").over(Window.partitionBy("cell_id")))
+      .filter(col("vec_id") === col("mn") && col("kept") === 0).count()
+    assert(minDropped == 0, "cell minima must always be kept")
+    // cross-check against the independently-gated all-pairs scan (x5):
+    // dropped == has a lower-id cell-mate with cosine >= threshold
+    val cells = sd.select(col("vec_id"), col("cell_id"))
+    val expected = Similarity.nearDupPairs(spark, sfDir)
+      .join(cells.toDF("id_a", "cell_a"), Seq("id_a"))
+      .join(cells.toDF("id_b", "cell_b"), Seq("id_b"))
+      .filter(col("cell_a") === col("cell_b"))
+      .select(col("id_b").as("vec_id")).distinct()
+    val actual = sd.filter(col("kept") === 0).select("vec_id")
+    assert(expected.exceptAll(actual).count() == 0 &&
+      actual.exceptAll(expected).count() == 0,
+      "dropped set must equal the within-cell near-dup pair targets")
+    sd.unpersist()
+  }
 }

@@ -10,7 +10,10 @@ class PlanAuditSpec extends SparkSpec {
 
   // brute-force similarity scans are *defined* as all-pairs over a
   // broadcast side; everything else must never produce a cartesian
-  private val allPairsByDesign = Set("x5_embed_neardup", "x6_ann_topk", "x12_ivf_topk")
+  // (x42's n×k centroid assignment is the same broadcast probe as x12's;
+  // its pair scan is an equi-join on cell_id, never a cartesian)
+  private val allPairsByDesign =
+    Set("x5_embed_neardup", "x6_ann_topk", "x12_ivf_topk", "x42_semantic_dedup")
 
   private lazy val plans: Map[String, String] = {
     graft.functions.GraftFunctions.register(spark)
