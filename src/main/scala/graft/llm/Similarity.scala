@@ -123,13 +123,15 @@ object Similarity {
     // id-domain assumptions
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
-    // assign every corpus vector to its best cell
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("__csim"), asc("cell_id"))
+    // assign every corpus vector to its best cell — max_by aggregate, not
+    // a window: map-side partial combine collapses the n×k expansion
+    // before the exchange (see semanticDedup; same tiebreak semantics:
+    // highest similarity, then lowest cell_id)
     val assigned = e.join(broadcast(cents), lit(true))
       .withColumn("__csim", dot(col("vec"), col("cvec")) / (col("norm") * col("cnorm")))
-      .withColumn("__rn", row_number().over(wAssign))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("vec"), col("norm"), col("cell_id"))
+      .groupBy("vec_id")
+      .agg(first("vec").as("vec"), first("norm").as("norm"),
+        max_by(col("cell_id"), struct(col("__csim"), -col("cell_id"))).as("cell_id"))
     // each query probes its nProbe closest cells
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
@@ -195,14 +197,18 @@ object Similarity {
     val e = withNorm(Tables.embeddings(spark, dir)).localCheckpoint(eager = false)
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("__csim"), asc("cell_id"))
+    // argmax as a max_by AGGREGATE, not a row_number window: partial
+    // aggregation collapses the n×k scored expansion map-side, so the
+    // exchange carries one row per vector instead of k (and no sort) —
+    // the same fix the k-means assignment got. Ties on similarity break
+    // to the LOWEST cell id via the negated struct component.
     // barrier: both sides of the pair join and the final attach reuse the
     // assignment — without it the n×k scoring recomputes three times
     val assigned = e.join(broadcast(cents), lit(true))
       .withColumn("__csim", dot(col("vec"), col("cvec")) / (col("norm") * col("cnorm")))
-      .withColumn("__rn", row_number().over(wAssign))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("vec"), col("norm"), col("cell_id"))
+      .groupBy("vec_id")
+      .agg(first("vec").as("vec"), first("norm").as("norm"),
+        max_by(col("cell_id"), struct(col("__csim"), -col("cell_id"))).as("cell_id"))
       .localCheckpoint(eager = false)
     val a = assigned.select(col("cell_id"), col("vec_id").as("id_a"),
       col("vec").as("va"), col("norm").as("na"))
