@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{Aggs, Dedup, Etl, Funcs, Joins}
+import graft.queries.{Aggs, Dedup, Etl, Funcs, Joins, Profiling, TimeSeries}
 import graft.warehouse.StarSchema
 import graft.llm.{Curation, DocDedup, Multimodal, Similarity, TextStats}
 
@@ -231,6 +231,10 @@ object SparkEntry {
     "x40_pii_redact" -> ((s: SparkSession, d: String) => Curation.piiRedact(s, d)),
     "x41_rarity_score" -> ((s: SparkSession, d: String) => TextStats.rarityScore(s, d)),
     "x42_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
+    "x43_column_profile" -> ((s: SparkSession, d: String) => Profiling.columnProfile(s, d)),
+    "x44_resample_ffill" -> ((s: SparkSession, d: String) => TimeSeries.resampleFfill(s, d)),
+    "x45_pagerank" -> ((s: SparkSession, d: String) => graft.graph.PageRank.nationRank(s, d)),
+    "x46_mixture_epochs" -> ((s: SparkSession, d: String) => Curation.mixtureEpochs(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -889,6 +893,63 @@ object SparkEntry {
        "CAST(max(rnk) AS BIGINT) AS max_rank, " +
        "(CAST(sum(rnk) AS BIGINT) * 1000000) // count(*) AS mean_rank_ppm " +
        "FROM tok JOIN r USING (token) GROUP BY doc_id ORDER BY doc_id"),
+    "x43_column_profile" ->
+      ("WITH t AS (SELECT count(*) AS n, " +
+       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber").zipWithIndex.map {
+         case (c, i) =>
+           s"count($c) AS c$i, count(DISTINCT $c) AS d$i, min($c) AS mn$i, max($c) AS mx$i"
+       }.mkString(", ") +
+       " FROM lineitem) " +
+       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber").zipWithIndex.map {
+         case (c, i) =>
+           s"SELECT '$c' AS column_name, n - c$i AS n_nulls, c$i AS n_non_null, " +
+           s"d$i AS n_distinct, mn$i AS min_val, mx$i AS max_val FROM t"
+       }.mkString(" UNION ALL ") +
+       " ORDER BY column_name"),
+    "x44_resample_ffill" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n " +
+       "FROM events WHERE user_id % 97 = 0 GROUP BY 1, 2), " +
+       "span AS (SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1), " +
+       "grid AS (SELECT event_type, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d FROM span), " +
+       "j AS (SELECT g.event_type, g.d, daily.n FROM grid g " +
+       "LEFT JOIN daily ON g.event_type = daily.event_type AND g.d = daily.d) " +
+       "SELECT event_type, d, coalesce(n, 0) AS n_observed, " +
+       "coalesce(last_value(n IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY d " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS n_filled, " +
+       "CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS INT) AS was_gap " +
+       "FROM j ORDER BY event_type, d"),
+    "x45_pagerank" -> {
+      // unrolled fixed-iteration integer PageRank (3 rounds); every
+      // division floors on positive BIGINTs in both engines, every DuckDB
+      // sum is cast back from HUGEINT before the next round's arithmetic
+      def round(prev: String, cur: String): String =
+        s"$cur AS (SELECT n.node, 150000 + (850 * coalesce(s.in_sum, 0)) // 1000 AS rank_ppm " +
+        s"FROM nodes n LEFT JOIN (SELECT e.dst, CAST(sum((r.rank_ppm * e.w) // ow.out_w) AS BIGINT) AS in_sum " +
+        s"FROM edges e JOIN outw ow ON e.src = ow.src JOIN $prev r ON r.node = e.src GROUP BY 1) s " +
+        "ON n.node = s.dst)"
+      "WITH edges AS (SELECT CAST(c.c_nationkey AS BIGINT) AS src, CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS w " +
+      "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+      "JOIN customer c ON o.o_custkey = c.c_custkey " +
+      "JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY 1, 2), " +
+      "outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM edges GROUP BY 1), " +
+      "nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges), " +
+      "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_ppm FROM nodes), " +
+      round("r0", "r1") + ", " + round("r1", "r2") + ", " + round("r2", "r3") + " " +
+      "SELECT r.node, nn.n_name, CAST(r.rank_ppm AS BIGINT) AS rank_ppm FROM r3 r " +
+      "JOIN nation nn ON r.node = nn.n_nationkey ORDER BY r.node"
+    },
+    "x46_mixture_epochs" ->
+      ("WITH ps AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1), " +
+       "sq AS (SELECT lang, n_docs, CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT) AS sqrt_scaled FROM ps), " +
+       "f AS (SELECT lang, (sqrt_scaled * (SELECT CAST(sum(n_docs) AS BIGINT) FROM sq) * 1000000) // " +
+       "((SELECT CAST(sum(sqrt_scaled) AS BIGINT) FROM sq) * n_docs) AS factor_ppm FROM sq), " +
+       "d AS (SELECT doc_id, d.lang, " +
+       "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS md5_ppm, " +
+       "factor_ppm FROM documents d JOIN f ON d.lang = f.lang), " +
+       "c AS (SELECT doc_id, lang, factor_ppm // 1000000 + " +
+       "CASE WHEN md5_ppm < factor_ppm % 1000000 THEN 1 ELSE 0 END AS n_copies FROM d) " +
+       "SELECT doc_id, lang, CAST(unnest(range(1, CAST(n_copies AS BIGINT) + 1)) AS INT) AS copy_idx " +
+       "FROM c WHERE n_copies >= 1 ORDER BY doc_id, copy_idx"),
     "e4_funnel" ->
       ("WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events WHERE event_type='view' GROUP BY 1), " +
        "c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e " +

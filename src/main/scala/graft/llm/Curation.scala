@@ -255,4 +255,53 @@ object Curation {
         size(col("toks")).as("n_tokens_kept"))
       .orderBy("doc_id")
   }
+
+  /** x46: mixture epoching — APPLY temperature weights (alpha = 0.5, x32's
+    * rule keyed here by `lang`, the corpus's skewed axis — the multilingual
+    * rebalancing recipe) by replicating/sampling documents so each group's
+    * share of the output corpus matches its weight: low-resource languages
+    * repeat >1×, the dominant language downsamples <1×.
+    *
+    * The per-document epoch factor is pure integer arithmetic on the
+    * quantized-sqrt scale (weight_i = sqrt(n_i)/Σsqrt, factor_i =
+    * weight_i · N / n_i, total output size stays ≈ N):
+    *
+    *   factor_ppm = sqrt_scaled * N * 1e6 div (Σ sqrt_scaled * n_i)
+    *
+    * A document gets `factor_ppm div 1e6` whole copies plus one more iff
+    * its md5 fraction (`md5_ppm < factor_ppm mod 1e6`) hits — a
+    * deterministic per-doc Bernoulli draw, reproducible across engines and
+    * appends (same md5-keyed coin as `TextStats.hashSplit`). The numerator
+    * fits a long while sqrt(n_i)·1e6·N < 2^63 — good past petabyte corpora
+    * (n = 1e12 docs → 1e6·1e6·1e12 ≈ 1e24 would overflow; switch the ppm
+    * scale to 1e3 there).
+    *
+    * 100 TB: the factor table is #groups rows (broadcast); the corpus side
+    * is one scan + a Generator explode — no shuffle at all. Output rows
+    * carry (doc_id, copy_idx) so a downstream shuffle-shard (x33) spreads
+    * repeats across shards. */
+  def mixtureEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("sqrt_scaled",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+    val factors = perLang
+      .withColumn("n_total", sum("n_docs").over(Window.partitionBy()))
+      .withColumn("total_sq", sum("sqrt_scaled").over(Window.partitionBy()))
+      .select(col("lang"),
+        expr("sqrt_scaled * n_total * 1000000L div (total_sq * n_docs)").as("factor_ppm"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (md5Long(col("doc_id").cast("string")) % 1000000L).as("md5_ppm"))
+      .join(broadcast(factors), Seq("lang"))
+      .withColumn("n_copies",
+        expr("factor_ppm div 1000000L") +
+          when(col("md5_ppm") < col("factor_ppm") % 1000000L, 1L).otherwise(0L))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("lang"), col("n_copies").cast("int").as("n_copies"))
+      .withColumn("copy_idx", explode(sequence(lit(1), col("n_copies"))))
+      .select("doc_id", "lang", "copy_idx")
+      .orderBy("doc_id", "copy_idx")
+  }
 }

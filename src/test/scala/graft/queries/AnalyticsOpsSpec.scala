@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Round-4 analytics additions: one-pass profiling, resample+ffill,
+  * integer PageRank, mixture epoching. Each checked against an
+  * independent scalar recomputation on the sf0.001 tables. */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  test("column profile: one row per column, stats internally consistent") {
+    val rows = Profiling.columnProfile(spark, sfDir).collect()
+    val total = graft.Tables.lineitem(spark, sfDir).count()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("l_linenumber", "l_orderkey", "l_partkey", "l_suppkey"))
+    rows.foreach { r =>
+      val (nulls, nonNull, dist, mn, mx) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nulls + nonNull == total, s"counts must partition: $r")
+      assert(dist <= nonNull && dist >= 1)
+      assert(mn <= mx)
+    }
+    val line = rows.find(_.getString(0) == "l_linenumber").get
+    assert(line.getLong(3) <= 7, "l_linenumber has at most 7 distinct values")
+  }
+
+  test("resample+ffill: dense calendar, fill carries last observation") {
+    val out = TimeSeries.resampleFfill(spark, sfDir).collect()
+    out.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val days = rs.map(_.getDate(1).toLocalDate).sortBy(_.toEpochDay)
+      assert(days.last.toEpochDay - days.head.toEpochDay + 1 == days.length,
+        "grid must be gap-free")
+      // scalar ffill over the sorted days must reproduce n_filled
+      var lastSeen = 0L
+      rs.sortBy(_.getDate(1).toLocalDate.toEpochDay).foreach { r =>
+        val (obs, filled, gap) = (r.getLong(2), r.getLong(3), r.getInt(4))
+        if (gap == 0) { assert(obs >= 1); lastSeen = obs }
+        else assert(obs == 0L)
+        assert(filled == lastSeen, s"ffill mismatch at $r")
+      }
+    }
+    assert(out.exists(_.getInt(4) == 1), "fixture must exercise real gaps")
+  }
+
+  test("pagerank: matches a scalar integer implementation exactly") {
+    val edges = graft.graph.PageRank.tradeEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val outw = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d, w) => in(d) += rank(s) * w / outw(s) }
+      rank = nodes.map(n => n -> (150000L + 850L * in(n) / 1000L)).toMap
+    }
+    val got = graft.graph.PageRank.nationRank(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == rank, "distributed ranks must equal the scalar recompute")
+    assert(rank.values.forall(_ >= 150000L), "teleport floor")
+  }
+
+  test("mixture epochs: per-doc copy counts follow the integer factor rule") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val perLang = docs.groupBy(_._2).map { case (s, ds) => s -> ds.length.toLong }
+    val sq = perLang.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble) * 1e6).toLong }
+    val totalSq = sq.values.sum
+    val nTotal = docs.length.toLong
+    val factor = sq.map { case (s, v) => s -> v * nTotal * 1000000L / (totalSq * perLang(s)) }
+    val out = graft.llm.Curation.mixtureEpochs(spark, sfDir).collect()
+    val copies = out.groupBy(_.getLong(0)).map { case (id, rs) =>
+      // copy_idx must be exactly 1..n
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length).toSeq)
+      id -> rs.length.toLong
+    }
+    val md5ppm = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (id: Long) => {
+        val hex = md.digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16) % 1000000L
+      }
+    }
+    docs.foreach { case (id, lang) =>
+      val f = factor(lang)
+      val expected = f / 1000000L + (if (md5ppm(id) < f % 1000000L) 1L else 0L)
+      assert(copies.getOrElse(id, 0L) == expected, s"doc $id of $lang")
+    }
+    // the weights must actually reshape the mixture: the dominant language
+    // downsamples (<1×) and some low-resource language upsamples (>1×)
+    assert(factor.values.exists(_ < 1000000L) && factor.values.exists(_ > 1000000L))
+  }
+}
