@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.{Aggs, Dedup, Etl, Funcs, Joins, Profiling, TimeSeries}
 import graft.warehouse.StarSchema
-import graft.llm.{Curation, DocDedup, Multimodal, Similarity, TextStats}
+import graft.llm.{Curation, DocDedup, Multimodal, Retrieval, Similarity, TextStats}
 
 /** Driver contract — see SURVEY.md §7. Each entry is one operator from the
   * SURVEY.md §2 inventory, with equivalent ANSI SQL for the DuckDB oracle.
@@ -235,6 +235,8 @@ object SparkEntry {
     "x44_resample_ffill" -> ((s: SparkSession, d: String) => TimeSeries.resampleFfill(s, d)),
     "x45_pagerank" -> ((s: SparkSession, d: String) => graft.graph.PageRank.nationRank(s, d)),
     "x46_mixture_epochs" -> ((s: SparkSession, d: String) => Curation.mixtureEpochs(s, d)),
+    "x47_bm25_rank" -> ((s: SparkSession, d: String) => Retrieval.bm25Rank(s, d)),
+    "x48_hybrid_rrf" -> ((s: SparkSession, d: String) => Retrieval.hybridRrf(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -950,6 +952,27 @@ object SparkEntry {
        "CASE WHEN md5_ppm < factor_ppm % 1000000 THEN 1 ELSE 0 END AS n_copies FROM d) " +
        "SELECT doc_id, lang, CAST(unnest(range(1, CAST(n_copies AS BIGINT) + 1)) AS INT) AS copy_idx " +
        "FROM c WHERE n_copies >= 1 ORDER BY doc_id, copy_idx"),
+    "x47_bm25_rank" ->
+      (s"WITH $bm25Ctes " +
+       "SELECT doc_id, CAST(sum(term_ppm) AS BIGINT) AS score_ppm FROM sc3 GROUP BY 1 " +
+       "ORDER BY score_ppm DESC, doc_id LIMIT 20"),
+    "x48_hybrid_rrf" ->
+      (s"WITH $bm25Ctes, " +
+       "bs AS (SELECT doc_id, CAST(sum(term_ppm) AS BIGINT) AS score_ppm FROM sc3 GROUP BY 1), " +
+       "bt AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS INT) AS rank_text " +
+       "FROM bs QUALIFY rank_text <= 50), " +
+       s"$normCte, " +
+       "qv AS (SELECT vec AS qv, norm AS qn FROM nrm WHERE vec_id = 0), " +
+       s"vs AS (SELECT n.vec_id, ${dotSql("qv.qv", "n.vec")}/(qv.qn*n.norm) AS sim " +
+       "FROM nrm n, qv WHERE n.vec_id <> 0), " +
+       "vrk AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank_vec " +
+       "FROM vs QUALIFY rank_vec <= 50), " +
+       "f AS (SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id, COALESCE(t.rank_text, 0) AS rank_text, " +
+       "COALESCE(v.rank_vec, 0) AS rank_vec FROM bt t FULL OUTER JOIN vrk v ON t.doc_id = v.doc_id) " +
+       "SELECT doc_id, rank_text, rank_vec, " +
+       "CAST(CASE WHEN rank_text > 0 THEN 1000000 // (60 + rank_text) ELSE 0 END + " +
+       "CASE WHEN rank_vec > 0 THEN 1000000 // (60 + rank_vec) ELSE 0 END AS BIGINT) AS rrf_ppm " +
+       "FROM f ORDER BY rrf_ppm DESC, doc_id LIMIT 20"),
     "e4_funnel" ->
       ("WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events WHERE event_type='view' GROUP BY 1), " +
        "c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e " +
@@ -968,6 +991,30 @@ object SparkEntry {
   )
 
   // ---- extension SQL fragments ----
+
+  /** x47/x48 BM25 pipeline CTEs (integer ppm scoring over the tf index;
+    * mirrors Retrieval.bm25Scores step for step — floor division at every
+    * stage, so scores are bit-identical). `sc3` ends at per-(doc, term)
+    * partial scores; consumers aggregate. */
+  private val bm25Ctes: String =
+    "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+    "tfx AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2), " +
+    "vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS n FROM tfx GROUP BY 1), " +
+    "vr AS (SELECT token, row_number() OVER (ORDER BY n DESC, token) AS rnk FROM vocab), " +
+    "q AS (SELECT token FROM vr WHERE rnk BETWEEN 10 AND 14), " +
+    "dlx AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tfx GROUP BY 1), " +
+    "st AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+    "(CAST(sum(dl) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS avgdl_ppm FROM dlx), " +
+    "sc AS (SELECT t.doc_id, t.tf, " +
+    "((st.n - d.df) * 2 + 1) * 1000000 // (d.df * 2 + 1) AS idf_ppm, " +
+    "dlx.dl * 1000000 * 1000000 // st.avgdl_ppm AS ratio_ppm " +
+    "FROM tfx t JOIN (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tfx " +
+    "JOIN q USING (token) GROUP BY 1) d USING (token) " +
+    "JOIN dlx ON t.doc_id = dlx.doc_id, st), " +
+    "sc2 AS (SELECT doc_id, tf, idf_ppm, " +
+    "1200000 * (1000000 - 750000 + 750000 * ratio_ppm // 1000000) // 1000000 AS k_ppm FROM sc), " +
+    "sc3 AS (SELECT doc_id, " +
+    "idf_ppm * (tf * 2200000 * 1000000 // (tf * 1000000 + k_ppm)) // 1000000 AS term_ppm FROM sc2)"
 
   /** x15 near-dup pipeline body (no final ORDER BY) — shared between the
     * x15 gate and the x17 cluster-resolution recursive CTE. */

@@ -36,8 +36,10 @@ class PlanAuditSpec extends SparkSpec {
     // handful of literal rows (range bins, the 1-row quantile-threshold
     // frame of the length filter — also inside the x38 composition) or
     // by-design all-pairs scans
+    // x47/x48: BM25's 1-row (N, avgdl) stats frame and x48's 1-row query
+    // vector are the same sanctioned 1-row-broadcast-probe shape
     val allowed = allPairsByDesign + "j8_range_bin_join" + "x36_length_filter" +
-      "x38_training_set"
+      "x38_training_set" + "x47_bm25_rank" + "x48_hybrid_rrf"
     val offenders = plans.collect {
       case (n, p) if !allowed(n) && p.contains("BroadcastNestedLoopJoin") => n
     }
