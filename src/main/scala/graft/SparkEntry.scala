@@ -153,6 +153,17 @@ object SparkEntry {
       graft.warehouse.Upsert.upsertDoNothing(existing, incoming, Seq("o_orderkey"))
         .orderBy("o_orderkey")
     }),
+    "w7_upsert_merge" -> ((s: SparkSession, d: String) => {
+      val o = Tables.orders(s, d)
+      val existing = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit("old").as("src"), col("o_totalprice"))
+      val incoming = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), lit("new").as("src"), col("o_totalprice"))
+      graft.warehouse.Upsert.upsertMerge(existing, incoming, Seq("o_orderkey"), "src")
+        .orderBy("o_orderkey")
+    }),
+    "w8_scd2" -> ((s: SparkSession, d: String) =>
+      graft.warehouse.Scd.customerPriorityHistory(s, d)),
     "win_trips_per_day" -> (Aggs.tripsPerDayWindow _),
     "a15_cube_revenue" -> (Aggs.cubeRevenue _),
     "a16_fact_dashboard" -> (Aggs.factDashboard _),
@@ -555,6 +566,18 @@ object SparkEntry {
        "i AS (SELECT o_orderkey, 'new' AS src, o_totalprice FROM orders) " +
        "SELECT * FROM e UNION ALL SELECT * FROM i WHERE o_orderkey NOT IN (SELECT o_orderkey FROM e) " +
        "ORDER BY o_orderkey"),
+    "w7_upsert_merge" ->
+      ("WITH e AS (SELECT o_orderkey, 'old' AS src, o_totalprice FROM orders WHERE o_orderkey % 3 = 0), " +
+       "i AS (SELECT o_orderkey, 'new' AS src, o_totalprice FROM orders WHERE o_orderkey % 2 = 0) " +
+       "SELECT * FROM i UNION ALL SELECT * FROM e WHERE o_orderkey NOT IN (SELECT o_orderkey FROM i) " +
+       "ORDER BY o_orderkey"),
+    "w8_scd2" ->
+      ("WITH ev AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, min(o_orderpriority) AS priority " +
+       "FROM orders GROUP BY 1, 2) " +
+       "SELECT o_custkey, priority, d AS valid_from, " +
+       "lead(d) OVER (PARTITION BY o_custkey ORDER BY d) AS valid_to, " +
+       "CAST(CASE WHEN lead(d) OVER (PARTITION BY o_custkey ORDER BY d) IS NULL THEN 1 ELSE 0 END AS INT) AS is_current " +
+       "FROM ev ORDER BY o_custkey, valid_from"),
     "win_trips_per_day" ->
       ("SELECT l_orderkey, l_linenumber, count(*) OVER (PARTITION BY CAST(l_shipdate AS DATE)) AS trips_same_day " +
        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
