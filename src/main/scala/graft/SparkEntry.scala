@@ -247,6 +247,7 @@ object SparkEntry {
     "x45_pagerank" -> ((s: SparkSession, d: String) => graft.graph.PageRank.nationRank(s, d)),
     "x46_mixture_epochs" -> ((s: SparkSession, d: String) => Curation.mixtureEpochs(s, d)),
     "x47_bm25_rank" -> ((s: SparkSession, d: String) => Retrieval.bm25Rank(s, d)),
+    "x49_fuzzy_join" -> ((s: SparkSession, d: String) => Dedup.fuzzyNameJoin(s, d)),
     "x48_hybrid_rrf" -> ((s: SparkSession, d: String) => Retrieval.hybridRrf(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
@@ -975,6 +976,13 @@ object SparkEntry {
        "CASE WHEN md5_ppm < factor_ppm % 1000000 THEN 1 ELSE 0 END AS n_copies FROM d) " +
        "SELECT doc_id, lang, CAST(unnest(range(1, CAST(n_copies AS BIGINT) + 1)) AS INT) AS copy_idx " +
        "FROM c WHERE n_copies >= 1 ORDER BY doc_id, copy_idx"),
+    "x49_fuzzy_join" ->
+      ("WITH n AS (SELECT DISTINCT p_name FROM part), " +
+       "b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n) " +
+       "SELECT a.p_name AS name_a, c.p_name AS name_b, " +
+       "CAST(levenshtein(a.p_name, c.p_name) AS INT) AS dist " +
+       "FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name " +
+       "WHERE levenshtein(a.p_name, c.p_name) <= 3 ORDER BY name_a, name_b"),
     "x47_bm25_rank" ->
       (s"WITH $bm25Ctes " +
        "SELECT doc_id, CAST(sum(term_ppm) AS BIGINT) AS score_ppm FROM sc3 GROUP BY 1 " +

@@ -84,4 +84,31 @@ object Dedup {
         .as("priorities"),
         countDistinct("o_orderpriority").as("n_priorities"))
       .orderBy("y")
+
+  /** x49: fuzzy string matching (entity resolution) — edit-distance join
+    * over part names with BLOCKING, the standard data-cleaning recipe:
+    * collapse to distinct names first (the entity universe is orders of
+    * magnitude smaller than the fact table), block on a cheap key (here
+    * the head noun, i.e. last token), and run `levenshtein` only on
+    * within-block candidate pairs. The all-pairs edit-distance join is
+    * quadratic; blocking makes the candidate count Σ|block|², bounded by
+    * the largest block, and the block join shuffles short name strings
+    * only.
+    *
+    * 100 TB: distinct-collapse is one partial-agg shuffle; real pipelines
+    * add more blocking passes (length bands, token prefixes, phonetic
+    * keys) and union candidates — same dataflow, more block keys. Spark's
+    * `levenshtein` is codegen'd and matches DuckDB's definition exactly. */
+  def fuzzyNameJoin(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val names = Tables.part(spark, dir).select("p_name").distinct()
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    val a = names.select(col("p_name").as("name_a"), col("blk"))
+    val b = names.select(col("p_name").as("name_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select("name_a", "name_b", "dist")
+      .orderBy("name_a", "name_b")
+  }
 }

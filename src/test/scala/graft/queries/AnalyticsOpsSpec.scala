@@ -91,4 +91,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     // downsamples (<1×) and some low-resource language upsamples (>1×)
     assert(factor.values.exists(_ < 1000000L) && factor.values.exists(_ > 1000000L))
   }
+
+  test("fuzzy join: matches a scalar blocked edit-distance recompute") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = graft.Tables.part(spark, sfDir)
+      .select("p_name").distinct().collect().map(_.getString(0)).toSeq
+    val expected = names.groupBy(_.split(" ").last).values.flatMap { ns =>
+      for (x <- ns; y <- ns if x < y; d = lev(x, y) if d <= 3) yield (x, y, d)
+    }.toSeq.sorted
+    val got = Dedup.fuzzyNameJoin(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture must produce fuzzy matches")
+  }
 }
