@@ -31,6 +31,9 @@ object GraftFunctions {
     if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteRowNumberTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteRowNumberTopK
   }
 }
 
@@ -44,5 +47,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions", name, usage), builder))
     }
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRowNumberTopK)
   }
 }
