@@ -248,6 +248,7 @@ object SparkEntry {
     "x46_mixture_epochs" -> ((s: SparkSession, d: String) => Curation.mixtureEpochs(s, d)),
     "x47_bm25_rank" -> ((s: SparkSession, d: String) => Retrieval.bm25Rank(s, d)),
     "x49_fuzzy_join" -> ((s: SparkSession, d: String) => Dedup.fuzzyNameJoin(s, d)),
+    "x50_cumulative_users" -> ((s: SparkSession, d: String) => TimeSeries.cumulativeUsers(s, d)),
     "x48_hybrid_rrf" -> ((s: SparkSession, d: String) => Retrieval.hybridRrf(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
@@ -976,6 +977,12 @@ object SparkEntry {
        "CASE WHEN md5_ppm < factor_ppm % 1000000 THEN 1 ELSE 0 END AS n_copies FROM d) " +
        "SELECT doc_id, lang, CAST(unnest(range(1, CAST(n_copies AS BIGINT) + 1)) AS INT) AS copy_idx " +
        "FROM c WHERE n_copies >= 1 ORDER BY doc_id, copy_idx"),
+    "x50_cumulative_users" ->
+      ("WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+       "daily AS (SELECT d, count(*) AS new_users FROM fs GROUP BY 1) " +
+       "SELECT d, new_users, CAST(sum(new_users) OVER (ORDER BY d " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users " +
+       "FROM daily ORDER BY d"),
     "x49_fuzzy_join" ->
       ("WITH n AS (SELECT DISTINCT p_name FROM part), " +
        "b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n) " +

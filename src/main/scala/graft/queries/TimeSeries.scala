@@ -47,4 +47,24 @@ object TimeSeries {
         when(col("n").isNull, 1).otherwise(0).as("was_gap"))
       .orderBy("event_type", "d")
   }
+
+  /** x50: cumulative distinct users per day (the growth curve) — computed
+    * the scale-right way: a running COUNT(DISTINCT) window is quadratic
+    * state, but each user contributes exactly at their FIRST-SEEN date, so
+    * distinct-to-date(d) = Σ new-users(d' ≤ d). Two map-side-combinable
+    * aggregates collapse the events to day-grain rows; the only global
+    * window frame runs on those (≤366 rows/year), the same pre-aggregate-
+    * then-frame shape as a18. */
+  def cumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    // first PURCHASE (conversion curve): the converting cohort spreads
+    // across the timeline, unlike first-contact which saturates day 1
+    val firstSeen = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("d"))
+    val daily = firstSeen.groupBy("d").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_users", sum("new_users").over(w))
+      .orderBy("d")
+  }
 }

@@ -92,6 +92,19 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(factor.values.exists(_ < 1000000L) && factor.values.exists(_ > 1000000L))
   }
 
+  test("cumulative users: monotone, ends at the total distinct-user count") {
+    val out = TimeSeries.cumulativeUsers(spark, sfDir).collect()
+    val cums = out.map(_.getLong(2))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b > a }, "strictly increasing")
+    out.foreach(r => assert(r.getLong(1) >= 1))
+    assert(cums.head == out.head.getLong(1), "day 1 cumulative == day 1 new")
+    assert(out.map(_.getLong(1)).sum == cums.last, "new-user counts sum to the total")
+    val totalUsers = graft.Tables.events(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(cums.last == totalUsers, "curve must end at the converting-user total")
+  }
+
   test("fuzzy join: matches a scalar blocked edit-distance recompute") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
