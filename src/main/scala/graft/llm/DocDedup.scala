@@ -21,12 +21,11 @@ object DocDedup {
     * hundreds of µs/row, so partitioning must follow cores, not input
     * splits — a single small parquet file otherwise serializes the whole
     * stage onto one task (measured 27 s single-task vs ~1 s wide at sf0.1).
-    * The round-robin shuffle moves only (doc_id, text) once and is dwarfed
-    * by the hashing it parallelizes; at lake scale the scan already has
-    * thousands of splits and AQE coalesces this to a no-op-sized exchange. */
+    * Conditional (Tables.widen): the round-robin shuffle is planned only
+    * when the scan is narrower than half the cores; at lake scale the scan
+    * already has thousands of splits and no exchange is added at all. */
   private def docsWide(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.widen(Tables.documents(spark, dir))
 
   // ---- exact ----
 
@@ -439,9 +438,8 @@ object DocDedup {
     * |A∩B| / |A∪B| via array_intersect/array_union on distinct shingles. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
     // shingling is the same CPU-bound per-row shape as the signatures:
-    // spread it across cores regardless of the caller's split count
-    val sh = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // spread a narrow caller frame across cores (no-op when already wide)
+    val sh = Tables.widen(docs)
       .select(col("doc_id"), array_distinct(shingles(tokensCol)).as("sh"))
     pairs
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))

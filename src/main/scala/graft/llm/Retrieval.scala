@@ -31,8 +31,7 @@ object Retrieval {
   /** (doc_id, token, tf) + one checkpoint barrier = the single raw-text
     * scan everything else reuses. */
   private def tfIndex(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.widen(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))

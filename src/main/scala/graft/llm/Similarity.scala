@@ -61,10 +61,15 @@ object Similarity {
   }
 
   /** All pairs (i < j) with cosine ≥ threshold — embedding near-duplicate
-    * detection. Quadratic: keep for oracle-scale corpora; the LSH variant
-    * below is the scale path. */
-  def nearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, dir))
+    * detection. Quadratic BY DESIGN: this is the small-scale verifier the
+    * LSH variant below (`annPairsLsh`) is recall-checked against, so its
+    * input is HARD-CAPPED at `maxVecs` rows (a deterministic vec_id slice,
+    * mirrored in the oracle SQL) — the all-pairs join can never touch an
+    * unbounded corpus even if called against one by mistake. The capped
+    * side broadcasts; the scale path is `annPairsLsh`. */
+  def nearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.35,
+      maxVecs: Int = 2000): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir).filter(col("vec_id") < maxVecs))
     val a = e.select(col("vec_id").as("id_a"), col("vec").as("va"), col("norm").as("na"))
     val b = e.select(col("vec_id").as("id_b"), col("vec").as("vb"), col("norm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))

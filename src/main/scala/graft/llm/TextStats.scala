@@ -12,12 +12,11 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Documents scan repartitioned to cores (see DocDedup.docsWide): the
-    * regex/hash scoring below is CPU-bound per row, so a single-file scan
-    * must not pin the stage to one task. */
+  /** Documents scan widened to cores when the file layout is narrow (see
+    * Tables.widen): the regex/hash scoring below is CPU-bound per row, so a
+    * single-file scan must not pin the stage to one task. */
   private def docsWide(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.widen(Tables.documents(spark, dir))
 
   /** Occurrences of `needle` in `hay` via length-difference — expressible
     * identically in Spark and DuckDB (replace/length), unlike regex counts. */
@@ -126,7 +125,14 @@ object TextStats {
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(desc("score"), asc("token"))
-    tf.join(broadcast(df), "token")
+    // no broadcast hint on df: a driver-side broadcast build would have to
+    // materialize the lazy tf checkpoint through the single broadcast-build
+    // thread (the whole explode→agg serialized under the broadcast timeout
+    // — measured as 0.45 s vs 22 s run-to-run swings). Left to AQE, the tf
+    // exchange materializes on executor tasks first and the vocabulary-
+    // sized df side still converts to a broadcast join at runtime, now fed
+    // from the already-computed shuffle output.
+    tf.join(df, "token")
       // `div`: exact integer division (a double quotient + floor can land
       // on the wrong side when the true ratio sits just below an integer)
       .withColumn("score", expr("(tf * 1000000L) div df"))

@@ -34,10 +34,19 @@ object IntervalJoin {
     require(windowSec > 0, s"windowSec must be positive, got $windowSec")
     require(Set("inner", "left")(joinType), s"joinType must be inner|left, got $joinType")
     val w = windowSec * 1000000L // micros: exact integer bucket arithmetic
-    // row identity for the anti-join restore: partition-local ids are
-    // stable for a deterministic input plan, and the id never leaves this
-    // operator
-    val lid = left.withColumn("__ivl_id", monotonically_increasing_id())
+    // row identity for the anti-join restore, derived from CONTENT (a
+    // 96-bit xxhash64+murmur3 composite over every left column), not from
+    // monotonically_increasing_id: the id column is evaluated independently
+    // in the matched branch and the anti-join restore, and a position-based
+    // id could diverge between the two evaluations under recompute/
+    // speculation/AQE repartitioning — a content hash is identical however
+    // the plan re-executes. Duplicate left rows share an id, which is
+    // exact here: identical content ⇒ identical bucket and predicate ⇒
+    // identical matched/unmatched outcome, so duplicates always travel
+    // together through either the matched branch or the anti-join.
+    val lcols = left.columns.toSeq.map(col)
+    val lid = left.withColumn("__ivl_id",
+      struct(xxhash64(lcols: _*).as("h64"), hash(lcols: _*).as("h32")))
     // `div`, not floor(a/b): long/long promotes to DOUBLE division, whose
     // rounding can misassign a bucket near boundaries at wide windows;
     // integer division is exact (post-1970 timestamps are non-negative, so

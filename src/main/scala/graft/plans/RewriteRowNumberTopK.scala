@@ -39,7 +39,12 @@ object RewriteRowNumberTopK extends Rule[LogicalPlan] {
   private def limitFromCond(cond: Expression, rn: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType)) if a.semanticEquals(rn) => Some(k)
     case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(k)
-    case LessThan(a: Attribute, Literal(k: Int, IntegerType)) if a.semanticEquals(rn) => Some(k - 1)
+    // k > 1 guard BEFORE decrementing: with k = Int.MinValue the naive
+    // `k - 1` wraps to Int.MaxValue and would pass the k > 0 positivity
+    // check below, turning an always-false filter (row_number >= 1 is
+    // never < Int.MinValue) into keep-2³¹-1-rows-per-key. k <= 1 simply
+    // doesn't rewrite — the window form computes the (empty) result.
+    case LessThan(a: Attribute, Literal(k: Int, IntegerType)) if a.semanticEquals(rn) && k > 1 => Some(k - 1)
     case EqualTo(a: Attribute, Literal(k: Int, IntegerType)) if a.semanticEquals(rn) && k == 1 => Some(1)
     case EqualTo(Literal(k: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) && k == 1 => Some(1)
     case _ => None
@@ -52,14 +57,27 @@ object RewriteRowNumberTopK extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case p @ Project(projectList, Filter(cond, w: Window))
-        if w.windowExpressions.size == 1 && w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
-      isPlainRowNumber(w.windowExpressions.head).flatMap { a =>
-        limitFromCond(cond, a.toAttribute).collect {
-          case k if k > 0 && projectList.forall(_.references.subsetOf(w.child.outputSet)) =>
-            Project(projectList, TopKPerKeyPlan(k, w.partitionSpec, w.orderSpec, w.child))
-        }
-      }.getOrElse(p)
-  }
+  /** Memory trade-off (and the reason for the kill switch below): the
+    * exec buffers one k-row heap per DISTINCT key per partition with no
+    * spill path, so resident memory is O(min(#keys·k, partition rows)) —
+    * for near-unique keys (e.g. an upsert keyed on a primary key, where
+    * #keys ≈ #rows) that approaches the whole partition, where the window
+    * sort it replaces is external/spillable. The exec fails LOUDLY (clear
+    * message, this conf key named) rather than OOMing when a partition
+    * exceeds [[TopKPerKeyExec.maxBufferedRowsConf]]; flip this conf off to
+    * keep the idiomatic-but-spillable window plan. */
+  val enabledConf = "spark.graft.topkRewrite.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(enabledConf, "true").toBoolean) plan
+    else plan.transform {
+      case p @ Project(projectList, Filter(cond, w: Window))
+          if w.windowExpressions.size == 1 && w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
+        isPlainRowNumber(w.windowExpressions.head).flatMap { a =>
+          limitFromCond(cond, a.toAttribute).collect {
+            case k if k > 0 && projectList.forall(_.references.subsetOf(w.child.outputSet)) =>
+              Project(projectList, TopKPerKeyPlan(k, w.partitionSpec, w.orderSpec, w.child))
+          }
+        }.getOrElse(p)
+    }
 }

@@ -27,6 +27,13 @@ case class TopKPerKeyPlan(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
   override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
 }
 
+object TopKPerKeyExec {
+  /** Per-partition cap on retained rows (Σ heap sizes). The default
+    * (8M rows ≈ hundreds of MB at typical row widths) is far above any
+    * sane top-k working set but below the silent-OOM line. */
+  val maxBufferedRowsConf = "spark.graft.topkRewrite.maxBufferedRowsPerPartition"
+}
+
 case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
     child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
@@ -38,6 +45,9 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
+    // resolved on the driver, captured into the task closure
+    val maxBuffered = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(TopKPerKeyExec.maxBufferedRowsConf, "8000000").toLong
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keys, childOutput)
       val rowOrd: Ordering[InternalRow] =
@@ -45,11 +55,23 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
       // max-heap per key: the head is the WORST retained row; a new row
       // replaces it when better. O(log k) per row, k rows retained per key.
       val heaps = mutable.LinkedHashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
+      // retained-row census: the heap map has no spill path, so memory is
+      // O(#keys·k) — near-unique keys approach the whole partition. Fail
+      // LOUDLY with the remedy named instead of dying in an opaque OOM.
+      var buffered = 0L
       iter.foreach { row =>
         val key = keyProj(row).copy()
         val heap = heaps.getOrElseUpdate(key,
           mutable.PriorityQueue.empty[InternalRow](rowOrd))
-        if (heap.size < k) heap += row.copy()
+        if (heap.size < k) {
+          heap += row.copy()
+          buffered += 1
+          if (buffered > maxBuffered) throw new IllegalStateException(
+            s"TopKPerKey buffered more than $maxBuffered rows in one partition " +
+              s"(high-cardinality keys × k=$k; the per-key heap map does not spill). " +
+              s"Raise ${TopKPerKeyExec.maxBufferedRowsConf}, add partitions, or set " +
+              s"spark.graft.topkRewrite.enabled=false to keep the spillable window plan.")
+        }
         else if (rowOrd.compare(row, heap.head) < 0) { heap.dequeue(); heap += row.copy() }
       }
       heaps.valuesIterator.flatMap(_.toSeq.sorted(rowOrd))

@@ -30,6 +30,21 @@ class LlmSpec extends SparkSpec {
     assert(verified.filter(col("jaccard") < 0.5).count() == 0)
   }
 
+  test("x3 candidate pairs contain every x15-verified pair (LSH recall 1.0 at gate thresholds)") {
+    // x3 (xxhash64 MinHash+LSH, the rows-only gate) pinned against the
+    // fully ORACLE-CHECKED pipeline: every pair the md5-band + exact
+    // 3-gram-Jaccard path (x15) verifies as a near-dup must also surface
+    // from the production xxh64 path on the same corpus. Deterministic
+    // (fixed seeds, fixed corpus), so this witnesses x3's construction
+    // end-to-end without needing an xxh64 oracle in DuckDB.
+    val verified = DocDedup.ngramJaccardPairs(spark, sfDir).select("id_a", "id_b")
+    val candidates = DocDedup.minhashPairs(spark, sfDir).select("id_a", "id_b")
+    val missed = verified.except(candidates)
+    assert(verified.count() > 0, "corpus should carry planted near-dups")
+    assert(missed.isEmpty,
+      s"x3 missed verified near-dup pairs: ${missed.collect().mkString(", ")}")
+  }
+
   test("simhash: near-dup pairs have small hamming distance, random pairs large") {
     val sh = DocDedup.simhashDigest(spark, sfDir)
     val near = pairs08.filter(col("est_jaccard") >= 0.9)

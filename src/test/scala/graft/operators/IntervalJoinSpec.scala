@@ -63,6 +63,30 @@ class IntervalJoinSpec extends SparkSpec {
     assert(nulls == Seq(3L), "only the truly unmatched left row carries nulls")
   }
 
+  test("row identity is content-derived: exact for duplicate rows, stable across re-evaluation") {
+    import spark.implicits._
+    // two identical matched lefts and two identical unmatched lefts: the
+    // content-hash id means duplicates share an id, which is exact —
+    // identical content ⇒ identical bucket/predicate ⇒ identical outcome,
+    // so both copies always travel through the same branch together. (A
+    // position-based id could diverge between the matched branch and the
+    // anti-join restore under recompute; content hashes cannot.)
+    val left = Seq(
+      (1L, ts("2024-01-01 10:30:00")), (1L, ts("2024-01-01 10:30:00")),
+      (3L, ts("2024-01-01 23:00:00")), (3L, ts("2024-01-01 23:00:00"))
+    ).toDF("lid", "t").repartition(3) // non-trivial partitioning on purpose
+    val right = Seq((10L, ts("2024-01-01 10:00:00"))).toDF("rid", "rt")
+    val got = IntervalJoin.joinTrailing(left, "t", right, "rt", 3600, "left")
+    assert(got.count() == 4, "each duplicate left row appears exactly once")
+    assert(got.filter(col("rid").isNull).count() == 2, "both unmatched copies restored")
+    assert(got.filter(col("rid") === 10L).count() == 2, "both matched copies match")
+    // recompute stress: building and executing the same plan twice (fresh
+    // evaluation of both the matched branch and the anti-join restore)
+    // yields the identical row multiset
+    val again = IntervalJoin.joinTrailing(left, "t", right, "rt", 3600, "left")
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+  }
+
   test("left join keeps zero-match rows and never double-counts across buckets") {
     val out = graft.queries.Joins.intervalActivity(spark, sfDir)
     val nPurchases = graft.Tables.events(spark, sfDir)

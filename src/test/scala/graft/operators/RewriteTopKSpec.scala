@@ -51,6 +51,46 @@ class RewriteTopKSpec extends SparkSpec {
     assert(keepsRn.drop("rn").collect().map(_.toSeq).toSet == scalarTopK(3))
   }
 
+  test("rn < Int.MinValue does not wrap into a keep-everything rewrite") {
+    // the naive k-1 on Int.MinValue wraps to Int.MaxValue and would pass
+    // the k > 0 guard, silently turning an always-false filter into
+    // keep-2³¹-1-rows-per-key; the k > 1 guard leaves the window plan in
+    // place and the filter correctly yields zero rows
+    val neg = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") < Int.MinValue).drop("rn")
+    assert(!neg.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "an always-false rn filter must not be rewritten")
+    assert(neg.count() == 0)
+  }
+
+  test("spark.graft.topkRewrite.enabled=false keeps the spillable window plan") {
+    spark.conf.set(graft.plans.RewriteRowNumberTopK.enabledConf, "false")
+    try {
+      val idiom = li.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn")
+      val plan = idiom.queryExecution.executedPlan.toString
+      assert(!plan.contains("TopKPerKey"), "kill switch must disable the rewrite")
+      assert(idiom.collect().map(_.toSeq).toSet == scalarTopK(3))
+    } finally spark.conf.unset(graft.plans.RewriteRowNumberTopK.enabledConf)
+  }
+
+  test("the exec fails loudly (named remedy) past the buffered-rows cap, not by OOM") {
+    spark.conf.set(graft.plans.TopKPerKeyExec.maxBufferedRowsConf, "10")
+    try {
+      // near-unique keys × k=1: retained rows ≈ #keys ≫ 10
+      val perOrder = Window.partitionBy("l_orderkey")
+        .orderBy(desc("l_extendedprice"), asc("l_linenumber"))
+      val bad = li.withColumn("rn", row_number().over(perOrder))
+        .filter(col("rn") === 1).drop("rn")
+      assert(bad.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      val ex = intercept[Exception] { bad.collect() }
+      def msgs(t: Throwable): String =
+        if (t == null) "" else (Option(t.getMessage).getOrElse("") + "\n" + msgs(t.getCause))
+      assert(msgs(ex).contains("buffered more than"),
+        s"expected the loud cap message, got: ${msgs(ex).take(500)}")
+    } finally spark.conf.unset(graft.plans.TopKPerKeyExec.maxBufferedRowsConf)
+  }
+
   test("no rewrite for non-row_number ranks or extra filter conjuncts") {
     val rankBased = li.withColumn("rn", rank().over(w)).filter(col("rn") <= 3).drop("rn")
     assert(!rankBased.queryExecution.executedPlan.toString.contains("TopKPerKey"),

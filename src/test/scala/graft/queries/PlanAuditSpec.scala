@@ -60,10 +60,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"exchange-heavy plans: $offenders")
   }
 
+  test("the by-design all-pairs verifier (x5) hard-caps its input at the scan") {
+    // x5 is quadratic BY DESIGN (the small-scale verifier the LSH scale
+    // path x5b is recall-checked against); the cap must be pushed into the
+    // parquet scan so the all-pairs join can never touch an unbounded
+    // corpus, whatever it is pointed at
+    val p = plans("x5_embed_neardup")
+    assert(p.contains("LessThan(vec_id,2000)"),
+      s"x5's vec_id cap must reach the scan as a pushed filter:\n$p")
+  }
+
   test("the star-schema fact build broadcasts every dimension") {
     val p = plans("w4_fact_trips")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 4, "4 dims -> 4 broadcast joins")
     assert(!p.contains("SortMergeJoin"), "fact side must never shuffle in the star build")
+  }
+
+  test("global (unpartitioned) windows run only over pre-aggregated input") {
+    // a window with no partition spec moves ALL input to one task; that is
+    // only acceptable over an already-aggregated frame (group counts, a
+    // vocabulary, daily totals — bounded by cardinality, not data size).
+    // Every `WindowExec: No Partition Defined` warning in the logs must
+    // trace to such a bounded input; this enforces it structurally: in the
+    // optimized logical plan, each global Window's subtree must contain an
+    // Aggregate (or a LogicalRDD barrier, which in this library only ever
+    // fronts a checkpointed aggregate/signature frame — see the no-persist
+    // audit below for why those barriers exist).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.execution.LogicalRDD
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val lp = fn(spark, sfDir).queryExecution.optimizedPlan
+      spark.catalog.clearCache()
+      val bad = lp.collect {
+        case w: LWindow if w.windowExpressions.nonEmpty &&
+            w.partitionSpec.isEmpty &&
+            w.child.collectFirst { case a: Aggregate => a }.isEmpty &&
+            w.child.collectFirst { case r: LogicalRDD => r }.isEmpty => w
+      }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"global windows over unaggregated (unbounded) input in: $offenders")
   }
 
   test("no gate query pins CacheManager state (library code never persist()s)") {
