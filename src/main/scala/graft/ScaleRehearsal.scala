@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal: synthesize a ~10× documents/embeddings corpus from a
+  * base scale-factor directory and time the x-family (LLM-pipeline) gates
+  * at both scales, printing a ratio table for SCALE.md.
+  *
+  * The point is to catch hidden superlinearity the small corpus masks
+  * (an accidental O(n²) pair stage, a collapsed-barrier recompute): with
+  * replicas DECORRELATED (below), every pipeline's work should grow
+  * ~linearly in rows, so a time ratio far above the data ratio flags a
+  * quadratic.
+  *
+  * Decorrelation matters: naively copying the corpus 10× would make every
+  * replica a near-duplicate of its siblings — candidate-pair counts would
+  * grow ×100 (quadratic in cluster size) and every ratio would scream
+  * superlinear for data reasons, not plan reasons. Instead:
+  *  - documents: every token gets a per-replica suffix (`_r<i>`), so
+  *    cross-replica Jaccard is 0 while the WITHIN-replica near-dup
+  *    structure (what the pipelines chew on) is preserved exactly;
+  *  - embeddings: replica i is the base vector cyclically rotated by i
+  *    positions — norms and within-replica geometry are preserved, and
+  *    rotations of high-dimensional vectors are ~orthogonal, so no new
+  *    cross-replica near-dups appear.
+  *
+  * Other tables symlink to the base directory (the x-family only reads
+  * documents/embeddings; gates that touch lineitem/events run unchanged
+  * and act as fixed-size controls).
+  *
+  * Usage: scripts/run.sh graft.ScaleRehearsal [baseSfDir] [outDir] [factor]
+  */
+object ScaleRehearsal {
+
+  private val idOffset = 1000000L // replica id stride, far above base ids
+
+  def synthesize(spark: SparkSession, baseDir: String, outDir: String, factor: Int): Unit = {
+    val reps = explode(sequence(lit(0), lit(factor - 1))).as("rep")
+    val docs = Tables.documents(spark, baseDir)
+      .select(col("*"), reps)
+      .withColumn("doc_id", col("doc_id") + col("rep") * idOffset)
+      // token-level replica suffix: replica 0 keeps the base text
+      // byte-identical; replicas i>0 suffix every token, zeroing
+      // cross-replica shingle/token overlap
+      .withColumn("text",
+        when(col("rep") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_r"), col("rep").cast("string")))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    // wide layout on purpose: the scaled scan must exercise the
+    // no-repartition branch of Tables.widen (thousands-of-splits shape)
+    docs.repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val dim = 64
+    val emb = Tables.embeddings(spark, baseDir)
+      .select(col("*"), reps)
+      .select(
+        (col("vec_id") + col("rep") * idOffset).as("vec_id"),
+        // cyclic rotation by rep positions: norm-preserving, ~orthogonal
+        // across replicas in 64-dim
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => element_at(col("embedding"),
+            (((i + col("rep")) % dim) + 1).cast("int"))).as("embedding"),
+        col("label"))
+    emb.repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // control tables: symlink to the base directory
+    for (t <- Seq("lineitem", "orders", "customer", "supplier", "part",
+        "nation", "region", "events")) {
+      val link = java.nio.file.Paths.get(s"$outDir/$t.parquet")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$baseDir/$t.parquet"))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_scale10")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    synthesize(spark, baseDir, outDir, factor)
+    println(s"synthesized ${factor}x corpus at $outDir")
+
+    val xFamily = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => n.startsWith("x") || n.startsWith("m"))
+    def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm-up: JIT/codegen for the big expression families
+    for (q <- Seq("x2b_minhash_md5", "x22_top_terms"))
+      time(SparkEntry.queries(q), baseDir)
+    println(f"| query | base (s) | ${factor}x (s) | ratio |")
+    println("|---|---|---|---|")
+    var worst = List.empty[(String, Double)]
+    for (name <- xFamily) {
+      val fn = SparkEntry.queries(name)
+      val tBase = time(fn, baseDir)
+      val tBig = time(fn, outDir)
+      val ratio = tBig / tBase
+      worst = (name -> ratio) :: worst
+      println(f"| $name | $tBase%.2f | $tBig%.2f | $ratio%.1f |")
+    }
+    val superlinear = worst.filter(_._2 > 4.0 * factor)
+    println(if (superlinear.isEmpty)
+      s"OK: no x-family query exceeded ${4 * factor}x time at ${factor}x data"
+    else s"SUPERLINEAR: $superlinear")
+    spark.stop()
+  }
+}
