@@ -300,9 +300,11 @@ object SparkEntry {
     "x4b_simhash_md5" ->
       (s"WITH $simhash16Cte SELECT doc_id, simhash16 FROM sh16 ORDER BY doc_id"),
     "x4c_simhash_pairs" ->
-      (s"WITH $simhash16Cte, " +
+      // sh16c: the witness's hard input cap (16-bit space saturates
+      // quadratically) — mirrors simhashPairsMd5's maxDocs slice
+      (s"WITH $simhash16Cte, sh16c AS (SELECT * FROM sh16 WHERE doc_id < 10000), " +
        "ch AS (SELECT doc_id, simhash16, i, CASE WHEN i = 0 THEN simhash16 & 255 " +
-       "ELSE (simhash16 >> 8) & 255 END AS chunk FROM sh16, range(0, 2) r(i)), " +
+       "ELSE (simhash16 >> 8) & 255 END AS chunk FROM sh16c, range(0, 2) r(i)), " +
        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, " +
        "a.simhash16 AS sa, b.simhash16 AS sb FROM ch a " +
        "JOIN ch b ON a.i = b.i AND a.chunk = b.chunk AND a.doc_id < b.doc_id) " +

@@ -47,9 +47,19 @@ object Tables {
     * listing — no job runs.) */
   def widen(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    val splits = df.queryExecution.toRdd.getNumPartitions
-    if (splits < cores / 2) df.repartition(cores) else df
+    // the split probe plans the scan and lists its files — ~100 ms that
+    // would otherwise be paid on EVERY query build over the same table
+    // (dozens of builds per bench/verify run), so the verdict is memoized
+    // per (session, canonicalized plan). Bounded: a handful of distinct
+    // scans exist per session; cleared wholesale if it ever grows odd.
+    val key = (df.sparkSession, df.queryExecution.logical.canonicalized.hashCode)
+    if (widenCache.size > 256) widenCache.clear()
+    val narrow = widenCache.computeIfAbsent(key,
+      _ => df.queryExecution.toRdd.getNumPartitions < cores / 2)
+    if (narrow) df.repartition(cores) else df
   }
+  private val widenCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), java.lang.Boolean]()
 
   // typed variants (Dataset[T]) for pipelines that want field checks
   def lineitemDs(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.schema.LineItem] = {

@@ -183,10 +183,18 @@ object DocDedup {
     * (pigeonhole: one bit flip cannot touch both chunks), which is why
     * maxHamming is capped; the production path (`simhashPairs`, 64-bit /
     * 4 chunks) covers hamming ≤ 3 the same way. */
-  def simhashPairsMd5(spark: SparkSession, dir: String, maxHamming: Int = 1): DataFrame = {
+  def simhashPairsMd5(spark: SparkSession, dir: String, maxHamming: Int = 1,
+      maxDocs: Int = 10000): DataFrame = {
     require(maxHamming <= 1, "2-chunk blocking is exact only for hamming <= 1")
-    // barrier: see simhashPairs
-    val sh = simhashMd5(spark, dir).localCheckpoint(eager = false)
+    // HARD-CAPPED witness (same policy as Similarity.nearDupPairs): a
+    // 16-bit fingerprint space saturates quadratically (bucket population
+    // n/256 per 8-bit chunk — measured 3.2k → 5.5M output pairs from 5k →
+    // 50k docs), so the oracle-scale construction must never run against
+    // an unbounded corpus. The deterministic doc_id slice is mirrored in
+    // the oracle SQL; the production path (simhashPairs, 64-bit / 16-bit
+    // chunks) is the one that scales, with chunk width as the knob.
+    val sh = simhashMd5(spark, dir).filter(col("doc_id") < maxDocs)
+      .localCheckpoint(eager = false)
     val chunked = sh.select(col("doc_id"), col("simhash16"),
       posexplode(array(col("simhash16").bitwiseAND(255L),
         shiftright(col("simhash16"), 8).bitwiseAND(255L)))
