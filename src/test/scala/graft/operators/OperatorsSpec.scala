@@ -81,6 +81,26 @@ class OperatorsSpec extends SparkSpec {
     assert(a.size == 15) // 3 flags x top 5
   }
 
+  test("Tables.widen repartitions narrow scans and passes wide scans through untouched") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_widen").toString
+    val df = spark.range(0, 1000).selectExpr("id", "id * 2 AS v")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/narrow")
+    df.repartition(8).write.mode("overwrite").parquet(s"$tmp/wide")
+    // narrow (1 split < cores/2): the round-robin exchange must be planned
+    val narrowPlan = Tables.widen(spark.read.parquet(s"$tmp/narrow"))
+      .queryExecution.executedPlan.toString
+    assert(narrowPlan.contains("Exchange RoundRobinPartitioning"),
+      s"narrow scan must widen to cores:\n$narrowPlan")
+    // wide (8 files ≥ cores/2 at local[4]): NO exchange may be added —
+    // at lake scale this is the thousands-of-splits case where the old
+    // unconditional repartition cost a full-data shuffle for nothing
+    val widePlan = Tables.widen(spark.read.parquet(s"$tmp/wide"))
+      .queryExecution.executedPlan.toString
+    assert(!widePlan.contains("Exchange"),
+      s"already-wide scan must pass through with no exchange:\n$widePlan")
+  }
+
   test("plan shape guards: broadcast star join, pruned scan") {
     val w4 = graft.warehouse.StarSchema.factTrips(spark, sfDir)
       .queryExecution.executedPlan.toString
