@@ -94,11 +94,17 @@ object ScaleRehearsal {
 
     val xFamily = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => n.startsWith("x") || n.startsWith("m"))
+    // median-of-3: a one-shot in a fresh JVM can read 5× high on a single
+    // query (GC pause / first-JIT of a code path — observed 48.8 s vs a
+    // reproducible ~8 s); a superlinearity verdict needs stable samples
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
-      val t0 = System.nanoTime()
-      fn(spark, dir).count()
-      spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      samples.sorted.apply(1)
     }
     // warm-up: JIT/codegen for the big expression families
     for (q <- Seq("x2b_minhash_md5", "x22_top_terms"))
