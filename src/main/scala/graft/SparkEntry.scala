@@ -249,6 +249,7 @@ object SparkEntry {
     "x47_bm25_rank" -> ((s: SparkSession, d: String) => Retrieval.bm25Rank(s, d)),
     "x49_fuzzy_join" -> ((s: SparkSession, d: String) => Dedup.fuzzyNameJoin(s, d)),
     "x50_cumulative_users" -> ((s: SparkSession, d: String) => TimeSeries.cumulativeUsers(s, d)),
+    "x51_importance_resample" -> ((s: SparkSession, d: String) => Curation.importanceResample(s, d)),
     "x48_hybrid_rrf" -> ((s: SparkSession, d: String) => Retrieval.hybridRrf(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
@@ -982,6 +983,29 @@ object SparkEntry {
        "CASE WHEN md5_ppm < factor_ppm % 1000000 THEN 1 ELSE 0 END AS n_copies FROM d) " +
        "SELECT doc_id, lang, CAST(unnest(range(1, CAST(n_copies AS BIGINT) + 1)) AS INT) AS copy_idx " +
        "FROM c WHERE n_copies >= 1 ORDER BY doc_id, copy_idx"),
+    "x51_importance_resample" ->
+      // HUGEINT internals mirror the Spark side's decimal(38,0) ratio
+      // arithmetic (see x46); bigram i = 1..len-1, whole-text fallback for
+      // 1-token docs matches the Spark bigrams construction
+      ("WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents), " +
+       "bgl AS (SELECT doc_id, lang, CASE WHEN len(t) >= 2 " +
+       "THEN list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1])) " +
+       "ELSE [array_to_string(t, ' ')] END AS bgs FROM tok), " +
+       "f AS (SELECT DISTINCT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_tgt, " +
+       "CAST(concat('0x', substr(md5(bg), 1, 15)) AS BIGINT) % 1024 AS h " +
+       "FROM bgl, UNNEST(bgs) AS u(bg)), " +
+       "b AS (SELECT h, CAST(sum(is_tgt) AS BIGINT) AS n_tgt, " +
+       "CAST(sum(1 - is_tgt) AS BIGINT) AS n_raw FROM f GROUP BY 1), " +
+       "bt AS (SELECT h, CAST(((CAST(n_tgt AS HUGEINT) + 1) * " +
+       "((SELECT CAST(sum(n_raw) AS BIGINT) FROM b) + 1024) * 1000000) // " +
+       "((CAST(n_raw AS HUGEINT) + 1) * ((SELECT CAST(sum(n_tgt) AS BIGINT) FROM b) + 1024)) " +
+       "AS BIGINT) AS w_ppm FROM b), " +
+       "s AS (SELECT doc_id, count(*) AS n_feat, " +
+       "CAST((CAST(sum(w_ppm) AS HUGEINT) // count(*)) AS BIGINT) AS score_ppm " +
+       "FROM f JOIN bt USING (h) GROUP BY 1) " +
+       "SELECT doc_id, n_feat, score_ppm, " +
+       "CASE WHEN score_ppm >= 1000000 THEN 1 ELSE 0 END AS keep " +
+       "FROM s ORDER BY doc_id"),
     "x50_cumulative_users" ->
       ("WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
        "daily AS (SELECT d, count(*) AS new_users FROM fs GROUP BY 1) " +

@@ -255,6 +255,68 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** x51: importance-weighted data selection (the DSIR recipe, Xie et al.
+    * 2023, arXiv:2302.03169): score every document by how target-like its
+    * hashed n-gram features are — the likelihood ratio between a TARGET
+    * distribution (here `lang = targetLang`, the stand-in for "looks like
+    * the high-quality domain") and the RAW distribution (everything else)
+    * over hashed bigram buckets — then keep documents whose ratio clears
+    * parity. This is the selection step that sits between raw crawl and
+    * mixture weighting: rarity (x41) ranks by corpus-global frequency,
+    * quotas (x27) cap sources, DSIR selects FOR a target distribution.
+    *
+    * Integer-exact construction (every float hazard quantized away):
+    *  - feature = md5-hashed bigram bucket, h ∈ [0, nBuckets);
+    *  - per-bucket Laplace-smoothed likelihood ratio in ppm, computed in
+    *    decimal(38,0) like x46's factors (int64 would overflow once
+    *    bucket_count · corpus_rows ≈ 9·10¹⁸):
+    *      w_ppm(h) = (n_tgt(h)+1)·(R+B)·10⁶ div ((n_raw(h)+1)·(T+B))
+    *    where T/R are total distinct (doc, bucket) rows in target/raw and
+    *    B = nBuckets (the +1/+B Laplace terms);
+    *  - doc score = mean bucket ratio: score_ppm = Σ w_ppm div n_feat;
+    *  - keep ⇔ score_ppm ≥ 10⁶ (the doc leans target).
+    *
+    * 100 TB: the bucket table is ≤ nBuckets rows — its stats aggregate is
+    * map-side combined and the ratio table broadcasts; the corpus side is
+    * one scan + per-doc distinct + one short-key shuffle. The global T/R
+    * totals ride a window over the ALREADY-AGGREGATED bucket table (the
+    * x32/x36 pattern — bounded input, no 1-row cross join needed). */
+  def importanceResample(spark: SparkSession, dir: String,
+      targetLang: String = "en", nBuckets: Int = 1024): DataFrame =
+    importanceResampleDocs(docsWide(spark, dir), targetLang, nBuckets)
+
+  /** Core of x51 over an arbitrary (doc_id, lang, text) frame — split out
+    * so specs can run it on planted fixtures (see rarityScoreDocs). */
+  def importanceResampleDocs(docs: DataFrame, targetLang: String = "en",
+      nBuckets: Int = 1024): DataFrame = {
+    val toks = DocDedup.tokensCol
+    val n = size(toks)
+    // bigrams, whole-text fallback for 1-token docs (DocDedup.shingles'
+    // convention — every document retains at least one feature)
+    val bigrams = when(n >= 2,
+        transform(sequence(lit(0), n - 2), i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+      .otherwise(array(concat_ws(" ", toks)))
+    val feats = docs
+      .select(col("doc_id"), (col("lang") === targetLang).cast("int").as("is_tgt"),
+        explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("is_tgt"), (md5Long(col("bg")) % nBuckets).as("h"))
+      .distinct()
+      .localCheckpoint(eager = false) // reused by the bucket stats and the re-join
+    val buckets = feats.groupBy("h")
+      .agg(sum("is_tgt").as("n_tgt"), sum(lit(1) - col("is_tgt")).as("n_raw"))
+      .withColumn("t_total", sum("n_tgt").over(Window.partitionBy()))
+      .withColumn("r_total", sum("n_raw").over(Window.partitionBy()))
+      .select(col("h"),
+        expr(s"cast((n_tgt + 1) as decimal(38,0)) * (r_total + $nBuckets) * 1000000 " +
+          s"div (cast((n_raw + 1) as decimal(38,0)) * (t_total + $nBuckets))").as("w_ppm"))
+    feats.join(broadcast(buckets), Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feat"),
+        expr("cast(sum(w_ppm) as decimal(38,0)) div count(1)").as("score_ppm"))
+      .withColumn("keep", (col("score_ppm") >= 1000000L).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** x46: mixture epoching — APPLY temperature weights (alpha = 0.5, x32's
     * rule keyed here by `lang`, the corpus's skewed axis — the multilingual
     * rebalancing recipe) by replicating/sampling documents so each group's

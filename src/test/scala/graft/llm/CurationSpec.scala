@@ -280,4 +280,38 @@ class CurationSpec extends SparkSpec {
     // doc 2: ranks (2,3,1) → sum 6, max 3, ppm 2e6
     assert(out == Seq((1L, 3L, 4L, 2L, 1333333L), (2L, 3L, 6L, 3L, 2000000L)))
   }
+
+  test("importance resampling keeps target-like docs and drops disjoint raw docs") {
+    import spark.implicits._
+    // target (en) docs share bigrams only with each other; the fr docs use
+    // a disjoint vocabulary — their buckets have n_tgt = 0, so every fr
+    // bucket ratio sits below parity and every en bucket above it
+    val docs = Seq(
+      (1L, "en", "aa bb cc"), (2L, "en", "aa bb cc"), (3L, "en", "aa bb cc"),
+      (10L, "fr", "xx yy zz"), (11L, "fr", "xx yy zz")
+    ).toDF("doc_id", "lang", "text")
+    val out = Curation.importanceResampleDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toList
+    assert(out.map(_._1) == List(1L, 2L, 3L, 10L, 11L), "every doc scored exactly once")
+    assert(out.forall(_._2 == 2), "each doc carries its 2 distinct bigram features")
+    assert(out.filter(_._1 < 10).forall(_._4 == 1), "target-like docs kept")
+    assert(out.filter(_._1 >= 10).forall(_._4 == 0), "disjoint raw docs dropped")
+    // likelihood ratios order the two groups strictly
+    val enMin = out.filter(_._1 < 10).map(_._3).min
+    val frMax = out.filter(_._1 >= 10).map(_._3).max
+    assert(enMin > 1000000L && frMax < 1000000L, s"parity must separate: $enMin vs $frMax")
+  }
+
+  test("importance resampling on the corpus: total coverage, target leaning measurable") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val out = Curation.importanceResample(spark, sfDir).persist()
+    assert(out.count() == docs.count(), "every document is scored")
+    // en docs must average more target-like than non-en docs (the signal
+    // the operator exists to extract)
+    val scored = out.join(docs.select("doc_id", "lang"), "doc_id")
+    val enAvg = scored.filter(col("lang") === "en").agg(avg("score_ppm")).head.getDouble(0)
+    val otherAvg = scored.filter(col("lang") =!= "en").agg(avg("score_ppm")).head.getDouble(0)
+    assert(enAvg > otherAvg, s"en docs must lean target: $enAvg vs $otherAvg")
+    out.unpersist()
+  }
 }
