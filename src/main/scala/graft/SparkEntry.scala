@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.{Aggs, Dedup, Etl, Funcs, Joins, Profiling, TimeSeries}
 import graft.warehouse.StarSchema
-import graft.llm.{Curation, DocDedup, Multimodal, Retrieval, Similarity, TextStats}
+import graft.llm.{Curation, DocDedup, Multimodal, Packing, Retrieval, Similarity, TextStats}
 
 /** Driver contract — see SURVEY.md §7. Each entry is one operator from the
   * SURVEY.md §2 inventory, with equivalent ANSI SQL for the DuckDB oracle.
@@ -250,6 +250,8 @@ object SparkEntry {
     "x49_fuzzy_join" -> ((s: SparkSession, d: String) => Dedup.fuzzyNameJoin(s, d)),
     "x50_cumulative_users" -> ((s: SparkSession, d: String) => TimeSeries.cumulativeUsers(s, d)),
     "x51_importance_resample" -> ((s: SparkSession, d: String) => Curation.importanceResample(s, d)),
+    "x52_pack_chop" -> ((s: SparkSession, d: String) => Packing.packChop(s, d)),
+    "x54_stratified_sample" -> ((s: SparkSession, d: String) => Curation.stratifiedSample(s, d)),
     "x48_hybrid_rrf" -> ((s: SparkSession, d: String) => Retrieval.hybridRrf(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
@@ -1006,6 +1008,31 @@ object SparkEntry {
        "SELECT doc_id, n_feat, score_ppm, " +
        "CASE WHEN score_ppm >= 1000000 THEN 1 ELSE 0 END AS keep " +
        "FROM s ORDER BY doc_id"),
+    "x52_pack_chop" ->
+      // x33's md5 shard/order keys; running token offset per shard in
+      // shuffle order; a doc spans sequences begin0//L .. end0//L with
+      // fragment bounds clamped to each sequence's 256-token window
+      ("WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+       "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h " +
+       "FROM documents), " +
+       "s AS (SELECT doc_id, n_tok, h, CAST(h % 8 AS INT) AS shard FROM d), " +
+       // sum() over BIGINT returns HUGEINT in DuckDB — cast back down
+       "o AS (SELECT *, CAST(COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS begin0 FROM s), " +
+       "e AS (SELECT *, begin0 + n_tok - 1 AS end0 FROM o) " +
+       "SELECT shard, CAST(u.seq AS INT) AS seq_id, doc_id, " +
+       "greatest(begin0, u.seq * 256) - begin0 + 1 AS frag_begin, " +
+       "least(end0, (u.seq + 1) * 256 - 1) - greatest(begin0, u.seq * 256) + 1 AS frag_len " +
+       "FROM e, UNNEST(range(begin0 // 256, end0 // 256 + 1)) AS u(seq) " +
+       "ORDER BY shard, seq_id, doc_id"),
+    "x54_stratified_sample" ->
+      // salted md5 coin ('strat:' prefix decorrelates from x33's shard
+      // hash); smallest-k keys per lang = uniform without-replacement
+      ("WITH d AS (SELECT lang, doc_id, " +
+       "CAST(concat('0x', substr(md5(concat('strat:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h " +
+       "FROM documents), " +
+       "r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM d) " +
+       "SELECT lang, doc_id, h FROM r WHERE rn <= 25 ORDER BY lang, doc_id"),
     "x50_cumulative_users" ->
       ("WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
        "daily AS (SELECT d, count(*) AS new_users FROM fs GROUP BY 1) " +

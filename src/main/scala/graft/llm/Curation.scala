@@ -317,6 +317,34 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** x54: deterministic stratified sampling — keep exactly `perStratum`
+    * documents per stratum (here `lang`), chosen as the smallest md5 keys:
+    * a uniform without-replacement sample that any engine reproduces
+    * bit-for-bit (the same md5-keyed coin as x33/x46, no RNG state). The
+    * per-group budget makes it the "balanced eval slice" / "n-per-source
+    * audit sample" primitive — where x27's quotas CAP groups and x46's
+    * weights RESCALE them, this draws a fixed-size representative slice.
+    *
+    * Deliberately phrased as the row_number top-k idiom (rn <= k, rn
+    * dropped): RewriteRowNumberTopK rewrites it into the bounded-heap
+    * TopKPerKey operator, so each task retains at most #strata × k rows
+    * and the full-width sort vanishes — the optimizer-ladder showcase
+    * firing on a real pipeline stage.
+    *
+    * 100 TB: one hash shuffle on the stratum key; memory is
+    * O(#strata × k) per task after the rewrite. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+      perStratum: Int = 25): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    docsWide(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        md5Long(concat(lit("strat:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perStratum)
+      .drop("rn")
+      .orderBy("lang", "doc_id")
+  }
+
   /** x46: mixture epoching — APPLY temperature weights (alpha = 0.5, x32's
     * rule keyed here by `lang`, the corpus's skewed axis — the multilingual
     * rebalancing recipe) by replicating/sampling documents so each group's

@@ -60,4 +60,49 @@ object Packing {
         expr(s"substring(text, chunk_idx * $stride + 1, $size)").as("chunk_text"))
       .orderBy("doc_id", "chunk_idx")
   }
+
+  /** x52: concat-and-chop sequence packing — the OTHER packing layout:
+    * where x19 assigns whole documents to a pack (no doc ever splits,
+    * packs overshoot), this concatenates the deterministically-shuffled
+    * token stream (x33's order: md5(doc_id) within md5-keyed shards) and
+    * chops it into EXACT `seqLen`-token training sequences, splitting a
+    * document wherever it straddles a boundary — the GPT-style layout
+    * where every sequence is full and attention masks handle the seams.
+    * Output maps each (shard, seq_id) to the doc fragments filling it:
+    * `frag_begin` (1-based token index within the doc) and `frag_len`.
+    *
+    * All arithmetic is integer: the within-shard running offset is a
+    * cumulative token count in shuffle order, a doc's global span is
+    * [begin0, begin0 + n_tok - 1], and it lands in sequences
+    * begin0/L .. end0/L with fragment bounds clamped to each sequence's
+    * [s*L, (s+1)*L - 1] window.
+    *
+    * 100 TB: one hash shuffle on the shard key + an in-shard sort — the
+    * same movement as the x33 export it piggybacks on; the window is
+    * PARTITIONED (per-shard), never a single-task global scan, and shard
+    * count scales with the corpus (8 fits the local fixture). */
+  def packChop(spark: SparkSession, dir: String, nShards: Int = 8,
+      seqLen: Int = 256): DataFrame = {
+    val L = seqLen.toLong
+    val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val docs = Tables.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"),
+        h.as("h"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("begin0", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("end0", col("begin0") + col("n_tok") - 1)
+      // `div` (IntegralDivide), not `/`: float division would round token
+      // offsets past 2^53 — an exact long stays exact at any corpus size
+      .withColumn("seq_id",
+        explode(sequence(expr(s"begin0 div $L"), expr(s"end0 div $L"))))
+      .select(col("shard"), col("seq_id").cast("int").as("seq_id"), col("doc_id"),
+        (greatest(col("begin0"), col("seq_id") * L) - col("begin0") + 1).as("frag_begin"),
+        (least(col("end0"), (col("seq_id") + 1) * L - 1)
+          - greatest(col("begin0"), col("seq_id") * L) + 1).as("frag_len"))
+      .orderBy("shard", "seq_id", "doc_id")
+  }
 }

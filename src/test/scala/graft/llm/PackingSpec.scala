@@ -46,4 +46,60 @@ class PackingSpec extends SparkSpec {
     assert(chunks.filter(length(col("chunk_text")) === 0).count() == 0,
       "no empty trailing chunks (offset formula bounds the sequence)")
   }
+
+  test("pack-chop: fragments tile every document exactly and fill every sequence") {
+    val frags = Packing.packChop(spark, sfDir, nShards = 8, seqLen = 256).cache()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // every token of every doc is placed exactly once: per-doc frag_len
+    // sums to n_tok, fragments start at 1 and stay in bounds
+    val perDoc = frags.groupBy("doc_id")
+      .agg(sum("frag_len").as("placed"), min("frag_begin").as("fb"),
+        max(col("frag_begin") + col("frag_len") - 1).as("fe"))
+      .join(docs, "doc_id")
+    assert(perDoc.filter(col("placed") =!= col("n_tok") ||
+      col("fb") =!= 1 || col("fe") =!= col("n_tok")).count() == 0,
+      "fragments must tile each document [1, n_tok] with no gap or overlap")
+    // every sequence except each shard's last is EXACTLY seqLen tokens —
+    // the whole point of chop-packing (x19's greedy form overshoots)
+    val perSeq = frags.groupBy("shard", "seq_id").agg(sum("frag_len").as("tok"))
+    val lastSeq = perSeq.groupBy("shard").agg(max("seq_id").as("seq_id"))
+    val full = perSeq.join(lastSeq, Seq("shard", "seq_id"), "left_anti")
+    assert(full.filter(col("tok") =!= 256).count() == 0,
+      "every non-final sequence holds exactly seqLen tokens")
+    assert(perSeq.join(lastSeq, Seq("shard", "seq_id")).filter(col("tok") > 256).count() == 0,
+      "final sequences never exceed seqLen")
+    frags.unpersist()
+  }
+
+  test("pack-chop: a doc splits across a boundary with contiguous fragments") {
+    // with seqLen below the max doc length, at least one doc must split;
+    // its fragments occupy consecutive seq_ids and abut within the doc
+    val frags = Packing.packChop(spark, sfDir, nShards = 4, seqLen = 64).cache()
+    val split = frags.groupBy("doc_id").agg(count(lit(1)).as("n"),
+      (max("seq_id") - min("seq_id") + 1).as("span"))
+      .filter(col("n") > 1)
+    assert(split.count() > 0, "seqLen=64 must split some docs")
+    assert(split.filter(col("n") =!= col("span")).count() == 0,
+      "a split doc's fragments sit in consecutive sequences of one shard")
+    frags.unpersist()
+  }
+
+  test("stratified sample: exact per-stratum budgets, deterministic, rewrite fires") {
+    graft.functions.GraftFunctions.register(spark) // rule + TopK strategy
+    val sampled = Curation.stratifiedSample(spark, sfDir, perStratum = 25)
+    // the row_number idiom must hit the TopKPerKey rewrite (bounded heap,
+    // no full-width spillable sort) — the optimizer showcase on a real stage
+    assert(sampled.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val got = sampled.cache()
+    val sizes = graft.Tables.documents(spark, sfDir).groupBy("lang")
+      .agg(count(lit(1)).as("n"))
+    val perLang = got.groupBy("lang").agg(count(lit(1)).as("k")).join(sizes, "lang")
+    assert(perLang.filter(col("k") =!= least(col("n"), lit(25))).count() == 0,
+      "each stratum yields min(25, stratum size) docs")
+    // md5-keyed draw: a rerun reproduces the identical sample
+    val again = Curation.stratifiedSample(spark, sfDir, perStratum = 25)
+    assert(got.except(again).count() == 0 && again.except(got).count() == 0)
+    got.unpersist()
+  }
 }
