@@ -212,6 +212,7 @@ object SparkEntry {
     // the SCALE path for embedding near-dup: LSH-bucketed candidates, no
     // cartesian anywhere in the plan (x5 stays as the small-scale verifier)
     "x5b_ann_neardup" -> ((s: SparkSession, d: String) => Similarity.annPairsLsh(s, d)),
+    "x55_knn_join" -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
     "x6_ann_topk" -> ((s: SparkSession, d: String) => Similarity.topKBruteForce(s, d)),
     "x12_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.topKIvf(s, d)),
     "x24_vector_stats" -> ((s: SparkSession, d: String) => Similarity.vectorStats(s, d)),
@@ -668,6 +669,30 @@ object SparkEntry {
         s"${dotSql("x.vec", "y.vec")}/(x.norm*y.norm) AS sim FROM cand c " +
         "JOIN cs x ON x.vec_id = c.id_a JOIN cs y ON y.vec_id = c.id_b) " +
         "WHERE sim >= 0.35 ORDER BY id_a, id_b"
+    },
+    "x55_knn_join" -> {
+      // x5b's plane-literal construction, DIRECTED candidates (a <> b so
+      // both endpoints rank), then the x6-style per-vector top-k tail
+      val nPlanes = 6; val nTables = 8
+      val ps = Similarity.planes(nPlanes * nTables, 64)
+      val codeArr = (0 until nTables).map { t =>
+        (0 until nPlanes).map { j =>
+          val planeLit = ps(t * nPlanes + j).map(v => if (v > 0) "1.0" else "-1.0")
+            .mkString("[", ",", "]")
+          s"(CASE WHEN list_sum(list_transform(list_zip(vec, $planeLit), t -> t[1]*t[2])) >= 0 " +
+            s"THEN CAST(1 AS BIGINT) << $j ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+      }.mkString("[", ", ", "]")
+      s"WITH $normCte, cs AS (SELECT vec_id, vec, norm, $codeArr AS codes FROM nrm), " +
+        s"coded AS (SELECT vec_id, t, codes[CAST(t AS INT)+1] AS code FROM cs, range(0, $nTables) r(t)), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM coded a " +
+        "JOIN coded b ON a.t = b.t AND a.code = b.code AND a.vec_id <> b.vec_id), " +
+        "s AS (SELECT c.id_a, c.id_b, " +
+        s"${dotSql("x.vec", "y.vec")}/(x.norm*y.norm) AS sim FROM cand c " +
+        "JOIN cs x ON x.vec_id = c.id_a JOIN cs y ON y.vec_id = c.id_b) " +
+        "SELECT vec_id, rank, neighbor_id, sim FROM (SELECT id_a AS vec_id, id_b AS neighbor_id, sim, " +
+        "CAST(row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS INT) AS rank FROM s) " +
+        "WHERE rank <= 5 ORDER BY vec_id, rank"
     },
     "x6_ann_topk" ->
       (s"WITH $normCte, q AS (SELECT vec_id AS query_id, vec AS qv, norm AS qn FROM nrm WHERE vec_id < 20), " +

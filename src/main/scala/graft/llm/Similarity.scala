@@ -157,6 +157,56 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** x55: approximate KNN self-join — top-k nearest neighbors for EVERY
+    * corpus vector (x6 answers a bounded query set; this builds the full
+    * neighbor graph, the primitive under embedding dedup, clustering
+    * refinement, and link-based curation). Candidates come from the same
+    * multi-table hyperplane LSH as `annPairsLsh`, taken DIRECTED
+    * (id_a ≠ id_b, both directions) so each vector ranks its own
+    * candidate list; exact cosine rescoring; top-k per vector by
+    * (sim desc, id). Approximate by contract: a vector sharing no bucket
+    * with anyone emits no rows, and recall vs brute force is pinned in
+    * the spec, not here.
+    *
+    * 100 TB: candidate generation is an EQUI-join on short (table, code)
+    * keys — never text or a cartesian; the rescore joins shuffle on vec
+    * ids; the per-vector top-k is WindowGroupLimit partial+final, so each
+    * task retains ≤ k rows per vector before the exchange. */
+  def knnJoin(spark: SparkSession, dir: String, k: Int = 5,
+      nPlanes: Int = 6, nTables: Int = 8, dim: Int = 64): DataFrame = {
+    val allPlanes = planes(nPlanes * nTables, dim)
+    val codes = array((0 until nTables).map { t =>
+      (0 until nPlanes).map { j =>
+        when(dot(col("vec"), typedlit(allPlanes(t * nPlanes + j))) >= 0,
+          shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    // barrier (see annPairsLsh): one evaluation of the 48-dot-product
+    // code expression, shared by the bucket join and both rescore lookups
+    val e = withNorm(Tables.embeddings(spark, dir))
+      .withColumn("codes", codes).localCheckpoint(eager = false)
+    val coded = e.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("tbl", "code")))
+    val cand = coded.select(col("tbl"), col("code"), col("vec_id").as("id_a"))
+      .join(coded.select(col("tbl").as("tb"), col("code").as("cb"),
+        col("vec_id").as("id_b")),
+        col("tbl") === col("tb") && col("code") === col("cb")
+          && col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val w = Window.partitionBy("id_a").orderBy(desc("sim"), asc("id_b"))
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("vec").as("va"), col("norm").as("na")),
+        Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("vec").as("vb"), col("norm").as("nb")),
+        Seq("id_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a").as("vec_id"), col("rank"), col("id_b").as("neighbor_id"),
+        col("sim"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** x29: symmetric int8 scalar quantization of embeddings — the
     * storage/bandwidth step before ANN indexing at corpus scale (4× smaller
     * than float32; dot products stay SIMD-friendly). Per vector:

@@ -93,6 +93,32 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.3, s"ANN recall regressed: $recall (${approx.size}/${exact.size})")
   }
 
+  test("KNN join: valid ranked lists, and candidates agree with the pair path") {
+    val knn = Similarity.knnJoin(spark, sfDir, k = 5).cache()
+    // well-formed neighbor lists: no self-loop, ranks contiguous from 1,
+    // neighbors unique per vector
+    assert(knn.filter(col("vec_id") === col("neighbor_id")).count() == 0)
+    val perVec = knn.groupBy("vec_id").agg(count(lit(1)).as("n"),
+      min("rank").as("lo"), max("rank").as("hi"),
+      countDistinct("neighbor_id").as("nd"))
+    assert(perVec.filter(col("lo") =!= 1 || col("hi") =!= col("n") ||
+      col("nd") =!= col("n") || col("n") > 5).count() == 0,
+      "each vector's neighbors are ranked 1..n<=k with no duplicates")
+    // consistency with the verified near-dup path: every annPairsLsh pair
+    // above threshold whose endpoints have <k neighbors total must appear
+    // in SOME direction (same buckets, same rescoring — the top-k is the
+    // only thing that can drop a candidate)
+    val pairs = Similarity.annPairsLsh(spark, sfDir, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val knnPairs = knn.select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bidir = pairs.filter { case (a, b) =>
+      knnPairs.contains((a, b)) || knnPairs.contains((b, a)) }
+    assert(pairs.isEmpty || bidir.size.toDouble / pairs.size >= 0.8,
+      s"near-dup pairs should rank inside top-k lists: ${bidir.size}/${pairs.size}")
+    knn.unpersist()
+  }
+
   test("dedup clusters: unconverged propagation fails loudly, not silently") {
     import spark.implicits._
     // chain 1-2-…-8: diameter 7, min label needs 7 rounds to reach node 8
