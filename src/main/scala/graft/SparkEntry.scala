@@ -220,6 +220,8 @@ object SparkEntry {
     "x7_lang_id" -> (TextStats.langId _),
     "x8_quality_score" -> (TextStats.qualityScore _),
     "x9_token_count" -> (TextStats.tokenCount _),
+    "x56_bigram_lm" -> (TextStats.bigramLmScore _),
+    "x57_classifier_margin" -> ((s: SparkSession, d: String) => TextStats.classifierMargin(s, d)),
     "x10_fingerprint" -> (TextStats.fingerprint _),
     "x11_rolling_fingerprint" -> (TextStats.rollingFingerprint _),
     "x11b_winnow" -> ((s: SparkSession, d: String) => TextStats.winnow(s, d)),
@@ -750,6 +752,28 @@ object SparkEntry {
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens_ws, " +
        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_tokens_bpe " +
        "FROM documents ORDER BY doc_id"),
+    "x56_bigram_lm" ->
+      // bigram LM trained on the corpus itself; conditional probabilities
+      // quantized to integer ppm before the per-doc mean (exact cross-engine)
+      ("WITH big AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bigram " +
+       "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "UNNEST(range(1, len(t))) AS u(i)), " +
+       "cb AS (SELECT w1, bigram, count(*) AS c_big FROM big GROUP BY 1, 2), " +
+       "cu AS (SELECT w1, count(*) AS c_uni FROM big GROUP BY 1), " +
+       "lm AS (SELECT bigram, (c_big * 1000000) // c_uni AS ppm FROM cb JOIN cu USING (w1)), " +
+       "s AS (SELECT doc_id, count(*) AS n, CAST(sum(ppm) AS BIGINT) AS sp " +
+       "FROM big JOIN lm USING (bigram) GROUP BY 1) " +
+       "SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams, CAST(sp AS DOUBLE)/n AS lm_score_ppm " +
+       "FROM s ORDER BY doc_id"),
+    "x57_classifier_margin" ->
+      // hashed bag-of-words linear classifier: md5-prefix bucket, LCG weight,
+      // integer sum folded in-row; margin = exact-long / exact-long
+      ("SELECT doc_id, n_tokens, w_sum, CAST(w_sum AS DOUBLE)/n_tokens AS margin, " +
+       "CASE WHEN CAST(w_sum AS DOUBLE)/n_tokens >= 0 THEN 'keep' ELSE 'drop' END AS verdict " +
+       "FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+       "CAST(list_sum(list_transform(string_split(text, ' '), tok -> " +
+       "((CAST(concat('0x', substr(md5(tok), 1, 4)) AS BIGINT) % 256) * 1103515245 + 12345) % 101 - 50" +
+       ")) AS BIGINT) AS w_sum FROM documents) ORDER BY doc_id"),
     "x10_fingerprint" ->
       ("SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp " +
        "FROM documents ORDER BY doc_id"),

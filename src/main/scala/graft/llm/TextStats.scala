@@ -370,4 +370,71 @@ object TextStats {
       .select(col("doc_id"), col("source"), col("rk").cast("int").as("rk"))
       .orderBy("doc_id")
   }
+
+  /** x56: bigram language-model quality score — the CCNet/KenLM-style
+    * filter signal: train a bigram LM on the corpus itself (conditional
+    * probability of each adjacent token pair given its prefix token),
+    * then score every document by its mean conditional probability.
+    * Fluent, common phrasing scores high; rare or shuffled token
+    * sequences score low. Probabilities are quantized to exact integer
+    * ppm (c_bigram·10⁶ div c_prefix) BEFORE the cross-row mean so the
+    * score is bit-identical across engines (the quantized-integer trick:
+    * a final double division of two exact longs is association-free).
+    *
+    * 100 TB: the LM is vocabulary²-bounded — orders of magnitude smaller
+    * than the corpus — and both count aggregations are hash-aggs whose
+    * shuffles carry one row per DISTINCT pair/prefix per task. Scoring
+    * re-joins the bigram stream to the LM on the short bigram key; the
+    * tokenize+explode pass is computed once behind a lazy checkpoint and
+    * shared by training and scoring. Docs with <2 tokens have no bigrams
+    * and drop out (mirrored by the oracle). */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    // zip-with-tail bigram Generator (see pairCounts): per-row, no self-join
+    val bigrams = docsWide(spark, dir)
+      .select(col("doc_id"), explode(zip_with(t, slice(t, lit(2), size(t)),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .filter(col("p.w2").isNotNull)
+      .select(col("doc_id"), col("p.w1").as("w1"),
+        concat(col("p.w1"), lit(" "), col("p.w2")).as("bigram"))
+      .localCheckpoint(eager = false)
+    // grouping by (w1, bigram) keeps one row per bigram (w1 is a function
+    // of the bigram) while carrying the prefix key for the c_uni join
+    val cBig = bigrams.groupBy("w1", "bigram").agg(count(lit(1)).as("c_big"))
+    val cUni = bigrams.groupBy("w1").agg(count(lit(1)).as("c_uni"))
+    val lm = cBig.join(cUni, "w1")
+      .select(col("bigram"), expr("c_big * 1000000L div c_uni").as("ppm"))
+    bigrams.join(lm, "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("ppm").as("ppm_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("ppm_sum").cast("double") / col("n_bigrams")).as("lm_score_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** x57: hashed linear classifier margin — the fasttext-style quality
+    * classifier applied at corpus scale: each token hashes into one of
+    * `dim` feature buckets (md5 prefix — stable across engines/runs),
+    * each bucket carries a fixed small integer weight (LCG-derived here;
+    * trained weights would broadcast exactly the same way), and a
+    * document's margin is the mean bucket weight over its tokens, with a
+    * keep/drop verdict at margin 0. Entirely map-side: the token array
+    * is folded in-row with aggregate() — no explode, no join, no
+    * shuffle; the only exchange is the presentation sort. This is the
+    * shape a real model-based quality filter takes on Spark: weights in
+    * the closure, one codegen'd scan over the corpus. */
+  def classifierMargin(spark: SparkSession, dir: String, dim: Int = 256): DataFrame = {
+    val bucket = (tok: Column) =>
+      conv(substring(md5(tok.cast("binary")), 1, 4), 16, 10).cast("long") % dim
+    val weight = (b: Column) =>
+      pmod(b * lit(1103515245L) + lit(12345L), lit(101L)) - lit(50L)
+    val toks = split(col("text"), " ")
+    docsWide(spark, dir)
+      .select(col("doc_id"), size(toks).as("n_tokens"),
+        aggregate(toks, lit(0L), (acc, tok) => acc + weight(bucket(tok))).as("w_sum"))
+      .withColumn("margin", col("w_sum").cast("double") / col("n_tokens"))
+      .withColumn("verdict",
+        when(col("margin") >= 0, lit("keep")).otherwise(lit("drop")))
+      .orderBy("doc_id")
+  }
 }

@@ -119,6 +119,37 @@ class LlmSpec extends SparkSpec {
     knn.unpersist()
   }
 
+  test("bigram LM score: valid ppm range, corpus-complete, repeats score higher than rarities") {
+    val lm = TextStats.bigramLmScore(spark, sfDir).cache()
+    // conditional probability ppm is in (0, 1e6]: every bigram was seen at
+    // least once given its prefix, and at most always
+    assert(lm.filter(col("lm_score_ppm") <= 0 || col("lm_score_ppm") > 1000000).count() == 0)
+    // exactly the docs with >= 2 whitespace tokens are scored, and the
+    // bigram totals reconcile with token counts
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nt"))
+    val expected = docs.filter(col("nt") >= 2)
+      .agg(count(lit(1)), sum(col("nt") - 1)).head()
+    assert(lm.count() == expected.getLong(0))
+    assert(lm.agg(sum("n_bigrams")).head().getLong(0) == expected.getLong(1))
+    lm.unpersist()
+  }
+
+  test("classifier margin: bounded weights, sign-consistent verdict, stable across runs") {
+    val m1 = TextStats.classifierMargin(spark, sfDir).cache()
+    // per-token weights live in [-50, 50] so the mean must too
+    assert(m1.filter(col("margin") < -50 || col("margin") > 50).count() == 0)
+    assert(m1.filter((col("margin") >= 0 && col("verdict") =!= "keep") ||
+      (col("margin") < 0 && col("verdict") =!= "drop")).count() == 0)
+    // n_tokens agrees with the oracle-checked x9 whitespace tokenization
+    val x9 = TextStats.tokenCount(spark, sfDir).select(col("doc_id"), col("n_tokens_ws"))
+    assert(m1.join(x9, "doc_id").filter(col("n_tokens") =!= col("n_tokens_ws")).count() == 0)
+    // pure function of content: a second build is row-identical
+    val m2 = TextStats.classifierMargin(spark, sfDir)
+    assert(m1.exceptAll(m2).count() == 0 && m2.exceptAll(m1).count() == 0)
+    m1.unpersist()
+  }
+
   test("dedup clusters: unconverged propagation fails loudly, not silently") {
     import spark.implicits._
     // chain 1-2-…-8: diameter 7, min label needs 7 rounds to reach node 8
