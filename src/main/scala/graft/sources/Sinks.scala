@@ -69,6 +69,23 @@ object Sinks {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC sink/source: the other columnar lake format (zlib-compressed
+    * here to match its ecosystem default, as snappy is parquet's). Same
+    * pushdown/pruning contract as parquet — predicate and column pruning
+    * reach the ORC reader — so pipelines can ingest either format without
+    * plan changes. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zlib").orc(path)
+
+  def readOrc(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Plain-text source: one row per line (`value: string`) — the raw-crawl
+    * ingest edge for the document pipeline; pair with a projection that
+    * stamps doc ids (e.g. xxhash64 of the line + file). */
+  def readText(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
   /** P13: non-empty validation (reference `extract.py:56-57`). `isEmpty`
     * runs a LocalLimit(1) job — O(first partition), not a full count. */
   def requireNonEmpty(df: DataFrame, what: String): DataFrame = {

@@ -56,6 +56,34 @@ class SinksSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("orc roundtrip preserves values and pushes filters to the reader") {
+    val out = Files.createTempDirectory("graft_sink").toString
+    val df = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").limit(50)
+    Sinks.writeOrc(df, s"$out/orc")
+    val back = Sinks.readOrc(spark, s"$out/orc")
+    assert(back.schema == df.schema)
+    val a = df.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // same pushdown contract as parquet: the predicate reaches the scan
+    val plan = back.filter(col("o_orderkey") === a.head.head)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey"),
+      s"ORC scan must carry pushed filters:\n$plan")
+  }
+
+  test("text source reads one row per line") {
+    val out = Files.createTempDirectory("graft_sink").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/corpus.txt"),
+      "first line\nsecond line\nthird line\n".getBytes("UTF-8"))
+    val t = Sinks.readText(spark, s"$out/corpus.txt")
+    assert(t.columns.toSeq == Seq("value"))
+    assert(t.count() == 3)
+    assert(t.orderBy("value").collect().map(_.getString(0)).toSeq ==
+      Seq("first line", "second line", "third line"))
+  }
+
   test("requireNonEmpty throws on empty frames, passes through otherwise") {
     import spark.implicits._
     val nonEmpty = Seq(1, 2).toDF("x")
