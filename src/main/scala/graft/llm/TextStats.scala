@@ -388,10 +388,14 @@ object TextStats {
     * tokenize+explode pass is computed once behind a lazy checkpoint and
     * shared by training and scoring. Docs with <2 tokens have no bigrams
     * and drop out (mirrored by the oracle). */
-  def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame =
+    bigramLmScoreDocs(docsWide(spark, dir))
+
+  /** Library form over any (doc_id, text) frame. */
+  def bigramLmScoreDocs(docs: DataFrame): DataFrame = {
     val t = split(col("text"), " ")
     // zip-with-tail bigram Generator (see pairCounts): per-row, no self-join
-    val bigrams = docsWide(spark, dir)
+    val bigrams = docs
       .select(col("doc_id"), explode(zip_with(t, slice(t, lit(2), size(t)),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .filter(col("p.w2").isNotNull)
@@ -423,13 +427,17 @@ object TextStats {
     * shuffle; the only exchange is the presentation sort. This is the
     * shape a real model-based quality filter takes on Spark: weights in
     * the closure, one codegen'd scan over the corpus. */
-  def classifierMargin(spark: SparkSession, dir: String, dim: Int = 256): DataFrame = {
+  def classifierMargin(spark: SparkSession, dir: String, dim: Int = 256): DataFrame =
+    classifierMarginDocs(docsWide(spark, dir), dim)
+
+  /** Library form over any (doc_id, text) frame. */
+  def classifierMarginDocs(docs: DataFrame, dim: Int = 256): DataFrame = {
     val bucket = (tok: Column) =>
       conv(substring(md5(tok.cast("binary")), 1, 4), 16, 10).cast("long") % dim
     val weight = (b: Column) =>
       pmod(b * lit(1103515245L) + lit(12345L), lit(101L)) - lit(50L)
     val toks = split(col("text"), " ")
-    docsWide(spark, dir)
+    docs
       .select(col("doc_id"), size(toks).as("n_tokens"),
         aggregate(toks, lit(0L), (acc, tok) => acc + weight(bucket(tok))).as("w_sum"))
       .withColumn("margin", col("w_sum").cast("double") / col("n_tokens"))

@@ -135,6 +135,20 @@ class LlmSpec extends SparkSpec {
     lm.unpersist()
   }
 
+  test("bigram LM score: hand-computed micro-corpus") {
+    import spark.implicits._
+    // corpus: "a b", "a c", "a b d" → prefix counts: a=3, b=1
+    // bigrams: (a b)×2 → ppm 666666; (a c)×1 → 333333; (b d)×1 → 1000000
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b d")).toDF("doc_id", "text")
+    val got = TextStats.bigramLmScoreDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 666666.0),                  // "a b"
+      (2L, 1L, 333333.0),                  // "a c"
+      (3L, 2L, (666666.0 + 1000000.0) / 2) // "a b" + "b d"
+    ))
+  }
+
   test("classifier margin: bounded weights, sign-consistent verdict, stable across runs") {
     val m1 = TextStats.classifierMargin(spark, sfDir).cache()
     // per-token weights live in [-50, 50] so the mean must too
