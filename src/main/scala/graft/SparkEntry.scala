@@ -222,6 +222,8 @@ object SparkEntry {
     "x9_token_count" -> (TextStats.tokenCount _),
     "x56_bigram_lm" -> (TextStats.bigramLmScore _),
     "x57_classifier_margin" -> ((s: SparkSession, d: String) => TextStats.classifierMargin(s, d)),
+    "x58_containment" -> ((s: SparkSession, d: String) => DocDedup.containmentPairs(s, d)),
+    "x59_filter_ensemble" -> ((s: SparkSession, d: String) => TextStats.filterEnsemble(s, d)),
     "x10_fingerprint" -> (TextStats.fingerprint _),
     "x11_rolling_fingerprint" -> (TextStats.rollingFingerprint _),
     "x11b_winnow" -> ((s: SparkSession, d: String) => TextStats.winnow(s, d)),
@@ -739,41 +741,26 @@ object SparkEntry {
        s"${markerSql("es")} AS score_es, " +
        s"greatest(${markerSql("en")}, ${markerSql("de")}, ${markerSql("fr")}, ${markerSql("es")}) AS best " +
        "FROM documents) ORDER BY doc_id"),
-    "x8_quality_score" ->
-      ("SELECT doc_id, n_chars_m, n_tokens, avg_token_len, stop_ratio, " +
-       "least(1.0, n_tokens/50.0)*0.4 + (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.3 ELSE 0.0 END) " +
-       "+ least(0.3, stop_ratio*3) AS quality_score FROM (" +
-       "SELECT doc_id, CAST(length(text) AS INT) AS n_chars_m, " +
-       "CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
-       "CAST(length(replace(text, ' ', '')) AS DOUBLE)/len(string_split(text, ' ')) AS avg_token_len, " +
-       s"CAST(${stopHitsSql} AS DOUBLE)/len(string_split(text, ' ')) AS stop_ratio " +
-       "FROM documents) ORDER BY doc_id"),
+    "x8_quality_score" -> (x8QualitySql + " ORDER BY doc_id"),
     "x9_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens_ws, " +
        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_tokens_bpe " +
        "FROM documents ORDER BY doc_id"),
-    "x56_bigram_lm" ->
-      // bigram LM trained on the corpus itself; conditional probabilities
-      // quantized to integer ppm before the per-doc mean (exact cross-engine)
-      ("WITH big AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bigram " +
-       "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-       "UNNEST(range(1, len(t))) AS u(i)), " +
-       "cb AS (SELECT w1, bigram, count(*) AS c_big FROM big GROUP BY 1, 2), " +
-       "cu AS (SELECT w1, count(*) AS c_uni FROM big GROUP BY 1), " +
-       "lm AS (SELECT bigram, (c_big * 1000000) // c_uni AS ppm FROM cb JOIN cu USING (w1)), " +
-       "s AS (SELECT doc_id, count(*) AS n, CAST(sum(ppm) AS BIGINT) AS sp " +
-       "FROM big JOIN lm USING (bigram) GROUP BY 1) " +
-       "SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams, CAST(sp AS DOUBLE)/n AS lm_score_ppm " +
-       "FROM s ORDER BY doc_id"),
-    "x57_classifier_margin" ->
-      // hashed bag-of-words linear classifier: md5-prefix bucket, LCG weight,
-      // integer sum folded in-row; margin = exact-long / exact-long
-      ("SELECT doc_id, n_tokens, w_sum, CAST(w_sum AS DOUBLE)/n_tokens AS margin, " +
-       "CASE WHEN CAST(w_sum AS DOUBLE)/n_tokens >= 0 THEN 'keep' ELSE 'drop' END AS verdict " +
-       "FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
-       "CAST(list_sum(list_transform(string_split(text, ' '), tok -> " +
-       "((CAST(concat('0x', substr(md5(tok), 1, 4)) AS BIGINT) % 256) * 1103515245 + 12345) % 101 - 50" +
-       ")) AS BIGINT) AS w_sum FROM documents) ORDER BY doc_id"),
+    "x56_bigram_lm" -> (x56LmSql + " ORDER BY doc_id"),
+    "x57_classifier_margin" -> (x57ClfSql + " ORDER BY doc_id"),
+    "x58_containment" -> x58ContainmentSql,
+    "x59_filter_ensemble" ->
+      // majority vote over the three (all-exact) quality signals; docs the
+      // LM can't score (<2 tokens) coalesce to a 0 LM vote
+      (s"WITH q AS ($x8QualitySql), lmv AS ($x56LmSql), clf AS ($x57ClfSql) " +
+       "SELECT q.doc_id, q.v_q, COALESCE(l.v_lm, 0) AS v_lm, c.v_clf, " +
+       "q.v_q + COALESCE(l.v_lm, 0) + c.v_clf AS votes, " +
+       "CASE WHEN q.v_q + COALESCE(l.v_lm, 0) + c.v_clf >= 2 THEN 'keep' ELSE 'drop' END AS verdict " +
+       "FROM (SELECT doc_id, CASE WHEN quality_score >= 0.6 THEN 1 ELSE 0 END AS v_q FROM q) q " +
+       "LEFT JOIN (SELECT doc_id, CASE WHEN lm_score_ppm >= 200000 THEN 1 ELSE 0 END AS v_lm FROM lmv) l " +
+       "ON l.doc_id = q.doc_id " +
+       "JOIN (SELECT doc_id, CASE WHEN w_sum >= 0 THEN 1 ELSE 0 END AS v_clf FROM clf) c " +
+       "ON c.doc_id = q.doc_id ORDER BY q.doc_id"),
     "x10_fingerprint" ->
       ("SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp " +
        "FROM documents ORDER BY doc_id"),
@@ -1161,7 +1148,9 @@ object SparkEntry {
 
   /** x15 near-dup pipeline body (no final ORDER BY) — shared between the
     * x15 gate and the x17 cluster-resolution recursive CTE. */
-  private val x15PairsSql: String =
+  // shared by x15/x17/x30 (undirected) and x58 (directed): shingles →
+  // md5 minhash → 2-row bands
+  private val shingleBandsCte: String =
     "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
     "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
     "list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
@@ -1173,14 +1162,61 @@ object SparkEntry {
     s"[${DocDedup.mixB.mkString(",")}][CAST(i AS INT)+1]) % ${DocDedup.mixP})) AS comp " +
     "FROM hs, range(0, 8) AS r(i)), " +
     "band AS (SELECT m0.doc_id, m0.i // 2 AS j, m0.comp AS c0, m1.comp AS c1 FROM mh m0 " +
-    "JOIN mh m1 ON m0.doc_id = m1.doc_id AND m1.i = m0.i + 1 WHERE m0.i % 2 = 0), " +
+    "JOIN mh m1 ON m0.doc_id = m1.doc_id AND m1.i = m0.i + 1 WHERE m0.i % 2 = 0), "
+
+  private def bandCandShdCte(directed: Boolean): String =
     "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a " +
-    "JOIN band b ON a.j = b.j AND a.c0 = b.c0 AND a.c1 = b.c1 AND a.doc_id < b.doc_id), " +
-    "shd AS (SELECT doc_id, list_distinct(s) AS s FROM sh) " +
+    "JOIN band b ON a.j = b.j AND a.c0 = b.c0 AND a.c1 = b.c1 AND a.doc_id " +
+    (if (directed) "<>" else "<") + " b.doc_id), " +
+    "shd AS (SELECT doc_id, list_distinct(s) AS s FROM sh) "
+
+  private val x15PairsSql: String =
+    shingleBandsCte + bandCandShdCte(directed = false) +
     "SELECT id_a, id_b, jaccard FROM (SELECT c.id_a, c.id_b, " +
     "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard " +
     "FROM cand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b) " +
     "WHERE jaccard >= 0.5"
+
+  // quality-signal bodies shared by their own gates and the x59 ensemble
+  private lazy val x8QualitySql: String =
+    "SELECT doc_id, n_chars_m, n_tokens, avg_token_len, stop_ratio, " +
+    "least(1.0, n_tokens/50.0)*0.4 + (CASE WHEN avg_token_len BETWEEN 2.0 AND 10.0 THEN 0.3 ELSE 0.0 END) " +
+    "+ least(0.3, stop_ratio*3) AS quality_score FROM (" +
+    "SELECT doc_id, CAST(length(text) AS INT) AS n_chars_m, " +
+    "CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+    "CAST(length(replace(text, ' ', '')) AS DOUBLE)/len(string_split(text, ' ')) AS avg_token_len, " +
+    s"CAST(${stopHitsSql} AS DOUBLE)/len(string_split(text, ' ')) AS stop_ratio " +
+    "FROM documents)"
+
+  // bigram LM trained on the corpus itself; conditional probabilities
+  // quantized to integer ppm before the per-doc mean (exact cross-engine)
+  private lazy val x56LmSql: String =
+    "WITH big AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bigram " +
+    "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+    "UNNEST(range(1, len(t))) AS u(i)), " +
+    "cb AS (SELECT w1, bigram, count(*) AS c_big FROM big GROUP BY 1, 2), " +
+    "cu AS (SELECT w1, count(*) AS c_uni FROM big GROUP BY 1), " +
+    "lm AS (SELECT bigram, (c_big * 1000000) // c_uni AS ppm FROM cb JOIN cu USING (w1)), " +
+    "s AS (SELECT doc_id, count(*) AS n, CAST(sum(ppm) AS BIGINT) AS sp " +
+    "FROM big JOIN lm USING (bigram) GROUP BY 1) " +
+    "SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams, CAST(sp AS DOUBLE)/n AS lm_score_ppm FROM s"
+
+  // hashed bag-of-words linear classifier: md5-prefix bucket, LCG weight,
+  // integer sum folded in-row; margin = exact-long / exact-long
+  private lazy val x57ClfSql: String =
+    "SELECT doc_id, n_tokens, w_sum, CAST(w_sum AS DOUBLE)/n_tokens AS margin, " +
+    "CASE WHEN CAST(w_sum AS DOUBLE)/n_tokens >= 0 THEN 'keep' ELSE 'drop' END AS verdict " +
+    "FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+    "CAST(list_sum(list_transform(string_split(text, ' '), tok -> " +
+    "((CAST(concat('0x', substr(md5(tok), 1, 4)) AS BIGINT) % 256) * 1103515245 + 12345) % 101 - 50" +
+    ")) AS BIGINT) AS w_sum FROM documents)"
+
+  private val x58ContainmentSql: String =
+    shingleBandsCte + bandCandShdCte(directed = true) +
+    "SELECT id_a, id_b, containment FROM (SELECT c.id_a, c.id_b, " +
+    "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment " +
+    "FROM cand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b) " +
+    "WHERE containment >= 0.5 ORDER BY id_a, id_b"
 
   /** 16-bit md5-witness simhash construction (shared by x4b and the x4c
     * blocking pipeline): token hash = first 60 bits of md5(token); bit i =

@@ -260,8 +260,19 @@ object DocDedup {
     * whole LSH→verify composition is hash-checked, not just its pieces. */
   def ngramJaccardPairs(spark: SparkSession, dir: String, k: Int = 8,
       minJaccard: Double = 0.5): DataFrame = {
-    require(k % 2 == 0, s"k=$k must be even for 2-row bands")
     val docs = Tables.documents(spark, dir)
+    ngramJaccard(docs, bandCandidates(spark, dir, k))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Band-collision candidate pairs from the md5 minhash — the x15
+    * candidate generator, factored for reuse. `directed = true` keeps
+    * both orientations of each colliding pair (for asymmetric scores
+    * like containment, where (A→B) and (B→A) differ). */
+  def bandCandidates(spark: SparkSession, dir: String, k: Int = 8,
+      directed: Boolean = false): DataFrame = {
+    require(k % 2 == 0, s"k=$k must be even for 2-row bands")
     // barrier: stop the k md5-minhash expressions collapsing into both
     // self-join sides (2× recompute of the per-shingle md5 pass)
     val mhWide = minhashMd5(spark, dir, k).localCheckpoint(eager = false)
@@ -271,11 +282,37 @@ object DocDedup {
         .as(Seq("j", "band")))
     val a = bands.select(col("j"), col("band"), col("doc_id").as("id_a"))
     val b = bands.select(col("j").as("bj"), col("band").as("bb"), col("doc_id").as("id_b"))
-    val candidates = a.join(b, col("j") === col("bj") && col("band") === col("bb")
-        && col("id_a") < col("id_b"))
+    val cond = if (directed) col("id_a") =!= col("id_b") else col("id_a") < col("id_b")
+    a.join(b, col("j") === col("bj") && col("band") === col("bb") && cond)
       .select("id_a", "id_b").distinct()
-    ngramJaccard(docs, candidates)
-      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** x58: asymmetric shingle CONTAINMENT — detects when one document's
+    * content is (nearly) a subset of another's: quotes, boilerplate
+    * inclusion, wrapped reposts. Symmetric Jaccard misses these (a short
+    * doc fully quoted inside a long one has low Jaccard but containment
+    * ≈ 1), which is why containment is its own primitive (LSH Ensemble,
+    * Zhu et al. VLDB'16): containment(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|,
+    * scored exactly per DIRECTED candidate pair.
+    *
+    * Candidates here are the minhash band collisions (directed) — tuned
+    * for Jaccard, so extreme length-skewed containments can escape the
+    * bands; at lake scale the LSH-Ensemble fix is banding within
+    * per-length partitions, which changes only `bandCandidates`, not the
+    * scoring. 100 TB: band join shuffles short band keys, scoring joins
+    * shuffle doc ids; nothing quadratic. */
+  def containmentPairs(spark: SparkSession, dir: String, k: Int = 8,
+      minContainment: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = Tables.widen(docs)
+      .select(col("doc_id"), array_distinct(shingles(tokensCol)).as("sh"))
+    bandCandidates(spark, dir, k, directed = true)
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") / size(col("sh_a")))
+      .filter(col("containment") >= minContainment)
+      .select("id_a", "id_b", "containment")
       .orderBy("id_a", "id_b")
   }
 

@@ -430,6 +430,35 @@ object TextStats {
   def classifierMargin(spark: SparkSession, dir: String, dim: Int = 256): DataFrame =
     classifierMarginDocs(docsWide(spark, dir), dim)
 
+  /** x59: quality-filter ENSEMBLE — production curation (FineWeb,
+    * RefinedWeb, Dolma) never trusts one signal: each doc gets an
+    * independent vote from the heuristic quality score (x8), the bigram
+    * LM (x56), and the hashed classifier (x57); majority keeps. Docs the
+    * LM cannot score (<2 tokens) get a 0 LM vote rather than dropping
+    * out. All three signals are exact cross-engine (x8's arithmetic is
+    * bit-identical IEEE; x56/x57 vote on exact integers), so the votes —
+    * not just the scores — hash-match the oracle.
+    *
+    * 100 TB: three independent corpus scans here for gate isolation; a
+    * fused pipeline computes x8+x57 in ONE scan (pure per-row, see
+    * curationReport for the fusion pattern) and x56 as the only keyed
+    * stage. The ensemble join shuffles doc ids only. */
+  def filterEnsemble(spark: SparkSession, dir: String,
+      minLmPpm: Long = 200000L, minQuality: Double = 0.6): DataFrame = {
+    val q = qualityScore(spark, dir)
+      .select(col("doc_id"), (col("quality_score") >= minQuality).cast("int").as("v_q"))
+    val lm = bigramLmScore(spark, dir)
+      .select(col("doc_id"), (col("lm_score_ppm") >= minLmPpm).cast("int").as("v_lm"))
+    val cl = classifierMargin(spark, dir)
+      .select(col("doc_id"), (col("w_sum") >= 0).cast("int").as("v_clf"))
+    q.join(lm, Seq("doc_id"), "left").na.fill(0, Seq("v_lm"))
+      .join(cl, Seq("doc_id"))
+      .withColumn("votes", col("v_q") + col("v_lm") + col("v_clf"))
+      .withColumn("verdict", when(col("votes") >= 2, "keep").otherwise("drop"))
+      .select("doc_id", "v_q", "v_lm", "v_clf", "votes", "verdict")
+      .orderBy("doc_id")
+  }
+
   /** Library form over any (doc_id, text) frame. */
   def classifierMarginDocs(docs: DataFrame, dim: Int = 256): DataFrame = {
     val bucket = (tok: Column) =>

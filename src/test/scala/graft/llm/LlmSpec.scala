@@ -135,6 +135,59 @@ class LlmSpec extends SparkSpec {
     lm.unpersist()
   }
 
+  test("KNN join: recall vs exact brute-force top-k is pinned") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val exactTop = emb.map { case (id, v) =>
+      id -> emb.filter(_._1 != id).map { case (j, w) => (j, cos(v, w)) }
+        .sortBy { case (j, s) => (-s, j) }.take(5).map(_._1).toSet
+    }.toMap
+    val knn = Similarity.knnJoin(spark, sfDir, k = 5)
+      .select("vec_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (hit, tot) = exactTop.foldLeft((0, 0)) { case ((h, t), (id, ex)) =>
+      (h + knn.getOrElse(id, Set.empty[Long]).intersect(ex).size, t + ex.size)
+    }
+    // seeded planes + fixed corpus → deterministic; pin a floor so a
+    // banding/seed regression cannot pass silently
+    val recall = hit.toDouble / tot
+    assert(recall >= 0.25, s"KNN-join recall regressed: $recall ($hit/$tot)")
+  }
+
+  test("containment: bounded, >= jaccard, and both orientations of verified pairs") {
+    val cont = DocDedup.containmentPairs(spark, sfDir, minContainment = 0.5).cache()
+    assert(cont.filter(col("containment") <= 0 || col("containment") > 1.0).count() == 0)
+    // containment(A→B) = |∩|/|A| >= |∩|/|∪| = jaccard, so every
+    // oracle-checked x15 pair (jaccard >= 0.5) must appear in BOTH
+    // orientations, each with containment >= its jaccard
+    val jac = DocDedup.ngramJaccardPairs(spark, sfDir)
+    val fwd = jac.join(cont, Seq("id_a", "id_b"))
+    assert(fwd.count() == jac.count(), "forward orientation missing pairs")
+    assert(fwd.filter(col("containment") < col("jaccard") - 1e-12).count() == 0)
+    val rev = jac.select(col("id_b").as("id_a"), col("id_a").as("id_b"))
+    assert(rev.join(cont, Seq("id_a", "id_b")).count() == jac.count(),
+      "reverse orientation missing pairs")
+    cont.unpersist()
+  }
+
+  test("filter ensemble: votes reconcile with the component signals") {
+    val ens = TextStats.filterEnsemble(spark, sfDir).cache()
+    assert(ens.filter(col("votes") =!= col("v_q") + col("v_lm") + col("v_clf")).count() == 0)
+    assert(ens.filter((col("votes") >= 2) =!= (col("verdict") === "keep")).count() == 0)
+    // LM misses coalesce to a 0 vote — no doc drops out of the verdict
+    assert(ens.count() == graft.Tables.documents(spark, sfDir).count())
+    val q = TextStats.qualityScore(spark, sfDir)
+      .select(col("doc_id"), (col("quality_score") >= 0.6).cast("int").as("eq"))
+    assert(ens.join(q, "doc_id").filter(col("v_q") =!= col("eq")).count() == 0)
+    ens.unpersist()
+  }
+
   test("bigram LM score: hand-computed micro-corpus") {
     import spark.implicits._
     // corpus: "a b", "a c", "a b d" → prefix counts: a=3, b=1
