@@ -119,6 +119,7 @@ object SparkEntry {
     "x15_ngram_jaccard" -> ((s: SparkSession, d: String) => DocDedup.ngramJaccardPairs(s, d)),
     "x17_dedup_clusters" -> ((s: SparkSession, d: String) => DocDedup.dedupClustersGate(s, d)),
     "x30_dedup_apply" -> ((s: SparkSession, d: String) => DocDedup.dedupApply(s, d)),
+    "x61_best_of_cluster" -> ((s: SparkSession, d: String) => DocDedup.bestOfCluster(s, d)),
     "x16_token_freq" -> ((s: SparkSession, d: String) => graft.llm.TextStats.tokenFreq(s, d)),
     "x18_hash_split" -> ((s: SparkSession, d: String) => graft.llm.TextStats.hashSplit(s, d)),
     "x22_top_terms" -> ((s: SparkSession, d: String) => graft.llm.TextStats.topTerms(s, d)),
@@ -164,6 +165,8 @@ object SparkEntry {
     }),
     "w8_scd2" -> ((s: SparkSession, d: String) =>
       graft.warehouse.Scd.customerPriorityHistory(s, d)),
+    "w9_bucketed_join" -> ((s: SparkSession, d: String) =>
+      graft.warehouse.Bucketed.orderLineSummary(s, d)),
     "win_trips_per_day" -> (Aggs.tripsPerDayWindow _),
     "a15_cube_revenue" -> (Aggs.cubeRevenue _),
     "a16_fact_dashboard" -> (Aggs.factDashboard _),
@@ -236,6 +239,7 @@ object SparkEntry {
     "x27_source_quota" -> ((s: SparkSession, d: String) => TextStats.sourceQuota(s, d)),
     "x28_repetition" -> ((s: SparkSession, d: String) => TextStats.repetitionStats(s, d)),
     "x31_decontaminate" -> ((s: SparkSession, d: String) => Curation.decontaminate(s, d)),
+    "x60_contamination_report" -> ((s: SparkSession, d: String) => Curation.contaminationReport(s, d)),
     "x32_mixture_weights" -> ((s: SparkSession, d: String) => Curation.mixtureWeights(s, d)),
     "x33_shuffle_shards" -> ((s: SparkSession, d: String) => Curation.shuffleShards(s, d)),
     "x34_clean_text" -> ((s: SparkSession, d: String) => Curation.cleanText(s, d)),
@@ -455,6 +459,23 @@ object SparkEntry {
        "GROUP BY node) WHERE cluster_id <> node) " +
        "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM losers) " +
        "ORDER BY doc_id"),
+    // keeper = highest-quality member per near-dup cluster (ties →
+    // smallest doc_id); x17's components ⋈ x8's quality
+    "x61_best_of_cluster" ->
+      (s"WITH RECURSIVE pairs AS ($x15PairsSql), " +
+       "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+       "UNION ALL SELECT id_b, id_a FROM pairs), " +
+       "reach(node, lab) AS (SELECT src, src FROM (SELECT DISTINCT src FROM e) " +
+       "UNION SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node), " +
+       "cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node), " +
+       s"q AS ($x8QualitySql), " +
+       "j AS (SELECT cl.cluster_id, cl.doc_id, q.quality_score FROM cl " +
+       "JOIN q ON q.doc_id = cl.doc_id), " +
+       "sz AS (SELECT cluster_id, count(*) AS cluster_size FROM j GROUP BY 1) " +
+       "SELECT j.cluster_id, j.doc_id AS keeper_id, j.quality_score AS keeper_quality, " +
+       "sz.cluster_size FROM j JOIN sz USING (cluster_id) " +
+       "QUALIFY row_number() OVER (PARTITION BY j.cluster_id " +
+       "ORDER BY j.quality_score DESC, j.doc_id) = 1 ORDER BY cluster_id"),
     "x16_token_freq" ->
       ("SELECT token, count(*) AS n FROM " +
        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
@@ -590,6 +611,14 @@ object SparkEntry {
        "lead(d) OVER (PARTITION BY o_custkey ORDER BY d) AS valid_to, " +
        "CAST(CASE WHEN lead(d) OVER (PARTITION BY o_custkey ORDER BY d) IS NULL THEN 1 ELSE 0 END AS INT) AS is_current " +
        "FROM ev ORDER BY o_custkey, valid_from"),
+    "w9_bucketed_join" ->
+      // layout-independent contract of the bucketed fact join: same rows
+      // as the plain join (quantities summed as exact longs)
+      ("SELECT l_orderkey, count(*) AS n_lines, " +
+       "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +
+       "max(o_totalprice) AS o_totalprice " +
+       "FROM lineitem JOIN orders ON o_orderkey = l_orderkey " +
+       "GROUP BY 1 ORDER BY 1"),
     "win_trips_per_day" ->
       ("SELECT l_orderkey, l_linenumber, count(*) OVER (PARTITION BY CAST(l_shipdate AS DATE)) AS trips_same_day " +
        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
@@ -837,6 +866,27 @@ object SparkEntry {
        "SELECT c.doc_id, count(*) AS n_shingles, count(b.h) AS n_hits, " +
        "CAST(count(b.h) * 5 >= count(*) AS INT) AS contaminated " +
        "FROM corpus c LEFT JOIN bench b USING (h) GROUP BY 1 ORDER BY 1"),
+    "x60_contamination_report" ->
+      // which eval doc leaked: per train doc, the top-colliding eval doc
+      // (most shared distinct shingles, smallest eval id on ties)
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
+       "list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
+       "ELSE [array_to_string(t, ' ')] END AS s FROM tok), " +
+       "flat AS (SELECT DISTINCT doc_id, " +
+       "CAST(concat('0x', substr(md5(sx), 1, 15)) AS BIGINT) AS h " +
+       "FROM (SELECT doc_id, unnest(s) AS sx FROM sh)), " +
+       "bench AS (SELECT doc_id AS eval_id, h FROM flat WHERE doc_id % 17 = 0), " +
+       "corpus AS (SELECT doc_id, h FROM flat WHERE doc_id % 17 <> 0), " +
+       "ns AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1), " +
+       "p AS (SELECT c.doc_id, b.eval_id, count(*) AS shared FROM corpus c " +
+       "JOIN bench b USING (h) GROUP BY 1, 2), " +
+       "t AS (SELECT doc_id, eval_id AS top_eval_id, shared AS shared_shingles, " +
+       "CAST(sum(shared) OVER (PARTITION BY doc_id) AS BIGINT) AS total_collisions " +
+       "FROM p QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY shared DESC, eval_id) = 1) " +
+       "SELECT t.doc_id, t.top_eval_id, t.shared_shingles, t.total_collisions, " +
+       "ns.n_shingles, CAST(t.shared_shingles AS DOUBLE)/ns.n_shingles AS share " +
+       "FROM t JOIN ns ON ns.doc_id = t.doc_id ORDER BY t.doc_id"),
     "x32_mixture_weights" ->
       ("WITH s AS (SELECT source, count(*) AS n_docs, " +
        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM documents GROUP BY 1), " +

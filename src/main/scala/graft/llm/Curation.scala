@@ -65,6 +65,48 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** x60: contamination ATTRIBUTION — x31 answers "is this training doc
+    * contaminated?"; this answers "by WHICH eval document?" (the report a
+    * curation team actually reads: which benchmark leaked into the
+    * corpus). For every train doc sharing >= 1 distinct 3-token shingle
+    * with the eval split, emit the top-colliding eval doc (most shared
+    * shingles; ties broken by smallest eval id), the shared count, and
+    * the doc's contaminated-shingle fraction.
+    *
+    * The per-train-doc argmax is `max(struct(shared, -eval_id))` — a
+    * map-side-combinable aggregate, not a window: tasks reduce each
+    * train doc to one candidate before the shuffle, so the exchange
+    * carries one row per (train doc, partial) instead of one per
+    * colliding (train, eval) pair.
+    *
+    * 100 TB: eval (shingle hash, eval id) pairs broadcast — eval suites
+    * are MBs; the corpus side is one scan + per-doc distinct + two
+    * partial-aggregated reductions. Nothing shuffles full text. */
+  def contaminationReport(spark: SparkSession, dir: String, mod: Int = 17): DataFrame = {
+    val docs = docsWide(spark, dir)
+    val bench = shingleHashes(docs.filter(col("doc_id") % mod === 0))
+      .select(col("h"), col("doc_id").as("eval_id"))
+    // barrier: the corpus shingle pass feeds both the collision join and
+    // the per-doc shingle count — compute the (doc_id, h) set once
+    val corpus = shingleHashes(docs.filter(col("doc_id") % mod =!= 0))
+      .localCheckpoint(eager = false)
+    val nsh = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    corpus.join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("shared").as("sh"), (-col("eval_id")).as("ne"))).as("m"),
+        sum(col("shared")).as("total_collisions"))
+      .select(col("doc_id"), (-col("m.ne")).as("top_eval_id"),
+        col("m.sh").as("shared_shingles"), col("total_collisions"))
+      .join(nsh, Seq("doc_id"))
+      .withColumn("share",
+        col("shared_shingles").cast("double") / col("n_shingles").cast("double"))
+      .select("doc_id", "top_eval_id", "shared_shingles", "total_collisions",
+        "n_shingles", "share")
+      .orderBy("doc_id")
+  }
+
   /** x32: source mixture weights — temperature sampling over sources with
     * alpha = 0.5 (weight_i proportional to sqrt(n_i), the multilingual /
     * multi-corpus rebalancing rule). `sqrt_scaled = floor(sqrt(n_docs)*1e6)`

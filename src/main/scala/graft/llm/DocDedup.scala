@@ -375,6 +375,31 @@ object DocDedup {
   def dedupClustersGate(spark: SparkSession, dir: String): DataFrame =
     dedupClusters(ngramJaccardPairs(spark, dir).drop("jaccard"))
 
+  /** x61: quality-aware cluster REPRESENTATIVE selection — production
+    * dedup keeps the BEST duplicate, not the first: crawls re-capture the
+    * same page with different boilerplate/truncation, and keep-min-id
+    * keeps whichever was crawled first. Per near-dup cluster, the keeper
+    * is the member with the highest x8 quality score (ties → smallest
+    * doc_id). The per-cluster argmax is `max(struct(quality, -doc_id))` —
+    * map-side combinable, so each task reduces a cluster to one candidate
+    * before the shuffle (no window sort over members).
+    *
+    * 100 TB: clusters come from the checkpointed CC labels (short-key
+    * shuffles); quality is a per-row projection on the scan; the argmax
+    * shuffles one short row per (cluster, task). */
+  def bestOfCluster(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClustersGate(spark, dir)
+    val q = TextStats.qualityScore(spark, dir).select("doc_id", "quality_score")
+    clusters.join(q, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(
+        max(struct(col("quality_score").as("q"), (-col("doc_id")).as("nd"))).as("m"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), (-col("m.nd")).as("keeper_id"),
+        col("m.q").as("keeper_quality"), col("cluster_size"))
+      .orderBy("cluster_id")
+  }
+
   /** x30: APPLY the dedup — the end product of the whole pipeline: the
     * corpus with every non-canonical near-duplicate removed (keeper = the
     * cluster's minimum doc_id, i.e. the row whose label equals itself).

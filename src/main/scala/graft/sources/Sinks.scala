@@ -43,11 +43,21 @@ object Sinks {
     * once and amortized over every later query. Requires a catalog table
     * (bucket metadata lives in the metastore), hence saveAsTable. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      nBuckets: Int = 8): Unit =
+      nBuckets: Int = 8): Unit = {
+    val spark = df.sparkSession
+    // the in-memory catalog forgets managed tables at JVM exit but their
+    // files survive in the warehouse dir; a later CREATE then fails with
+    // LOCATION_ALREADY_EXISTS — clear both the entry and the orphan dir
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .option("compression", "snappy")
       .format("parquet").saveAsTable(table)
+  }
 
   /** S10: CSV sink/source (the reference's Power BI ingestion path,
     * README.md:34-37). */

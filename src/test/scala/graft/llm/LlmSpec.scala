@@ -176,6 +176,47 @@ class LlmSpec extends SparkSpec {
     cont.unpersist()
   }
 
+  test("contamination report: reconciles with the x31 decontamination flags") {
+    val rep = Curation.contaminationReport(spark, sfDir).cache()
+    val dec = Curation.decontaminate(spark, sfDir).cache()
+    // exactly the docs with >= 1 eval-shingle hit are attributed
+    assert(rep.count() == dec.filter(col("n_hits") > 0).count())
+    val j = rep.join(dec, Seq("doc_id"))
+    assert(j.count() == rep.count(), "every attributed doc must exist in x31")
+    // shared-with-top-eval <= distinct shingles hit anywhere <= total
+    // per-eval collision multiplicity; shingle counts agree across paths
+    assert(j.filter(col("shared_shingles") > col("n_hits")).count() == 0)
+    assert(j.filter(col("n_hits") > col("total_collisions")).count() == 0)
+    assert(j.filter(rep("n_shingles") =!= dec("n_shingles")).count() == 0)
+    assert(rep.filter(col("share") <= 0 || col("share") > 1).count() == 0)
+    // the top eval doc really is from the eval split
+    assert(rep.filter(col("top_eval_id") % 17 =!= 0).count() == 0)
+    rep.unpersist(); dec.unpersist()
+  }
+
+  test("best-of-cluster: keeper dominates its cluster on (quality, -id)") {
+    val best = DocDedup.bestOfCluster(spark, sfDir).cache()
+    val cl = DocDedup.dedupClustersGate(spark, sfDir)
+    val q = TextStats.qualityScore(spark, sfDir).select("doc_id", "quality_score")
+    val members = cl.join(q, Seq("doc_id"))
+    // one keeper per cluster; keeper is a member; sizes reconcile
+    assert(best.count() == cl.select("cluster_id").distinct().count())
+    val withKeeper = best.join(
+      members.select(col("cluster_id"), col("doc_id").as("keeper_id"),
+        col("quality_score").as("member_q")),
+      Seq("cluster_id", "keeper_id"))
+    assert(withKeeper.count() == best.count(), "keeper must belong to its cluster")
+    assert(withKeeper.filter(col("keeper_quality") =!= col("member_q")).count() == 0)
+    assert(best.agg(sum("cluster_size")).head().getLong(0) == cl.count())
+    // no member strictly beats the keeper: higher quality, or equal
+    // quality with a smaller id
+    val beaten = best.join(members, Seq("cluster_id"))
+      .filter(col("quality_score") > col("keeper_quality") ||
+        (col("quality_score") === col("keeper_quality") && col("doc_id") < col("keeper_id")))
+    assert(beaten.count() == 0, "keeper must be the (quality, -id) argmax")
+    best.unpersist()
+  }
+
   test("filter ensemble: votes reconcile with the component signals") {
     val ens = TextStats.filterEnsemble(spark, sfDir).cache()
     assert(ens.filter(col("votes") =!= col("v_q") + col("v_lm") + col("v_clf")).count() == 0)

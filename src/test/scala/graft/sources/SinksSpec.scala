@@ -118,6 +118,25 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("w9 bucketed join + aggregate plans with zero hash exchanges") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val w9 = graft.warehouse.Bucketed.orderLineSummary(spark, sfDir)
+      val plan = w9.queryExecution.executedPlan.toString
+      // join AND per-key aggregate both reuse the bucket layout; the only
+      // exchange left is the presentation range sort
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join+agg must not shuffle:\n" + plan)
+      val li = Tables.lineitem(spark, sfDir)
+      assert(w9.agg(sum("n_lines")).head().getLong(0) == li.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS w9_lineitem_b")
+      spark.sql("DROP TABLE IF EXISTS w9_orders_b")
+    }
+  }
+
   test("SQL view layer answers DAX-measure analogues") {
     graft.dashboard.Views.register(spark, sfDir)
     val total = graft.dashboard.Views.measure(spark, "total_trips").head().getLong(0)
