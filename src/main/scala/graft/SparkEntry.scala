@@ -177,6 +177,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
         .orderBy("window_start", "event_type")),
     "e2_sessionize" -> ((s: SparkSession, d: String) => Funcs.sessionizeEvents(s, d)),
+    "e6_trending_topk" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventsStream.trendingTopK(
+        Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+          .agg(count(lit(1)).as("n")))
+        .orderBy("window_start", "rank")),
     // the stream-stream interval join run on its BATCH twin (unified API):
     // gates the streaming operator's join semantics against the oracle
     "e5_click_view_join" -> ((s: SparkSession, d: String) => {
@@ -240,6 +246,7 @@ object SparkEntry {
     "x28_repetition" -> ((s: SparkSession, d: String) => TextStats.repetitionStats(s, d)),
     "x31_decontaminate" -> ((s: SparkSession, d: String) => Curation.decontaminate(s, d)),
     "x60_contamination_report" -> ((s: SparkSession, d: String) => Curation.contaminationReport(s, d)),
+    "x62_substring_decontaminate" -> ((s: SparkSession, d: String) => Curation.substringDecontaminate(s, d)),
     "x32_mixture_weights" -> ((s: SparkSession, d: String) => Curation.mixtureWeights(s, d)),
     "x33_shuffle_shards" -> ((s: SparkSession, d: String) => Curation.shuffleShards(s, d)),
     "x34_clean_text" -> ((s: SparkSession, d: String) => Curation.cleanText(s, d)),
@@ -639,6 +646,12 @@ object SparkEntry {
     "e1_hourly_events" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, " +
        "round(sum(value),2) AS total_value FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
+    "e6_trending_topk" ->
+      ("WITH h AS (SELECT date_trunc('hour', ts) AS window_start, event_type, " +
+       "count(*) AS n FROM events GROUP BY 1, 2) " +
+       "SELECT window_start, CAST(row_number() OVER (PARTITION BY window_start " +
+       "ORDER BY n DESC, event_type) AS INT) AS rank, event_type, n FROM h " +
+       "QUALIFY rank <= 3 ORDER BY window_start, rank"),
     "e2_sessionize" ->
       ("WITH g AS (SELECT user_id, event_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess " +
@@ -887,6 +900,22 @@ object SparkEntry {
        "SELECT t.doc_id, t.top_eval_id, t.shared_shingles, t.total_collisions, " +
        "ns.n_shingles, CAST(t.shared_shingles AS DOUBLE)/ns.n_shingles AS share " +
        "FROM t JOIN ns ON ns.doc_id = t.doc_id ORDER BY t.doc_id"),
+    "x62_substring_decontaminate" ->
+      // anchor-candidate + verbatim-contains verify, mirrored exactly:
+      // anchor = first 8-token shingle (whole text if shorter)
+      ("WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents), " +
+       "ev AS (SELECT doc_id AS eval_id, text AS etext, " +
+       "CAST(concat('0x', substr(md5(array_to_string(t[1:8], ' ')), 1, 15)) AS BIGINT) AS h " +
+       "FROM d WHERE doc_id % 17 = 0 AND len(t) >= 8), " +
+       "tr AS (SELECT doc_id, text, t FROM d WHERE doc_id % 17 <> 0), " +
+       "sh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(sx), 1, 15)) AS BIGINT) AS h " +
+       "FROM (SELECT doc_id, unnest(CASE WHEN len(t) >= 8 " +
+       "THEN list_transform(range(1, len(t)-6), i -> array_to_string(t[i:i+7], ' ')) " +
+       "ELSE [array_to_string(t, ' ')] END) AS sx FROM tr)), " +
+       "cand AS (SELECT DISTINCT sh.doc_id, ev.eval_id FROM sh JOIN ev USING (h)) " +
+       "SELECT c.doc_id, c.eval_id, CAST(length(ev.etext) AS INT) AS eval_chars " +
+       "FROM cand c JOIN tr ON tr.doc_id = c.doc_id JOIN ev ON ev.eval_id = c.eval_id " +
+       "WHERE contains(tr.text, ev.etext) ORDER BY c.doc_id, c.eval_id"),
     "x32_mixture_weights" ->
       ("WITH s AS (SELECT source, count(*) AS n_docs, " +
        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM documents GROUP BY 1), " +

@@ -107,6 +107,64 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** x62: EXACT-SUBSTRING decontamination — the complement of x31's
+    * n-gram-overlap test: flag training docs that contain an eval
+    * document VERBATIM (quoted benchmark items, wholesale inclusion —
+    * the PaLM-style exact-match tier of a decontamination suite).
+    *
+    * The naive form is contains(train, eval) for every (train, eval)
+    * pair — a nested-loop scan. Instead, candidates come from an ANCHOR
+    * equi-join: a verbatim inclusion must contain the eval doc's first
+    * `k`-token shingle as a contiguous token run, so hashing every train
+    * `k`-shingle and equi-joining against the (broadcast) eval anchor
+    * hashes yields a tiny candidate set; `contains()` then verifies the
+    * full inclusion on candidates only — the LSH generate-then-verify
+    * shape, applied to substring matching. Eval items shorter than the
+    * `k`-token anchor are OUTSIDE this operator's contract (a shorter
+    * anchor can never match a train-side k-shingle) — degenerate short
+    * benchmark items are the n-gram tier's job (x31, whole-text-shingle
+    * fallback), not the verbatim tier's.
+    *
+    * 100 TB: eval anchors broadcast (eval suites are MBs); the train side
+    * is one scan + explode to short shingle hashes; full texts meet only
+    * per candidate pair. */
+  def substringDecontaminate(spark: SparkSession, dir: String, mod: Int = 17,
+      k: Int = 8): DataFrame = {
+    val docs = docsWide(spark, dir)
+    substringDecontaminateDocs(
+      docs.filter(col("doc_id") % mod =!= 0),
+      docs.filter(col("doc_id") % mod === 0), k)
+  }
+
+  /** Library form of x62 over arbitrary (doc_id, text) train/eval frames
+    * (specs plant verbatim-inclusion fixtures through this). */
+  def substringDecontaminateDocs(train: DataFrame, eval: DataFrame,
+      k: Int = 8): DataFrame = {
+    val toks = DocDedup.tokensCol
+    val n = size(toks)
+    val kShingles = when(n >= k,
+        transform(sequence(lit(0), n - k), i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", toks)))
+    val anchor = concat_ws(" ", slice(toks, lit(1), lit(k)))
+    val ev = eval.filter(n >= k)
+      .select(col("doc_id").as("eval_id"), col("text").as("etext"),
+        md5Long(anchor).as("h"))
+    val trainSh = train
+      .select(col("doc_id"), explode(kShingles).as("s"))
+      .select(col("doc_id"), md5Long(col("s")).as("h"))
+      .distinct()
+    val cand = trainSh
+      .join(broadcast(ev.select("h", "eval_id")), Seq("h"))
+      .select("doc_id", "eval_id").distinct()
+    cand
+      .join(train.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .join(broadcast(ev.select("eval_id", "etext")), Seq("eval_id"))
+      .filter(col("text").contains(col("etext")))
+      .select(col("doc_id"), col("eval_id"),
+        length(col("etext")).as("eval_chars"))
+      .orderBy("doc_id", "eval_id")
+  }
+
   /** x32: source mixture weights — temperature sampling over sources with
     * alpha = 0.5 (weight_i proportional to sqrt(n_i), the multilingual /
     * multi-corpus rebalancing rule). `sqrt_scaled = floor(sqrt(n_docs)*1e6)`

@@ -64,6 +64,23 @@ object EventsStream {
       .select("click_id", "user_id", "click_ts", "view_id", "view_ts")
   }
 
+  /** e6: windowed TRENDING top-k — per hour, the k most frequent event
+    * types (count desc, name asc on ties): the "what's trending now"
+    * panel. On a stream, the ranking runs OVER the windowed aggregate
+    * (hourlyAgg's output, #types × #open-windows rows — tiny, bounded by
+    * the watermark), never over raw events; batch and stream share this
+    * rank step unchanged (unified API, spec-asserted). The row_number
+    * idiom also lets `RewriteRowNumberTopK` plan the batch side as the
+    * bounded-heap TopKPerKey. */
+  def trendingTopK(hourly: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start").orderBy(desc("n"), asc("event_type"))
+    hourly
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("window_start", "rank", "event_type", "n")
+  }
+
   /** Streaming exact dedup: at-least-once sources redeliver rows, so the
     * ingest edge dedups on event_id. `dropDuplicatesWithinWatermark` keys
     * the state store on event_id but EVICTS entries once the watermark

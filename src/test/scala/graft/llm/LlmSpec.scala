@@ -194,6 +194,37 @@ class LlmSpec extends SparkSpec {
     rep.unpersist(); dec.unpersist()
   }
 
+  test("substring decontamination: planted inclusions found, corpus matches brute force") {
+    import spark.implicits._
+    val ev = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // 10 tokens
+      (17L, "tiny eval")                  // < k: outside the verbatim tier's contract
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon zeta eta theta iota kappa suffix"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  // exact copy
+      (3L, "contains tiny eval inside it"),
+      (4L, "alpha beta gamma delta epsilon but then it diverges entirely away"),
+      (5L, "nothing in common at all here")
+    ).toDF("doc_id", "text")
+    val found = Curation.substringDecontaminateDocs(train, ev)
+      .select("doc_id", "eval_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == Set((1L, 0L), (2L, 0L)), "sub-anchor eval items are excluded by contract")
+
+    // corpus: the anchor-candidate path must equal brute-force contains()
+    // over in-contract (>= 8-token) eval docs
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (evs, trs) = docs.partition(_._1 % 17 == 0)
+    val brute = (for {
+      (tid, ttext) <- trs
+      (eid, etext) <- evs if etext.split(" ").length >= 8 && ttext.contains(etext)
+    } yield (tid, eid)).toSet
+    val got = Curation.substringDecontaminate(spark, sfDir)
+      .select("doc_id", "eval_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"anchor path diverged from brute force: got=$got brute=$brute")
+  }
+
   test("best-of-cluster: keeper dominates its cluster on (quality, -id)") {
     val best = DocDedup.bestOfCluster(spark, sfDir).cache()
     val cl = DocDedup.dedupClustersGate(spark, sfDir)

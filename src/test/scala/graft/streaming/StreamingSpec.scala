@@ -39,6 +39,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("trending top-k over a MemoryStream matches the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val q = EventsStream.hourlyAgg(mem.toDF())
+      .writeStream.format("memory").queryName("trend_test")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    // the rank step runs over the windowed aggregate, identically on the
+    // streamed sink table and the batch twin
+    val streamed = EventsStream.trendingTopK(
+        spark.table("trend_test").select("window_start", "event_type", "n"), k = 2)
+      .orderBy("window_start", "rank").collect().map(_.toSeq).toSeq
+    val batch = EventsStream.trendingTopK(
+        EventsStream.hourlyAgg(sample.toDF()).select("window_start", "event_type", "n"),
+        k = 2)
+      .orderBy("window_start", "rank").collect().map(_.toSeq).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // hour 11 has three types; k=2 keeps the two most frequent (all count
+    // 1 → alphabetical: error, purchase) and ranks are contiguous
+    val h11 = streamed.filter(_.head == ts("2024-01-01 11:00:00"))
+    assert(h11.map(r => (r(1), r(2))) == Seq((1, "error"), (2, "purchase")))
+  }
+
   test("twin-sink foreachBatch splits valid vs anomalies per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
