@@ -219,9 +219,13 @@ object SparkEntry {
     "x4_simhash_digest" -> (DocDedup.simhashDigest _),
     "x5_embed_neardup" -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
     // the SCALE path for embedding near-dup: LSH-bucketed candidates, no
-    // cartesian anywhere in the plan (x5 stays as the small-scale verifier)
-    "x5b_ann_neardup" -> ((s: SparkSession, d: String) => Similarity.annPairsLsh(s, d)),
-    "x55_knn_join" -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
+    // cartesian anywhere in the plan (x5 stays as the small-scale verifier).
+    // nPlanes is PINNED to 6 here because the oracle SQL bakes the 6-plane
+    // ±1 matrix as literals; the library default (nPlanes = 0) derives
+    // ~log2(nVecs) from a metadata count so big corpora don't saturate the
+    // fixed bucket space (Similarity.autoPlanes).
+    "x5b_ann_neardup" -> ((s: SparkSession, d: String) => Similarity.annPairsLsh(s, d, nPlanes = 6)),
+    "x55_knn_join" -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d, nPlanes = 6)),
     "x6_ann_topk" -> ((s: SparkSession, d: String) => Similarity.topKBruteForce(s, d)),
     "x12_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.topKIvf(s, d)),
     "x24_vector_stats" -> ((s: SparkSession, d: String) => Similarity.vectorStats(s, d)),

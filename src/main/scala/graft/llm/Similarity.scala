@@ -103,6 +103,30 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
+  /** LSH sharpness derived from corpus size: nPlanes = clamp(⌈log2(n/32)⌉,
+    * 6, 28), i.e. hold expected per-table bucket occupancy at ~32 vectors
+    * as the corpus grows. A FIXED plane count saturates: at 10× data the
+    * same 2^6 buckets hold 10× the vectors each, so candidate pairs — and
+    * the bucket self-join — grow ~quadratically (measured: x55 at 12.1×,
+    * x5b at 10.1× time for 10× data in SCALE.md's rehearsal). Scaling
+    * nPlanes with log2(n) keeps candidates ~linear; per-pair recall at a
+    * given cosine drops per table ((1−θ/π)^nPlanes), which is the standard
+    * trade — compensate with nTables if a sweep needs fixed recall. The
+    * cap (28) bounds the literal plane matrix in the plan; the floor (6)
+    * matches the gate oracles' baked matrix so tiny corpora are unchanged. */
+  private[graft] def autoPlanes(nVecs: Long): Int = {
+    val raw = math.ceil(math.log(math.max(nVecs, 1L).toDouble / 32.0) / math.log(2.0)).toInt
+    math.min(28, math.max(6, raw))
+  }
+
+  /** Resolve an nPlanes argument: positive = caller-pinned (the gates pin 6
+    * to match the oracle SQL's literal matrix); 0 = derive from a count(*)
+    * of the embeddings table — parquet serves it from footer metadata, no
+    * data scan. */
+  private def resolvePlanes(spark: SparkSession, dir: String, nPlanes: Int): Int =
+    if (nPlanes > 0) nPlanes
+    else autoPlanes(Tables.embeddings(spark, dir).count())
+
   /** Random-hyperplane LSH bucket code: bit j = sign(v · h_j). */
   def lshCode(vec: Column, nPlanes: Int, dim: Int): Column = {
     val ps = planes(nPlanes, dim) // generate the matrix once, not per bit
@@ -173,16 +197,17 @@ object Similarity {
     * ids; the per-vector top-k is WindowGroupLimit partial+final, so each
     * task retains ≤ k rows per vector before the exchange. */
   def knnJoin(spark: SparkSession, dir: String, k: Int = 5,
-      nPlanes: Int = 6, nTables: Int = 8, dim: Int = 64): DataFrame = {
-    val allPlanes = planes(nPlanes * nTables, dim)
+      nPlanes: Int = 0, nTables: Int = 8, dim: Int = 64): DataFrame = {
+    val nP = resolvePlanes(spark, dir, nPlanes) // 0 → ~log2(n), see autoPlanes
+    val allPlanes = planes(nP * nTables, dim)
     val codes = array((0 until nTables).map { t =>
-      (0 until nPlanes).map { j =>
-        when(dot(col("vec"), typedlit(allPlanes(t * nPlanes + j))) >= 0,
+      (0 until nP).map { j =>
+        when(dot(col("vec"), typedlit(allPlanes(t * nP + j))) >= 0,
           shiftleft(lit(1L), j)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
-    // barrier (see annPairsLsh): one evaluation of the 48-dot-product
-    // code expression, shared by the bucket join and both rescore lookups
+    // barrier (see annPairsLsh): one evaluation of the nP×nTables-dot-
+    // product code expression, shared by the bucket join and both rescores
     val e = withNorm(Tables.embeddings(spark, dir))
       .withColumn("codes", codes).localCheckpoint(eager = false)
     val coded = e.select(col("vec_id"),
@@ -297,11 +322,12 @@ object Similarity {
     * id-pairs are deduped BEFORE vectors attach, and exact cosine
     * rescoring touches candidates only. No cartesian anywhere. */
   def annPairsLsh(spark: SparkSession, dir: String, threshold: Double = 0.35,
-      nPlanes: Int = 6, nTables: Int = 8, dim: Int = 64): DataFrame = {
-    val allPlanes = planes(nPlanes * nTables, dim) // one seeded matrix, sliced per table
+      nPlanes: Int = 0, nTables: Int = 8, dim: Int = 64): DataFrame = {
+    val nP = resolvePlanes(spark, dir, nPlanes) // 0 → ~log2(n), see autoPlanes
+    val allPlanes = planes(nP * nTables, dim) // one seeded matrix, sliced per table
     val codes = array((0 until nTables).map { t =>
-      (0 until nPlanes).map { j =>
-        when(dot(col("vec"), typedlit(allPlanes(t * nPlanes + j))) >= 0,
+      (0 until nP).map { j =>
+        when(dot(col("vec"), typedlit(allPlanes(t * nP + j))) >= 0,
           shiftleft(lit(1L), j)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
