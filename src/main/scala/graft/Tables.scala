@@ -20,18 +20,28 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
-    * for; sessions set spark.sql.legacy.parquet.nanosAsLong=true and we
-    * convert here (integer `div` — double division would lose precision on
-    * 1e18-scale nanos). Sub-microsecond digits are truncated. */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some harness
+    * generations and timestamp[us] (no tz) in others; normalize BOTH to
+    * session-tz TimestampType so every consumer (`unix_micros`, window
+    * ranges, the DuckDB oracle) sees one type:
+    *  - NANOS → read as Long via spark.sql.legacy.parquet.nanosAsLong, then
+    *    integer `div 1000` (double division would lose precision on
+    *    1e18-scale nanos; sub-microsecond digits truncate).
+    *  - timestamp[us] untz'd → Spark 4 reads TIMESTAMP_NTZ; cast to
+    *    TimestampType. Session tz is UTC everywhere (set in every builder),
+    *    so the cast is lossless and oracle-consistent. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // defensive: required to read TIMESTAMP(NANOS) parquet at all; runtime-
     // settable, so set it here rather than relying on session-builder config
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
@@ -50,16 +60,20 @@ object Tables {
     // the split probe plans the scan and lists its files — ~100 ms that
     // would otherwise be paid on EVERY query build over the same table
     // (dozens of builds per bench/verify run), so the verdict is memoized
-    // per (session, canonicalized plan). Bounded: a handful of distinct
-    // scans exist per session; cleared wholesale if it ever grows odd.
-    val key = (df.sparkSession, df.queryExecution.logical.canonicalized.hashCode)
+    // per (session, canonicalized plan). Keyed on the canonicalized PLAN
+    // (structural equality), not its hashCode — two distinct scans whose
+    // hashCodes collide must get independent verdicts. Bounded: a handful
+    // of distinct scans exist per session; cleared wholesale if odd.
+    val key = (df.sparkSession, df.queryExecution.logical.canonicalized)
     if (widenCache.size > 256) widenCache.clear()
     val narrow = widenCache.computeIfAbsent(key,
       _ => df.queryExecution.toRdd.getNumPartitions < cores / 2)
     if (narrow) df.repartition(cores) else df
   }
   private val widenCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+      java.lang.Boolean]()
 
   // typed variants (Dataset[T]) for pipelines that want field checks
   def lineitemDs(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.schema.LineItem] = {
