@@ -251,6 +251,7 @@ object SparkEntry {
     "x31_decontaminate" -> ((s: SparkSession, d: String) => Curation.decontaminate(s, d)),
     "x60_contamination_report" -> ((s: SparkSession, d: String) => Curation.contaminationReport(s, d)),
     "x62_substring_decontaminate" -> ((s: SparkSession, d: String) => Curation.substringDecontaminate(s, d)),
+    "x62b_substring_spans" -> ((s: SparkSession, d: String) => Curation.substringSpans(s, d)),
     "x32_mixture_weights" -> ((s: SparkSession, d: String) => Curation.mixtureWeights(s, d)),
     "x33_shuffle_shards" -> ((s: SparkSession, d: String) => Curation.shuffleShards(s, d)),
     "x34_clean_text" -> ((s: SparkSession, d: String) => Curation.cleanText(s, d)),
@@ -920,6 +921,27 @@ object SparkEntry {
        "SELECT c.doc_id, c.eval_id, CAST(length(ev.etext) AS INT) AS eval_chars " +
        "FROM cand c JOIN tr ON tr.doc_id = c.doc_id JOIN ev ON ev.eval_id = c.eval_id " +
        "WHERE contains(tr.text, ev.etext) ORDER BY c.doc_id, c.eval_id"),
+    "x62b_substring_spans" ->
+      // positioned 8-shingle hashes both sides; longest shared verbatim
+      // token run per (train, eval) = max diagonal run of consecutive
+      // shingle matches (gaps-and-islands) + k-1; keep spans >= 16
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "ev AS (SELECT doc_id AS eval_id, i AS epos, " +
+       "CAST(concat('0x', substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h " +
+       "FROM (SELECT doc_id, t, unnest(range(1, len(t)-6)) AS i FROM d " +
+       "WHERE doc_id % 17 = 0 AND len(t) >= 8)), " +
+       "tr AS (SELECT doc_id, i AS tpos, " +
+       "CAST(concat('0x', substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h " +
+       "FROM (SELECT doc_id, t, unnest(range(1, len(t)-6)) AS i FROM d " +
+       "WHERE doc_id % 17 <> 0 AND len(t) >= 8)), " +
+       "m AS (SELECT tr.doc_id, ev.eval_id, ev.epos, tr.tpos - ev.epos AS diag " +
+       "FROM tr JOIN ev USING (h)), " +
+       "r AS (SELECT doc_id, eval_id, diag, epos, " +
+       "epos - row_number() OVER (PARTITION BY doc_id, eval_id, diag ORDER BY epos) AS grp FROM m), " +
+       "runs AS (SELECT doc_id, eval_id, count(*) AS len FROM r GROUP BY doc_id, eval_id, diag, grp) " +
+       "SELECT doc_id, eval_id, CAST(max(len) + 7 AS BIGINT) AS span_tokens " +
+       "FROM runs GROUP BY doc_id, eval_id HAVING max(len) + 7 >= 16 " +
+       "ORDER BY doc_id, eval_id"),
     "x32_mixture_weights" ->
       ("WITH s AS (SELECT source, count(*) AS n_docs, " +
        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM documents GROUP BY 1), " +

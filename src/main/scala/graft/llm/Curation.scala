@@ -165,6 +165,70 @@ object Curation {
       .orderBy("doc_id", "eval_id")
   }
 
+  /** x62b: MID-DOCUMENT exact-substring decontamination — generalizes x62
+    * from "train doc contains the WHOLE eval doc verbatim" to "train doc
+    * shares ANY verbatim token span of >= minSpan tokens with an eval doc"
+    * (the exact-substring tier described in Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"). x62's single
+    * first-shingle anchor misses a training doc that embeds an eval doc
+    * whose first line was paraphrased; x62b anchors on EVERY k-shingle of
+    * every eval doc, so a qualifying overlap is found no matter where it
+    * sits in either document.
+    *
+    * Method: hash k-shingles of both sides WITH POSITIONS; equi-join train
+    * shingles against the broadcast eval shingles; a verbatim common span
+    * of L tokens shows up as (L - k + 1) consecutive matches on one
+    * DIAGONAL (tpos - epos constant), and the gaps-and-islands trick
+    * (epos - row_number() per diagonal) measures the longest run with one
+    * window + one aggregate — no self-join, no quadratic extend step.
+    *
+    * 100 TB: eval (hash, pos) pairs broadcast (eval suites are MBs); the
+    * train side is one scan + explode to short (hash, pos) rows; the
+    * run-length stages group by (train doc, eval doc, diagonal) — rows
+    * exist only where shingles actually collide, so the shuffle carries
+    * the match set, not the corpus. */
+  def substringSpans(spark: SparkSession, dir: String, mod: Int = 17,
+      k: Int = 8, minSpan: Int = 16): DataFrame = {
+    val docs = docsWide(spark, dir)
+    substringSpansDocs(
+      docs.filter(col("doc_id") % mod =!= 0),
+      docs.filter(col("doc_id") % mod === 0), k, minSpan)
+  }
+
+  /** Library form of x62b over arbitrary (doc_id, text) train/eval frames.
+    * Emits (doc_id, eval_id, span_tokens = longest shared verbatim token
+    * run) for every pair whose longest run reaches `minSpan` tokens. Docs
+    * shorter than `k` tokens are outside the contract on both sides (they
+    * cannot carry a k-shingle; spans below k are the n-gram tier's job). */
+  def substringSpansDocs(train: DataFrame, eval: DataFrame,
+      k: Int = 8, minSpan: Int = 16): DataFrame = {
+    val toks = DocDedup.tokensCol
+    val n = size(toks)
+    // positioned k-shingles: 1-based start position + 60-bit md5 hash
+    def posShingles(df: DataFrame, id: String, pos: String): DataFrame = df
+      .filter(n >= k)
+      .select(col("doc_id").as(id),
+        posexplode(transform(sequence(lit(0), n - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .select(col(id), (col("pos") + 1).as(pos), md5Long(col("col")).as("h"))
+    val ev = posShingles(eval, "eval_id", "epos")
+    val tr = posShingles(train, "doc_id", "tpos")
+    // (doc, eval, tpos, epos) is unique by construction, and diag is a
+    // function of (tpos, epos) — no distinct needed before the window
+    val matches = tr.join(broadcast(ev), Seq("h"))
+      .select(col("doc_id"), col("eval_id"), col("epos"),
+        (col("tpos") - col("epos")).as("diag"))
+    matches
+      .withColumn("grp", col("epos") - row_number().over(
+        Window.partitionBy("doc_id", "eval_id", "diag").orderBy("epos")))
+      .groupBy("doc_id", "eval_id", "diag", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("doc_id", "eval_id")
+      .agg((max(col("len")) + (k - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+      .orderBy("doc_id", "eval_id")
+  }
+
   /** x32: source mixture weights — temperature sampling over sources with
     * alpha = 0.5 (weight_i proportional to sqrt(n_i), the multilingual /
     * multi-corpus rebalancing rule). `sqrt_scaled = floor(sqrt(n_docs)*1e6)`

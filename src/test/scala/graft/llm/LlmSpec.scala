@@ -225,6 +225,60 @@ class LlmSpec extends SparkSpec {
     assert(got == brute, s"anchor path diverged from brute force: got=$got brute=$brute")
   }
 
+  test("substring spans (x62b): mid-doc verbatim inclusion with paraphrased first line") {
+    import spark.implicits._
+    val body = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val ev = Seq(
+      (0L, s"some completely original opening line here $body and a closing remark")
+    ).toDF("doc_id", "text")
+    // train doc 1 embeds the eval BODY mid-paragraph but not the eval doc's
+    // opening line — the paraphrased-first-line inclusion x62's single
+    // first-shingle anchor cannot see
+    val train = Seq(
+      (1L, s"train preamble text $body train epilogue text"),
+      (2L, "entirely unrelated words with no shared span whatsoever in here")
+    ).toDF("doc_id", "text")
+    val got = Curation.substringSpansDocs(train, ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 0L, 30L)), s"got=$got")
+    // and x62 provably misses it: doc 1 does not contain the WHOLE eval text
+    assert(Curation.substringDecontaminateDocs(train, ev).count() == 0)
+  }
+
+  test("substring spans (x62b): corpus matches brute-force longest common token run") {
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+    // intern tokens to ints so the O(|a|·|b|) DP compares ints, not strings
+    val dict = scala.collection.mutable.HashMap.empty[String, Int]
+    val all = docs.map { case (id, t) => (id, t.map(w => dict.getOrElseUpdate(w, dict.size))) }
+    val (evs, trs) = all.partition(_._1 % 17 == 0)
+    def longestRun(a: Array[Int], b: Array[Int]): Int = {
+      var best = 0
+      var prev = new Array[Int](b.length + 1)
+      var cur = new Array[Int](b.length + 1)
+      var i = 0
+      while (i < a.length) {
+        var j = 0
+        while (j < b.length) {
+          cur(j + 1) = if (a(i) == b(j)) prev(j) + 1 else 0
+          if (cur(j + 1) > best) best = cur(j + 1)
+          j += 1
+        }
+        val t = prev; prev = cur; cur = t
+        i += 1
+      }
+      best
+    }
+    val brute = (for {
+      (tid, tt) <- trs
+      (eid, et) <- evs
+      l = longestRun(tt, et) if l >= 16
+    } yield (tid, eid) -> l.toLong).toMap
+    val got = Curation.substringSpans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == brute, s"x62b diverged from DP brute force: got=$got brute=$brute")
+  }
+
   test("best-of-cluster: keeper dominates its cluster on (quality, -id)") {
     val best = DocDedup.bestOfCluster(spark, sfDir).cache()
     val cl = DocDedup.dedupClustersGate(spark, sfDir)
