@@ -81,6 +81,29 @@ class OperatorsSpec extends SparkSpec {
     assert(a.size == 15) // 3 flags x top 5
   }
 
+  test("TopKPerKey degrades to spill + merge past the buffer cap, same rows") {
+    GraftFunctions.register(spark)
+    // high-cardinality keys (one per orderkey) so retained rows ≫ a tiny
+    // cap: with the cap at 500 the partition MUST spill several sorted
+    // runs and the k-way merge path produces the result
+    val li = Tables.lineitem(spark, sfDir)
+    val ordering = Seq(col("l_extendedprice").desc, col("l_linenumber").asc)
+    val keys = Seq(col("l_orderkey"))
+    val expected = graft.plans.TopKPerKey(li, keys, ordering, 2)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .collect().map(_.toSeq).toSet
+    val cap = graft.plans.TopKPerKeyExec.maxBufferedRowsConf
+    spark.conf.set(cap, "500")
+    try {
+      val spilled = graft.plans.TopKPerKey(li, keys, ordering, 2)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .collect().map(_.toSeq).toSet
+      assert(spilled == expected,
+        s"spill path diverged: ${spilled.size} rows vs ${expected.size}")
+      assert(expected.nonEmpty)
+    } finally spark.conf.unset(cap)
+  }
+
   test("Tables.widen repartitions narrow scans and passes wide scans through untouched") {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_widen").toString
