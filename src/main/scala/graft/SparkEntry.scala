@@ -812,10 +812,23 @@ object SparkEntry {
       ("SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp " +
        "FROM documents ORDER BY doc_id"),
     "m1_media_stats" ->
-      ("SELECT doc_id AS asset_id, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
-       "ELSE 'video' END AS media_type, CAST(octet_length(encode(text)) AS INT) AS n_bytes, " +
+      // width_px/height_px/gray_mean_ppm: the Spark side REALLY encodes +
+      // decodes a PNG per image asset (pixel (x,y) = (id+x+y)%256); the
+      // oracle predicts the decoded raster arithmetically — a codec or
+      // raster-walk bug cannot hash-match
+      ("WITH base AS (SELECT doc_id AS asset_id, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' " +
+       "WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, " +
+       "CAST(octet_length(encode(text)) AS INT) AS n_bytes, " +
        "CAST(doc_id % 16 * 64 + 256 AS INT) AS width, CAST(doc_id % 9 * 64 + 256 AS INT) AS height, " +
-       "n_chars * 10 AS duration_ms FROM documents ORDER BY asset_id"),
+       "n_chars * 10 AS duration_ms FROM documents), " +
+       "img AS (SELECT doc_id AS asset_id, CAST(doc_id % 16 + 1 AS INT) AS w, " +
+       "CAST(doc_id % 9 + 1 AS INT) AS h FROM documents WHERE doc_id % 3 = 0), " +
+       "g AS (SELECT asset_id, w, h, CAST(sum((asset_id + x + y) % 256) AS BIGINT) AS gs " +
+       "FROM img, UNNEST(range(w)) AS tx(x), UNNEST(range(h)) AS ty(y) GROUP BY asset_id, w, h) " +
+       "SELECT b.asset_id, b.media_type, b.n_bytes, b.width, b.height, b.duration_ms, " +
+       "g.w AS width_px, g.h AS height_px, " +
+       "CAST(g.gs * 1000000 // (g.w * g.h) AS BIGINT) AS gray_mean_ppm " +
+       "FROM base b LEFT JOIN g ON g.asset_id = b.asset_id ORDER BY b.asset_id"),
     "m2_media_resize" ->
       ("WITH a AS (SELECT doc_id AS asset_id, CAST(doc_id % 16 * 64 + 256 AS INT) AS width, " +
        "CAST(doc_id % 9 * 64 + 256 AS INT) AS height FROM documents), " +

@@ -6,13 +6,16 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media (image/audio/video) as opaque
   * `binary` columns with typed metadata, processed per-partition in
-  * batches. The DECODE step is a clearly-marked deterministic STUB (no
-  * media codecs in this environment); everything around it — schema,
-  * partitioning, batch shape, feature layout — is real Spark and tested.
+  * batches. IMAGE decode/resize is REAL — `javax.imageio` PNG codec (in
+  * the JDK, so present in any executor) runs inside `mapPartitions`;
+  * image fixtures are deterministic synthesized PNGs (no media files ship
+  * in this environment). Audio/video decode stays a clearly-marked
+  * deterministic stub (no PCM/H.264 codec in the JDK); the plumbing —
+  * schema, partitioning, batch shape, feature layout — is identical.
   *
   * Layout mirrors production multimodal pipelines: assets stay binary
   * through the plan (no driver collect), decode/feature-extract runs
-  * inside `mapPartitions` so a real codec drops in without touching the
+  * inside `mapPartitions` so further codecs drop in without touching the
   * dataflow, and features come back as fixed-width `Array[Float]` columns
   * ready for the Similarity operators.
   */
@@ -41,10 +44,49 @@ object Multimodal {
       .as[MediaAsset]
   }
 
-  /** STUB decoder ???: a real implementation would hand `payload` to a
-    * codec (JPEG/PNG/PCM/H.264). Here: a deterministic byte-histogram
-    * "embedding" so the plumbing is testable end-to-end. Same signature,
-    * same batch discipline. */
+  /** Deterministic tiny grayscale PNG: pixel (x, y) carries sample
+    * (seed + x + y) % 256. A REAL PNG — encoded by the JDK's ImageIO
+    * codec — whose decoded statistics are arithmetically predictable, so
+    * the decode path is oracle-checkable without shipping image files. */
+  def pngPayload(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { r.setSample(x, y, 0, ((seed + x + y) % 256).toInt); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode (javax.imageio, runs on executors inside
+    * mapPartitions): parses the payload's actual PNG structure and reads
+    * the pixel raster. Returns (width, height, sum of band-0 samples), or
+    * None when the payload is not a decodable image (ImageIO returns null
+    * — the audio/video arm). */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Long)] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) None
+    else {
+      val r = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { sum += r.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      Some((img.getWidth, img.getHeight, sum))
+    }
+  }
+
+  /** Byte-histogram fallback "embedding" for payloads without a JDK codec
+    * (audio/video bytes): deterministic, same signature and batch
+    * discipline as the real image path in extractFeatures. */
   def decodeStub(payload: Array[Byte], dim: Int = 16): Array[Float] = {
     val hist = new Array[Float](dim)
     var i = 0
@@ -53,15 +95,33 @@ object Multimodal {
     hist.map(_ / n)
   }
 
+  /** Pixel-histogram embedding from a DECODED image: 16 buckets over the
+    * 8-bit gray range, normalized by pixel count. */
+  def imageEmbedding(payload: Array[Byte], dim: Int = 16): Option[Array[Float]] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) None
+    else {
+      val r = img.getRaster
+      val hist = new Array[Float](dim)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { hist(r.getSample(x, y, 0) * dim / 256) += 1f; x += 1 }
+        y += 1
+      }
+      val n = math.max(1, img.getWidth * img.getHeight).toFloat
+      Some(hist.map(_ / n))
+    }
+  }
+
   /** Frame sampling STUB: every `stride` bytes = one "frame" offset. */
   def sampleFrames(payloadLen: Int, stride: Int = 64, maxFrames: Int = 8): Array[Int] =
     (0 until payloadLen by stride).take(maxFrames).toArray
 
-  /** Resize STUB ???: a real implementation re-encodes the pixel buffer; the
-    * metadata transform (the part Spark sees) is real — targets the longest
-    * side to `maxSide`, preserving aspect ratio. Floor-scaled, the SAME
-    * rule as the column-expressed `mediaResize` gate (round-half would
-    * both diverge from it and be engine-ambiguous). */
+  /** Target dimensions: longest side to `maxSide`, preserving aspect
+    * ratio. Floor-scaled, the SAME rule as the column-expressed
+    * `mediaResize` gate (round-half would both diverge from it and be
+    * engine-ambiguous). */
   def resizeDims(width: Int, height: Int, maxSide: Int = 512): (Int, Int) = {
     val longest = math.max(width, height)
     if (longest <= maxSide) (width, height)
@@ -71,21 +131,52 @@ object Multimodal {
     }
   }
 
-  /** Resize over the asset table: metadata columns update; payload passes
-    * through (stub — a codec would rewrite it in the same mapPartitions). */
+  /** REAL pixel resize of a decodable image payload: decode, scale the
+    * raster through Graphics2D (bilinear), re-encode as PNG. Returns None
+    * for payloads without a JDK codec. */
+  def resizeImage(payload: Array[Byte], maxSide: Int = 512): Option[Array[Byte]] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) None
+    else {
+      val (tw, th) = resizeDims(img.getWidth, img.getHeight, maxSide)
+      val imgType =
+        if (img.getType == java.awt.image.BufferedImage.TYPE_CUSTOM)
+          java.awt.image.BufferedImage.TYPE_INT_RGB
+        else img.getType
+      val out = new java.awt.image.BufferedImage(tw, th, imgType)
+      val g2 = out.createGraphics()
+      try {
+        g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g2.drawImage(img, 0, 0, tw, th, null)
+      } finally g2.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    }
+  }
+
+  /** Resize over the asset table: image payloads are REALLY re-encoded
+    * (decode → raster scale → PNG encode, all executor-side in this
+    * mapPartitions); payloads without a JDK codec pass through with the
+    * metadata transform only. */
   def resize(in: Dataset[MediaAsset], maxSide: Int = 512): Dataset[MediaAsset] = {
     import in.sparkSession.implicits._
     in.mapPartitions(_.map { a =>
       val (w, h) = resizeDims(a.width, a.height, maxSide)
-      a.copy(width = w, height = h)
+      resizeImage(a.payload, maxSide) match {
+        case Some(p) => a.copy(width = w, height = h, payload = p)
+        case None    => a.copy(width = w, height = h)
+      }
     })
   }
 
   /** Feature extraction: batched per-partition map — the Scala analogue of
     * a pandas-batch UDF (mapInPandas): assets stream through in
     * `batchSize` groups, the shape a vectorized codec/model inference
-    * wants, and nothing leaves the executor. The stub decodes
-    * element-wise inside the batch; a real model would run ONE batched
+    * wants, and nothing leaves the executor. Decodable images get a REAL
+    * pixel-histogram embedding (ImageIO decode); other payloads fall back
+    * to the byte-histogram stub. A real model would run ONE batched
     * forward pass per group. grouped() is lazy over the partition
     * iterator, so peak memory is one batch of payloads, not the
     * partition. */
@@ -94,8 +185,9 @@ object Multimodal {
     in.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { a =>
+          val emb = imageEmbedding(a.payload).getOrElse(decodeStub(a.payload))
           MediaFeatures(a.asset_id, a.media_type, a.payload.length,
-            decodeStub(a.payload), sampleFrames(a.payload.length))
+            emb, sampleFrames(a.payload.length))
         }
       }
     }
@@ -139,12 +231,35 @@ object Multimodal {
       .orderBy("asset_id", "frame_idx")
   }
 
+  /** m1 row: metadata stats + REAL-decode columns (null for assets the
+    * JDK has no codec for). */
+  case class MediaStat(asset_id: Long, media_type: String, n_bytes: Int,
+      width: Int, height: Int, duration_ms: Long,
+      width_px: Option[Int], height_px: Option[Int], gray_mean_ppm: Option[Long])
+
   /** Gate entry: metadata + SQL-expressible stats over the binary column
-    * (octet_length matches DuckDB exactly); features themselves are
-    * covered by ScalaTest. */
-  def mediaStats(spark: SparkSession, dir: String): DataFrame =
-    assets(spark, dir).toDF()
-      .select(col("asset_id"), col("media_type"),
-        length(col("payload")).as("n_bytes"), col("width"), col("height"), col("duration_ms"))
+    * (octet_length matches DuckDB exactly), PLUS genuinely-decoded image
+    * columns: each image asset carries a deterministic synthesized PNG
+    * (pngPayload — tiny dims so the oracle predicts the pixel function
+    * arithmetically), and width_px/height_px/gray_mean_ppm come out of
+    * ImageIO's ACTUAL parse of those PNG bytes inside this mapPartitions.
+    * A broken encoder, decoder, or raster walk diverges from the DuckDB
+    * oracle immediately. gray_mean_ppm = floor(sum(samples)*1e6 / pixels)
+    * — integer arithmetic end-to-end, bit-identical across engines. */
+  def mediaStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, dir).mapPartitions(_.map { a =>
+      val decoded =
+        if (a.media_type == "image") {
+          val w = (a.asset_id % 16 + 1).toInt
+          val h = (a.asset_id % 9 + 1).toInt
+          decodeImage(pngPayload(a.asset_id, w, h))
+        } else None
+      MediaStat(a.asset_id, a.media_type, a.payload.length,
+        a.width, a.height, a.duration_ms,
+        decoded.map(_._1), decoded.map(_._2),
+        decoded.map(d => d._3 * 1000000L / (d._1.toLong * d._2)))
+    }).toDF()
       .orderBy("asset_id")
+  }
 }

@@ -308,9 +308,22 @@ class LlmSpec extends SparkSpec {
     assert(ens.filter((col("votes") >= 2) =!= (col("verdict") === "keep")).count() == 0)
     // LM misses coalesce to a 0 vote — no doc drops out of the verdict
     assert(ens.count() == graft.Tables.documents(spark, sfDir).count())
+    // every fused vote equals its standalone-gate recompute
     val q = TextStats.qualityScore(spark, sfDir)
       .select(col("doc_id"), (col("quality_score") >= 0.6).cast("int").as("eq"))
     assert(ens.join(q, "doc_id").filter(col("v_q") =!= col("eq")).count() == 0)
+    val lm = TextStats.bigramLmScore(spark, sfDir)
+      .select(col("doc_id"), (col("lm_score_ppm") >= 200000L).cast("int").as("elm"))
+    val lmJ = ens.join(lm, Seq("doc_id"), "left").na.fill(0, Seq("elm"))
+    assert(lmJ.filter(col("v_lm") =!= col("elm")).count() == 0)
+    val cl = TextStats.classifierMargin(spark, sfDir)
+      .select(col("doc_id"), (col("w_sum") >= 0).cast("int").as("ecl"))
+    assert(ens.join(cl, "doc_id").filter(col("v_clf") =!= col("ecl")).count() == 0)
+    // fused = ONE corpus read: the checkpointed bigram stream hides the
+    // single parquet scan, so the gate's own plan must contain none
+    val plan = TextStats.filterEnsemble(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"fused x59 must not rescan documents:\n${plan.take(800)}")
     ens.unpersist()
   }
 
@@ -420,6 +433,39 @@ class LlmSpec extends SparkSpec {
     val resized = Multimodal.resize(Multimodal.assets(spark, sfDir), maxSide = 300)
     assert(resized.filter(a => math.max(a.width, a.height) > 300).count() == 0)
     assert(resized.count() == Multimodal.assets(spark, sfDir).count())
+  }
+
+  test("multimodal: real PNG codec round-trip, pixel resize, decoded m1 columns") {
+    // encode → decode identity through the ACTUAL JDK PNG codec
+    val png = Multimodal.pngPayload(seed = 7L, w = 13, h = 5)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte && png(2) == 'N'.toByte &&
+      png(3) == 'G'.toByte, "payload must be a real PNG stream")
+    val Some((w, h, sum)) = Multimodal.decodeImage(png)
+    assert((w, h) == (13, 5))
+    val expect = (for { y <- 0 until 5; x <- 0 until 13 } yield (7L + x + y) % 256).sum
+    assert(sum == expect, s"decoded raster sum $sum != arithmetic $expect")
+    // non-image bytes: no JDK codec → None, stub arm
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    // real pixel resize: output payload is a re-encoded PNG at target dims
+    val big = Multimodal.pngPayload(seed = 3L, w = 300, h = 200)
+    val Some(resizedPng) = Multimodal.resizeImage(big, maxSide = 100)
+    val Some((rw, rh, _)) = Multimodal.decodeImage(resizedPng)
+    assert((rw, rh) == (100, 66), s"got ($rw, $rh)")
+    // image embeddings come from decoded pixels: uniform-gradient image →
+    // mass spread across buckets, normalized
+    val Some(emb) = Multimodal.imageEmbedding(png)
+    assert(math.abs(emb.sum - 1.0f) < 1e-3)
+    // m1 gate: decoded columns match the pixel function arithmetically
+    val m1 = Multimodal.mediaStats(spark, sfDir)
+      .filter(col("media_type") === "image").limit(10).collect()
+    assert(m1.nonEmpty)
+    m1.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      val (ww, hh) = ((id % 16 + 1).toInt, (id % 9 + 1).toInt)
+      assert(r.getAs[Int]("width_px") == ww && r.getAs[Int]("height_px") == hh)
+      val s = (for { y <- 0 until hh; x <- 0 until ww } yield (id + x + y) % 256).sum
+      assert(r.getAs[Long]("gray_mean_ppm") == s * 1000000L / (ww.toLong * hh))
+    }
   }
 
   test("hash split: ~80/20, deterministic, and append-stable") {
