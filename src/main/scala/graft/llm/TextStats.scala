@@ -56,6 +56,14 @@ object TextStats {
       .select("doc_id", "score_en", "score_de", "score_fr", "score_es", "predicted_lang")
       .orderBy("doc_id")
 
+  /** x8's scoring formula over precomputed shape columns — shared by the
+    * x8 gate and the fused x59 ensemble so the two can never drift. */
+  private[llm] def qualityExpr(nTokens: Column, avgTokenLen: Column,
+      stopRatio: Column): Column =
+    least(lit(1.0), nTokens / lit(50.0)) * lit(0.4) +
+      when(avgTokenLen.between(2.0, 10.0), 0.3).otherwise(0.0) +
+      least(lit(0.3), stopRatio * 3)
+
   /** x8: quality scoring — length/stopword/shape heuristics in one pass. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     docsWide(spark, dir)
@@ -66,9 +74,7 @@ object TextStats {
       .withColumn("stop_hits", langScore(Seq(" the ", " a ", " of ", " and ")))
       .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
       .withColumn("quality_score",
-        least(lit(1.0), col("n_tokens") / lit(50.0)) * lit(0.4)
-          + when(col("avg_token_len").between(2.0, 10.0), 0.3).otherwise(0.0)
-          + least(lit(0.3), col("stop_ratio") * 3))
+        qualityExpr(col("n_tokens"), col("avg_token_len"), col("stop_ratio")))
       .select("doc_id", "n_chars_m", "n_tokens", "avg_token_len", "stop_ratio", "quality_score")
       .orderBy("doc_id")
 
@@ -439,36 +445,73 @@ object TextStats {
     * bit-identical IEEE; x56/x57 vote on exact integers), so the votes —
     * not just the scores — hash-match the oracle.
     *
-    * 100 TB: three independent corpus scans here for gate isolation; a
-    * fused pipeline computes x8+x57 in ONE scan (pure per-row, see
-    * curationReport for the fusion pattern) and x56 as the only keyed
-    * stage. The ensemble join shuffles doc ids only. */
+    * FUSED to one corpus read (the x37 pattern): the per-row signals
+    * (x8 quality, x57 classifier) fold inline in the SAME projection
+    * that feeds the bigram Generator, ride the bigram rows, and are
+    * recovered with `first()` in the per-doc aggregate. Docs without
+    * bigrams emit one null-bigram sentinel row so the short-doc 0 vote
+    * falls out of the same aggregate instead of a second doc-level scan
+    * + outer join. The lazy checkpoint makes the bigram stream — the
+    * input to the LM training aggregates AND the scoring join — a
+    * compute-once frame; at 100 TB this reads the corpus once where the
+    * unfused form read it three times. */
   def filterEnsemble(spark: SparkSession, dir: String,
       minLmPpm: Long = 200000L, minQuality: Double = 0.6): DataFrame = {
-    val q = qualityScore(spark, dir)
-      .select(col("doc_id"), (col("quality_score") >= minQuality).cast("int").as("v_q"))
-    val lm = bigramLmScore(spark, dir)
-      .select(col("doc_id"), (col("lm_score_ppm") >= minLmPpm).cast("int").as("v_lm"))
-    val cl = classifierMargin(spark, dir)
-      .select(col("doc_id"), (col("w_sum") >= 0).cast("int").as("v_clf"))
-    q.join(lm, Seq("doc_id"), "left").na.fill(0, Seq("v_lm"))
-      .join(cl, Seq("doc_id"))
+    val t = split(col("text"), " ")
+    val nTok = size(t)
+    val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+    val stopRatio =
+      langScore(Seq(" the ", " a ", " of ", " and ")).cast("double") / nTok
+    val pairs = filter(
+      zip_with(t, slice(t, lit(2), size(t)), (a, b) => struct(a.as("w1"), b.as("w2"))),
+      p => p.getField("w2").isNotNull)
+    val nullPair = array(struct(lit(null).cast("string").as("w1"),
+      lit(null).cast("string").as("w2")))
+    val bigrams = docsWide(spark, dir)
+      .select(col("doc_id"),
+        (qualityExpr(nTok, avgTokLen, stopRatio) >= minQuality).cast("int").as("v_q"),
+        (clfWSum(t) >= 0).cast("int").as("v_clf"),
+        explode(when(size(pairs) > 0, pairs).otherwise(nullPair)).as("p"))
+      .select(col("doc_id"), col("v_q"), col("v_clf"), col("p.w1").as("w1"),
+        // concat null-propagates: the sentinel row keeps bigram = null
+        concat(col("p.w1"), lit(" "), col("p.w2")).as("bigram"))
+      .localCheckpoint(eager = false)
+    val real = bigrams.filter(col("bigram").isNotNull)
+    val cBig = real.groupBy("w1", "bigram").agg(count(lit(1)).as("c_big"))
+    val cUni = real.groupBy("w1").agg(count(lit(1)).as("c_uni"))
+    val lm = cBig.join(cUni, "w1")
+      .select(col("bigram"), expr("c_big * 1000000L div c_uni").as("ppm"))
+    bigrams.join(lm, Seq("bigram"), "left")
+      .groupBy("doc_id")
+      .agg(first("v_q").as("v_q"), first("v_clf").as("v_clf"),
+        count(col("bigram")).as("n_bigrams"), sum("ppm").as("ppm_sum"))
+      .select(col("doc_id"), col("v_q"),
+        when(col("n_bigrams") > 0 &&
+            col("ppm_sum").cast("double") / col("n_bigrams") >= minLmPpm, 1)
+          .otherwise(0).as("v_lm"),
+        col("v_clf"))
       .withColumn("votes", col("v_q") + col("v_lm") + col("v_clf"))
       .withColumn("verdict", when(col("votes") >= 2, "keep").otherwise("drop"))
       .select("doc_id", "v_q", "v_lm", "v_clf", "votes", "verdict")
       .orderBy("doc_id")
   }
 
-  /** Library form over any (doc_id, text) frame. */
-  def classifierMarginDocs(docs: DataFrame, dim: Int = 256): DataFrame = {
+  /** x57's in-row folded weight sum — shared by the x57 gate and the
+    * fused x59 ensemble so the two can never drift. */
+  private[llm] def clfWSum(toks: Column, dim: Int = 256): Column = {
     val bucket = (tok: Column) =>
       conv(substring(md5(tok.cast("binary")), 1, 4), 16, 10).cast("long") % dim
     val weight = (b: Column) =>
       pmod(b * lit(1103515245L) + lit(12345L), lit(101L)) - lit(50L)
+    aggregate(toks, lit(0L), (acc, tok) => acc + weight(bucket(tok)))
+  }
+
+  /** Library form over any (doc_id, text) frame. */
+  def classifierMarginDocs(docs: DataFrame, dim: Int = 256): DataFrame = {
     val toks = split(col("text"), " ")
     docs
       .select(col("doc_id"), size(toks).as("n_tokens"),
-        aggregate(toks, lit(0L), (acc, tok) => acc + weight(bucket(tok))).as("w_sum"))
+        clfWSum(toks, dim).as("w_sum"))
       .withColumn("margin", col("w_sum").cast("double") / col("n_tokens"))
       .withColumn("verdict",
         when(col("margin") >= 0, lit("keep")).otherwise(lit("drop")))
