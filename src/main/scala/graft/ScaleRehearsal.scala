@@ -94,6 +94,22 @@ object ScaleRehearsal {
 
     val xFamily = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => n.startsWith("x") || n.startsWith("m"))
+    // derived-planes variants: the gates pin nPlanes=6 to match the
+    // oracle's literal plane matrix; the production path derives
+    // nPlanes ≈ log2(n/32) (Similarity.autoPlanes), which must keep
+    // per-bucket occupancy — and thus candidate volume and time — linear
+    // as the corpus grows. These rows prove the derived setting scales
+    // where pinned-6 measurably saturated (r5: x55 12.1×, x5b 10.1×).
+    val autoVariants: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "x5b_ann_neardup_auto" ->
+        ((s: SparkSession, d: String) => graft.llm.Similarity.annPairsLsh(s, d, nPlanes = 0)),
+      "x55_knn_join_auto" ->
+        ((s: SparkSession, d: String) => graft.llm.Similarity.knnJoin(s, d, nPlanes = 0)))
+    // optional 4th arg: comma-separated substrings to focus the run
+    val nameFilter = args.lift(3)
+    val selected = (xFamily.map(n => n -> SparkEntry.queries(n)) ++ autoVariants)
+      .filter { case (n, _) =>
+        nameFilter.forall(_.split(",").exists(n.contains)) }
     // median-of-3: a one-shot in a fresh JVM can read 5× high on a single
     // query (GC pause / first-JIT of a code path — observed 48.8 s vs a
     // reproducible ~8 s); a superlinearity verdict needs stable samples
@@ -112,8 +128,7 @@ object ScaleRehearsal {
     println(f"| query | base (s) | ${factor}x (s) | ratio |")
     println("|---|---|---|---|")
     var worst = List.empty[(String, Double)]
-    for (name <- xFamily) {
-      val fn = SparkEntry.queries(name)
+    for ((name, fn) <- selected) {
       val tBase = time(fn, baseDir)
       val tBig = time(fn, outDir)
       val ratio = tBig / tBase
