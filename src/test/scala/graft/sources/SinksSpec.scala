@@ -130,10 +130,17 @@ class SinksSpec extends SparkSpec {
         "bucketed join+agg must not shuffle:\n" + plan)
       val li = Tables.lineitem(spark, sfDir)
       assert(w9.agg(sum("n_lines")).head().getLong(0) == li.count())
+      // write-once-reuse: a second call must hit the session catalog and
+      // return the same result without rewriting the bucketed tables
+      val before = spark.catalog.listTables().filter(col("name").startsWith("w9_")).count()
+      val again = graft.warehouse.Bucketed.orderLineSummary(spark, sfDir)
+      assert(again.agg(sum("n_lines")).head().getLong(0) == li.count())
+      val after = spark.catalog.listTables().filter(col("name").startsWith("w9_")).count()
+      assert(before == after, "reuse path must not create new tables")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS w9_lineitem_b")
-      spark.sql("DROP TABLE IF EXISTS w9_orders_b")
+      spark.catalog.listTables().filter(col("name").startsWith("w9_")).collect()
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `${t.name}`"))
     }
   }
 
