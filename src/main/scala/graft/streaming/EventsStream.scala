@@ -95,6 +95,78 @@ object EventsStream {
 
   case class UserSession(user_id: Long, n_events: Long, total_value: Double, last_ts: Long)
 
+  /** A FINALIZED gap session (timestamps in epoch micros — the same unit
+    * the batch twin compares in). */
+  case class GapSession(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long)
+
+  /** Internal state of gapSessions: the one OPEN session per active user
+    * (public: Spark's state encoder codegen needs constructor access). */
+  case class OpenSession(startUs: Long, endUs: Long, n: Long)
+
+  /** TRUE gap-based session windows on a stream — the streaming twin of
+    * the oracle-checked batch gate (`Funcs.sessionizeEvents`/`e2`): a
+    * session is a maximal run of one user's events with < `gapSec`
+    * between consecutive events. flatMapGroupsWithState + EventTimeTimeout
+    * is the canonical Spark shape: per-user state holds only the OPEN
+    * session (constant bytes per user); a session is emitted either when
+    * a new event arrives past the gap (closed by data) or when the
+    * watermark passes session_end + gap (closed by timeout) — so results
+    * are append-mode final, never updated.
+    *
+    * Scale: state is one 24-byte struct per ACTIVE user, evicted by
+    * timeout; the shuffle keys on user_id exactly like the batch window.
+    * Late events beyond the watermark are dropped by definition — the
+    * contract every production sessionizer documents. */
+  def gapSessions(events: DataFrame, gapSec: Long = 1800): org.apache.spark.sql.Dataset[GapSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSec * 1000000L
+    events
+      // the watermark TAG lives on the raw ts attribute — projecting it
+      // through unix_micros would strip it and fail the event-time-timeout
+      // analysis check, so ts crosses into the state function as-is and
+      // converts to micros there (toInstant: full micro precision; getTime
+      // would truncate to millis)
+      .withWatermark("ts", s"$gapSec seconds")
+      .select(col("user_id"), col("ts")).as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, GapSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: no event can extend this session
+            val s = state.get
+            state.remove()
+            Iterator.single(GapSession(uid, s.startUs, s.endUs, s.n))
+          } else {
+            // micro-batch iterators carry no order guarantee; a session
+            // boundary is order-sensitive, so sort the (bounded) batch
+            val sorted = rows.map { r =>
+              val i = r._2.toInstant
+              i.getEpochSecond * 1000000L + i.getNano / 1000L
+            }.toArray
+            java.util.Arrays.sort(sorted)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[GapSession]
+            var open = state.getOption
+            for (tsUs <- sorted) open match {
+              case Some(s) if tsUs - s.endUs <= gapUs =>
+                open = Some(OpenSession(s.startUs, math.max(s.endUs, tsUs), s.n + 1))
+              case Some(s) =>
+                closed += GapSession(uid, s.startUs, s.endUs, s.n)
+                open = Some(OpenSession(tsUs, tsUs, 1))
+              case None =>
+                open = Some(OpenSession(tsUs, tsUs, 1))
+            }
+            open.foreach { s =>
+              state.update(s)
+              // event-time millis: fire once the watermark passes end + gap
+              state.setTimeoutTimestamp(s.endUs / 1000 + gapSec * 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Custom per-key state: running per-user session rollup via
     * mapGroupsWithState. NoTimeout keeps the demo deterministic; a
     * production stream over an unbounded user domain MUST use

@@ -129,6 +129,38 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(8L) == 2L)
   }
 
+  test("gap sessions: event-time timeout closes sessions exactly like the batch rule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.gapSessions(mem.toDF(), gapSec = 1800)
+      .writeStream.format("memory").queryName("gap_sessions_test")
+      .outputMode("append").start()
+    // sample sessions (30-min gap): user 7 → {10:05, 10:20} then {11:55}
+    // (95-min gap splits); user 8 → {11:10, 11:40} (gap EXACTLY 1800s —
+    // the batch rule is strictly-greater, so SAME session)
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    // watermark advancers (user 99, filtered out of the assertion): each
+    // batch first fires timeouts against the PREVIOUS batch's watermark,
+    // then advances it — so closing everything takes a few pushes
+    for (adv <- Seq("2024-01-01 13:00:00", "2024-01-01 15:00:00", "2024-01-01 17:00:00")) {
+      mem.addData(Ev(100, ts(adv), 99, "view", 1.0))
+      q.processAllAvailable()
+    }
+    q.stop()
+    def us(s: String) = ts(s).getTime * 1000L
+    val got = spark.table("gap_sessions_test")
+      .filter(col("user_id") =!= 99)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (7L, us("2024-01-01 10:05:00"), us("2024-01-01 10:20:00"), 2L),
+      (7L, us("2024-01-01 11:55:00"), us("2024-01-01 11:55:00"), 1L),
+      (8L, us("2024-01-01 11:10:00"), us("2024-01-01 11:40:00"), 2L)),
+      s"closed sessions diverged from the batch gap rule: $got")
+  }
+
   test("stream-stream interval join matches the batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
