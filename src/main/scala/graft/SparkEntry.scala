@@ -252,6 +252,7 @@ object SparkEntry {
     "x60_contamination_report" -> ((s: SparkSession, d: String) => Curation.contaminationReport(s, d)),
     "x62_substring_decontaminate" -> ((s: SparkSession, d: String) => Curation.substringDecontaminate(s, d)),
     "x62b_substring_spans" -> ((s: SparkSession, d: String) => Curation.substringSpans(s, d)),
+    "x63_token_budget" -> ((s: SparkSession, d: String) => Curation.tokenBudget(s, d)),
     "x32_mixture_weights" -> ((s: SparkSession, d: String) => Curation.mixtureWeights(s, d)),
     "x33_shuffle_shards" -> ((s: SparkSession, d: String) => Curation.shuffleShards(s, d)),
     "x34_clean_text" -> ((s: SparkSession, d: String) => Curation.cleanText(s, d)),
@@ -955,6 +956,26 @@ object SparkEntry {
        "SELECT doc_id, eval_id, CAST(max(len) + 7 AS BIGINT) AS span_tokens " +
        "FROM runs GROUP BY doc_id, eval_id HAVING max(len) + 7 >= 16 " +
        "ORDER BY doc_id, eval_id"),
+    "x63_token_budget" ->
+      // greedy highest-quality-first under a 5000-token global budget:
+      // whole quantized-quality buckets while they fit, the boundary
+      // bucket resolved per-doc by doc_id order (exact same rule as the
+      // Spark side; the quality doubles are bit-identical so the qi
+      // quantization is too)
+      (s"WITH q AS ($x8QualitySql), " +
+       "pd AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+       "CAST(floor(quality_score * 1000000) AS BIGINT) AS qi FROM q), " +
+       "hist AS (SELECT qi, CAST(sum(n_tokens) AS BIGINT) AS btoks FROM pd GROUP BY 1), " +
+       "m AS (SELECT qi, btoks, CAST(sum(btoks) OVER (ORDER BY qi DESC) AS BIGINT) AS cum_incl, " +
+       "CAST(sum(btoks) OVER (ORDER BY qi DESC) - btoks AS BIGINT) AS cum_excl FROM hist), " +
+       "full_k AS (SELECT qi FROM m WHERE cum_incl <= 5000), " +
+       "b AS (SELECT qi AS bqi, 5000 - cum_excl AS remaining FROM m " +
+       "WHERE cum_excl < 5000 AND cum_incl > 5000), " +
+       "br AS (SELECT doc_id, n_tokens, qi FROM (SELECT pd.doc_id, pd.n_tokens, pd.qi, " +
+       "b.remaining, CAST(sum(pd.n_tokens) OVER (PARTITION BY pd.qi ORDER BY pd.doc_id) AS BIGINT) AS run " +
+       "FROM pd JOIN b ON pd.qi = b.bqi) WHERE run <= remaining) " +
+       "SELECT doc_id, n_tokens, qi FROM pd WHERE qi IN (SELECT qi FROM full_k) " +
+       "UNION ALL SELECT doc_id, n_tokens, qi FROM br ORDER BY doc_id"),
     "x32_mixture_weights" ->
       ("WITH s AS (SELECT source, count(*) AS n_docs, " +
        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM documents GROUP BY 1), " +

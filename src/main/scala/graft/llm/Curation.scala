@@ -229,6 +229,58 @@ object Curation {
       .orderBy("doc_id", "eval_id")
   }
 
+  /** x63: GLOBAL TOKEN-BUDGET selection — "keep the best docs until the
+    * budget is spent", the final sizing step of a curated training set
+    * (every data team runs some form of it: rank by quality, take the
+    * prefix that fits the compute budget). Naively this is a global sort
+    * by quality + running prefix sum — a single-partition killer at
+    * corpus scale. Scale-safe form (the x36 histogram trick, token-
+    * weighted): quantize quality to an exact integer (qi =
+    * floor(score·1e6) — the score doubles are bit-identical cross-engine,
+    * so the quantization is too), aggregate token counts per qi (a TINY
+    * frame: #distinct quality values), take the descending cumulative sum
+    * there, and keep whole buckets while they fit. Only the single
+    * BOUNDARY bucket — where the budget runs out — needs per-doc
+    * resolution: an ordered (doc_id) running sum over just that bucket's
+    * docs, kept while it fits. Quantization granularity is the knob that
+    * bounds the boundary bucket; ties at the cutoff resolve by doc_id, so
+    * the selection is deterministic and append-stable.
+    *
+    * 100 TB: one corpus scan → per-qi hash-agg (map-side combined); the
+    * global window runs over the qi histogram, not the corpus; the
+    * boundary refinement window touches one bucket's docs. */
+  def tokenBudget(spark: SparkSession, dir: String,
+      budgetTokens: Long = 5000L): DataFrame = {
+    val t = split(col("text"), " ")
+    val nTok = size(t)
+    val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+    val stopRatio =
+      TextStats.langScore(Seq(" the ", " a ", " of ", " and ")).cast("double") / nTok
+    val perDoc = docsWide(spark, dir)
+      .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+        floor(TextStats.qualityExpr(nTok, avgTokLen, stopRatio) * 1e6).cast("long").as("qi"))
+      .localCheckpoint(eager = false)
+    val hist = perDoc.groupBy("qi").agg(sum("n_tokens").as("btoks"))
+    val marks = hist
+      .withColumn("cum_incl", sum("btoks").over(
+        Window.orderBy(desc("qi")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_excl", col("cum_incl") - col("btoks"))
+    val fullBuckets = marks.filter(col("cum_incl") <= budgetTokens).select("qi")
+    val boundary = marks
+      .filter(col("cum_excl") < budgetTokens && col("cum_incl") > budgetTokens)
+      .select(col("qi").as("bqi"), (lit(budgetTokens) - col("cum_excl")).as("remaining"))
+    val keptFull = perDoc.join(broadcast(fullBuckets), Seq("qi"), "left_semi")
+    val keptBoundary = perDoc
+      .join(broadcast(boundary), col("qi") === col("bqi"))
+      .withColumn("run", sum("n_tokens").over(
+        Window.partitionBy("qi").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("run") <= col("remaining"))
+    keptFull.select("doc_id", "n_tokens", "qi")
+      .unionByName(keptBoundary.select("doc_id", "n_tokens", "qi"))
+      .orderBy("doc_id")
+  }
+
   /** x32: source mixture weights — temperature sampling over sources with
     * alpha = 0.5 (weight_i proportional to sqrt(n_i), the multilingual /
     * multi-corpus rebalancing rule). `sqrt_scaled = floor(sqrt(n_docs)*1e6)`

@@ -314,4 +314,33 @@ class CurationSpec extends SparkSpec {
     assert(enAvg > otherAvg, s"en docs must lean target: $enAvg vs $otherAvg")
     out.unpersist()
   }
+
+  test("token budget: equals the greedy quality-desc prefix at every budget") {
+    // independent recompute from the oracle-proven x8 gate output: order
+    // by (quantized quality desc, doc_id), accumulate tokens over ALL
+    // docs in that order, keep while cumulative <= budget — the exact
+    // semantics the histogram + boundary-bucket formulation must match
+    val q = TextStats.qualityScore(spark, sfDir)
+      .select("doc_id", "n_tokens", "quality_score").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        math.floor(r.getDouble(2) * 1e6).toLong))
+    val ordered = q.sortBy { case (id, _, qi) => (-qi, id) }
+    def brute(budget: Long): Set[Long] = {
+      var cum = 0L
+      ordered.flatMap { case (id, tok, _) =>
+        cum += tok
+        if (cum <= budget) Some(id) else None
+      }.toSet
+    }
+    val total = q.map(_._2).sum
+    for (budget <- Seq(0L, 500L, 5000L, total / 2, total + 100)) {
+      val got = Curation.tokenBudget(spark, sfDir, budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == brute(budget),
+        s"budget=$budget: got ${got.size} docs, brute ${brute(budget).size}")
+    }
+    // full budget keeps everything; zero budget keeps nothing
+    assert(Curation.tokenBudget(spark, sfDir, total + 100).count() == q.length)
+    assert(Curation.tokenBudget(spark, sfDir, 0L).count() == 0)
+  }
 }
