@@ -253,6 +253,7 @@ object SparkEntry {
     "x62_substring_decontaminate" -> ((s: SparkSession, d: String) => Curation.substringDecontaminate(s, d)),
     "x62b_substring_spans" -> ((s: SparkSession, d: String) => Curation.substringSpans(s, d)),
     "x63_token_budget" -> ((s: SparkSession, d: String) => Curation.tokenBudget(s, d)),
+    "x64_length_batches" -> ((s: SparkSession, d: String) => Packing.lengthBatches(s, d)),
     "x32_mixture_weights" -> ((s: SparkSession, d: String) => Curation.mixtureWeights(s, d)),
     "x33_shuffle_shards" -> ((s: SparkSession, d: String) => Curation.shuffleShards(s, d)),
     "x34_clean_text" -> ((s: SparkSession, d: String) => Curation.cleanText(s, d)),
@@ -976,6 +977,17 @@ object SparkEntry {
        "FROM pd JOIN b ON pd.qi = b.bqi) WHERE run <= remaining) " +
        "SELECT doc_id, n_tokens, qi FROM pd WHERE qi IN (SELECT qi FROM full_k) " +
        "UNION ALL SELECT doc_id, n_tokens, qi FROM br ORDER BY doc_id"),
+    "x64_length_batches" ->
+      // length-grouped batching: md5 shard, per-shard (n_tokens, doc_id)
+      // rank, fixed 16-doc batches with shard-prefixed ids
+      ("WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+       "CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INT) AS shard " +
+       "FROM documents), " +
+       "r AS (SELECT doc_id, n_tokens, shard, " +
+       "row_number() OVER (PARTITION BY shard ORDER BY n_tokens, doc_id) AS rn FROM d) " +
+       "SELECT doc_id, n_tokens, shard, " +
+       "CAST(shard * 1000000 + (rn - 1) // 16 AS BIGINT) AS batch_id " +
+       "FROM r ORDER BY doc_id"),
     "x32_mixture_weights" ->
       ("WITH s AS (SELECT source, count(*) AS n_docs, " +
        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM documents GROUP BY 1), " +

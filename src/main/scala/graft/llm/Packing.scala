@@ -40,6 +40,35 @@ object Packing {
       .orderBy("doc_id")
   }
 
+  /** x64: LENGTH-GROUPED batching — sort each shard's docs by token count
+    * and cut fixed-size batches, so every batch holds similarly-sized
+    * sequences and per-batch padding waste (batch_max − doc tokens) is
+    * minimized — the standard dynamic-batching layout of LLM training
+    * loaders. Shards are md5-derived (append-stable, like x33's export
+    * order); the sort is WITHIN shards only — nShards independent
+    * partition sorts, never a global sort; batch ids are shard-prefixed
+    * so they never collide. Deterministic: (n_tokens, doc_id) is a total
+    * order.
+    *
+    * 100 TB: one scan → per-shard window — the exact physical pattern of
+    * a sharded training-data export; batch-level padding stats come from
+    * one more hash-agg over (shard, batch). */
+  def lengthBatches(spark: SparkSession, dir: String, nShards: Int = 8,
+      batchDocs: Int = 16): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("shard").orderBy("n_tokens", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("shard", (h % nShards).cast("int"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        // `div`: Spark's `/` is always double division
+        (col("shard").cast("long") * 1000000L +
+          expr(s"(rn - 1) div $batchDocs")).as("batch_id"))
+      .orderBy("doc_id")
+  }
+
   /** x20: overlapping chunking — split each document into windows of
     * `size` chars every `stride` chars (size - stride chars of overlap),
     * the RAG/pretraining context-window transform. One Generator

@@ -102,4 +102,44 @@ class PackingSpec extends SparkSpec {
     assert(got.except(again).count() == 0 && again.except(got).count() == 0)
     got.unpersist()
   }
+
+  test("length batches: contiguous by length, bounded size, less padding than naive") {
+    val lb = Packing.lengthBatches(spark, sfDir).cache()
+    // every doc batched exactly once
+    assert(lb.count() == graft.Tables.documents(spark, sfDir).count())
+    assert(lb.select("doc_id").distinct().count() == lb.count())
+    // batch size bound: <= 16 docs; only the last batch per shard is short
+    val sizes = lb.groupBy("shard", "batch_id").count()
+    assert(sizes.filter(col("count") > 16).count() == 0)
+    val shortPerShard = sizes.filter(col("count") < 16)
+      .groupBy("shard").count().filter(col("count") > 1)
+    assert(shortPerShard.count() == 0, "at most one short (tail) batch per shard")
+    // length contiguity: within a shard, batch b's max tokens <= batch
+    // (b+1)'s min tokens (the defining property of length grouping)
+    val stats = lb.groupBy("shard", "batch_id")
+      .agg(min("n_tokens").as("mn"), max("n_tokens").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1)
+    stats.foreach { case (_, batches) =>
+      val ordered = batches.sortBy(_._2).toSeq
+      ordered.sliding(2).foreach { pair =>
+        if (pair.size == 2)
+          assert(pair(0)._4 <= pair(1)._3,
+            "batches must be length-contiguous within a shard")
+      }
+    }
+    // the point of the operator: per-batch padding waste (batch max − doc
+    // tokens) is lower than naive doc_id-ordered batching on the same shards
+    def waste(df: org.apache.spark.sql.DataFrame): Double = df
+      .withColumn("mx", max("n_tokens").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("batch_id")))
+      .agg(sum(col("mx") - col("n_tokens"))).head().getLong(0).toDouble
+    val naive = lb.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard").orderBy("doc_id")))
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        (col("shard").cast("long") * 1000000L + expr("(rn - 1) div 16")).as("batch_id"))
+    assert(waste(lb) < waste(naive),
+      s"length grouping must cut padding: ${waste(lb)} vs naive ${waste(naive)}")
+    lb.unpersist()
+  }
 }
