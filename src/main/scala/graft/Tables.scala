@@ -13,8 +13,24 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  /** Safety net for the harness's timestamp physical-type drift (the r6
+    * events lesson, applied to every timestamp-bearing table): if a known
+    * timestamp column ever ships as TIMESTAMP(NANOS) again it reads as
+    * LongType under nanosAsLong — convert it back. NO-OP on the current
+    * micros files (their NTZ reading is what every green oracle compares
+    * against, so it is deliberately left untouched here; only events.ts —
+    * whose consumers need unix_micros — casts NTZ away, in `events`). */
+  private def guardNanos(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case _ => df
+    }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    guardNanos(table(spark, dir, "lineitem"), "l_shipdate")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    guardNanos(table(spark, dir, "orders"), "o_orderdate")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
