@@ -217,6 +217,9 @@ object SparkEntry {
     "x2_minhash_digest" -> ((s: SparkSession, d: String) => DocDedup.minhashDigest(s, d)),
     "x3_minhash_pairs" -> ((s: SparkSession, d: String) => DocDedup.minhashPairs(s, d)),
     "x4_simhash_digest" -> (DocDedup.simhashDigest _),
+    // rows-only by design (xxhash64 signature; construction witnessed by
+    // x4b/x4c md5 twins, variant pinned vs brute force in DocDedupSpec)
+    "x4d_simhash_wide" -> ((s: SparkSession, d: String) => DocDedup.simhashPairsWide(s, d)),
     "x5_embed_neardup" -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
     // the SCALE path for embedding near-dup: LSH-bucketed candidates, no
     // cartesian anywhere in the plan (x5 stays as the small-scale verifier).

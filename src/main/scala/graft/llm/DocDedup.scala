@@ -245,6 +245,54 @@ object DocDedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** 128-bit simhash signature as two independent 64-bit halves (the
+    * second half votes over a salted token-hash stream, so the halves are
+    * independent functions of the same tokens). WHY: the 64-bit form
+    * blocks on 4×16-bit chunks, and a 16-bit chunk table saturates at
+    * corpus scale (occupancy n/2¹⁶ per chunk index → candidate pairs grow
+    * ~n²/2¹⁶ — the knob SCALE.md documents). The 128-bit form blocks on
+    * 4×32-bit chunks: same pigeonhole exactness for hamming ≤ 3, but
+    * occupancy n/2³² — linear candidate volume out to ~10⁹ docs. */
+  def simhashDigest128(spark: SparkSession, dir: String): DataFrame =
+    docsWide(spark, dir)
+      .select(col("doc_id"), simhash(tokensCol).as("sh_lo"),
+        graft.functions.HashExpressions.simhash64(
+          transform(tokensCol, t => xxhash64(concat(t, lit("#h2"))))).as("sh_hi"))
+      .orderBy("doc_id")
+
+  /** x4d: the SCALE path for simhash near-dup — 128-bit signature, 4×32-bit
+    * chunk blocking, exact 128-bit hamming filter (sum of the two 64-bit
+    * hammings). Hamming ≤ 3 over 4 blocks: pigeonhole guarantees a shared
+    * exact chunk, so blocking is still exact — what changed vs
+    * `simhashPairs` is only the per-chunk collision space (2³² vs 2¹⁶).
+    * Same shuffle-on-short-keys layout; rows-only gate (xxhash64 is
+    * engine-specific — the md5 witness x4b/x4c pins the construction
+    * cross-engine; the spec pins this variant against all-pairs brute
+    * force). */
+  def simhashPairsWide(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val sh = simhashDigest128(spark, dir).localCheckpoint(eager = false)
+    val chunked = sh.select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+      posexplode(array(
+        col("sh_lo").bitwiseAND(0xFFFFFFFFL),
+        shiftright(col("sh_lo"), 32).bitwiseAND(0xFFFFFFFFL),
+        col("sh_hi").bitwiseAND(0xFFFFFFFFL),
+        shiftright(col("sh_hi"), 32).bitwiseAND(0xFFFFFFFFL)))
+        .as(Seq("chunk_idx", "chunk")))
+    val a = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("id_a"), col("sh_lo").as("lo_a"), col("sh_hi").as("hi_a"))
+    val b = chunked.select(col("chunk_idx").as("ci"), col("chunk").as("ch"),
+      col("doc_id").as("id_b"), col("sh_lo").as("lo_b"), col("sh_hi").as("hi_b"))
+    a.join(b, col("chunk_idx") === col("ci") && col("chunk") === col("ch")
+        && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("lo_a"), col("hi_a"),
+        col("lo_b"), col("hi_b")).distinct()
+      .withColumn("hamming",
+        hamming(col("lo_a"), col("lo_b")) + hamming(col("hi_a"), col("hi_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
   // ---- exact n-gram Jaccard (verification of candidates) ----
 
   /** End-to-end near-dup pipeline with an ORACLE-EXPRESSIBLE candidate

@@ -79,6 +79,25 @@ class LlmSpec extends SparkSpec {
     assert(blocked == exhaustive)
   }
 
+  test("simhashPairsWide (128-bit): blocking exact vs exhaustive, halves independent") {
+    val wide = DocDedup.simhashPairsWide(spark, sfDir, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val sh = DocDedup.simhashDigest128(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    // brute force over the full 128-bit space
+    val exhaustive = (for {
+      (ia, (loA, hiA)) <- sh
+      (ib, (loB, hiB)) <- sh if ia < ib
+      h = java.lang.Long.bitCount(loA ^ loB) + java.lang.Long.bitCount(hiA ^ hiB)
+      if h <= 3
+    } yield (ia, ib) -> h).toMap
+    assert(wide == exhaustive,
+      s"4x32-bit blocking must be exact for hamming<=3: got ${wide.size} vs ${exhaustive.size}")
+    // the salted second half is a genuinely different function of the
+    // same tokens (otherwise the widening adds zero discriminating bits)
+    assert(sh.count { case (_, (lo, hi)) => lo != hi } > sh.length / 2)
+  }
+
   test("ANN LSH recall vs brute force is pinned") {
     val exact = Similarity.nearDupPairs(spark, sfDir, threshold = 0.3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
