@@ -80,6 +80,7 @@ object SparkEntry {
     "x2b_minhash_md5" -> ((s: SparkSession, d: String) => DocDedup.minhashMd5(s, d)),
     "x4b_simhash_md5" -> ((s: SparkSession, d: String) => DocDedup.simhashMd5(s, d)),
     "x4c_simhash_pairs" -> ((s: SparkSession, d: String) => DocDedup.simhashPairsMd5(s, d)),
+    "x4d_md5" -> ((s: SparkSession, d: String) => DocDedup.simhashPairsWideMd5(s, d)),
     "x14_topk_operator" -> ((s: SparkSession, d: String) => {
       graft.functions.GraftFunctions.register(s) // idempotent: strategy + functions
       graft.plans.TopKPerKey(Tables.lineitem(s, d), Seq(col("l_returnflag")),
@@ -220,6 +221,11 @@ object SparkEntry {
     // rows-only by design (xxhash64 signature; construction witnessed by
     // x4b/x4c md5 twins, variant pinned vs brute force in DocDedupSpec)
     "x4d_simhash_wide" -> ((s: SparkSession, d: String) => DocDedup.simhashPairsWide(s, d)),
+    // rows-only (same xxhash64 reason): the size-derived blocking knob as
+    // an executable gate — chunkBits = 0 derives the construction from a
+    // footer-metadata count (64-bit path at gate scale; the two-stream
+    // wide path beyond ~2M docs)
+    "x4e_simhash_auto" -> ((s: SparkSession, d: String) => DocDedup.simhashPairsAuto(s, d)),
     "x5_embed_neardup" -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
     // the SCALE path for embedding near-dup: LSH-bucketed candidates, no
     // cartesian anywhere in the plan (x5 stays as the small-scale verifier).
@@ -340,6 +346,21 @@ object SparkEntry {
        "SELECT id_a, id_b, hamming FROM (SELECT id_a, id_b, " +
        "CAST(bit_count(xor(sa, sb)) AS INT) AS hamming FROM cand) " +
        "WHERE hamming <= 1 ORDER BY id_a, id_b"),
+    "x4d_md5" ->
+      // the x4d two-stream construction at witness width: 4×8-bit chunks
+      // spanning both halves, combined hamming ≤ 3 (mirror of
+      // DocDedup.simhashPairsWideMd5, incl. its doc_id < 10000 cap)
+      (s"WITH $simhash2x16Cte, sh2c AS (SELECT * FROM sh2 WHERE doc_id < 10000), " +
+       "ch AS (SELECT doc_id, sh_lo16, sh_hi16, i, CASE " +
+       "WHEN i = 0 THEN sh_lo16 & 255 WHEN i = 1 THEN (sh_lo16 >> 8) & 255 " +
+       "WHEN i = 2 THEN sh_hi16 & 255 ELSE (sh_hi16 >> 8) & 255 END AS chunk " +
+       "FROM sh2c, range(0, 4) r(i)), " +
+       "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, " +
+       "a.sh_lo16 AS la, a.sh_hi16 AS ha, b.sh_lo16 AS lb, b.sh_hi16 AS hb FROM ch a " +
+       "JOIN ch b ON a.i = b.i AND a.chunk = b.chunk AND a.doc_id < b.doc_id) " +
+       "SELECT id_a, id_b, hamming FROM (SELECT id_a, id_b, " +
+       "CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS INT) AS hamming FROM cand) " +
+       "WHERE hamming <= 3 ORDER BY id_a, id_b"),
     "p9_anomaly_tag" ->
       (s"$taggedCte SELECT l_orderkey, l_linenumber, rejection_reason FROM t " +
        "ORDER BY l_orderkey, l_linenumber"),
@@ -1383,6 +1404,22 @@ object SparkEntry {
       s"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
       s"THEN CAST(1 AS BIGINT) << $i ELSE 0 END)").mkString(" + ") +
     ") AS simhash16 FROM h)"
+
+  /** Two-stream 2×16-bit md5-witness simhash (x4d_md5): stream 2 votes
+    * over md5(token ‖ '#h2') — the DuckDB mirror of
+    * DocDedup.simhash2x16Md5Of (one token pass, both hashes per token). */
+  private val simhash2x16Cte: String = {
+    def fp(h: String): String =
+      (0 until 16).map(i =>
+        s"(CASE WHEN list_sum(list_transform($h, x -> CASE WHEN (x >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+        s"THEN CAST(1 AS BIGINT) << $i ELSE 0 END)").mkString(" + ")
+    "tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), " +
+    "hh AS (SELECT doc_id, list_transform(ts, t -> " +
+    "CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)) AS h1, " +
+    "list_transform(ts, t -> " +
+    "CAST(concat('0x', substr(md5(concat(t, '#h2')),1,15)) AS BIGINT)) AS h2 FROM tk), " +
+    s"sh2 AS (SELECT doc_id, (${fp("h1")}) AS sh_lo16, (${fp("h2")}) AS sh_hi16 FROM hh)"
+  }
 
   /** k-means assignment CTE (x26/x26b): nearest of the k=8 seed centroids
     * by squared L2, ties to the smaller cell_id — the DuckDB mirror of

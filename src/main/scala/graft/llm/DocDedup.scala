@@ -224,6 +224,10 @@ object DocDedup {
     * hamming distance ≤ maxHamming shares at least one exact chunk), then
     * exact hamming filter. Same shuffle-on-short-keys layout as MinHash. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    // 4-chunk blocking is exact only while maxHamming flips cannot touch
+    // every chunk (pigeonhole) — a caller asking for 4+ would silently get
+    // an incomplete pair set, so refuse instead
+    require(maxHamming <= 3, s"4-chunk blocking is exact only for hamming <= 3, got $maxHamming")
     // barrier: see minhashPairs — prevents the 64-bit-vote expression from
     // being inlined into the 4 chunk lambdas and both join sides (lazy
     // plan-time barrier, GC-released)
@@ -270,6 +274,8 @@ object DocDedup {
     * cross-engine; the spec pins this variant against all-pairs brute
     * force). */
   def simhashPairsWide(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    // same pigeonhole bound as simhashPairs: 4 chunks cover ≤ 3 flips
+    require(maxHamming <= 3, s"4-chunk blocking is exact only for hamming <= 3, got $maxHamming")
     val sh = simhashDigest128(spark, dir).localCheckpoint(eager = false)
     val chunked = sh.select(col("doc_id"), col("sh_lo"), col("sh_hi"),
       posexplode(array(
@@ -291,6 +297,93 @@ object DocDedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
+  }
+
+  /** md5-witness for the x4d TWO-STREAM construction: two 16-bit md5
+    * simhash halves over the same token stream — the second half votes
+    * over md5(token ‖ "#h2"), mirroring simhashDigest128's salted second
+    * xxhash64 stream — computed in ONE token pass (both hashes per
+    * exploded token row, 32 vote sums in one aggregate). */
+  def simhash2x16Md5Of(docs: DataFrame): DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"), explode(tokensCol).as("t"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(concat(col("t"), lit("#h2")).cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h2"))
+    def fp(h: Column): Column = (0 until 16).map { i =>
+      val vote = sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hashed.groupBy("doc_id")
+      .agg(fp(col("h1")).as("sh_lo16"), fp(col("h2")).as("sh_hi16"))
+  }
+
+  /** x4d md5 witness PIPELINE (oracle-checked end to end): the 128-bit
+    * two-stream near-dup shape at oracle-expressible width — 2×16-bit
+    * salted-stream fingerprints, blocked on 4×8-bit chunks SPANNING BOTH
+    * halves, exact combined hamming (ham(lo)+ham(hi)) ≤ 3. Pigeonhole
+    * exactness is the same argument as `simhashPairsWide`: ≤3 flips across
+    * 4 chunks leave at least one chunk identical — independent of which
+    * half the flips land in. Every step (md5, salt concat, bit votes,
+    * chunk split, xor/bit_count) runs identically in DuckDB, so this pins
+    * the two-stream construction to a full hash match; x4d itself stays
+    * rows-only (xxhash64 is engine-specific). Hard-capped like
+    * `simhashPairsMd5`: an 8-bit chunk space saturates quadratically, so
+    * the witness never runs unbounded — the production width is x4d's. */
+  def simhashPairsWideMd5(spark: SparkSession, dir: String, maxHamming: Int = 3,
+      maxDocs: Int = 10000): DataFrame = {
+    require(maxHamming <= 3, s"4-chunk blocking is exact only for hamming <= 3, got $maxHamming")
+    val sh = simhash2x16Md5Of(docsWide(spark, dir))
+      .filter(col("doc_id") < maxDocs)
+      .localCheckpoint(eager = false)
+    val chunked = sh.select(col("doc_id"), col("sh_lo16"), col("sh_hi16"),
+      posexplode(array(
+        col("sh_lo16").bitwiseAND(255L),
+        shiftright(col("sh_lo16"), 8).bitwiseAND(255L),
+        col("sh_hi16").bitwiseAND(255L),
+        shiftright(col("sh_hi16"), 8).bitwiseAND(255L)))
+        .as(Seq("chunk_idx", "chunk")))
+    val a = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("id_a"), col("sh_lo16").as("lo_a"), col("sh_hi16").as("hi_a"))
+    val b = chunked.select(col("chunk_idx").as("ci"), col("chunk").as("ch"),
+      col("doc_id").as("id_b"), col("sh_lo16").as("lo_b"), col("sh_hi16").as("hi_b"))
+    a.join(b, col("chunk_idx") === col("ci") && col("chunk") === col("ch")
+        && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("lo_a"), col("hi_a"),
+        col("lo_b"), col("hi_b")).distinct()
+      .withColumn("hamming",
+        hamming(col("lo_a"), col("lo_b")) + hamming(col("hi_a"), col("hi_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Chunk width derived from corpus size — the autoPlanes analogue for
+    * SimHash blocking (SCALE.md's "block bits ≈ log₂(n) + margin" knob):
+    * hold expected per-chunk-bucket occupancy at ~32 docs, i.e.
+    * chunkBits = ⌈log₂(n/32)⌉. A FIXED width saturates: candidate pairs
+    * grow ~n²/2^bits once n outruns the chunk space (measured on the
+    * 16-bit production path in SCALE.md). The signature only carries 4
+    * chunks of ≤16 bits (64-bit) or ≤32 bits (128-bit), so the derivation
+    * picks the CONSTRUCTION: ≤16 needed bits → the cheaper single-stream
+    * 64-bit signature; more → the two-stream 128-bit one (~2× signature
+    * cost, 2³² chunk space — linear out to ~10⁹ docs). */
+  private[graft] def autoChunkBits(nDocs: Long): Int = {
+    val raw = math.ceil(math.log(math.max(nDocs, 1L).toDouble / 32.0) / math.log(2.0)).toInt
+    math.min(32, math.max(8, raw))
+  }
+
+  /** SimHash near-dup with size-derived blocking: chunkBits > 0 pins the
+    * width (16 → 64-bit path, else wide); 0 derives it from a count(*) of
+    * the documents table (parquet footer metadata, no data scan). */
+  def simhashPairsAuto(spark: SparkSession, dir: String, maxHamming: Int = 3,
+      chunkBits: Int = 0): DataFrame = {
+    val bits =
+      if (chunkBits > 0) chunkBits
+      else autoChunkBits(Tables.documents(spark, dir).count())
+    if (bits <= 16) simhashPairs(spark, dir, maxHamming)
+    else simhashPairsWide(spark, dir, maxHamming)
   }
 
   // ---- exact n-gram Jaccard (verification of candidates) ----

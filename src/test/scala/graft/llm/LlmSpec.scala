@@ -98,6 +98,51 @@ class LlmSpec extends SparkSpec {
     assert(sh.count { case (_, (lo, hi)) => lo != hi } > sh.length / 2)
   }
 
+  test("x4d md5 witness: 4x8-bit cross-half blocking exact vs exhaustive") {
+    val witness = DocDedup.simhashPairsWideMd5(spark, sfDir, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val sh = DocDedup.simhash2x16Md5Of(
+        graft.Tables.documents(spark, sfDir)).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    val exhaustive = (for {
+      (ia, (loA, hiA)) <- sh
+      (ib, (loB, hiB)) <- sh if ia < ib
+      h = java.lang.Long.bitCount(loA ^ loB) + java.lang.Long.bitCount(hiA ^ hiB)
+      if h <= 3
+    } yield (ia, ib) -> h).toMap
+    assert(witness == exhaustive,
+      s"witness blocking must be exact: got ${witness.size} vs ${exhaustive.size}")
+    // the two md5 streams must genuinely differ (salted second stream)
+    assert(sh.count { case (_, (lo, hi)) => lo != hi } > sh.length / 2)
+  }
+
+  test("autoChunkBits derivation and simhashPairsAuto dispatch") {
+    // occupancy-32 derivation, clamped to the constructions we carry
+    assert(DocDedup.autoChunkBits(1000) == 8)
+    assert(DocDedup.autoChunkBits(1000000) == 15)      // 64-bit path
+    assert(DocDedup.autoChunkBits(100000000) == 22)    // -> two-stream wide
+    assert(DocDedup.autoChunkBits(Long.MaxValue / 2) == 32)
+    // at corpus scale here the derived width stays <= 16: the auto path
+    // must be EXACTLY the 64-bit production pipeline
+    val auto = DocDedup.simhashPairsAuto(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = DocDedup.simhashPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == fixed)
+    // a pinned width > 16 dispatches to the wide construction
+    val wide = DocDedup.simhashPairsAuto(spark, sfDir, chunkBits = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wideFixed = DocDedup.simhashPairsWide(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == wideFixed)
+  }
+
+  test("4-chunk blocking refuses maxHamming > 3 (incomplete pair set)") {
+    intercept[IllegalArgumentException](DocDedup.simhashPairs(spark, sfDir, maxHamming = 4))
+    intercept[IllegalArgumentException](DocDedup.simhashPairsWide(spark, sfDir, maxHamming = 4))
+    intercept[IllegalArgumentException](DocDedup.simhashPairsWideMd5(spark, sfDir, maxHamming = 4))
+  }
+
   test("ANN LSH recall vs brute force is pinned") {
     val exact = Similarity.nearDupPairs(spark, sfDir, threshold = 0.3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -12,8 +12,8 @@ class QueriesSpec extends SparkSpec {
     // xxhash64-based sketches are not ANSI-SQL-expressible, and HLL/KLL
     // sketch estimates are engine-specific → rows-only
     val rowsOnly = Set("x2_minhash_digest", "x3_minhash_pairs",
-      "x4_simhash_digest", "x4d_simhash_wide", "x11_rolling_fingerprint",
-      "a21_sketch_kpis")
+      "x4_simhash_digest", "x4d_simhash_wide", "x4e_simhash_auto",
+      "x11_rolling_fingerprint", "a21_sketch_kpis")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty)
