@@ -841,7 +841,10 @@ object SparkEntry {
       // width_px/height_px/gray_mean_ppm: the Spark side REALLY encodes +
       // decodes a PNG per image asset (pixel (x,y) = (id+x+y)%256); the
       // oracle predicts the decoded raster arithmetically — a codec or
-      // raster-walk bug cannot hash-match
+      // raster-walk bug cannot hash-match. The audio columns are the same
+      // contract through javax.sound.sampled: a REAL RIFF/WAVE round-trip
+      // per audio asset (sample i = (id+i)%65536 - 32768, n = id%50+10),
+      // predicted arithmetically here.
       ("WITH base AS (SELECT doc_id AS asset_id, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' " +
        "WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, " +
        "CAST(octet_length(encode(text)) AS INT) AS n_bytes, " +
@@ -850,11 +853,18 @@ object SparkEntry {
        "img AS (SELECT doc_id AS asset_id, CAST(doc_id % 16 + 1 AS INT) AS w, " +
        "CAST(doc_id % 9 + 1 AS INT) AS h FROM documents WHERE doc_id % 3 = 0), " +
        "g AS (SELECT asset_id, w, h, CAST(sum((asset_id + x + y) % 256) AS BIGINT) AS gs " +
-       "FROM img, UNNEST(range(w)) AS tx(x), UNNEST(range(h)) AS ty(y) GROUP BY asset_id, w, h) " +
+       "FROM img, UNNEST(range(w)) AS tx(x), UNNEST(range(h)) AS ty(y) GROUP BY asset_id, w, h), " +
+       "aud AS (SELECT doc_id AS asset_id, CAST(doc_id % 50 + 10 AS INT) AS n " +
+       "FROM documents WHERE doc_id % 3 = 1), " +
+       "p AS (SELECT asset_id, n, CAST(sum(abs((asset_id + i) % 65536 - 32768)) AS BIGINT) AS sa " +
+       "FROM aud, UNNEST(range(n)) AS ti(i) GROUP BY asset_id, n) " +
        "SELECT b.asset_id, b.media_type, b.n_bytes, b.width, b.height, b.duration_ms, " +
        "g.w AS width_px, g.h AS height_px, " +
-       "CAST(g.gs * 1000000 // (g.w * g.h) AS BIGINT) AS gray_mean_ppm " +
-       "FROM base b LEFT JOIN g ON g.asset_id = b.asset_id ORDER BY b.asset_id"),
+       "CAST(g.gs * 1000000 // (g.w * g.h) AS BIGINT) AS gray_mean_ppm, " +
+       "CAST(CASE WHEN p.asset_id IS NOT NULL THEN 8000 END AS INT) AS sample_rate_hz, " +
+       "p.n AS n_samples, CAST(p.sa * 1000000 // p.n AS BIGINT) AS pcm_abs_mean_ppm " +
+       "FROM base b LEFT JOIN g ON g.asset_id = b.asset_id " +
+       "LEFT JOIN p ON p.asset_id = b.asset_id ORDER BY b.asset_id"),
     "m2_media_resize" ->
       ("WITH a AS (SELECT doc_id AS asset_id, CAST(doc_id % 16 * 64 + 256 AS INT) AS width, " +
        "CAST(doc_id % 9 * 64 + 256 AS INT) AS height FROM documents), " +

@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * batches. IMAGE decode/resize is REAL — `javax.imageio` PNG codec (in
   * the JDK, so present in any executor) runs inside `mapPartitions`;
   * image fixtures are deterministic synthesized PNGs (no media files ship
-  * in this environment). Audio/video decode stays a clearly-marked
-  * deterministic stub (no PCM/H.264 codec in the JDK); the plumbing —
+  * in this environment). AUDIO decode is REAL too — `javax.sound.sampled`
+  * WAV/PCM parser (also in the JDK), over deterministic synthesized RIFF
+  * containers. Only VIDEO decode stays a clearly-marked stub (H.264 has
+  * no JDK codec and is genuinely impossible offline); the plumbing —
   * schema, partitioning, batch shape, feature layout — is identical.
   *
   * Layout mirrors production multimodal pipelines: assets stay binary
@@ -44,13 +46,72 @@ object Multimodal {
       .as[MediaAsset]
   }
 
+  /** Thread-local PNG codec with RASTER REUSE — the fix for the per-image
+    * allocation pressure SCALE.md measured on the m1 rehearsal (a fresh
+    * BufferedImage + raster per decode → GC churn at corpus scale):
+    * repeated dimensions decode into the SAME destination raster
+    * (`ImageReadParam.setDestination`), and fixture encode reuses a
+    * (w, h)-keyed BufferedImage. A returned image is valid only until the
+    * thread's next decode — every caller here walks the raster
+    * immediately. Any fast-path mismatch (non-PNG payload, incompatible
+    * destination raster) falls back to a plain `ImageIO.read`. */
+  private final class PngCodec {
+    private val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    private var dest: java.awt.image.BufferedImage = null
+    private val encodeBufs = new java.util.HashMap[Long, java.awt.image.BufferedImage]()
+
+    private def isPng(p: Array[Byte]): Boolean =
+      p.length > 8 && (p(0) & 0xFF) == 0x89 && p(1) == 'P'.toByte &&
+        p(2) == 'N'.toByte && p(3) == 'G'.toByte
+
+    /** Decode, reusing the previous destination raster when dims match;
+      * null when the payload is not a decodable image. */
+    def decode(payload: Array[Byte]): java.awt.image.BufferedImage =
+      if (!isPng(payload))
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      else try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          reader.setInput(iis, true, true)
+          val param = reader.getDefaultReadParam
+          if (dest != null && dest.getWidth == reader.getWidth(0) &&
+              dest.getHeight == reader.getHeight(0))
+            param.setDestination(dest)
+          dest = reader.read(0, param)
+          dest
+        } finally iis.close()
+      } catch {
+        case _: Exception =>
+          dest = null // destination type mismatch — drop it and re-read plainly
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      }
+
+    /** Reusable TYPE_BYTE_GRAY image for fixture encode at (w, h). */
+    def grayImage(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val key = (w.toLong << 32) | (h.toLong & 0xFFFFFFFFL)
+      var img = encodeBufs.get(key)
+      if (img == null) {
+        img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        encodeBufs.put(key, img)
+      }
+      img
+    }
+  }
+  private object PngCodec {
+    private val tl = new ThreadLocal[PngCodec] {
+      override def initialValue(): PngCodec = new PngCodec
+    }
+    def get(): PngCodec = tl.get()
+  }
+
   /** Deterministic tiny grayscale PNG: pixel (x, y) carries sample
     * (seed + x + y) % 256. A REAL PNG — encoded by the JDK's ImageIO
     * codec — whose decoded statistics are arithmetically predictable, so
     * the decode path is oracle-checkable without shipping image files. */
   def pngPayload(seed: Long, w: Int, h: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(w, h,
-      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val img = PngCodec.get().grayImage(w, h) // reused raster, fully overwritten below
     val r = img.getRaster
     var y = 0
     while (y < h) {
@@ -67,9 +128,9 @@ object Multimodal {
     * mapPartitions): parses the payload's actual PNG structure and reads
     * the pixel raster. Returns (width, height, sum of band-0 samples), or
     * None when the payload is not a decodable image (ImageIO returns null
-    * — the audio/video arm). */
+    * — the video arm). */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Long)] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val img = PngCodec.get().decode(payload)
     if (img == null) None
     else {
       val r = img.getRaster
@@ -85,8 +146,9 @@ object Multimodal {
   }
 
   /** Byte-histogram fallback "embedding" for payloads without a JDK codec
-    * (audio/video bytes): deterministic, same signature and batch
-    * discipline as the real image path in extractFeatures. */
+    * (video bytes; audio assets whose payload is not a RIFF container):
+    * deterministic, same signature and batch discipline as the real image
+    * path in extractFeatures. */
   def decodeStub(payload: Array[Byte], dim: Int = 16): Array[Float] = {
     val hist = new Array[Float](dim)
     var i = 0
@@ -95,10 +157,64 @@ object Multimodal {
     hist.map(_ / n)
   }
 
+  /** Deterministic 16-bit mono PCM WAV: sample i = ((seed + i) % 65536) −
+    * 32768, wrapped in a REAL RIFF/WAVE container by the JDK's
+    * `javax.sound.sampled` writer — the audio analogue of `pngPayload`:
+    * the decoded sample statistics are arithmetically predictable, so the
+    * decode path is oracle-checkable without shipping audio files. */
+  def wavPayload(seed: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
+      /* signed = */ true, /* bigEndian = */ false)
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (((seed + i) % 65536) - 32768).toInt
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode (javax.sound.sampled, executor-side): parses the
+    * payload's actual RIFF/WAVE structure, streams the PCM frames, and
+    * returns (sampleRateHz, nSamples, Σ|sample|) for 16-bit mono
+    * little-endian PCM — None when the payload is not a decodable WAV
+    * (the video arm: H.264 has no JDK codec and stays a marked stub). */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian) None
+        else {
+          val bytes = ais.readAllBytes()
+          var sum = 0L
+          var i = 0
+          while (i + 1 < bytes.length) {
+            // little-endian signed 16-bit: sign-extended high byte | low
+            val s = (bytes(i + 1).toInt << 8) | (bytes(i) & 0xFF)
+            sum += math.abs(s)
+            i += 2
+          }
+          Some((fmt.getSampleRate.toInt, bytes.length / 2, sum))
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException                               => None
+    }
+
   /** Pixel-histogram embedding from a DECODED image: 16 buckets over the
     * 8-bit gray range, normalized by pixel count. */
   def imageEmbedding(payload: Array[Byte], dim: Int = 16): Option[Array[Float]] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val img = PngCodec.get().decode(payload)
     if (img == null) None
     else {
       val r = img.getRaster
@@ -135,7 +251,7 @@ object Multimodal {
     * raster through Graphics2D (bilinear), re-encode as PNG. Returns None
     * for payloads without a JDK codec. */
   def resizeImage(payload: Array[Byte], maxSide: Int = 512): Option[Array[Byte]] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val img = PngCodec.get().decode(payload)
     if (img == null) None
     else {
       val (tw, th) = resizeDims(img.getWidth, img.getHeight, maxSide)
@@ -232,10 +348,11 @@ object Multimodal {
   }
 
   /** m1 row: metadata stats + REAL-decode columns (null for assets the
-    * JDK has no codec for). */
+    * JDK has no codec for — after the audio arm, that is only video). */
   case class MediaStat(asset_id: Long, media_type: String, n_bytes: Int,
       width: Int, height: Int, duration_ms: Long,
-      width_px: Option[Int], height_px: Option[Int], gray_mean_ppm: Option[Long])
+      width_px: Option[Int], height_px: Option[Int], gray_mean_ppm: Option[Long],
+      sample_rate_hz: Option[Int], n_samples: Option[Int], pcm_abs_mean_ppm: Option[Long])
 
   /** Gate entry: metadata + SQL-expressible stats over the binary column
     * (octet_length matches DuckDB exactly), PLUS genuinely-decoded image
@@ -245,7 +362,16 @@ object Multimodal {
     * ImageIO's ACTUAL parse of those PNG bytes inside this mapPartitions.
     * A broken encoder, decoder, or raster walk diverges from the DuckDB
     * oracle immediately. gray_mean_ppm = floor(sum(samples)*1e6 / pixels)
-    * — integer arithmetic end-to-end, bit-identical across engines. */
+    * — integer arithmetic end-to-end, bit-identical across engines.
+    *
+    * The AUDIO arm is the same trick through the other JDK codec: each
+    * audio asset carries a deterministic synthesized WAV (`wavPayload`,
+    * (asset_id % 50 + 10) samples), and sample_rate_hz / n_samples /
+    * pcm_abs_mean_ppm come out of javax.sound.sampled's ACTUAL parse of
+    * those RIFF bytes. pcm_abs_mean_ppm = floor(Σ|sample| * 1e6 / n) —
+    * |·| keeps the integer division nonnegative (floor-vs-truncate on
+    * negatives is engine-ambiguous). Video columns stay null (no JDK
+    * codec — the one remaining marked stub). */
   def mediaStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     assets(spark, dir).mapPartitions(_.map { a =>
@@ -255,10 +381,16 @@ object Multimodal {
           val h = (a.asset_id % 9 + 1).toInt
           decodeImage(pngPayload(a.asset_id, w, h))
         } else None
+      val audio =
+        if (a.media_type == "audio")
+          decodeAudio(wavPayload(a.asset_id, (a.asset_id % 50 + 10).toInt))
+        else None
       MediaStat(a.asset_id, a.media_type, a.payload.length,
         a.width, a.height, a.duration_ms,
         decoded.map(_._1), decoded.map(_._2),
-        decoded.map(d => d._3 * 1000000L / (d._1.toLong * d._2)))
+        decoded.map(d => d._3 * 1000000L / (d._1.toLong * d._2)),
+        audio.map(_._1), audio.map(_._2),
+        audio.map(d => d._3 * 1000000L / d._2))
     }).toDF()
       .orderBy("asset_id")
   }

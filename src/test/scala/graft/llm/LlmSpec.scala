@@ -529,7 +529,32 @@ class LlmSpec extends SparkSpec {
       assert(r.getAs[Int]("width_px") == ww && r.getAs[Int]("height_px") == hh)
       val s = (for { y <- 0 until hh; x <- 0 until ww } yield (id + x + y) % 256).sum
       assert(r.getAs[Long]("gray_mean_ppm") == s * 1000000L / (ww.toLong * hh))
+      assert(r.isNullAt(r.fieldIndex("sample_rate_hz")), "image rows carry no audio stats")
     }
+    // audio arm: decoded PCM stats match the sample function arithmetically
+    val m1a = Multimodal.mediaStats(spark, sfDir)
+      .filter(col("media_type") === "audio").limit(10).collect()
+    assert(m1a.nonEmpty)
+    m1a.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      val n = (id % 50 + 10).toInt
+      assert(r.getAs[Int]("sample_rate_hz") == 8000)
+      assert(r.getAs[Int]("n_samples") == n)
+      val sa = (0 until n).map(i => math.abs((id + i) % 65536 - 32768)).sum
+      assert(r.getAs[Long]("pcm_abs_mean_ppm") == sa * 1000000L / n)
+      assert(r.isNullAt(r.fieldIndex("width_px")), "audio rows carry no image stats")
+    }
+  }
+
+  test("WAV payload is a REAL RIFF container and decodes to the exact sample function") {
+    val wav = Multimodal.wavPayload(7L, 100)
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val Some((sr, n, sumAbs)) = Multimodal.decodeAudio(wav)
+    assert(sr == 8000 && n == 100)
+    assert(sumAbs == (0 until 100).map(i => math.abs((7L + i) % 65536 - 32768)).sum)
+    // non-audio bytes are rejected, not misparsed
+    assert(Multimodal.decodeAudio("not a riff container".getBytes("UTF-8")).isEmpty)
   }
 
   test("hash split: ~80/20, deterministic, and append-stable") {
