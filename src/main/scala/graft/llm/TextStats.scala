@@ -467,24 +467,34 @@ object TextStats {
       p => p.getField("w2").isNotNull)
     val nullPair = array(struct(lit(null).cast("string").as("w1"),
       lit(null).cast("string").as("w2")))
+    // 64-bit hash keys, not the token strings: the bigram stream is the
+    // checkpointed frame every LM aggregate AND the scoring join shuffle
+    // on, so carrying (w1, "w1 w2") strings makes every exchange
+    // string-width. Both sides of the LM derive and probe with the SAME
+    // keys, so any injective-enough stand-in works: xxhash64 collides a
+    // unigram/bigram pair w.p. ~v²/2⁶⁴ (v = vocab; ~5e-8 even at 1M
+    // vocab) — the standard hashed-LM trade. Sentinel rows (short docs)
+    // keep null keys via the when-guard (xxhash64 of NULL is the seed
+    // hash, NOT null, so the guard is load-bearing for the 0-vote path).
+    val w1h = when(col("p.w1").isNotNull, xxhash64(col("p.w1")))
+    val bh = when(col("p.w1").isNotNull, xxhash64(col("p.w1"), col("p.w2")))
     val bigrams = docsWide(spark, dir)
       .select(col("doc_id"),
         (qualityExpr(nTok, avgTokLen, stopRatio) >= minQuality).cast("int").as("v_q"),
         (clfWSum(t) >= 0).cast("int").as("v_clf"),
         explode(when(size(pairs) > 0, pairs).otherwise(nullPair)).as("p"))
-      .select(col("doc_id"), col("v_q"), col("v_clf"), col("p.w1").as("w1"),
-        // concat null-propagates: the sentinel row keeps bigram = null
-        concat(col("p.w1"), lit(" "), col("p.w2")).as("bigram"))
+      .select(col("doc_id"), col("v_q"), col("v_clf"),
+        w1h.as("w1h"), bh.as("bh"))
       .localCheckpoint(eager = false)
-    val real = bigrams.filter(col("bigram").isNotNull)
-    val cBig = real.groupBy("w1", "bigram").agg(count(lit(1)).as("c_big"))
-    val cUni = real.groupBy("w1").agg(count(lit(1)).as("c_uni"))
-    val lm = cBig.join(cUni, "w1")
-      .select(col("bigram"), expr("c_big * 1000000L div c_uni").as("ppm"))
-    bigrams.join(lm, Seq("bigram"), "left")
+    val real = bigrams.filter(col("bh").isNotNull)
+    val cBig = real.groupBy("w1h", "bh").agg(count(lit(1)).as("c_big"))
+    val cUni = real.groupBy("w1h").agg(count(lit(1)).as("c_uni"))
+    val lm = cBig.join(cUni, "w1h")
+      .select(col("bh"), expr("c_big * 1000000L div c_uni").as("ppm"))
+    bigrams.join(lm, Seq("bh"), "left")
       .groupBy("doc_id")
       .agg(first("v_q").as("v_q"), first("v_clf").as("v_clf"),
-        count(col("bigram")).as("n_bigrams"), sum("ppm").as("ppm_sum"))
+        count(col("bh")).as("n_bigrams"), sum("ppm").as("ppm_sum"))
       .select(col("doc_id"), col("v_q"),
         when(col("n_bigrams") > 0 &&
             col("ppm_sum").cast("double") / col("n_bigrams") >= minLmPpm, 1)
