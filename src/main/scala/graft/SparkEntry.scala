@@ -135,6 +135,9 @@ object SparkEntry {
     "a8_monthly_revenue" -> (Aggs.monthlyRevenue _),
     "a9_histogram" -> (Aggs.histogram _),
     "a10_median_kpi" -> (Aggs.medianKpi _),
+    // rows-only (quantile-sketch internals are engine-specific; AggsSpec
+    // pins the estimates against the exact a10 medians)
+    "a10c_median_approx" -> ((s: SparkSession, d: String) => Aggs.medianApprox(s, d)),
     "a11_daily_avg_revenue" -> (Aggs.dailyAvgRevenue _),
     "a12_ratio_kpis" -> (Aggs.ratioKpis _),
     "a13_sum_by_location" -> (Aggs.sumByLocation _),

@@ -89,6 +89,19 @@ object Aggs {
       .agg(round(median(col("l_quantity")), 2).as("median_qty"),
         round(median(col("l_extendedprice")), 2).as("median_price"))
 
+  /** a10c: the documented 100 TB swap for A10, as an executable gate —
+    * `percentile_approx` (KLL-style mergeable quantile sketch): one-pass
+    * partial aggregate, O(sketch) shuffle bytes, no full sort anywhere in
+    * the plan. Rows-only (sketch internals are engine-specific); AggsSpec
+    * pins the estimates within tolerance of the exact medians. */
+  def medianApprox(spark: SparkSession, dir: String, accuracy: Int = 10000): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        round(percentile_approx(col("l_quantity"), lit(0.5), lit(accuracy)), 2)
+          .as("median_qty"),
+        round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(accuracy)), 2)
+          .as("median_price"))
+
   /** Sketch-KPI gate: the 100 TB replacements for exact countDistinct
     * (`d6`) and exact percentile (`a10`/`a20`) — HyperLogLog++ and
     * KLL-style quantile sketches are MERGEABLE, so both run as one-pass

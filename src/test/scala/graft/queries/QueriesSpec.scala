@@ -13,7 +13,7 @@ class QueriesSpec extends SparkSpec {
     // sketch estimates are engine-specific → rows-only
     val rowsOnly = Set("x2_minhash_digest", "x3_minhash_pairs",
       "x4_simhash_digest", "x4d_simhash_wide", "x4e_simhash_auto",
-      "x11_rolling_fingerprint", "a21_sketch_kpis")
+      "x11_rolling_fingerprint", "a21_sketch_kpis", "a10c_median_approx")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty)
@@ -81,5 +81,17 @@ class QueriesSpec extends SparkSpec {
       // percentile_approx with accuracy 10000 is near-exact at this scale
       assert(math.abs(am - em) / em < 0.01, s"$k median: $am vs $em")
     }
+  }
+
+  test("a10c approx medians land within tolerance of the exact a10 medians") {
+    val a = Aggs.medianApprox(spark, sfDir).head()
+    val e = Aggs.medianKpi(spark, sfDir).head()
+    // percentile_approx at accuracy 10000 is near-exact at spec scale; the
+    // gate exists so the documented 100 TB swap is executable, not notional
+    assert(math.abs(a.getDouble(0) - e.getDouble(0)) / e.getDouble(0) < 0.01)
+    assert(math.abs(a.getDouble(1) - e.getDouble(1)) / e.getDouble(1) < 0.01)
+    // and it is genuinely the sketch plan: no Sort/Window in the physical plan
+    val plan = Aggs.medianApprox(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort"), "approx median must not plan a sort")
   }
 }
