@@ -542,7 +542,7 @@ object SparkEntry {
        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,1)) AS INT) AS bucket FROM documents), " +
        "c AS (SELECT doc_id, n_tokens, bucket, sum(n_tokens) OVER " +
        "(PARTITION BY bucket ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d) " +
-       "SELECT doc_id, n_tokens, CAST(bucket AS BIGINT)*1000000 + CAST(floor((cum - n_tokens)/512.0) AS BIGINT) AS pack_id " +
+       "SELECT doc_id, n_tokens, CAST(bucket AS BIGINT)*1099511627776 + CAST(floor((cum - n_tokens)/512.0) AS BIGINT) AS pack_id " +
        "FROM c ORDER BY doc_id"),
     "x20_chunking" ->
       ("SELECT doc_id, CAST(i AS INT) AS chunk_idx, substr(text, CAST(i AS INT)*150 + 1, 200) AS chunk_text " +
@@ -1023,7 +1023,7 @@ object SparkEntry {
        "r AS (SELECT doc_id, n_tokens, shard, " +
        "row_number() OVER (PARTITION BY shard ORDER BY n_tokens, doc_id) AS rn FROM d) " +
        "SELECT doc_id, n_tokens, shard, " +
-       "CAST(shard * 1000000 + (rn - 1) // 16 AS BIGINT) AS batch_id " +
+       "CAST(shard * 1099511627776 + (rn - 1) // 16 AS BIGINT) AS batch_id " +
        "FROM r ORDER BY doc_id"),
     "x32_mixture_weights" ->
       ("WITH s AS (SELECT source, count(*) AS n_docs, " +

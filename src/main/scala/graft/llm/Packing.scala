@@ -35,7 +35,12 @@ object Packing {
       .withColumn("bucket", bucket)
       .withColumn("cum", sum("n_tokens").over(w))
       .select(col("doc_id"), col("n_tokens"),
-        (col("bucket").cast("long") * 1000000 +
+        // 2⁴⁰ id stride: pack numbers are cumulative-token counts / budget,
+        // which pass 10⁶ per bucket well inside the 100 TB target — a
+        // narrow multiplier would silently collide adjacent buckets' ids.
+        // 2⁴⁰ holds ~10¹² packs per bucket (≈ 5·10¹⁴ tokens at budget 512)
+        // before overflow, with 2²³ buckets of headroom in the long
+        (col("bucket").cast("long") * (1L << 40) +
           floor((col("cum") - col("n_tokens")) / budget)).as("pack_id"))
       .orderBy("doc_id")
   }
@@ -63,8 +68,11 @@ object Packing {
       .withColumn("shard", (h % nShards).cast("int"))
       .withColumn("rn", row_number().over(w))
       .select(col("doc_id"), col("n_tokens"), col("shard"),
-        // `div`: Spark's `/` is always double division
-        (col("shard").cast("long") * 1000000L +
+        // `div`: Spark's `/` is always double division. 2⁴⁰ id stride:
+        // batch numbers are per-shard doc counts / batchDocs, which pass
+        // 10⁶ beyond ~16M docs per shard — plausible at 100 TB; 2⁴⁰ holds
+        // ~10¹² batches per shard before adjacent shards' ids can collide
+        (col("shard").cast("long") * (1L << 40) +
           expr(s"(rn - 1) div $batchDocs")).as("batch_id"))
       .orderBy("doc_id")
   }

@@ -117,13 +117,13 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
       if (spills.isEmpty) heaps.valuesIterator.flatMap(_.toSeq.sorted(rowOrd))
       else {
         spillHeaps() // flush the in-memory tail as the last run
-        val ctx = org.apache.spark.TaskContext.get()
-        if (ctx != null) ctx.addTaskCompletionListener[Unit](_ => spills.foreach(_.delete()))
         // streaming reader over one sorted run; record arrays are freshly
         // allocated per advance, so emitted rows never alias a reused buffer
         final class RunReader(f: java.io.File, val idx: Int) {
           private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
             new java.io.FileInputStream(f), 1 << 16))
+          private var closed = false
+          def close(): Unit = if (!closed) { closed = true; in.close() }
           var curKey: Array[Byte] = _
           var curRow: org.apache.spark.sql.catalyst.expressions.UnsafeRow = _
           def advance(): Boolean = try {
@@ -135,10 +135,19 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
             r.pointTo(rb, rl)
             curKey = kb; curRow = r
             true
-          } catch { case _: java.io.EOFException => in.close(); f.delete(); false }
+          } catch { case _: java.io.EOFException => close(); f.delete(); false }
         }
         val readers = spills.zipWithIndex
           .map { case (f, i) => new RunReader(f, i) }.filter(_.advance())
+        // a downstream operator may abandon the merge before it drains
+        // (limit, early-out join): close the still-open run streams at task
+        // completion BEFORE deleting the files — an exhausted reader
+        // already closed itself (close() is idempotent), and deleting an
+        // open-handle file fails outright on some platforms
+        val ctx = org.apache.spark.TaskContext.get()
+        if (ctx != null) ctx.addTaskCompletionListener[Unit] { _ =>
+          readers.foreach(_.close()); spills.foreach(_.delete())
+        }
         // min-first on (key bytes, row order, run index): equal keys drain
         // adjacently; the run-index tiebreak makes rowOrd ties stable
         val pq = mutable.PriorityQueue.empty[RunReader](new Ordering[RunReader] {

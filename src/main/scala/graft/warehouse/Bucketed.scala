@@ -33,8 +33,15 @@ object Bucketed {
     // write, not the join). Table names are keyed by (dir, nBuckets) so a
     // different source or layout gets its own tables; a catalog hit for
     // BOTH tables in this session means the layout exists and is reused.
-    val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(s"$dir|$nBuckets") & 0x7fffffff)
+    // The tag ENCODES the dir (byte → _hex for non-alnum) rather than
+    // hashing it: two distinct dirs can never share a table name, so a
+    // collision cannot silently serve another source's bucketed data.
+    // (Source parquet regenerated in place mid-session still reuses the
+    // session's layout — the same staleness contract as any warehouse.)
+    val tag = s"$dir|$nBuckets".map {
+      case c if c.isLetterOrDigit => c.toString
+      case c                      => f"_${c.toInt}%02x"
+    }.mkString
     val liT = s"w9_lineitem_b_$tag"
     val oT = s"w9_orders_b_$tag"
     if (!spark.catalog.tableExists(liT) || !spark.catalog.tableExists(oT)) {

@@ -137,7 +137,7 @@ class PackingSpec extends SparkSpec {
     val naive = lb.withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("shard").orderBy("doc_id")))
       .select(col("doc_id"), col("n_tokens"), col("shard"),
-        (col("shard").cast("long") * 1000000L + expr("(rn - 1) div 16")).as("batch_id"))
+        (col("shard").cast("long") * (1L << 40) + expr("(rn - 1) div 16")).as("batch_id"))
     assert(waste(lb) < waste(naive),
       s"length grouping must cut padding: ${waste(lb)} vs naive ${waste(naive)}")
     lb.unpersist()
