@@ -122,7 +122,12 @@ object ScaleRehearsal {
       val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, dir).count()
+        // same isolation as Bench: clearCache() misses localCheckpoint RDD
+        // blocks, which otherwise accumulate block-manager/GC pressure
+        // across queries and pollute later samples
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         (System.nanoTime() - t0) / 1e9
       }
       samples.sorted.apply(1)
