@@ -20,6 +20,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the between-sample checkpoint sweep (below) emits one WARN per
+    // unpersisted localCheckpoint RDD ("lineage has been truncated…",
+    // intentional — those queries are done); across ~143 queries × 3
+    // samples that is hundreds of lines crowding the output tail the
+    // driver parses the JSON line from — silence just that logger
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.ParallelCollectionRDD", org.apache.logging.log4j.Level.ERROR)
     // Forcing action: count(). Catalyst prunes columns under a count, so
     // projection-only queries measure as scan+filter cost and final
     // orderBys are elided (EliminateSorts) — acknowledged: the timing is
