@@ -266,6 +266,7 @@ object SparkEntry {
     "x62b_substring_spans" -> ((s: SparkSession, d: String) => Curation.substringSpans(s, d)),
     "x63_token_budget" -> ((s: SparkSession, d: String) => Curation.tokenBudget(s, d)),
     "x64_length_batches" -> ((s: SparkSession, d: String) => Packing.lengthBatches(s, d)),
+    "x65_filter_funnel" -> ((s: SparkSession, d: String) => Curation.filterFunnel(s, d)),
     "x32_mixture_weights" -> ((s: SparkSession, d: String) => Curation.mixtureWeights(s, d)),
     "x33_shuffle_shards" -> ((s: SparkSession, d: String) => Curation.shuffleShards(s, d)),
     "x34_clean_text" -> ((s: SparkSession, d: String) => Curation.cleanText(s, d)),
@@ -1079,6 +1080,46 @@ object SparkEntry {
        "WHERE d.n_chars BETWEEN lo AND hi " +
        "AND d.doc_id IN (SELECT doc_id FROM keepers) " +
        "AND d.doc_id IN (SELECT doc_id FROM clean) ORDER BY d.doc_id"),
+    "x65_filter_funnel" ->
+      // the x38 cascade's rules in fixed order with per-stage attrition;
+      // stage-3 survivors must equal x38's training set (spec-reconciled)
+      ("WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), " +
+       "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
+       "list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
+       "ELSE [array_to_string(t, ' ')] END AS s FROM tok), " +
+       "flat AS (SELECT DISTINCT doc_id, " +
+       "CAST(concat('0x', substr(md5(sx), 1, 15)) AS BIGINT) AS h " +
+       "FROM (SELECT doc_id, unnest(s) AS sx FROM sh)), " +
+       "bench AS (SELECT DISTINCT h FROM flat WHERE doc_id % 17 = 0), " +
+       "clean AS (SELECT c.doc_id FROM (SELECT doc_id, h FROM flat WHERE doc_id % 17 <> 0) c " +
+       "LEFT JOIN bench b USING (h) GROUP BY c.doc_id HAVING count(b.h) * 5 < count(*)), " +
+       "hist AS (SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1), " +
+       "cm AS (SELECT n_chars, sum(cnt) OVER (ORDER BY n_chars) AS cum, " +
+       "sum(cnt) OVER () AS total FROM hist), " +
+       "th AS (SELECT min(CASE WHEN cum*100 >= total*5 THEN n_chars END) AS lo, " +
+       "min(CASE WHEN cum*100 >= total*95 THEN n_chars END) AS hi FROM cm), " +
+       s"q AS ($x8QualitySql), " +
+       "flags AS (SELECT d.doc_id, " +
+       "CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f1, " +
+       "CASE WHEN cl.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f2, " +
+       "CASE WHEN d.n_chars BETWEEN th.lo AND th.hi THEN 1 ELSE 0 END AS f3, " +
+       "CASE WHEN qq.quality_score >= 0.6 THEN 1 ELSE 0 END AS f4 " +
+       "FROM documents d LEFT JOIN keepers k ON k.doc_id = d.doc_id " +
+       "LEFT JOIN clean cl ON cl.doc_id = d.doc_id " +
+       "LEFT JOIN q qq ON qq.doc_id = d.doc_id, th), " +
+       "cnt AS (SELECT count(*) AS n0, sum(f1) AS n1, sum(f1*f2) AS n2, " +
+       "sum(f1*f2*f3) AS n3, sum(f1*f2*f3*f4) AS n4 FROM flags) " +
+       "SELECT * FROM (" +
+       "SELECT CAST(1 AS INT) AS stage, 'exact_dedup' AS rule, CAST(n0 AS BIGINT) AS n_in, " +
+       "CAST(n0 - n1 AS BIGINT) AS n_dropped, CAST(n1 AS BIGINT) AS n_out FROM cnt " +
+       "UNION ALL SELECT CAST(2 AS INT), 'decontaminate', CAST(n1 AS BIGINT), " +
+       "CAST(n1 - n2 AS BIGINT), CAST(n2 AS BIGINT) FROM cnt " +
+       "UNION ALL SELECT CAST(3 AS INT), 'length_interval', CAST(n2 AS BIGINT), " +
+       "CAST(n2 - n3 AS BIGINT), CAST(n3 AS BIGINT) FROM cnt " +
+       "UNION ALL SELECT CAST(4 AS INT), 'quality_floor', CAST(n3 AS BIGINT), " +
+       "CAST(n3 - n4 AS BIGINT), CAST(n4 AS BIGINT) FROM cnt" +
+       ") ORDER BY stage"),
     "x37_curation_report" ->
       ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
        "idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tok), " +

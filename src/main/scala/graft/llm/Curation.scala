@@ -409,6 +409,67 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** x65: curation-funnel ATTRITION report — the observability artifact
+    * every published curation pipeline ships (FineWeb/Dolma/RefinedWeb
+    * report per-rule document attrition): the x38 cascade's rules applied
+    * in a FIXED order, each stage reporting (n_in, n_dropped, n_out) over
+    * the survivors of the previous stage, plus a final quality floor.
+    * Stage semantics match `trainingSet` exactly (stage-3 survivors ARE
+    * the x38 training set — spec-reconciled), so the funnel is the
+    * explanation of the cascade, not a parallel implementation that can
+    * drift. Thresholds (length percentiles) are computed over the FULL
+    * corpus, as in x36 — a funnel explains a fixed ruleset, it does not
+    * re-derive rules per stage.
+    *
+    * 100 TB: four keep-flags, each shuffle-light by construction (hash-agg
+    * keeper ids, short-key decontamination join, broadcast length
+    * thresholds, per-row quality arithmetic), left-joined on doc_id; the
+    * report itself is ONE boolean aggregate over the flag frame (map-side
+    * combined, 5 longs per task) fanned into four literal rows — the
+    * per-stage counts cost no extra corpus passes. */
+  def filterFunnel(spark: SparkSession, dir: String,
+      minQuality: Double = 0.6): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keepers = docs
+      .groupBy(md5(col("text").cast("binary")).as("ch"))
+      .agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("f1"))
+    // decontaminate() emits only non-bench docs (doc_id % 17 ≠ 0): bench
+    // docs fall out of the left join as f2 = 0 — the same "eval docs never
+    // train" semantics trainingSet's semi-join has
+    val clean = decontaminate(spark, dir)
+      .filter(col("contaminated") === 0)
+      .select(col("doc_id"), lit(1L).as("f2"))
+    val lenOk = lengthFilter(spark, dir)
+      .select(col("doc_id"), lit(1L).as("f3"))
+    val qOk = TextStats.qualityScore(spark, dir)
+      .filter(col("quality_score") >= minQuality)
+      .select(col("doc_id"), lit(1L).as("f4"))
+    val flags = docs.select("doc_id")
+      .join(keepers, Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"), "left")
+      .join(lenOk, Seq("doc_id"), "left")
+      .join(qOk, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("f1", "f2", "f3", "f4"))
+    // one aggregate row, checkpointed: it feeds four literal stage rows
+    // and must not re-run the decontamination pipeline per stage
+    val c = flags.agg(
+      count(lit(1)).as("n0"),
+      sum("f1").as("n1"),
+      sum(col("f1") * col("f2")).as("n2"),
+      sum(col("f1") * col("f2") * col("f3")).as("n3"),
+      sum(col("f1") * col("f2") * col("f3") * col("f4")).as("n4"))
+      .localCheckpoint(eager = false)
+    Seq((1, "exact_dedup", "n0", "n1"), (2, "decontaminate", "n1", "n2"),
+        (3, "length_interval", "n2", "n3"), (4, "quality_floor", "n3", "n4"))
+      .map { case (i, rule, nIn, nOut) =>
+        c.select(lit(i).as("stage"), lit(rule).as("rule"), col(nIn).as("n_in"),
+          (col(nIn) - col(nOut)).as("n_dropped"), col(nOut).as("n_out"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("stage")
+  }
+
   /** PII patterns shared by `redactPii` and its spec: RE2-compatible (no
     * backrefs/lookaround) so the same pattern string runs in Spark's Java
     * regex and the DuckDB oracle's RE2. */

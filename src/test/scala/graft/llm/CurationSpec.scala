@@ -343,4 +343,26 @@ class CurationSpec extends SparkSpec {
     assert(Curation.tokenBudget(spark, sfDir, total + 100).count() == q.length)
     assert(Curation.tokenBudget(spark, sfDir, 0L).count() == 0)
   }
+
+  test("filter funnel: telescoping stages that reconcile with the x38 training set") {
+    val rows = Curation.filterFunnel(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("stage"), r.getAs[String]("rule"),
+        r.getAs[Long]("n_in"), r.getAs[Long]("n_dropped"), r.getAs[Long]("n_out")))
+    assert(rows.map(t => (t._1, t._2)).toSeq ==
+      Seq((1, "exact_dedup"), (2, "decontaminate"), (3, "length_interval"), (4, "quality_floor")))
+    // stage 1 sees the whole corpus; every stage telescopes exactly
+    assert(rows.head._3 == graft.Tables.documents(spark, sfDir).count())
+    rows.foreach { case (_, rule, nIn, nDropped, nOut) =>
+      assert(nIn - nDropped == nOut && nDropped >= 0, s"$rule: $nIn/$nDropped/$nOut")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 == b._3, s"stage ${b._1} n_in must equal stage ${a._1} n_out")
+    }
+    // the funnel EXPLAINS the x38 cascade: stage-3 survivors are exactly
+    // the training set (same rules, same order), so the two cannot drift
+    assert(rows(2)._5 == Curation.trainingSet(spark, sfDir).count())
+    // the decontamination stage drops at least the benchmark docs themselves
+    assert(rows(1)._4 >= graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 17 === 0).count())
+  }
 }
