@@ -119,6 +119,7 @@ object SparkEntry {
     "win_decile_by_group" -> (Funcs.decileByGroup _),
     "x15_ngram_jaccard" -> ((s: SparkSession, d: String) => DocDedup.ngramJaccardPairs(s, d)),
     "x17_dedup_clusters" -> ((s: SparkSession, d: String) => DocDedup.dedupClustersGate(s, d)),
+    "x66_dedup_stats" -> ((s: SparkSession, d: String) => DocDedup.dedupStats(s, d)),
     "x30_dedup_apply" -> ((s: SparkSession, d: String) => DocDedup.dedupApply(s, d)),
     "x61_best_of_cluster" -> ((s: SparkSession, d: String) => DocDedup.bestOfCluster(s, d)),
     "x16_token_freq" -> ((s: SparkSession, d: String) => graft.llm.TextStats.tokenFreq(s, d)),
@@ -489,6 +490,26 @@ object SparkEntry {
        "UNION SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node) " +
        "SELECT node AS doc_id, min(lab) AS cluster_id FROM reach " +
        "GROUP BY node ORDER BY doc_id"),
+    "x66_dedup_stats" ->
+      // cluster-size histogram over the x17 components + the singleton row
+      // (total − clustered), so Σ n_docs = corpus and Σ n_removed = x30's
+      // drop count
+      (s"WITH RECURSIVE pairs AS ($x15PairsSql), " +
+       "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+       "UNION ALL SELECT id_b, id_a FROM pairs), " +
+       "reach(node, lab) AS (SELECT src, src FROM (SELECT DISTINCT src FROM e) " +
+       "UNION SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node), " +
+       "cl AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node), " +
+       "sz AS (SELECT cluster_id, CAST(count(*) AS INT) AS cluster_size FROM cl GROUP BY 1), " +
+       "h AS (SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY 1), " +
+       "tot AS (SELECT count(*) AS total FROM documents), " +
+       "inc AS (SELECT coalesce(sum(cluster_size), 0) AS in_clusters FROM sz), " +
+       "allh AS (SELECT * FROM h UNION ALL " +
+       "SELECT CAST(1 AS INT), CAST(total - in_clusters AS BIGINT) FROM tot, inc) " +
+       "SELECT cluster_size, CAST(n_clusters AS BIGINT) AS n_clusters, " +
+       "CAST(cluster_size * n_clusters AS BIGINT) AS n_docs, " +
+       "CAST((cluster_size - 1) * n_clusters AS BIGINT) AS n_removed " +
+       "FROM allh ORDER BY cluster_size"),
     // the deduped corpus: drop every node whose component min-label is not
     // itself (keeper = min doc_id per connected component, as in x17)
     "x30_dedup_apply" ->

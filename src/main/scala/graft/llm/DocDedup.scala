@@ -556,6 +556,37 @@ object DocDedup {
       .orderBy("doc_id")
   }
 
+  /** x66: duplication-rate REPORT — the dedup observability artifact a
+    * curation run publishes next to the deduped corpus: how many clusters
+    * of each size, how many documents they cover, and how many the dedup
+    * removes (cluster_size − 1 per cluster, keep-one semantics). Docs
+    * that never paired are the cluster_size = 1 row (total − clustered),
+    * so `sum(n_docs)` is always the corpus size and `sum(n_removed)`
+    * reconciles exactly with x30's apply (spec-pinned).
+    *
+    * 100 TB: two short-key hash-aggs over the (already short) CC label
+    * table plus one metadata count(*); the singleton row rides a 1-row
+    * broadcast stat frame — nothing here touches text. */
+  def dedupStats(spark: SparkSession, dir: String): DataFrame = {
+    // checkpoint: the per-cluster sizes feed BOTH the histogram and the
+    // clustered-doc total; without the barrier the whole x15+CC pipeline
+    // would run twice
+    val sizes = dedupClustersGate(spark, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).cast("int").as("cluster_size"))
+      .localCheckpoint(eager = false)
+    val hist = sizes.groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val docsN = Tables.documents(spark, dir).agg(count(lit(1)).as("total"))
+    val inC = sizes.agg(coalesce(sum("cluster_size"), lit(0L)).as("in_clusters"))
+    val singles = docsN.crossJoin(broadcast(inC))
+      .select(lit(1).as("cluster_size"),
+        (col("total") - col("in_clusters")).as("n_clusters"))
+    hist.unionByName(singles)
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size").cast("long") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1).cast("long") * col("n_clusters")).as("n_removed"))
+      .orderBy("cluster_size")
+  }
+
   /** x35: incremental ingestion dedup — the continuous-crawl pattern: a
     * new batch lands against the historical corpus and must not re-ingest
     * what's already there. Here the deterministic split is existing =

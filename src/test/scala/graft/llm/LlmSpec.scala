@@ -622,6 +622,24 @@ class LlmSpec extends SparkSpec {
     assert(losers.nonEmpty, "fixture plants near-dups, so some docs must drop")
   }
 
+  test("dedup stats: histogram covers the corpus and reconciles with clusters and apply") {
+    val stats = DocDedup.dedupStats(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = graft.Tables.documents(spark, sfDir).count()
+    // per-row arithmetic + full-corpus coverage
+    stats.foreach { case (size, (nc, nd, nr)) =>
+      assert(nd == size.toLong * nc && nr == (size - 1).toLong * nc)
+    }
+    assert(stats.map(_._2._2).sum == total, "sum(n_docs) must cover the corpus")
+    // reconciliation: removed == docs x30 actually drops; clustered rows ==
+    // the x17 label table; no sub-2 "clusters" besides the singleton row
+    val removed = stats.map(_._2._3).sum
+    assert(removed == total - DocDedup.dedupApply(spark, sfDir).count())
+    val clustered = stats.collect { case (s, (_, nd, _)) if s >= 2 => nd }.sum
+    assert(clustered == DocDedup.dedupClustersGate(spark, sfDir).count())
+    assert(stats.count(_._1 == 1) == 1 && stats.forall(_._1 >= 1))
+  }
+
   test("dedup clusters: label propagation resolves multi-hop components") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 round), triangle 10-11-12,
