@@ -104,6 +104,20 @@ object SparkEntry {
     "j7_asof_join" -> (Joins.asofAttribution _),
     "j8_range_bin_join" -> (Joins.rangeBinJoin _),
     "j9_interval_join" -> (Joins.intervalActivity _),
+    // the explicit skew-salting path, correctness-gated: row semantics of
+    // the salted join must equal the plain inner join the oracle runs
+    // (salt spread by l_orderkey, dim side replicated numSalts x)
+    "j10_salted_join" -> ((s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_quantity"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      graft.operators.Skew.saltedJoin(li, sup, "l_suppkey", col("l_orderkey"))
+        .groupBy("l_suppkey", "s_name")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_suppkey")
+    }),
     "a17_pivot_quantity" -> (Aggs.pivotQuantity _),
     "a18_cumulative_quantity" -> (Aggs.cumulativeQuantity _),
     "a19_rollup_revenue" -> (Aggs.rollupRevenue _),
@@ -441,6 +455,12 @@ object SparkEntry {
        "CAST(ntile(10) OVER (PARTITION BY l_returnflag " +
        "ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS INT) AS decile " +
        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "j10_salted_join" ->
+      // the UNSALTED join: salting must be row-semantics-invisible
+      ("SELECT l.l_suppkey, s.s_name, count(*) AS n_lines, " +
+       "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
+       "FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey " +
+       "GROUP BY 1, 2 ORDER BY l_suppkey"),
     "j9_interval_join" ->
       ("SELECT p.event_id, count(c.event_id) AS n_clicks_1h, " +
        "round(coalesce(sum(c.value), 0), 2) AS click_value_1h " +
