@@ -37,9 +37,11 @@ class PlanAuditSpec extends SparkSpec {
     // frame of the length filter — also inside the x38 composition) or
     // by-design all-pairs scans
     // x47/x48: BM25's 1-row (N, avgdl) stats frame and x48's 1-row query
-    // vector are the same sanctioned 1-row-broadcast-probe shape
+    // vector are the same sanctioned 1-row-broadcast-probe shape;
+    // x66: the singleton row is corpus-count × clustered-count — two
+    // 1-row stat frames crossed for one output row
     val allowed = allPairsByDesign + "j8_range_bin_join" + "x36_length_filter" +
-      "x38_training_set" + "x47_bm25_rank" + "x48_hybrid_rrf"
+      "x38_training_set" + "x47_bm25_rank" + "x48_hybrid_rrf" + "x66_dedup_stats"
     val offenders = plans.collect {
       case (n, p) if !allowed(n) && p.contains("BroadcastNestedLoopJoin") => n
     }
