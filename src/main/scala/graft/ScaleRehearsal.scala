@@ -104,12 +104,9 @@ object ScaleRehearsal {
       "x5b_ann_neardup_auto" ->
         ((s: SparkSession, d: String) => graft.llm.Similarity.annPairsLsh(s, d, nPlanes = 0)),
       "x55_knn_join_auto" ->
-        ((s: SparkSession, d: String) => graft.llm.Similarity.knnJoin(s, d, nPlanes = 0)),
-      // size-derived simhash blocking (DocDedup.autoChunkBits): picks the
-      // construction (64-bit vs two-stream 128-bit) from a metadata count —
-      // must stay ≤ the data ratio while a pinned width saturates
-      "x4e_simhash_auto_r" ->
-        ((s: SparkSession, d: String) => graft.llm.DocDedup.simhashPairsAuto(s, d, chunkBits = 0)))
+        ((s: SparkSession, d: String) => graft.llm.Similarity.knnJoin(s, d, nPlanes = 0)))
+    // (the simhash auto path needs no variant here: x4e_simhash_auto is a
+    // registered gate and rides the x-family selection directly)
     // optional 4th arg: comma-separated substrings to focus the run
     val nameFilter = args.lift(3)
     val selected = (xFamily.map(n => n -> SparkEntry.queries(n)) ++ autoVariants)
