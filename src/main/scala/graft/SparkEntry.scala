@@ -254,6 +254,7 @@ object SparkEntry {
     "x5b_ann_neardup" -> ((s: SparkSession, d: String) => Similarity.annPairsLsh(s, d, nPlanes = 6)),
     "x55_knn_join" -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d, nPlanes = 6)),
     "x6_ann_topk" -> ((s: SparkSession, d: String) => Similarity.topKBruteForce(s, d)),
+    "x67_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "x12_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.topKIvf(s, d)),
     "x24_vector_stats" -> ((s: SparkSession, d: String) => Similarity.vectorStats(s, d)),
     "x29_quantize_int8" -> ((s: SparkSession, d: String) => Similarity.quantizeInt8(s, d)),
@@ -816,6 +817,18 @@ object SparkEntry {
         "CAST(row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS INT) AS rank FROM s) " +
         "WHERE rank <= 5 ORDER BY vec_id, rank"
     },
+    "x67_hard_negatives" ->
+      // x6's exact top-k with the label-exclusion predicate: negatives
+      // must come from a different class than the query
+      (s"WITH $normCte, lab AS (SELECT n.vec_id, n.vec, n.norm, e.label " +
+       "FROM nrm n JOIN embeddings e ON e.vec_id = n.vec_id), " +
+       "q AS (SELECT vec_id AS query_id, vec AS qv, norm AS qn, label AS ql " +
+       "FROM lab WHERE vec_id < 20), " +
+       s"s AS (SELECT q.query_id, c.vec_id AS neighbor_id, ${dotSql("q.qv", "c.vec")}/(q.qn*c.norm) AS sim " +
+       "FROM q JOIN lab c ON c.vec_id <> q.query_id AND c.label <> q.ql) " +
+       "SELECT query_id, rank, neighbor_id, sim FROM (SELECT query_id, neighbor_id, sim, " +
+       "CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s) " +
+       "WHERE rank <= 5 ORDER BY query_id, rank"),
     "x6_ann_topk" ->
       (s"WITH $normCte, q AS (SELECT vec_id AS query_id, vec AS qv, norm AS qn FROM nrm WHERE vec_id < 20), " +
        s"s AS (SELECT q.query_id, c.vec_id AS neighbor_id, ${dotSql("q.qv", "c.vec")}/(q.qn*c.norm) AS sim " +

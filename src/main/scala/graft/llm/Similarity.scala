@@ -95,6 +95,37 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** x67: HARD-NEGATIVE mining — the contrastive-training data op
+    * (SimCSE/DPR/CLIP-style): for each query vector, the k most similar
+    * candidates with a DIFFERENT label. These near-boundary negatives are
+    * what make a contrastive batch informative; random negatives are too
+    * easy and same-label candidates are positives, so the label-exclusion
+    * join is the defining predicate, not a post-filter.
+    *
+    * Brute-force exact form (x6's layout + the label predicate): query
+    * side broadcast, per-query top-k bounded by the WindowGroupLimit
+    * rewrite. At lake scale the candidate stage swaps for the LSH
+    * bucket join (x55's path) with the label predicate applied at
+    * candidate time — same output contract, rescore unchanged. */
+  def hardNegatives(spark: SparkSession, dir: String, nQueries: Int = 20,
+      k: Int = 5): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+      .join(Tables.embeddings(spark, dir).select("vec_id", "label"), Seq("vec_id"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"),
+        col("norm").as("qn"), col("label").as("q_label"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("vec").as("cv"),
+      col("norm").as("cn"), col("label").as("n_label"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("q_label") =!= col("n_label"))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
   /** Deterministic ±1 random hyperplanes (seeded, driver-side constants —
     * folded into the plan as literals, never shipped as data). Exposed
     * within the library so the oracle SQL embeds the SAME matrix. */

@@ -444,6 +444,25 @@ class LlmSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("hard negatives: cross-label only, ranked, and agree with filtered brute force") {
+    val hn = Similarity.hardNegatives(spark, sfDir, nQueries = 5, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(hn.length == 15)
+    val labels = graft.Tables.embeddings(spark, sfDir).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the defining predicate: no neighbor shares the query's label
+    hn.foreach { case (q, _, n, _) => assert(labels(q) != labels(n), s"$q/$n share a label") }
+    // reference: x6's exact top-k restricted to cross-label candidates —
+    // the mined set must be exactly the label-filtered head of the ranking
+    val full = Similarity.topKBruteForce(spark, sfDir, nQueries = 5, k = 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val expect = full.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.toSeq.sortBy(r => (-r._3, r._2)).filter(r => labels(r._2) != labels(q)).take(3)
+        .zipWithIndex.map { case ((_, n, s), i) => (q, i + 1, n, s) }
+    }.toSet
+    assert(hn.toSet == expect)
+  }
+
   test("language-ID predicts en for stopword-bearing synthetic docs") {
     val l = TextStats.langId(spark, sfDir)
     val en = l.filter(col("predicted_lang") === "en").count()
