@@ -11,9 +11,14 @@ class PlanAuditSpec extends SparkSpec {
   // brute-force similarity scans are *defined* as all-pairs over a
   // broadcast side; everything else must never produce a cartesian
   // (x42's n×k centroid assignment is the same broadcast probe as x12's;
-  // its pair scan is an equi-join on cell_id, never a cartesian)
+  // its pair scan is an equi-join on cell_id, never a cartesian;
+  // x67 is x6's brute-force layout plus the label-exclusion predicate —
+  // the broadcast side is the nQueries rows bounded by a scan-pushed
+  // vec_id filter, so the nested loop is linear in the corpus, and the
+  // documented lake-scale path swaps it for x55's LSH bucket join)
   private val allPairsByDesign =
-    Set("x5_embed_neardup", "x6_ann_topk", "x12_ivf_topk", "x42_semantic_dedup")
+    Set("x5_embed_neardup", "x6_ann_topk", "x12_ivf_topk", "x42_semantic_dedup",
+      "x67_hard_negatives")
 
   private lazy val plans: Map[String, String] = {
     graft.functions.GraftFunctions.register(spark)
