@@ -134,6 +134,9 @@ object SparkEntry {
     "x15_ngram_jaccard" -> ((s: SparkSession, d: String) => DocDedup.ngramJaccardPairs(s, d)),
     "x17_dedup_clusters" -> ((s: SparkSession, d: String) => DocDedup.dedupClustersGate(s, d)),
     "x66_dedup_stats" -> ((s: SparkSession, d: String) => DocDedup.dedupStats(s, d)),
+    "x69_source_overlap" -> ((s: SparkSession, d: String) => DocDedup.sourceOverlap(s, d)),
+    "x68_snapshot_diff" -> ((s: SparkSession, d: String) => graft.llm.Curation.snapshotDiff(s, d)),
+    "x70_oov_rate" -> ((s: SparkSession, d: String) => graft.llm.TextStats.oovRate(s, d)),
     "x30_dedup_apply" -> ((s: SparkSession, d: String) => DocDedup.dedupApply(s, d)),
     "x61_best_of_cluster" -> ((s: SparkSession, d: String) => DocDedup.bestOfCluster(s, d)),
     "x16_token_freq" -> ((s: SparkSession, d: String) => graft.llm.TextStats.tokenFreq(s, d)),
@@ -531,6 +534,46 @@ object SparkEntry {
        "CAST(cluster_size * n_clusters AS BIGINT) AS n_docs, " +
        "CAST((cluster_size - 1) * n_clusters AS BIGINT) AS n_removed " +
        "FROM allh ORDER BY cluster_size"),
+    "x69_source_overlap" ->
+      // distinct (source, shingle-md5) set, self-joined on the hash;
+      // per-source distinct totals joined back for rate context
+      ("WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents), " +
+       "sgl AS (SELECT source, unnest(CASE WHEN len(t) >= 3 THEN " +
+       "list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
+       "ELSE [array_to_string(t, ' ')] END) AS s FROM tok), " +
+       "sh AS (SELECT DISTINCT source, md5(s) AS h FROM sgl), " +
+       "ps AS (SELECT source, count(*) AS n_distinct FROM sh GROUP BY source), " +
+       "ov AS (SELECT a.source AS source_a, b.source AS source_b, " +
+       "CAST(count(*) AS BIGINT) AS n_shared FROM sh a JOIN sh b ON a.h = b.h " +
+       "AND a.source < b.source GROUP BY 1, 2) " +
+       "SELECT source_a, source_b, n_shared, " +
+       "pa.n_distinct AS n_a, pb.n_distinct AS n_b FROM ov " +
+       "JOIN ps pa ON pa.source = ov.source_a " +
+       "JOIN ps pb ON pb.source = ov.source_b ORDER BY source_a, source_b"),
+    "x68_snapshot_diff" ->
+      // the gate's deterministic snapshot derivation: old = doc_id%10<9,
+      // new = doc_id%10>0 with docs at doc_id%7==0 edited (' v2' suffix);
+      // emit ONLY the delta (added / removed / changed)
+      ("WITH oldv AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 < 9), " +
+       "newv AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' " +
+       "ELSE text END) AS h FROM documents WHERE doc_id % 10 > 0) " +
+       "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, " +
+       "CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' " +
+       "ELSE 'changed' END AS change_type " +
+       "FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id " +
+       "WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h ORDER BY doc_id"),
+    "x70_oov_rate" ->
+      // corpus top-50 vocabulary (count desc, token asc — x16's order),
+      // per-doc OOV occurrence share as exact integer ppm
+      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
+       "vocab AS (SELECT token FROM (SELECT token, count(*) AS n FROM tok GROUP BY token) " +
+       "ORDER BY n DESC, token LIMIT 50), " +
+       "v AS (SELECT list(token) AS vl FROM vocab), " +
+       "d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) " +
+       "SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+       "CAST(len(list_filter(toks, t -> NOT list_contains(v.vl, t))) AS BIGINT) AS n_oov, " +
+       "CAST(len(list_filter(toks, t -> NOT list_contains(v.vl, t))) * 1000000 // len(toks) AS BIGINT) AS oov_ppm " +
+       "FROM d, v ORDER BY doc_id"),
     // the deduped corpus: drop every node whose component min-label is not
     // itself (keeper = min doc_id per connected component, as in x17)
     "x30_dedup_apply" ->

@@ -677,4 +677,45 @@ object Curation {
       .select("doc_id", "lang", "copy_idx")
       .orderBy("doc_id", "copy_idx")
   }
+
+  /** x68: corpus snapshot diff — the CDC step of a continuously refreshed
+    * corpus: given two versions, emit ONLY the delta (added / removed /
+    * changed doc ids), which is what incremental dedup (x35), index
+    * refresh, and re-embedding consume downstream. Unchanged docs are
+    * deliberately NOT emitted: at 100 TB the delta is orders of magnitude
+    * smaller than the corpus, and the whole point of the diff is that
+    * downstream stages touch only it.
+    *
+    * Scale shape: each side reduces map-side to (doc_id, md5) — the join
+    * shuffles 24-byte rows, never text; classification is a projection
+    * over the full-outer join. Both sides would be different snapshot
+    * paths in production; the gate derives them deterministically from one
+    * table (old = doc_id%10<9, new = doc_id%10>0 with docs at doc_id%7==0
+    * edited) so the oracle can mirror the construction. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val oldV = docs.filter(col("doc_id") % 10 < 9)
+      .select(col("doc_id"), col("text"))
+    val newV = docs.filter(col("doc_id") % 10 > 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    snapshotDiffOf(oldV, newV)
+  }
+
+  /** The diff construction over arbitrary (doc_id, text) snapshot frames. */
+  def snapshotDiffOf(oldV: DataFrame, newV: DataFrame): DataFrame = {
+    val o = oldV.select(col("doc_id").as("o_id"),
+      md5(col("text").cast("binary")).as("o_h"))
+    val n = newV.select(col("doc_id").as("n_id"),
+      md5(col("text").cast("binary")).as("n_h"))
+    o.join(n, col("o_id") === col("n_id"), "full_outer")
+      .select(coalesce(col("o_id"), col("n_id")).as("doc_id"),
+        when(col("o_id").isNull, lit("added"))
+          .when(col("n_id").isNull, lit("removed"))
+          .when(col("o_h") =!= col("n_h"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change_type"))
+      .filter(col("change_type") =!= "unchanged")
+      .orderBy("doc_id")
+  }
 }

@@ -691,4 +691,43 @@ object DocDedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** x69: cross-source content-overlap matrix — for every source pair,
+    * how many distinct 3-shingles appear in BOTH (plus each side's
+    * distinct total, so the reader can judge the rate). The source-level
+    * view of what x66 reports corpus-wide: "is src3 mostly a re-crawl of
+    * src1?" drives source-level keep/drop decisions before any per-doc
+    * work. Shingle-level (not whole-doc hashes) because re-crawls and
+    * mirrors rarely share byte-identical documents — they share content.
+    *
+    * Scale shape: the corpus collapses map-side to DISTINCT (source,
+    * shingle-md5) — short fixed-width keys, one hash-agg, text never
+    * shuffles; the overlap is a self equi-join on the hash (never
+    * all-pairs: a shingle shared by s sources fans out to s(s-1)/2 pairs,
+    * bounded by the source count squared, not the corpus). The per-source
+    * totals are a #sources-row frame, broadcast back onto the pair rows. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapOf(docsWide(spark, dir))
+
+  /** The overlap construction over an arbitrary (source, text) frame. */
+  def sourceOverlapOf(docs: DataFrame): DataFrame = {
+    // lazy barrier: the distinct (source, hash) set feeds the self-join
+    // twice AND the per-source totals — without it the scan+shingle+hash
+    // pipeline runs 3×
+    val sh = docs
+      .select(col("source"), explode(shingles(tokensCol)).as("sgl"))
+      .select(col("source"), md5(col("sgl").cast("binary")).as("h"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val perSource = sh.groupBy("source").agg(count(lit(1)).as("n_distinct"))
+    sh.select(col("source").as("source_a"), col("h"))
+      .join(sh.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(perSource.select(col("source").as("source_a"), col("n_distinct").as("n_a"))), Seq("source_a"))
+      .join(broadcast(perSource.select(col("source").as("source_b"), col("n_distinct").as("n_b"))), Seq("source_b"))
+      .select("source_a", "source_b", "n_shared", "n_a", "n_b")
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -108,6 +108,31 @@ object TextStats {
       .orderBy(desc("n"), asc("token"))
       .limit(topN)
 
+  /** x70: tokenizer vocabulary coverage — per-doc out-of-vocabulary rate
+    * against the corpus top-V vocabulary. The go/no-go check before
+    * committing a tokenizer: a vocab whose OOV rate spikes on a source
+    * means that source fragments into bytes/unk at training time.
+    *
+    * Scale shape: the vocab is aggregated once (token hash-agg + top-V)
+    * and collapsed to a ONE-ROW array that broadcasts onto the corpus
+    * scan — the per-doc membership test is a codegen'd higher-order
+    * filter over the token array, so the corpus side is map-only: no
+    * explode shuffle, no per-doc aggregation exchange. oov_ppm is exact
+    * integer arithmetic (`div`), bit-identical cross-engine. */
+  def oovRate(spark: SparkSession, dir: String, vocabSize: Int = 50): DataFrame = {
+    val vocab = tokenFreq(spark, dir, vocabSize)
+      .agg(collect_list("token").as("vocab"))
+    docsWide(spark, dir)
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"), col("vocab"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("toks"), t => !array_contains(col("vocab"), t)))
+          .cast("long").as("n_oov"))
+      .withColumn("oov_ppm", expr("(n_oov * 1000000L) div n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** x22: top terms per document by df-normalized term frequency — the
     * TF-IDF shape with an EXACT integer weight (score = tf·10⁶ div df)
     * instead of a transcendental idf: `ln` is libm-dependent and can

@@ -365,4 +365,33 @@ class CurationSpec extends SparkSpec {
     assert(rows(1)._4 >= graft.Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 17 === 0).count())
   }
+
+  test("snapshot diff classifies a planted add/remove/edit/unchanged fixture") {
+    import spark.implicits._
+    val oldV = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val newV = Seq((2L, "beta"), (3L, "gamma EDITED"), (4L, "delta")).toDF("doc_id", "text")
+    val d = Curation.snapshotDiffOf(oldV, newV)
+      .as[(Long, String)].collect().toMap
+    // doc 2 is unchanged → NOT emitted (the delta-only contract)
+    assert(d == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshot diff gate: classes match the deterministic derivation") {
+    import spark.implicits._
+    val d = Curation.snapshotDiff(spark, sfDir)
+      .as[(Long, String)].collect().toMap
+    d.foreach { case (id, cls) =>
+      val expected =
+        if (id % 10 == 9) "added"          // only in the new snapshot
+        else if (id % 10 == 0) "removed"   // only in the old snapshot
+        else if (id % 7 == 0) "changed"    // in both, text edited
+        else fail(s"doc $id should be unchanged and absent, got $cls")
+      assert(cls == expected, s"doc $id: $cls != $expected")
+    }
+    // every doc matching a delta rule appears (nothing silently dropped)
+    val ids = graft.Tables.documents(spark, sfDir)
+      .select("doc_id").as[Long].collect()
+    val expectedN = ids.count(id => id % 10 == 9 || id % 10 == 0 || id % 7 == 0)
+    assert(d.size == expectedN)
+  }
 }

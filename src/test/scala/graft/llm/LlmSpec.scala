@@ -709,4 +709,56 @@ class LlmSpec extends SparkSpec {
       "dropped set must equal the within-cell near-dup pair targets")
     sd.unpersist()
   }
+  test("source overlap: planted two-source fixture counts exactly the shared shingles") {
+    import spark.implicits._
+    // srcA: tokens a..f → shingles {a b c, b c d, c d e, d e f}
+    // srcB: tokens c..h → shingles {c d e, d e f, e f g, f g h}
+    // shared = {c d e, d e f} → n_shared = 2, n_a = n_b = 4
+    val docs = Seq(("sA", "a b c d e f"), ("sB", "c d e f g h"))
+      .toDF("source", "text")
+    val ov = DocDedup.sourceOverlapOf(docs)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(ov.toSeq == Seq(("sA", "sB", 2L, 4L, 4L)))
+  }
+
+  test("source overlap gate: full matrix, bounds, totals reconcile") {
+    import spark.implicits._
+    val ov = DocDedup.sourceOverlap(spark, sfDir).persist()
+    val rows = ov.as[(String, String, Long, Long, Long)].collect()
+    // ordered pairs appear once, with a < b
+    assert(rows.forall { case (a, b, _, _, _) => a < b })
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+    // shared can never exceed either side's distinct total
+    assert(rows.forall { case (_, _, sh, na, nb) => sh <= math.min(na, nb) })
+    // n_a/n_b agree with an independent distinct-shingle count per source
+    val direct = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), explode(DocDedup.shingles(split(col("text"), " "))).as("s"))
+      .groupBy("source").agg(countDistinct("s").as("n"))
+      .as[(String, Long)].collect().toMap
+    rows.foreach { case (a, b, _, na, nb) =>
+      assert(na == direct(a), s"n_a for $a")
+      assert(nb == direct(b), s"n_b for $b")
+    }
+    ov.unpersist()
+  }
+
+  test("OOV rate reconciles with an explode-based anti-join computation") {
+    import spark.implicits._
+    val got = TextStats.oovRate(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val vocab = TextStats.tokenFreq(spark, sfDir, 50)
+      .select("token").as[String].collect().toSet
+    val expected = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, toks) =>
+        val oov = toks.count(t => !vocab(t)).toLong
+        (id, toks.length.toLong, oov, oov * 1000000L / toks.length)
+      }.sortBy(_._1).toSeq
+    assert(got == expected)
+    // the ppm column is the exact integer quotient, and OOV is bounded
+    got.foreach { case (_, n, oov, ppm) =>
+      assert(oov <= n && ppm == oov * 1000000L / n)
+    }
+  }
 }
