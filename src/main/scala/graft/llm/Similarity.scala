@@ -126,6 +126,111 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Data-derived PQ codebooks: [subspace][centroid][component] — codebook
+    * m is the m-th subvector of vectors 0..15 (the same first-k-vectors
+    * seeding x12 uses for IVF cells; a 16-row driver collect, bounded like
+    * Clustering's k×dim centroid fetch). Data-derived centroids quantize
+    * far better than a random grid here (ADC recall@5 on sf0.001 was 0.13
+    * with seeded random codebooks; the spec pins the recall with these).
+    * Production would refine them with per-subspace Lloyd rounds
+    * (`Clustering.lloydIter` over the sliced column); the oracle rebuilds
+    * the SAME codebooks from the table, so the construction stays
+    * hash-exact end to end. */
+  private[graft] def pqCodebooks(spark: SparkSession, dir: String,
+      m: Int = 8, subDim: Int = 8, ks: Int = 16): Seq[Seq[Seq[Double]]] = {
+    val rows = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < ks)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .orderBy("vec_id")
+      .collect()
+      .map(_.getSeq[Double](1))
+    (0 until m).map(mi => rows.toSeq.map(_.slice(mi * subDim, (mi + 1) * subDim).toSeq))
+  }
+
+  /** x71: product-quantized ANN (IVF-PQ's compression arm) — the memory
+    * story that makes billion-vector search fit a cluster: each 64-float
+    * vector compresses to 8 one-byte codes (32× smaller), and query
+    * distance is estimated by ADC (asymmetric distance computation) —
+    * per-query lookup tables over the codebooks, summed by code, never
+    * touching the original floats.
+    *
+    * Construction (exactly mirrored in the oracle SQL):
+    *  - split each vector into 8 subvectors of 8 dims;
+    *  - code_m = argmin over 16 codebook centroids of squared L2
+    *    distance, first-min tie-break (`array_position` of the min);
+    *  - for a query, dl_m = the 16-entry distance table per subspace;
+    *    dist_est(q, x) = Σ_m dl_m[code_m] — 8 array lookups per pair.
+    *
+    * Scale shape: encoding is one map-only corpus scan (the codes table
+    * IS the index — 8 bytes/vector); the 20-query probe broadcasts its
+    * distance tables over the codes scan (x6's bounded-probe layout), and
+    * the per-query top-k is the WindowGroupLimit/TopKPerKey bounded heap.
+    * At full scale the probe composes with IVF cells (x12) so ADC runs
+    * only within probed cells; distances here are estimates — a final
+    * exact rescore of the top candidates (x6's arithmetic) is the
+    * standard refinement step and is what the recall spec measures. */
+  def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 20,
+      k: Int = 5): DataFrame = {
+    val cbs = pqCodebooks(spark, dir)
+    val m = cbs.length; val subDim = cbs.head.head.length
+    def litArr(vs: Seq[Double]): Column = array(vs.map(lit): _*)
+    // per-subspace staged columns: slice, the 16-entry distance table,
+    // and the argmin code — all codegen'd, one pass. Each entry is a
+    // SINGLE fold Σ(x−c)² (normSq over the zip_with difference): the
+    // algebraically equivalent s2 − 2·dot + |c|² form is NOT cross-engine
+    // safe — DuckDB's optimizer reassociates the trailing constant add
+    // ((s2 + c²) − 2d), which moves the result by an ulp on ~13% of rows.
+    def withTables(df: DataFrame): DataFrame = {
+      val staged = (0 until m).foldLeft(df) { (acc, i) =>
+        acc.withColumn(s"s$i", slice(col("vec"), i * subDim + 1, subDim))
+      }
+      (0 until m).foldLeft(staged) { (acc, i) =>
+        val dists = cbs(i).map { c =>
+          normSq(zip_with(col(s"s$i"), litArr(c), (x, y) => x - y))
+        }
+        acc.withColumn(s"dl$i", array(dists: _*))
+          .withColumn(s"code$i",
+            array_position(col(s"dl$i"), array_min(col(s"dl$i"))).cast("int"))
+      }
+    }
+    val enc = withTables(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec")))
+    val codes = enc.select(col("vec_id").as("neighbor_id") +:
+      (0 until m).map(i => col(s"code$i")): _*)
+    val queries = enc.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id") +:
+        (0 until m).map(i => col(s"dl$i").as(s"qdl$i")): _*)
+    val distEst = (0 until m)
+      .map(i => element_at(col(s"qdl$i"), col(s"code$i")))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(asc("dist_est"), asc("neighbor_id"))
+    codes.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist_est", distEst)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dist_est")
+      .orderBy("query_id", "rank")
+  }
+
+  /** The PQ codes table alone (the 32×-compressed index a production
+    * deployment persists): vec_id + 8 small-int codes. */
+  def pqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val cbs = pqCodebooks(spark, dir)
+    val m = cbs.length; val subDim = cbs.head.head.length
+    def litArr(vs: Seq[Double]): Column = array(vs.map(lit): _*)
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    (0 until m).foldLeft(base) { (acc, i) =>
+      val sub = slice(col("vec"), i * subDim + 1, subDim)
+      val dists = cbs(i).map { c =>
+        normSq(zip_with(sub, litArr(c), (x, y) => x - y))
+      }
+      acc.withColumn(s"code$i",
+        array_position(array(dists: _*), array_min(array(dists: _*))).cast("int"))
+    }.select(col("vec_id") +: (0 until m).map(i => col(s"code$i")): _*)
+      .orderBy("vec_id")
+  }
+
   /** Deterministic ±1 random hyperplanes (seeded, driver-side constants —
     * folded into the plan as literals, never shipped as data). Exposed
     * within the library so the oracle SQL embeds the SAME matrix. */

@@ -761,4 +761,58 @@ class LlmSpec extends SparkSpec {
       assert(oov <= n && ppm == oov * 1000000L / n)
     }
   }
+
+  test("PQ encode picks the nearest centroid per subspace (scalar recompute)") {
+    import spark.implicits._
+    val cbs = Similarity.pqCodebooks(spark, sfDir)
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val codes = Similarity.pqEncode(spark, sfDir).collect()
+    assert(codes.length == vecs.size)
+    codes.foreach { r =>
+      val vec = vecs(r.getLong(0))
+      (0 until 8).foreach { m =>
+        val sub = vec.slice(m * 8, m * 8 + 8)
+        // scalar left-fold — the same summation order as the engine\u0027s
+        // normSq fold, so equality (and thus the argmin) is exact
+        val dists = cbs(m).map(c =>
+          sub.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+        val expect = dists.indexOf(dists.min) + 1
+        assert(r.getInt(m + 1) == expect, s"vec ${r.getLong(0)} subspace $m")
+      }
+    }
+  }
+
+  test("PQ ADC top-k has real recall against exact L2 search") {
+    import spark.implicits._
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val queries = vecs.filter(_._1 < 20)
+    val exact = queries.map { case (qid, qv) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (nid, nv) => (l2(qv, nv), nid) }
+        .sortBy(identity).take(5).map(_._2).toSet
+    }.toMap
+    def pqSets(k: Int): Map[Long, Set[Long]] =
+      Similarity.pqTopK(spark, sfDir, k = k)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    def recallIn(short: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, ex) => (short(q) & ex).size.toDouble / 5 }.sum / exact.size
+    val top5 = pqSets(5)
+    assert(top5.keySet == exact.keySet)
+    // these embeddings are near-i.i.d. synthetic — the hardest case for a
+    // quantizer — so the floors sit under the measured values (0.20 /
+    // 0.51 on sf0.001) but far above chance (5/499 ≈ 0.01, 20/499 ≈ 0.04)
+    val r5 = recallIn(top5)
+    assert(r5 >= 0.12, s"ADC recall@5 too low: $r5")
+    // the production contract: the ADC SHORTLIST (top-C, then exact
+    // rescore of C candidates) must capture most true neighbors
+    val r20 = recallIn(pqSets(20))
+    assert(r20 >= 0.4, s"ADC shortlist recall@20 too low: $r20")
+  }
 }

@@ -16,9 +16,11 @@ class PlanAuditSpec extends SparkSpec {
   // the broadcast side is the nQueries rows bounded by a scan-pushed
   // vec_id filter, so the nested loop is linear in the corpus, and the
   // documented lake-scale path swaps it for x55's LSH bucket join)
+  // x71's ADC probe is the same bounded layout: 20 query distance-tables
+  // broadcast over the one-scan codes side
   private val allPairsByDesign =
     Set("x5_embed_neardup", "x6_ann_topk", "x12_ivf_topk", "x42_semantic_dedup",
-      "x67_hard_negatives")
+      "x67_hard_negatives", "x71_pq_topk")
 
   private lazy val plans: Map[String, String] = {
     graft.functions.GraftFunctions.register(spark)
