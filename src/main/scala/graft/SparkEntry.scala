@@ -275,6 +275,8 @@ object SparkEntry {
     "m1_media_stats" -> (Multimodal.mediaStats _),
     "m2_media_resize" -> ((s: SparkSession, d: String) => Multimodal.mediaResize(s, d)),
     "m3_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    "x72_image_phash" -> (Multimodal.imagePhash _),
+    "x72b_image_neardup" -> ((s: SparkSession, d: String) => Multimodal.imageNearDup(s, d)),
     "x25_pair_counts" -> ((s: SparkSession, d: String) => TextStats.pairCounts(s, d)),
     "x26_kmeans_iter" -> ((s: SparkSession, d: String) => graft.llm.Clustering.lloydIter(s, d)),
     "x26b_kmeans_assign" -> ((s: SparkSession, d: String) => graft.llm.Clustering.assign(s, d)),
@@ -1014,6 +1016,45 @@ object SparkEntry {
        "unnest(range(0, least(duration_ms, 9500) + 1, 500)) AS ts FROM a) " +
        "SELECT asset_id, duration_ms, CAST(ts/500 AS INT) AS frame_idx, ts AS frame_ts_ms " +
        "FROM f ORDER BY asset_id, frame_idx"),
+    "x72_image_phash" ->
+      // the Spark side REALLY encodes + decodes a PNG per image asset and
+      // computes the 8×8 average-hash from ImageIO's raster; the oracle
+      // recomputes the identical hash arithmetically from the pixel
+      // formula (x,y) = (id+x+y)%256, grid sample (⌊i·w/8⌋, ⌊j·h/8⌋),
+      // bit = [64·s ≥ Σs], packed as two 32-bit halves
+      ("WITH img AS (SELECT doc_id AS asset_id, CAST(doc_id % 16 + 1 AS INT) AS w, " +
+       "CAST(doc_id % 9 + 1 AS INT) AS h FROM documents WHERE doc_id % 3 = 0), " +
+       "cells AS (SELECT asset_id, w, h, CAST(j*8+i AS INT) AS idx, " +
+       "CAST((asset_id + (i*w)//8 + (j*h)//8) % 256 AS BIGINT) AS s " +
+       "FROM img, UNNEST(range(8)) AS ti(i), UNNEST(range(8)) AS tj(j)), " +
+       "b AS (SELECT asset_id, w, h, idx, " +
+       "CASE WHEN 64*s >= sum(s) OVER (PARTITION BY asset_id) THEN 1 ELSE 0 END AS bit FROM cells) " +
+       "SELECT asset_id, MAX(w) AS width_px, MAX(h) AS height_px, " +
+       "CAST(sum(CASE WHEN idx >= 32 THEN bit * (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END) AS BIGINT) AS phash_hi, " +
+       "CAST(sum(CASE WHEN idx < 32 THEN bit * (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS BIGINT) AS phash_lo " +
+       "FROM b GROUP BY asset_id ORDER BY asset_id"),
+    "x72b_image_neardup" ->
+      // fixture: 16×9 frequency-pattern PNGs, pixel (x,y) = (seed·(y·16+x))%256,
+      // seed = asset_id % 24 — equal seeds are pixel-identical (hamming 0),
+      // distinct seeds are distinct stripe patterns. The oracle goes naive
+      // all-pairs (fine at oracle scale); the engine blocks on 16-bit hash
+      // chunks, exact for hamming ≤ 3 by pigeonhole
+      ("WITH img AS (SELECT doc_id AS asset_id, CAST(doc_id % 24 AS BIGINT) AS seed " +
+       "FROM documents WHERE doc_id % 3 = 0), " +
+       "cells AS (SELECT asset_id, CAST(j*8+i AS INT) AS idx, " +
+       "CAST((seed * (((j*9)//8)*16 + (i*16)//8)) % 256 AS BIGINT) AS s " +
+       "FROM img, UNNEST(range(8)) AS ti(i), UNNEST(range(8)) AS tj(j)), " +
+       "b AS (SELECT asset_id, idx, " +
+       "CASE WHEN 64*s >= sum(s) OVER (PARTITION BY asset_id) THEN 1 ELSE 0 END AS bit FROM cells), " +
+       "h AS (SELECT asset_id, " +
+       "CAST(sum(CASE WHEN idx >= 32 THEN bit * (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END) AS BIGINT) AS hi, " +
+       "CAST(sum(CASE WHEN idx < 32 THEN bit * (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS BIGINT) AS lo " +
+       "FROM b GROUP BY asset_id) " +
+       "SELECT a.asset_id AS asset_a, b2.asset_id AS asset_b, " +
+       "CAST(bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) AS INT) AS hamming " +
+       "FROM h a JOIN h b2 ON a.asset_id < b2.asset_id " +
+       "WHERE bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) <= 3 " +
+       "ORDER BY asset_a, asset_b"),
     "x25_pair_counts" ->
       ("WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents), " +
        "idx AS (SELECT t, unnest(range(1, len(t))) AS i FROM tok), " +

@@ -347,6 +347,140 @@ object Multimodal {
       .orderBy("asset_id", "frame_idx")
   }
 
+  /** 64-bit perceptual average-hash of a decodable image (the pHash
+    * family's cheapest member — the standard first pass of image near-dup
+    * detection in multimodal training-data pipelines): sample the raster
+    * on a fixed 8×8 grid (cell (i, j) reads pixel (⌊i·w/8⌋, ⌊j·h/8⌋) of
+    * band 0), threshold every sample against the grid mean, pack the 64
+    * bits. All-integer: bit(i, j) = [64·s(i, j) ≥ Σ samples] avoids the
+    * mean division, so the hash is bit-identical to an arithmetic
+    * recomputation (the oracle's). Returned as (hi, lo) 32-bit halves in
+    * [0, 2³²) — avoids the sign bit of a packed 64-bit long in engines
+    * whose BIGINT overflows at 2⁶³. None when the payload has no JDK
+    * codec. */
+  def aHash64(payload: Array[Byte]): Option[(Long, Long)] = {
+    val img = PngCodec.get().decode(payload)
+    if (img == null) None
+    else {
+      val r = img.getRaster
+      val w = img.getWidth; val h = img.getHeight
+      val s = new Array[Long](64)
+      var sum = 0L
+      var j = 0
+      while (j < 8) {
+        var i = 0
+        while (i < 8) {
+          val v = r.getSample(i * w / 8, j * h / 8, 0).toLong
+          s(j * 8 + i) = v; sum += v
+          i += 1
+        }
+        j += 1
+      }
+      var hi = 0L; var lo = 0L
+      var idx = 0
+      while (idx < 64) {
+        if (64L * s(idx) >= sum) {
+          if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
+        }
+        idx += 1
+      }
+      Some((hi, lo))
+    }
+  }
+
+  /** x72 row: the perceptual hash of a REALLY-decoded image. */
+  case class PhashRow(asset_id: Long, width_px: Int, height_px: Int,
+      phash_hi: Long, phash_lo: Long)
+
+  /** x72 gate: per image asset, the 8×8 average-hash computed from
+    * ImageIO's ACTUAL parse of a deterministic synthesized PNG
+    * (`pngPayload(asset_id, w, h)` — pixel (x, y) = (asset_id + x + y)
+    * % 256), executor-side in mapPartitions. The DuckDB oracle recomputes
+    * the identical hash arithmetically from the pixel formula, so a broken
+    * encoder, decoder, raster walk, grid rule, or bit packing all diverge
+    * immediately — the same witness trick as m1, extended from raster
+    * SUMS to the full perceptual-hash bit layout. Map-only: no shuffle,
+    * no join; at lake scale this is one scan producing an 8-byte column,
+    * the index every image-dedup pass downstream (x72b) reuses. */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, dir)
+      .filter(col("media_type") === "image")
+      .mapPartitions(_.map { a =>
+        val w = (a.asset_id % 16 + 1).toInt
+        val h = (a.asset_id % 9 + 1).toInt
+        val (hi, lo) = aHash64(pngPayload(a.asset_id, w, h))
+          .getOrElse(sys.error(s"asset ${a.asset_id}: synthesized PNG failed to decode"))
+        PhashRow(a.asset_id, w, h, hi, lo)
+      }).toDF()
+      .orderBy("asset_id")
+  }
+
+  /** Deterministic "frequency-pattern" grayscale PNG: pixel (x, y) =
+    * (seed · (y·w + x)) % 256 — a stripe pattern whose spatial frequency
+    * IS the seed, so different seeds yield perceptually DIFFERENT images
+    * (unlike the m1 gradient, which aHash correctly sees as all-alike)
+    * while equal seeds yield pixel-identical ones. The x72b fixture. */
+  def pngFreqPayload(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = PngCodec.get().grayImage(w, h)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        r.setSample(x, y, 0, ((seed * (y.toLong * w + x)) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** x72b gate: image NEAR-DUP pairs by perceptual-hash hamming distance —
+    * the multimodal analogue of the SimHash text path (x4). The corpus is
+    * a planted-structure variant of the x72 fixtures: every image gets the
+    * SAME dims (16×9) and a frequency-pattern payload with seed =
+    * asset_id % 24 (`pngFreqPayload`), so assets sharing a seed class are
+    * pixel-identical (hamming 0) and distinct classes are visually
+    * distinct stripe patterns (hamming well above threshold). Pairing
+    * never goes all-pairs: candidates come from equality on one of four
+    * 16-bit hash chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk is
+    * untouched, so ≤ `maxHamming` 3 is EXACT), then the full 64-bit
+    * hamming verifies via two 32-bit xor/bit_count — the same blocking
+    * shape `DocDedup.simhashPairs` scales on. Output: (asset_a, asset_b,
+    * hamming), asset_a < asset_b, deduped across chunk collisions. */
+  def imageNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit chunk blocking is exact only for hamming <= 3")
+    import spark.implicits._
+    val hashed = assets(spark, dir)
+      .filter(col("media_type") === "image")
+      .mapPartitions(_.map { a =>
+        val (hi, lo) = aHash64(pngFreqPayload(a.asset_id % 24, 16, 9))
+          .getOrElse(sys.error(s"asset ${a.asset_id}: synthesized PNG failed to decode"))
+        (a.asset_id, hi, lo)
+      }).toDF("asset_id", "phash_hi", "phash_lo")
+    // four 16-bit chunks: (hi >> 16, hi & 0xFFFF, lo >> 16, lo & 0xFFFF)
+    val chunks = hashed.select(col("asset_id"), col("phash_hi"), col("phash_lo"),
+      posexplode(array(
+        shiftright(col("phash_hi"), 16), col("phash_hi").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("phash_lo"), 16), col("phash_lo").bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("chunk_no", "chunk")))
+    val a = chunks.as("a"); val b = chunks.as("b")
+    val hamming =
+      bit_count(col("a.phash_hi").bitwiseXOR(col("b.phash_hi"))) +
+        bit_count(col("a.phash_lo").bitwiseXOR(col("b.phash_lo")))
+    a.join(b, col("a.chunk_no") === col("b.chunk_no") &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("asset_a"), col("b.asset_id").as("asset_b"),
+        hamming.cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("asset_a", "asset_b")
+  }
+
   /** m1 row: metadata stats + REAL-decode columns (null for assets the
     * JDK has no codec for — after the audio arm, that is only video). */
   case class MediaStat(asset_id: Long, media_type: String, n_bytes: Int,

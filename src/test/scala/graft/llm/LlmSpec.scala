@@ -815,4 +815,58 @@ class LlmSpec extends SparkSpec {
     val r20 = recallIn(pqSets(20))
     assert(r20 >= 0.4, s"ADC shortlist recall@20 too low: $r20")
   }
+
+  test("aHash64 matches an arithmetic recompute and is perceptually stable") {
+    // the REAL decode path must reproduce the pure-arithmetic hash the
+    // oracle predicts: s(i,j) = (seed + ⌊i·w/8⌋ + ⌊j·h/8⌋) % 256,
+    // bit = [64·s ≥ Σs], idx = j·8+i packed into 32-bit halves
+    for ((seed, w, h) <- Seq((7L, 13, 5), (0L, 1, 1), (250L, 16, 9), (99L, 8, 8))) {
+      val Some((hi, lo)) = Multimodal.aHash64(Multimodal.pngPayload(seed, w, h))
+      val s = for (j <- 0 until 8; i <- 0 until 8)
+        yield (seed + i * w / 8 + j * h / 8) % 256
+      val sum = s.sum
+      var (ehi, elo) = (0L, 0L)
+      for (idx <- 0 until 64 if 64 * s(idx) >= sum)
+        if (idx >= 32) ehi |= 1L << (idx - 32) else elo |= 1L << idx
+      assert((hi, lo) == (ehi, elo), s"seed=$seed w=$w h=$h")
+    }
+    // identical pixels re-encoded → identical hash; a one-sample nudge of
+    // the raster → tiny hamming (perceptual stability, the property that
+    // makes aHash a NEAR-dup key rather than an exact checksum)
+    def hamming(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val base = Multimodal.pngFreqPayload(5L, 16, 9)
+    assert(Multimodal.aHash64(base) == Multimodal.aHash64(Multimodal.pngFreqPayload(5L, 16, 9)))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    val r = img.getRaster
+    r.setSample(3, 3, 0, (r.getSample(3, 3, 0) + 1) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val d = hamming(Multimodal.aHash64(base).get, Multimodal.aHash64(bos.toByteArray).get)
+    assert(d <= 2, s"one-sample nudge moved $d hash bits")
+    // distinct stripe frequencies → distinct hashes (the fixture really
+    // plants DIFFERENT images across seed classes, not one constant hash)
+    val hashes = (0 until 24).map(s => Multimodal.aHash64(Multimodal.pngFreqPayload(s, 16, 9)).get)
+    assert(hashes.distinct.size > 12, s"only ${hashes.distinct.size} distinct hashes across 24 classes")
+  }
+
+  test("imageNearDup equals brute-force hamming pairs and finds every planted dup") {
+    import spark.implicits._
+    val out = Multimodal.imageNearDup(spark, sfDir)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    // brute force over the same fixture hashes (driver-side: |images| is
+    // corpus-bounded here; the operator's chunk blocking is the scale path)
+    val ids = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0).select("doc_id").as[Long].collect().sorted
+    val hs = ids.map(id => id -> Multimodal.aHash64(Multimodal.pngFreqPayload(id % 24, 16, 9)).get).toMap
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      d = java.lang.Long.bitCount(hs(a)._1 ^ hs(b)._1) + java.lang.Long.bitCount(hs(a)._2 ^ hs(b)._2)
+      if d <= 3
+    } yield (a, b) -> d).toMap
+    assert(out == brute, s"blocked pairs ${out.size} != brute-force ${brute.size}")
+    // every same-seed-class pair is pixel-identical → present at hamming 0
+    for (a <- ids.take(40); b <- ids.take(40) if a < b && a % 24 == b % 24)
+      assert(out.get((a, b)).contains(0), s"planted dup ($a,$b) missing")
+  }
 }
