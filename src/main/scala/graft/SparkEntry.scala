@@ -275,6 +275,8 @@ object SparkEntry {
     "m1_media_stats" -> (Multimodal.mediaStats _),
     "m2_media_resize" -> ((s: SparkSession, d: String) => Multimodal.mediaResize(s, d)),
     "m3_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    "m4_audio_quality" -> (Multimodal.audioQuality _),
+    "x73_bloom_prefilter" -> (DocDedup.bloomPrefilter _),
     "x72_image_phash" -> (Multimodal.imagePhash _),
     "x72b_image_neardup" -> ((s: SparkSession, d: String) => Multimodal.imageNearDup(s, d)),
     "x25_pair_counts" -> ((s: SparkSession, d: String) => TextStats.pairCounts(s, d)),
@@ -1016,6 +1018,42 @@ object SparkEntry {
        "unnest(range(0, least(duration_ms, 9500) + 1, 500)) AS ts FROM a) " +
        "SELECT asset_id, duration_ms, CAST(ts/500 AS INT) AS frame_idx, ts AS frame_ts_ms " +
        "FROM f ORDER BY asset_id, frame_idx"),
+    "x73_bloom_prefilter" ->
+      // relational Bloom filter: position t = (t-th 32-bit md5 slice) %
+      // 4096; historical side -> distinct position set; batch doc hits iff
+      // all 3 positions present. exact_dup = ground-truth membership —
+      // deterministic hashes make the false-positive set itself exact
+      ("WITH base AS (SELECT d.doc_id, CASE WHEN d.doc_id % 7 = 0 AND n.text IS NOT NULL " +
+       "THEN n.text ELSE d.text END AS text FROM documents d " +
+       "LEFT JOIN documents n ON n.doc_id = d.doc_id - 1 AND n.doc_id % 2 = 0), " +
+       "sig AS (SELECT doc_id, md5(text) AS ch, doc_id % 2 = 0 AS is_existing FROM base), " +
+       "hpos AS (SELECT DISTINCT CAST(concat('0x', substr(ch, CAST(t*8+1 AS INT), 8)) AS BIGINT) % 4096 AS pos " +
+       "FROM sig, UNNEST(range(3)) AS tt(t) WHERE is_existing), " +
+       "hch AS (SELECT DISTINCT ch FROM sig WHERE is_existing), " +
+       "bpos AS (SELECT doc_id, ch, CAST(concat('0x', substr(ch, CAST(t*8+1 AS INT), 8)) AS BIGINT) % 4096 AS pos " +
+       "FROM sig, UNNEST(range(3)) AS tt(t) WHERE NOT is_existing), " +
+       "hit AS (SELECT doc_id, ch, count(h.pos) = 3 AS bloom_hit " +
+       "FROM bpos b LEFT JOIN hpos h ON h.pos = b.pos GROUP BY doc_id, ch) " +
+       "SELECT h.doc_id, h.bloom_hit, (c.ch IS NOT NULL) AS exact_dup " +
+       "FROM hit h LEFT JOIN hch c ON c.ch = h.ch ORDER BY h.doc_id"),
+    "m4_audio_quality" ->
+      // the Spark side REALLY round-trips a RIFF/WAVE container per audio
+      // asset (javax.sound.sampled) and computes the stats from the
+      // DECODED samples; the oracle predicts them from the fixture formula
+      // s(i) = (id*131 + i*997) % 65536 - 32768, n = id%50+10 — all integer
+      ("WITH aud AS (SELECT doc_id AS asset_id, CAST(doc_id % 50 + 10 AS INT) AS n " +
+       "FROM documents WHERE doc_id % 3 = 1), " +
+       "s AS (SELECT asset_id, n, i, CAST((asset_id*131 + i*997) % 65536 - 32768 AS BIGINT) AS v " +
+       "FROM aud, UNNEST(range(n)) AS ti(i)), " +
+       "z AS (SELECT asset_id, n, v, CASE WHEN lag(v) OVER w IS NOT NULL " +
+       "AND ((lag(v) OVER w < 0) != (v < 0)) THEN 1 ELSE 0 END AS c " +
+       "FROM s WINDOW w AS (PARTITION BY asset_id ORDER BY i)) " +
+       "SELECT asset_id, CAST(8000 AS INT) AS sample_rate_hz, MAX(n) AS n_samples, " +
+       "CAST(MAX(abs(v)) AS INT) AS peak_abs, " +
+       "CAST(sum(CASE WHEN abs(v) >= 32000 THEN 1 ELSE 0 END) * 1000000 // MAX(n) AS BIGINT) AS clip_ppm, " +
+       "CAST(sum(v*v) AS BIGINT) AS energy, " +
+       "CAST(sum(c) AS INT) AS zero_crossings " +
+       "FROM z GROUP BY asset_id ORDER BY asset_id"),
     "x72_image_phash" ->
       // the Spark side REALLY encodes + decodes a PNG per image asset and
       // computes the 8×8 average-hash from ImageIO's raster; the oracle

@@ -627,6 +627,72 @@ object DocDedup {
       .orderBy("doc_id")
   }
 
+  /** x73: Bloom-filter membership PRE-FILTER for incremental dedup — the
+    * compact-index answer to "is this incoming doc already in 100 TB of
+    * history?" when even the distinct content-hash set (x35's index) is
+    * too big to join against cheaply. The filter is built and probed
+    * RELATIONALLY, no bitmap UDF:
+    *  - k = 3 positions per key, the t-th = (t-th 32-bit slice of
+    *    md5(text)) % mBits — disjoint md5 slices, independent enough for
+    *    the standard FPR model;
+    *  - the "bitmap" is the DISTINCT position set of the historical keys:
+    *    ≤ mBits rows — the relational rendering of an m-bit array, and
+    *    like the array it's O(mBits) regardless of corpus size, so it
+    *    broadcasts at ANY scale (mBits is sized to the key count:
+    *    m ≈ 10·n gives ~1% FPR at k=3; a production build persists the
+    *    position set and unions in each day's new keys);
+    *  - a batch doc is a bloom HIT iff all k of its positions are present
+    *    — posexplode + one broadcast left join + count == k.
+    * Output per batch doc: (doc_id, bloom_hit, exact_dup) — exact_dup is
+    * the ground-truth membership join the gate publishes so the oracle
+    * pins BOTH the no-false-negative guarantee and the exact
+    * false-positive set (deterministic given the hash). At lake scale the
+    * exact join runs only on the hits (the pre-filter's whole point:
+    * non-hits — the vast majority — never touch the historical index). */
+  def bloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    // the synthetic corpus has no exact text dups, so the gate PLANTS
+    // them across the split: every odd doc_id ≡ 0 (mod 7) carries its
+    // even neighbor's text — true membership hits the oracle can verify
+    // alongside the deterministic false-positive set
+    val docs = docsWide(spark, dir)
+    val neighbor = docs.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 1).as("doc_id"), col("text").as("ntext"))
+    val planted = docs.join(neighbor, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0 && col("ntext").isNotNull, col("ntext"))
+          .otherwise(col("text")).as("text"))
+    bloomPrefilterOf(planted, col("doc_id") % 2 === 0)
+  }
+
+  /** The Bloom construction over an arbitrary (doc_id, text) frame. */
+  def bloomPrefilterOf(docs: DataFrame, isExisting: Column,
+      mBits: Int = 4096, k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 4, "k positions are disjoint 8-hex-char md5 slices; md5 has 4")
+    val sig = docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("ch"),
+        isExisting.as("is_existing"))
+      .localCheckpoint(false) // one corpus scan feeds three branches
+    val posCols = (0 until k).map(t =>
+      conv(substring(col("ch"), t * 8 + 1, 8), 16, 10).cast("long") % mBits)
+    val bloom = sig.filter(col("is_existing"))
+      .select(explode(array(posCols: _*)).as("pos")).distinct()
+      .withColumn("present", lit(1))
+    val histKeys = sig.filter(col("is_existing"))
+      .select(col("ch")).distinct().withColumn("known", lit(1))
+    val batchPos = sig.filter(!col("is_existing"))
+      .select(col("doc_id"), col("ch"),
+        posexplode(array(posCols: _*)).as(Seq("t", "pos")))
+    batchPos
+      .join(broadcast(bloom), Seq("pos"), "left")
+      .groupBy("doc_id", "ch")
+      .agg((count(col("present")) === k).as("bloom_hit"))
+      // ground-truth column for the gate; production probes it hits-only
+      .join(histKeys, Seq("ch"), "left")
+      .select(col("doc_id"), col("bloom_hit"),
+        col("known").isNotNull.as("exact_dup"))
+      .orderBy("doc_id")
+  }
+
   /** x39: span-level (paragraph-level) exact dedup with document
     * reassembly — the C4/Dolma curation step that removes REPEATED SPANS
     * across the whole corpus, not just duplicate documents: split each doc

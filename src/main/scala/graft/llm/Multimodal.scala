@@ -211,6 +211,105 @@ object Multimodal {
       case _: java.io.IOException                               => None
     }
 
+  /** REAL audio decode to the full sample array (javax.sound.sampled,
+    * executor-side): (sampleRateHz, samples) for 16-bit mono LE PCM, None
+    * when the payload is not a decodable WAV. The per-sample form the
+    * quality stats (m4) need — `decodeAudio` keeps the cheaper
+    * running-sum shape for m1. */
+  def decodePcm(payload: Array[Byte]): Option[(Int, Array[Int])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian) None
+        else {
+          val bytes = ais.readAllBytes()
+          val out = new Array[Int](bytes.length / 2)
+          var i = 0
+          while (i < out.length) {
+            out(i) = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xFF)
+            i += 1
+          }
+          Some((fmt.getSampleRate.toInt, out))
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException                               => None
+    }
+
+  /** Wrap raw 16-bit mono samples in a REAL RIFF/WAVE container. */
+  def wavOf(samples: Array[Int], sampleRate: Int = 8000): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
+      /* signed = */ true, /* bigEndian = */ false)
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xFF).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** m4 fixture samples: s(i) = (id·131 + i·997) % 65536 − 32768 — an
+    * affine stride that SWEEPS the 16-bit range, so clipping counts,
+    * peaks, and zero crossings genuinely vary per asset (the m1 gradient
+    * formula parks every small-id asset near −32768, which would make the
+    * quality columns constant). */
+  def m4Samples(assetId: Long, n: Int): Array[Int] =
+    Array.tabulate(n)(i => ((assetId * 131 + i.toLong * 997) % 65536).toInt - 32768)
+
+  /** m4 row: per-asset audio quality stats from DECODED PCM. */
+  case class AudioQuality(asset_id: Long, sample_rate_hz: Int, n_samples: Int,
+      peak_abs: Int, clip_ppm: Long, energy: Long, zero_crossings: Int)
+
+  /** m4 gate: audio QUALITY stats — the filters an audio-curation pass
+    * drops assets on (clipped masters, digital silence, DC-stuck
+    * captures), computed from javax.sound.sampled's ACTUAL parse of the
+    * deterministic synthesized WAV (`wavPayload`, the m1 fixtures):
+    *  - peak_abs = max |s|            (digital-silence / level check)
+    *  - clip_ppm = ⌊#{|s| ≥ 32000}·10⁶ / n⌋   (clipping detector)
+    *  - energy   = Σ s²               (loudness proxy, exact integer —
+    *    an RMS needs a √ the oracle can't match bit-for-bit; rank order
+    *    is identical, which is all a threshold filter uses)
+    *  - zero_crossings = #{i : sign(sᵢ₋₁) ≠ sign(sᵢ)} with sign = [s<0]
+    *    (the classic voiced/noise discriminator)
+    * All-integer arithmetic end-to-end, so the DuckDB oracle predicts
+    * every column from the fixture formula (`m4Samples`:
+    * s(i) = (id·131 + i·997) % 65536 − 32768, n = id%50+10).
+    * Map-only: one scan, no shuffle — at lake scale this rides the same
+    * per-asset codec economics as m1 (measured linear in SCALE.md). */
+  def audioQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, dir)
+      .filter(col("media_type") === "audio")
+      .mapPartitions(_.map { a =>
+        val n = (a.asset_id % 50 + 10).toInt
+        val (rate, s) = decodePcm(wavOf(m4Samples(a.asset_id, n)))
+          .getOrElse(sys.error(s"asset ${a.asset_id}: synthesized WAV failed to decode"))
+        var peak = 0; var clip = 0L; var energy = 0L; var zc = 0
+        var i = 0
+        while (i < s.length) {
+          val v = s(i); val av = math.abs(v)
+          if (av > peak) peak = av
+          if (av >= 32000) clip += 1
+          energy += v.toLong * v
+          if (i > 0 && (s(i - 1) < 0) != (v < 0)) zc += 1
+          i += 1
+        }
+        AudioQuality(a.asset_id, rate, s.length, peak,
+          clip * 1000000L / s.length, energy, zc)
+      }).toDF()
+      .orderBy("asset_id")
+  }
+
   /** Pixel-histogram embedding from a DECODED image: 16 buckets over the
     * 8-bit gray range, normalized by pixel count. */
   def imageEmbedding(payload: Array[Byte], dim: Int = 16): Option[Array[Float]] = {

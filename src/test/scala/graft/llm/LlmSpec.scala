@@ -816,6 +816,63 @@ class LlmSpec extends SparkSpec {
     assert(r20 >= 0.4, s"ADC shortlist recall@20 too low: $r20")
   }
 
+  test("bloomPrefilter: no false negatives, scalar-exact positions, FPR responds to mBits") {
+    import spark.implicits._
+    // gate output: every true dup must be a bloom hit (the Bloom guarantee)
+    val gate = DocDedup.bloomPrefilter(spark, sfDir)
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(gate.nonEmpty && gate.exists(_._3), "fixture must plant true dups")
+    gate.foreach { case (id, hit, dup) =>
+      assert(!dup || hit, s"false negative on doc $id — Bloom filters cannot do that") }
+    // scalar recompute of the relational positions on a tiny fixture
+    val docs = Seq((0L, "alpha"), (2L, "beta"), (1L, "alpha"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val res = DocDedup.bloomPrefilterOf(docs, col("doc_id") % 2 === 0)
+      .as[(Long, Boolean, Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def positions(s: String, m: Int): Seq[Long] =
+      (0 until 3).map(t => java.lang.Long.parseLong(md5hex(s).slice(t * 8, t * 8 + 8), 16) % m)
+    val histPos = Seq("alpha", "beta").flatMap(positions(_, 4096)).toSet
+    def expect(s: String) = (positions(s, 4096).forall(histPos), Seq("alpha", "beta").contains(s))
+    assert(res(1L) == expect("alpha") && res(1L)._2, "doc 1 is a true dup of doc 0")
+    assert(res(3L) == expect("gamma"))
+    // a saturated filter (tiny mBits) must go all-hits; a huge one must
+    // separate — the FPR knob actually connects to the construction
+    val many = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val tiny = DocDedup.bloomPrefilterOf(many, col("doc_id") % 2 === 0, mBits = 8)
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(tiny.forall(_._2), "8-bit filter saturates: every probe hits")
+    val huge = DocDedup.bloomPrefilterOf(many, col("doc_id") % 2 === 0, mBits = 1 << 20)
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(huge.count(t => t._2 && !t._3) == 0, "2^20 bits for 200 keys: no FPs expected")
+  }
+
+  test("audioQuality computes its stats from REALLY-decoded PCM (scalar recompute)") {
+    import spark.implicits._
+    // container round-trip: wavOf → javax.sound.sampled → exact samples
+    val planted = Array(-32768, -1, 0, 1, 32767, 12345, -32000)
+    val Some((rate, decoded)) = Multimodal.decodePcm(Multimodal.wavOf(planted))
+    assert(rate == 8000 && decoded.sameElements(planted))
+    // gate columns equal a scalar recompute from the fixture formula
+    val rows = Multimodal.audioQuality(spark, sfDir)
+      .as[(Long, Int, Int, Int, Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { case (id, _, n, peak, clip, energy, zc) =>
+      val s = Multimodal.m4Samples(id, (id % 50 + 10).toInt)
+      assert(n == s.length)
+      assert(peak == s.map(math.abs).max)
+      assert(clip == s.count(v => math.abs(v) >= 32000) * 1000000L / s.length)
+      assert(energy == s.map(v => v.toLong * v).sum)
+      assert(zc == s.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)), s"asset $id")
+    }
+    // the fixture genuinely varies the quality columns (a constant column
+    // would gate nothing)
+    assert(rows.map(_._5).distinct.length > 10, "clip_ppm must vary across assets")
+    assert(rows.map(_._4).distinct.length > 10, "peak_abs must vary across assets")
+  }
+
   test("aHash64 matches an arithmetic recompute and is perceptually stable") {
     // the REAL decode path must reproduce the pure-arithmetic hash the
     // oracle predicts: s(i,j) = (seed + ⌊i·w/8⌋ + ⌊j·h/8⌋) % 256,
