@@ -133,6 +133,7 @@ object SparkEntry {
     "win_decile_by_group" -> (Funcs.decileByGroup _),
     "x15_ngram_jaccard" -> ((s: SparkSession, d: String) => DocDedup.ngramJaccardPairs(s, d)),
     "x17_dedup_clusters" -> ((s: SparkSession, d: String) => DocDedup.dedupClustersGate(s, d)),
+    "x75_leak_safe_split" -> (DocDedup.leakSafeSplit _),
     "x66_dedup_stats" -> ((s: SparkSession, d: String) => DocDedup.dedupStats(s, d)),
     "x69_source_overlap" -> ((s: SparkSession, d: String) => DocDedup.sourceOverlap(s, d)),
     "x68_snapshot_diff" -> ((s: SparkSession, d: String) => graft.llm.Curation.snapshotDiff(s, d)),
@@ -288,6 +289,7 @@ object SparkEntry {
     "x60_contamination_report" -> ((s: SparkSession, d: String) => Curation.contaminationReport(s, d)),
     "x62_substring_decontaminate" -> ((s: SparkSession, d: String) => Curation.substringDecontaminate(s, d)),
     "x62b_substring_spans" -> ((s: SparkSession, d: String) => Curation.substringSpans(s, d)),
+    "x74_dup_span_profile" -> ((s: SparkSession, d: String) => Curation.dupSpanProfile(s, d)),
     "x63_token_budget" -> ((s: SparkSession, d: String) => Curation.tokenBudget(s, d)),
     "x64_length_batches" -> ((s: SparkSession, d: String) => Packing.lengthBatches(s, d)),
     "x65_filter_funnel" -> ((s: SparkSession, d: String) => Curation.filterFunnel(s, d)),
@@ -519,6 +521,23 @@ object SparkEntry {
        "UNION SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node) " +
        "SELECT node AS doc_id, min(lab) AS cluster_id FROM reach " +
        "GROUP BY node ORDER BY doc_id"),
+    "x75_leak_safe_split" ->
+      // group = x17 component label (min doc_id) for clustered docs, own
+      // id for singletons; split coin = first md5 byte of the GROUP id,
+      // cut at 204/230 (~80/10/10) — whole clusters land on one side
+      (s"WITH RECURSIVE pairs AS ($x15PairsSql), " +
+       "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+       "UNION ALL SELECT id_b, id_a FROM pairs), " +
+       "reach(node, lab) AS (SELECT src, src FROM (SELECT DISTINCT src FROM e) " +
+       "UNION SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node), " +
+       "cl AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node), " +
+       "g AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS group_id " +
+       "FROM documents d LEFT JOIN cl ON cl.node = d.doc_id), " +
+       "c AS (SELECT doc_id, group_id, " +
+       "CAST(concat('0x', substr(md5(CAST(group_id AS VARCHAR)), 1, 2)) AS INT) AS coin FROM g) " +
+       "SELECT doc_id, group_id, CASE WHEN coin < 204 THEN 'train' " +
+       "WHEN coin < 230 THEN 'val' ELSE 'test' END AS split " +
+       "FROM c ORDER BY doc_id"),
     "x66_dedup_stats" ->
       // cluster-size histogram over the x17 components + the singleton row
       // (total − clustered), so Σ n_docs = corpus and Σ n_removed = x30's
@@ -1202,6 +1221,23 @@ object SparkEntry {
        "SELECT doc_id, eval_id, CAST(max(len) + 7 AS BIGINT) AS span_tokens " +
        "FROM runs GROUP BY doc_id, eval_id HAVING max(len) + 7 >= 16 " +
        "ORDER BY doc_id, eval_id"),
+    "x74_dup_span_profile" ->
+      // duplicated shingle = occurs in >= 2 distinct docs; per-doc longest
+      // consecutive run of duplicated positions + k-1, and the duplicated
+      // position count; docs without one (or shorter than k) report 0
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "sh AS (SELECT doc_id, CAST(i AS INT) AS p, " +
+       "CAST(concat('0x', substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h " +
+       "FROM (SELECT doc_id, t, unnest(range(1, len(t)-6)) AS i FROM d WHERE len(t) >= 8)), " +
+       "dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2), " +
+       "m AS (SELECT doc_id, p, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp " +
+       "FROM sh JOIN dup USING (h)), " +
+       "runs AS (SELECT doc_id, count(*) AS len FROM m GROUP BY doc_id, grp), " +
+       "prof AS (SELECT doc_id, CAST(max(len) + 7 AS BIGINT) AS max_dup_tokens, " +
+       "CAST(sum(len) AS BIGINT) AS dup_positions FROM runs GROUP BY doc_id) " +
+       "SELECT d0.doc_id, COALESCE(p.max_dup_tokens, 0) AS max_dup_tokens, " +
+       "COALESCE(p.dup_positions, 0) AS dup_positions " +
+       "FROM documents d0 LEFT JOIN prof p ON p.doc_id = d0.doc_id ORDER BY d0.doc_id"),
     "x63_token_budget" ->
       // greedy highest-quality-first under a 5000-token global budget:
       // whole quantized-quality buckets while they fit, the boundary

@@ -229,6 +229,61 @@ object Curation {
       .orderBy("doc_id", "eval_id")
   }
 
+  /** x74: per-document LONGEST-DUPLICATED-SUBSTRING profile — the
+    * memorization-risk metric of Lee et al. ("Deduplicating Training Data
+    * Makes Language Models Better"): for every document, the length in
+    * tokens of its longest verbatim span that ALSO appears in some other
+    * document, plus how many of its shingle positions are cross-doc
+    * duplicated. x62b answers this against an eval suite; x74 answers it
+    * against the corpus itself — the number that decides whether a doc
+    * feeds span-level dedup (x39), whole-doc removal (x30), or passes.
+    *
+    * Method: positioned k-shingle hashes (one corpus scan, checkpointed);
+    * a shingle is DUPLICATED iff it occurs in ≥ 2 distinct docs
+    * (within-doc self-repetition is x28's metric, deliberately excluded);
+    * per doc, the duplicated positions form runs — gaps-and-islands (pos
+    * − row_number) measures the longest in one window + one aggregate. A
+    * run of L consecutive duplicated positions certifies a shared span of
+    * ≥ L + k − 1 tokens ONLY if the positions match the same partner
+    * diagonally — this per-doc profile is the cheap upper-bound form
+    * (exact for the dominant case, one shared block); the pairwise-exact
+    * diagonal form is x62b's machinery pointed at (corpus, corpus).
+    *
+    * 100 TB: the dup-hash set comes from a two-level hash agg on the
+    * 60-bit shingle hash (map-side partial distinct); the join back is a
+    * short-key equi-join carrying only genuinely-duplicated positions;
+    * the window partitions by doc_id — per-doc-sized groups, never
+    * corpus-sized. Everything is linear in shingle count. */
+  def dupSpanProfile(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    dupSpanProfileDocs(docsWide(spark, dir), k)
+
+  /** Library form of x74 over an arbitrary (doc_id, text) frame. */
+  def dupSpanProfileDocs(docs: DataFrame, k: Int = 8): DataFrame = {
+    val toks = DocDedup.tokensCol
+    val n = size(toks)
+    val sh = docs.filter(n >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), n - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), md5Long(col("col")).as("h"))
+      .localCheckpoint(false) // feeds both the dup-hash agg and the join
+    val dup = sh.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val runs = sh.join(dup, Seq("h"))
+      .withColumn("grp", col("p") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("p")))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("doc_id")
+      .agg((max(col("len")) + (k - 1)).as("max_dup_tokens"),
+        sum(col("len")).as("dup_positions"))
+    docs.select("doc_id").join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("max_dup_tokens"), lit(0L)).as("max_dup_tokens"),
+        coalesce(col("dup_positions"), lit(0L)).as("dup_positions"))
+      .orderBy("doc_id")
+  }
+
   /** x63: GLOBAL TOKEN-BUDGET selection — "keep the best docs until the
     * budget is spent", the final sizing step of a curated training set
     * (every data team runs some form of it: rank by quality, take the

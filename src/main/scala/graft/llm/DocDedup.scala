@@ -516,6 +516,42 @@ object DocDedup {
   def dedupClustersGate(spark: SparkSession, dir: String): DataFrame =
     dedupClusters(ngramJaccardPairs(spark, dir).drop("jaccard"))
 
+  /** x75: LEAKAGE-SAFE train/val/test split — the assignment every
+    * training-data pipeline needs but a naive per-doc coin gets wrong:
+    * near-duplicate documents MUST land in the same split, or the
+    * held-out sets are contaminated by paraphrases of training docs and
+    * eval numbers inflate. The split coin is therefore thrown per
+    * NEAR-DUP GROUP, not per doc: group = the x17 connected-component
+    * label for clustered docs, the doc's own id for singletons; every
+    * member inherits the group's throw.
+    *
+    * Coin: first md5 byte of the group id (the x46/x54 idiom) —
+    * deterministic, engine-mirrorable, and uniform enough that the
+    * 204/230 cut points give ≈ 80/10/10. Adding tomorrow's crawl never
+    * reshuffles yesterday's assignment (the coin depends only on the
+    * group id), which is what makes the split REPRODUCIBLE across corpus
+    * refreshes — the property random-number splits lose.
+    *
+    * 100 TB: clusters are the checkpointed CC labels (short-key
+    * shuffles, measured linear); the group join is doc_id-keyed; the
+    * coin is a projection. Nothing here is heavier than x17 itself. */
+  def leakSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(ngramJaccardPairs(spark, dir).drop("jaccard"))
+    leakSafeSplitOf(docsWide(spark, dir).select("doc_id"), clusters)
+  }
+
+  /** Library form over arbitrary (doc_id) docs + (doc_id, cluster_id)
+    * labels; docs absent from `clusters` are their own group. */
+  def leakSafeSplitOf(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val g = docs.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+    val coin = conv(substring(md5(col("group_id").cast("string").cast("binary")), 1, 2), 16, 10)
+      .cast("int")
+    g.select(col("doc_id"), col("group_id"),
+        when(coin < 204, "train").when(coin < 230, "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** x61: quality-aware cluster REPRESENTATIVE selection — production
     * dedup keeps the BEST duplicate, not the first: crawls re-capture the
     * same page with different boilerplate/truncation, and keep-min-id

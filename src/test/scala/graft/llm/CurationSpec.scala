@@ -394,4 +394,32 @@ class CurationSpec extends SparkSpec {
     val expectedN = ids.count(id => id % 10 == 9 || id % 10 == 0 || id % 7 == 0)
     assert(d.size == expectedN)
   }
+
+  test("dup-span profile: exact planted span, self-repetition excluded, short docs zero") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int): String = (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val aBlock = (10 until 20).map(i => s"a$i").mkString(" ") // 10 shared tokens
+    val docs = Seq(
+      1L -> toks("a", 30),                                    // donor: a0..a29
+      2L -> (toks("b", 10) + " " + aBlock + " " + (10 until 20).map(i => s"b$i").mkString(" ")),
+      3L -> Seq.fill(30)("x").mkString(" "),                  // self-repeating only
+      4L -> toks("c", 5)                                      // shorter than k
+    ).toDF("doc_id", "text")
+    val prof = Curation.dupSpanProfileDocs(docs, k = 8)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // the 10-token shared block yields 3 consecutive duplicated 8-shingle
+    // positions on each side -> longest dup substring = 3 + 7 = 10 tokens
+    assert(prof(1L) == ((10L, 3L)), s"donor got ${prof(1L)}")
+    assert(prof(2L) == ((10L, 3L)), s"copier got ${prof(2L)}")
+    // doc 3's shingles repeat only WITHIN itself: cross-doc rule excludes it
+    assert(prof(3L) == ((0L, 0L)), "self-repetition must not count (x28's metric)")
+    assert(prof(4L) == ((0L, 0L)), "docs shorter than k carry no shingle")
+    // corpus gate: profile covers every doc and the dup structure is real
+    val gate = Curation.dupSpanProfile(spark, sfDir).as[(Long, Long, Long)].collect()
+    assert(gate.length == graft.Tables.documents(spark, sfDir).count())
+    assert(gate.exists(_._2 > 0), "corpus has planted near-dups; profile must see them")
+    // max run bound: dup_positions >= max_dup_tokens - (k-1) whenever nonzero
+    gate.filter(_._2 > 0).foreach { case (id, mx, np) =>
+      assert(np >= mx - 7, s"doc $id: run length ${mx - 7} exceeds dup position count $np") }
+  }
 }

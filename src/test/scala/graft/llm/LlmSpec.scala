@@ -816,6 +816,39 @@ class LlmSpec extends SparkSpec {
     assert(r20 >= 0.4, s"ADC shortlist recall@20 too low: $r20")
   }
 
+  test("leakSafeSplit: clusters never straddle splits, assignment is refresh-stable") {
+    import spark.implicits._
+    // planted clusters: docs 1,2,3 are one group (cluster_id 1), 10,11
+    // another; 20 is a singleton
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val split = DocDedup.leakSafeSplitOf(docs, clusters)
+      .as[(Long, Long, String)].collect()
+    assert(split.length == 6)
+    val byGroup = split.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    byGroup.foreach { case (gid, splits) =>
+      assert(splits.size == 1, s"group $gid straddles splits: $splits") }
+    // refresh stability: re-splitting a SUPERSET must not move existing docs
+    val more = DocDedup.leakSafeSplitOf(
+      (docs.as[Long].collect() ++ Seq(30L, 31L)).toSeq.toDF("doc_id"), clusters)
+      .as[(Long, Long, String)].collect().map(t => t._1 -> t._3).toMap
+    split.foreach { case (id, _, s) => assert(more(id) == s, s"doc $id moved on refresh") }
+    // corpus gate: every x17 cluster coherent, proportions sane
+    val gate = DocDedup.leakSafeSplit(spark, sfDir)
+      .as[(Long, Long, String)].collect()
+    val labels = DocDedup.dedupClustersGate(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val splitOf = gate.map(t => t._1 -> t._3).toMap
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      val ss = members.keys.map(splitOf).toSet
+      assert(ss.size == 1, s"cluster $cid split across $ss — leakage") }
+    val n = gate.length.toDouble
+    val frac = gate.groupBy(_._3).view.mapValues(_.length / n).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, s"train frac ${frac("train")}")
+    assert(frac.getOrElse("val", 0.0) > 0.04 && frac.getOrElse("test", 0.0) > 0.04)
+  }
+
   test("bloomPrefilter: no false negatives, scalar-exact positions, FPR responds to mBits") {
     import spark.implicits._
     // gate output: every true dup must be a bloom hit (the Bloom guarantee)
