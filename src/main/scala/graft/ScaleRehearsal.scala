@@ -104,7 +104,9 @@ object ScaleRehearsal {
       "x5b_ann_neardup_auto" ->
         ((s: SparkSession, d: String) => graft.llm.Similarity.annPairsLsh(s, d, nPlanes = 0)),
       "x55_knn_join_auto" ->
-        ((s: SparkSession, d: String) => graft.llm.Similarity.knnJoin(s, d, nPlanes = 0)))
+        ((s: SparkSession, d: String) => graft.llm.Similarity.knnJoin(s, d, nPlanes = 0)),
+      "x73_bloom_prefilter_auto" ->
+        ((s: SparkSession, d: String) => graft.llm.DocDedup.bloomPrefilter(s, d, mBits = 0)))
     // (the simhash auto path needs no variant here: x4e_simhash_auto is a
     // registered gate and rides the x-family selection directly)
     // optional 4th arg: comma-separated substrings to focus the run

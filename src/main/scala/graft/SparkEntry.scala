@@ -277,7 +277,7 @@ object SparkEntry {
     "m2_media_resize" -> ((s: SparkSession, d: String) => Multimodal.mediaResize(s, d)),
     "m3_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "m4_audio_quality" -> (Multimodal.audioQuality _),
-    "x73_bloom_prefilter" -> (DocDedup.bloomPrefilter _),
+    "x73_bloom_prefilter" -> ((s: SparkSession, d: String) => DocDedup.bloomPrefilter(s, d)),
     "x72_image_phash" -> (Multimodal.imagePhash _),
     "x72b_image_neardup" -> ((s: SparkSession, d: String) => Multimodal.imageNearDup(s, d)),
     "x25_pair_counts" -> ((s: SparkSession, d: String) => TextStats.pairCounts(s, d)),
@@ -1091,15 +1091,20 @@ object SparkEntry {
        "CAST(sum(CASE WHEN idx < 32 THEN bit * (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS BIGINT) AS phash_lo " +
        "FROM b GROUP BY asset_id ORDER BY asset_id"),
     "x72b_image_neardup" ->
-      // fixture: 16×9 frequency-pattern PNGs, pixel (x,y) = (seed·(y·16+x))%256,
-      // seed = asset_id % 24 — equal seeds are pixel-identical (hamming 0),
-      // distinct seeds are distinct stripe patterns. The oracle goes naive
-      // all-pairs (fine at oracle scale); the engine blocks on 16-bit hash
-      // chunks, exact for hamming ≤ 3 by pigeonhole
-      ("WITH img AS (SELECT doc_id AS asset_id, CAST(doc_id % 24 AS BIGINT) AS seed " +
+      // fixture: 16×9 quadratic-phase PNGs keyed on the 72-id block —
+      // with q = (j*9//8)*16 + (i*16//8): pixel = (lo*q + hi*q*q) % 256,
+      // lo = block%256, hi = (block//256)%256. Blocks are pixel-identical
+      // inside (hamming 0) and distinct across (cluster size constant as
+      // the corpus grows). The oracle goes naive all-pairs (fine at
+      // oracle scale); the engine blocks on 16-bit hash chunks, exact for
+      // hamming ≤ 3 by pigeonhole
+      ("WITH img AS (SELECT doc_id AS asset_id, " +
+       "CAST((doc_id // 72) % 256 AS BIGINT) AS lo, " +
+       "CAST(((doc_id // 72) // 256) % 256 AS BIGINT) AS hi2 " +
        "FROM documents WHERE doc_id % 3 = 0), " +
        "cells AS (SELECT asset_id, CAST(j*8+i AS INT) AS idx, " +
-       "CAST((seed * (((j*9)//8)*16 + (i*16)//8)) % 256 AS BIGINT) AS s " +
+       "CAST((lo * (((j*9)//8)*16 + (i*16)//8) + " +
+       "hi2 * (((j*9)//8)*16 + (i*16)//8) * (((j*9)//8)*16 + (i*16)//8)) % 256 AS BIGINT) AS s " +
        "FROM img, UNNEST(range(8)) AS ti(i), UNNEST(range(8)) AS tj(j)), " +
        "b AS (SELECT asset_id, idx, " +
        "CASE WHEN 64*s >= sum(s) OVER (PARTITION BY asset_id) THEN 1 ELSE 0 END AS bit FROM cells), " +

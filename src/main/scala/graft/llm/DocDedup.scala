@@ -685,7 +685,7 @@ object DocDedup {
     * false-positive set (deterministic given the hash). At lake scale the
     * exact join runs only on the hits (the pre-filter's whole point:
     * non-hits — the vast majority — never touch the historical index). */
-  def bloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+  def bloomPrefilter(spark: SparkSession, dir: String, mBits: Int = 4096): DataFrame = {
     // the synthetic corpus has no exact text dups, so the gate PLANTS
     // them across the split: every odd doc_id ≡ 0 (mod 7) carries its
     // even neighbor's text — true membership hits the oracle can verify
@@ -697,19 +697,33 @@ object DocDedup {
       .select(col("doc_id"),
         when(col("doc_id") % 7 === 0 && col("ntext").isNotNull, col("ntext"))
           .otherwise(col("text")).as("text"))
-    bloomPrefilterOf(planted, col("doc_id") % 2 === 0)
+    bloomPrefilterOf(planted, col("doc_id") % 2 === 0, mBits)
   }
 
-  /** The Bloom construction over an arbitrary (doc_id, text) frame. */
+  /** Size the filter to the key count: next power of two ≥ 10·n — ~1%
+    * FPR at k = 3 by the standard model. The auto knob mirroring
+    * `Similarity.autoPlanes`/`autoChunkBits`: the gate pins mBits = 4096
+    * to match the oracle; production passes 0 and the filter keeps its
+    * FPR as the corpus grows instead of saturating (a 4096-bit filter
+    * over 10× keys measured all-hits in the rehearsal — correct Bloom
+    * behavior, useless as a pre-filter). */
+  private[graft] def autoMBits(nKeys: Long): Int = {
+    val target = math.min(1L << 30, math.max(4096L, 10L * math.max(nKeys, 1L)))
+    (java.lang.Long.highestOneBit(target - 1) << 1).toInt
+  }
+
+  /** The Bloom construction over an arbitrary (doc_id, text) frame.
+    * mBits = 0 derives the size from a count of the historical side. */
   def bloomPrefilterOf(docs: DataFrame, isExisting: Column,
       mBits: Int = 4096, k: Int = 3): DataFrame = {
     require(k >= 1 && k <= 4, "k positions are disjoint 8-hex-char md5 slices; md5 has 4")
+    val mResolved = if (mBits > 0) mBits else autoMBits(docs.filter(isExisting).count())
     val sig = docs
       .select(col("doc_id"), md5(col("text").cast("binary")).as("ch"),
         isExisting.as("is_existing"))
       .localCheckpoint(false) // one corpus scan feeds three branches
     val posCols = (0 until k).map(t =>
-      conv(substring(col("ch"), t * 8 + 1, 8), 16, 10).cast("long") % mBits)
+      conv(substring(col("ch"), t * 8 + 1, 8), 16, 10).cast("long") % mResolved)
     val bloom = sig.filter(col("is_existing"))
       .select(explode(array(posCols: _*)).as("pos")).distinct()
       .withColumn("present", lit(1))
@@ -727,6 +741,37 @@ object DocDedup {
       .select(col("doc_id"), col("bloom_hit"),
         col("known").isNotNull.as("exact_dup"))
       .orderBy("doc_id")
+  }
+
+  /** The historical Bloom position set for `bloomProbeAny` — the tiny
+    * (≤ mBits rows) table a production ingest persists and unions each
+    * day's new keys into. */
+  def bloomPositions(docs: DataFrame, mBits: Int = 4096, k: Int = 3): DataFrame =
+    docs.select(md5(col("text").cast("binary")).as("ch"))
+      .select(explode(array((0 until k).map(t =>
+        conv(substring(col("ch"), t * 8 + 1, 8), 16, 10).cast("long") % mBits): _*)).as("pos"))
+      .distinct()
+
+  /** STREAM-SAFE Bloom membership probe — the ingest-time form of x73:
+    * the static position set collapses to ONE array row that attaches via
+    * a 1-row stream-static broadcast join (append-mode legal, no state),
+    * and the probe is a codegen'd `forall`/`array_contains` over the k
+    * positions — a stateless row transform, so the SAME call runs on a
+    * batch frame or a readStream; StreamingSpec asserts stream == batch.
+    * Rows gain `bloom_hit`: false = certainly new (skip the expensive
+    * exact-membership lookup entirely), true = candidate for it. */
+  def bloomProbeAny(docs: DataFrame, positions: DataFrame,
+      mBits: Int = 4096, k: Int = 3): DataFrame = {
+    val posArr = broadcast(
+      positions.agg(collect_set(col("pos")).as("bloom_ps")).withColumn("kj", lit(1)))
+    val ch = md5(col("text").cast("binary"))
+    docs
+      .withColumn("ps", array((0 until k).map(t =>
+        conv(substring(ch, t * 8 + 1, 8), 16, 10).cast("long") % mBits): _*))
+      .withColumn("kj", lit(1))
+      .join(posArr, Seq("kj"))
+      .withColumn("bloom_hit", forall(col("ps"), p => array_contains(col("bloom_ps"), p)))
+      .drop("ps", "bloom_ps", "kj")
   }
 
   /** x39: span-level (paragraph-level) exact dedup with document

@@ -519,7 +519,7 @@ object Multimodal {
     * (seed · (y·w + x)) % 256 — a stripe pattern whose spatial frequency
     * IS the seed, so different seeds yield perceptually DIFFERENT images
     * (unlike the m1 gradient, which aHash correctly sees as all-alike)
-    * while equal seeds yield pixel-identical ones. The x72b fixture. */
+    * while equal seeds yield pixel-identical ones. */
   def pngFreqPayload(seed: Long, w: Int, h: Int): Array[Byte] = {
     val img = PngCodec.get().grayImage(w, h)
     val r = img.getRaster
@@ -537,18 +537,47 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Quadratic-phase pattern PNG for the x72b fixture: with q = y·w + x,
+    * pixel = ((block%256)·q + ((block/256)%256)·q²) % 256. The family has
+    * 65536 distinct patterns (vs 256 for the linear stripe), so
+    * DUP-CLUSTER SIZE STAYS CONSTANT as the corpus grows — the property
+    * the 10× rehearsal's decorrelation contract demands (a fixed-modulus
+    * seed made clusters grow with the corpus and pair output quadratic:
+    * measured 17.5× at 10× before this fixture). */
+  def pngQuadPayload(block: Long, w: Int, h: Int): Array[Byte] = {
+    val lo = block % 256; val hi = (block / 256) % 256
+    val img = PngCodec.get().grayImage(w, h)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val q = y.toLong * w + x
+        r.setSample(x, y, 0, ((lo * q + hi * q * q) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** x72b gate: image NEAR-DUP pairs by perceptual-hash hamming distance —
     * the multimodal analogue of the SimHash text path (x4). The corpus is
     * a planted-structure variant of the x72 fixtures: every image gets the
-    * SAME dims (16×9) and a frequency-pattern payload with seed =
-    * asset_id % 24 (`pngFreqPayload`), so assets sharing a seed class are
-    * pixel-identical (hamming 0) and distinct classes are visually
-    * distinct stripe patterns (hamming well above threshold). Pairing
-    * never goes all-pairs: candidates come from equality on one of four
-    * 16-bit hash chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk is
-    * untouched, so ≤ `maxHamming` 3 is EXACT), then the full 64-bit
-    * hamming verifies via two 32-bit xor/bit_count — the same blocking
-    * shape `DocDedup.simhashPairs` scales on. Output: (asset_a, asset_b,
+    * SAME dims (16×9) and a quadratic-phase payload keyed on its 72-id
+    * BLOCK (`pngQuadPayload(asset_id / 72)`), so the ~24 image assets of a
+    * block are pixel-identical (hamming 0) and distinct blocks are
+    * visually distinct patterns — dup clusters stay ~24 strong no matter
+    * how large the corpus, so pair output (and time — measured 10×
+    * rehearsal) grows LINEARLY. Pairing never goes all-pairs: candidates
+    * come from equality on one of four 16-bit hash chunks (pigeonhole:
+    * hamming ≤ 3 ⇒ some chunk is untouched, so ≤ `maxHamming` 3 is
+    * EXACT), then the full 64-bit hamming verifies via two 32-bit
+    * xor/bit_count — the same blocking shape `DocDedup.simhashPairs`
+    * scales on (and the same chunk-saturation knob: x4e's auto width is
+    * the documented fix past ~10⁵ images). Output: (asset_a, asset_b,
     * hamming), asset_a < asset_b, deduped across chunk collisions. */
   def imageNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4x16-bit chunk blocking is exact only for hamming <= 3")
@@ -556,7 +585,7 @@ object Multimodal {
     val hashed = assets(spark, dir)
       .filter(col("media_type") === "image")
       .mapPartitions(_.map { a =>
-        val (hi, lo) = aHash64(pngFreqPayload(a.asset_id % 24, 16, 9))
+        val (hi, lo) = aHash64(pngQuadPayload(a.asset_id / 72, 16, 9))
           .getOrElse(sys.error(s"asset ${a.asset_id}: synthesized PNG failed to decode"))
         (a.asset_id, hi, lo)
       }).toDF("asset_id", "phash_hi", "phash_lo")

@@ -948,15 +948,15 @@ class LlmSpec extends SparkSpec {
     // corpus-bounded here; the operator's chunk blocking is the scale path)
     val ids = graft.Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 3 === 0).select("doc_id").as[Long].collect().sorted
-    val hs = ids.map(id => id -> Multimodal.aHash64(Multimodal.pngFreqPayload(id % 24, 16, 9)).get).toMap
+    val hs = ids.map(id => id -> Multimodal.aHash64(Multimodal.pngQuadPayload(id / 72, 16, 9)).get).toMap
     val brute = (for {
       a <- ids; b <- ids if a < b
       d = java.lang.Long.bitCount(hs(a)._1 ^ hs(b)._1) + java.lang.Long.bitCount(hs(a)._2 ^ hs(b)._2)
       if d <= 3
     } yield (a, b) -> d).toMap
     assert(out == brute, s"blocked pairs ${out.size} != brute-force ${brute.size}")
-    // every same-seed-class pair is pixel-identical → present at hamming 0
-    for (a <- ids.take(40); b <- ids.take(40) if a < b && a % 24 == b % 24)
+    // every same-block pair is pixel-identical → present at hamming 0
+    for (a <- ids.take(40); b <- ids.take(40) if a < b && a / 72 == b / 72)
       assert(out.get((a, b)).contains(0), s"planted dup ($a,$b) missing")
   }
 }

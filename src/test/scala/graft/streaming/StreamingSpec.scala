@@ -233,4 +233,40 @@ class StreamingSpec extends SparkSpec {
     assert(!streamed.contains(0L), "an eval-split doc shares all its shingles — dropped")
     assert(streamed.nonEmpty, "clean docs must pass the filter")
   }
+
+  test("stream-static Bloom probe: stream == batch, agrees with the x73 batch filter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.DocDedup
+    // static side: Bloom positions of the historical (even doc_id) half
+    val docs = graft.Tables.widen(graft.Tables.documents(spark, sfDir))
+      .select("doc_id", "text")
+    val positions = DocDedup.bloomPositions(docs.filter(col("doc_id") % 2 === 0))
+    // streamed side: the odd half, including a planted redelivery of an
+    // even doc's text (must be a bloom hit)
+    val batchDocs = docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 80)
+      .as[(Long, String)].collect().toSeq
+    val dupText = docs.filter(col("doc_id") === 0).as[(Long, String)].head()._2
+    val incoming = batchDocs :+ (9001L, dupText)
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(incoming: _*)
+    val q = DocDedup.bloomProbeAny(mem.toDF().toDF("doc_id", "text"), positions)
+      .writeStream.format("memory").queryName("bloom_probe_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bloom_probe_test")
+      .select("doc_id", "bloom_hit").as[(Long, Boolean)].collect().toMap
+    val batch = DocDedup.bloomProbeAny(incoming.toDF("doc_id", "text"), positions)
+      .select("doc_id", "bloom_hit").as[(Long, Boolean)].collect().toMap
+    assert(streamed == batch, "unified API: stream == batch")
+    assert(streamed(9001L), "redelivered historical text must hit the filter")
+    // and the probe agrees with the x73 batch construction's verdicts
+    val x73 = DocDedup.bloomPrefilter(spark, sfDir)
+      .select("doc_id", "bloom_hit").as[(Long, Boolean)].collect().toMap
+    // (x73 plants neighbor texts for doc_id % 7 == 0 — compare only
+    // unplanted stream docs, whose text matches the corpus row)
+    batchDocs.map(_._1).filter(_ % 7 != 0)
+      .foreach(id => assert(streamed(id) == x73(id), s"probe vs x73 disagree on doc $id"))
+  }
 }
