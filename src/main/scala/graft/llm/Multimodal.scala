@@ -589,6 +589,10 @@ object Multimodal {
           .getOrElse(sys.error(s"asset ${a.asset_id}: synthesized PNG failed to decode"))
         (a.asset_id, hi, lo)
       }).toDF("asset_id", "phash_hi", "phash_lo")
+      // both chunk-join sides read this frame — the barrier makes the
+      // codec pass run ONCE (unbarriered, each side re-decoded every
+      // image); GC releases the blocks (see minhashPairs)
+      .localCheckpoint(false)
     // four 16-bit chunks: (hi >> 16, hi & 0xFFFF, lo >> 16, lo & 0xFFFF)
     val chunks = hashed.select(col("asset_id"), col("phash_hi"), col("phash_lo"),
       posexplode(array(
