@@ -280,6 +280,8 @@ object SparkEntry {
     "x73_bloom_prefilter" -> ((s: SparkSession, d: String) => DocDedup.bloomPrefilter(s, d)),
     "x72_image_phash" -> (Multimodal.imagePhash _),
     "x72b_image_neardup" -> ((s: SparkSession, d: String) => Multimodal.imageNearDup(s, d)),
+    "x72c_image_dedup_apply" -> (Multimodal.imageDedupApply _),
+    "m5_caption_filter" -> ((s: SparkSession, d: String) => Multimodal.captionFilter(s, d)),
     "x25_pair_counts" -> ((s: SparkSession, d: String) => TextStats.pairCounts(s, d)),
     "x26_kmeans_iter" -> ((s: SparkSession, d: String) => graft.llm.Clustering.lloydIter(s, d)),
     "x26b_kmeans_assign" -> ((s: SparkSession, d: String) => graft.llm.Clustering.assign(s, d)),
@@ -1098,25 +1100,29 @@ object SparkEntry {
       // the corpus grows). The oracle goes naive all-pairs (fine at
       // oracle scale); the engine blocks on 16-bit hash chunks, exact for
       // hamming ≤ 3 by pigeonhole
-      ("WITH img AS (SELECT doc_id AS asset_id, " +
-       "CAST((doc_id // 72) % 256 AS BIGINT) AS lo, " +
-       "CAST(((doc_id // 72) // 256) % 256 AS BIGINT) AS hi2 " +
-       "FROM documents WHERE doc_id % 3 = 0), " +
-       "cells AS (SELECT asset_id, CAST(j*8+i AS INT) AS idx, " +
-       "CAST((lo * (((j*9)//8)*16 + (i*16)//8) + " +
-       "hi2 * (((j*9)//8)*16 + (i*16)//8) * (((j*9)//8)*16 + (i*16)//8)) % 256 AS BIGINT) AS s " +
-       "FROM img, UNNEST(range(8)) AS ti(i), UNNEST(range(8)) AS tj(j)), " +
-       "b AS (SELECT asset_id, idx, " +
-       "CASE WHEN 64*s >= sum(s) OVER (PARTITION BY asset_id) THEN 1 ELSE 0 END AS bit FROM cells), " +
-       "h AS (SELECT asset_id, " +
-       "CAST(sum(CASE WHEN idx >= 32 THEN bit * (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END) AS BIGINT) AS hi, " +
-       "CAST(sum(CASE WHEN idx < 32 THEN bit * (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS BIGINT) AS lo " +
-       "FROM b GROUP BY asset_id) " +
-       "SELECT a.asset_id AS asset_a, b2.asset_id AS asset_b, " +
-       "CAST(bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) AS INT) AS hamming " +
-       "FROM h a JOIN h b2 ON a.asset_id < b2.asset_id " +
-       "WHERE bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) <= 3 " +
-       "ORDER BY asset_a, asset_b"),
+      (s"SELECT * FROM ($x72bPairsSql) ORDER BY asset_a, asset_b"),
+    "x72c_image_dedup_apply" ->
+      // x72b pairs -> reachability clusters (recursive CTE, the x17
+      // mirror) -> keep min asset per cluster; singletons keep themselves
+      (s"WITH RECURSIVE pr AS ($x72bPairsSql), " +
+       "e AS (SELECT asset_a AS src, asset_b AS dst FROM pr " +
+       "UNION ALL SELECT asset_b, asset_a FROM pr), " +
+       "reach(node, lab) AS (SELECT src, src FROM (SELECT DISTINCT src FROM e) " +
+       "UNION SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node), " +
+       "cl AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node), " +
+       "img AS (SELECT doc_id AS asset_id FROM documents WHERE doc_id % 3 = 0) " +
+       "SELECT i.asset_id, COALESCE(cl.cluster_id, i.asset_id) AS cluster_id, " +
+       "(COALESCE(cl.cluster_id, i.asset_id) = i.asset_id) AS kept " +
+       "FROM img i LEFT JOIN cl ON cl.node = i.asset_id ORDER BY i.asset_id"),
+    "m5_caption_filter" ->
+      // caption = the asset's document text; keep = decodable modality
+      // AND x8 quality >= 0.5 (the x8 doubles are bit-identical, so the
+      // threshold comparison is too)
+      (s"WITH q AS ($x8QualitySql) " +
+       "SELECT doc_id AS asset_id, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' " +
+       "WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, quality_score, " +
+       "(doc_id % 3 <> 2 AND quality_score >= 0.5) AS keep " +
+       "FROM q ORDER BY asset_id"),
     "x25_pair_counts" ->
       ("WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents), " +
        "idx AS (SELECT t, unnest(range(1, len(t))) AS i FROM tok), " +
@@ -1653,6 +1659,27 @@ object SparkEntry {
     "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard " +
     "FROM cand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b) " +
     "WHERE jaccard >= 0.5"
+
+  // x72b's all-pairs perceptual-hash mirror, shared with x72c's clusters
+  private lazy val x72bPairsSql: String =
+    "WITH img AS (SELECT doc_id AS asset_id, " +
+    "CAST((doc_id // 72) % 256 AS BIGINT) AS lo, " +
+    "CAST(((doc_id // 72) // 256) % 256 AS BIGINT) AS hi2 " +
+    "FROM documents WHERE doc_id % 3 = 0), " +
+    "cells AS (SELECT asset_id, CAST(j*8+i AS INT) AS idx, " +
+    "CAST((lo * (((j*9)//8)*16 + (i*16)//8) + " +
+    "hi2 * (((j*9)//8)*16 + (i*16)//8) * (((j*9)//8)*16 + (i*16)//8)) % 256 AS BIGINT) AS s " +
+    "FROM img, UNNEST(range(8)) AS ti(i), UNNEST(range(8)) AS tj(j)), " +
+    "b AS (SELECT asset_id, idx, " +
+    "CASE WHEN 64*s >= sum(s) OVER (PARTITION BY asset_id) THEN 1 ELSE 0 END AS bit FROM cells), " +
+    "h AS (SELECT asset_id, " +
+    "CAST(sum(CASE WHEN idx >= 32 THEN bit * (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END) AS BIGINT) AS hi, " +
+    "CAST(sum(CASE WHEN idx < 32 THEN bit * (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS BIGINT) AS lo " +
+    "FROM b GROUP BY asset_id) " +
+    "SELECT a.asset_id AS asset_a, b2.asset_id AS asset_b, " +
+    "CAST(bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) AS INT) AS hamming " +
+    "FROM h a JOIN h b2 ON a.asset_id < b2.asset_id " +
+    "WHERE bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) <= 3"
 
   // quality-signal bodies shared by their own gates and the x59 ensemble
   private lazy val x8QualitySql: String =

@@ -613,6 +613,47 @@ object Multimodal {
       .orderBy("asset_a", "asset_b")
   }
 
+  /** x72c: image dedup APPLY — the keep-list x72b's pairs exist to
+    * produce, mirroring the text-side x30/x17 composition on the
+    * multimodal corpus: near-dup pairs → connected components
+    * (`DocDedup.dedupClusters`, the same checkpointed small-star loop) →
+    * keep the minimum asset id per cluster; singletons keep themselves.
+    * Output: (asset_id, cluster_id, kept). Perceptual-hash cliques are
+    * shallow (the fixture's are diameter 1), so the CC loop converges in
+    * one round; everything else is doc_id-keyed joins. */
+  def imageDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = imageNearDup(spark, dir)
+      .select(col("asset_a").as("id_a"), col("asset_b").as("id_b"))
+    val clusters = DocDedup.dedupClusters(pairs)
+      .withColumnRenamed("doc_id", "asset_id")
+    val gid = coalesce(col("cluster_id"), col("asset_id"))
+    assets(spark, dir).toDF()
+      .filter(col("media_type") === "image").select("asset_id")
+      .join(clusters, Seq("asset_id"), "left")
+      .select(col("asset_id"), gid.as("cluster_id"),
+        (gid === col("asset_id")).as("kept"))
+      .orderBy("asset_id")
+  }
+
+  /** m5: caption-quality asset filter — the multimodal curation step
+    * LAION-style pipelines run before training (drop assets whose paired
+    * text is junk): each asset's caption is its document's text; the
+    * caption score is the oracle-checked x8 quality signal; keep = a
+    * decodable modality (video has no codec — the marked stub) AND
+    * caption quality ≥ `minQuality`. The cross-modal join is doc_id ==
+    * asset_id — at lake scale both sides are keyed scans, and the filter
+    * composes with x38's keep-list semantics (semi-join on kept ids). */
+  def captionFilter(spark: SparkSession, dir: String,
+      minQuality: Double = 0.5): DataFrame = {
+    val q = TextStats.qualityScore(spark, dir)
+      .select(col("doc_id").as("asset_id"), col("quality_score"))
+    assets(spark, dir).toDF().select("asset_id", "media_type")
+      .join(q, Seq("asset_id"))
+      .select(col("asset_id"), col("media_type"), col("quality_score"),
+        (col("media_type") =!= "video" && col("quality_score") >= minQuality).as("keep"))
+      .orderBy("asset_id")
+  }
+
   /** m1 row: metadata stats + REAL-decode columns (null for assets the
     * JDK has no codec for — after the audio arm, that is only video). */
   case class MediaStat(asset_id: Long, media_type: String, n_bytes: Int,

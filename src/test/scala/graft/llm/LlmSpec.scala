@@ -816,6 +816,38 @@ class LlmSpec extends SparkSpec {
     assert(r20 >= 0.4, s"ADC shortlist recall@20 too low: $r20")
   }
 
+  test("imageDedupApply keeps exactly one representative per phash cluster") {
+    import spark.implicits._
+    val out = Multimodal.imageDedupApply(spark, sfDir)
+      .as[(Long, Long, Boolean)].collect()
+    val nImages = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0).count()
+    assert(out.length == nImages, "every image asset gets a verdict")
+    out.foreach { case (id, cid, kept) =>
+      assert(kept == (id == cid), s"kept must mean 'is the cluster representative' ($id)") }
+    out.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.count(_._3) == 1, s"cluster $cid must keep exactly one") }
+    // reconciliation: every near-dup pair landed in one cluster
+    val cid = out.map(t => t._1 -> t._2).toMap
+    Multimodal.imageNearDup(spark, sfDir).select("asset_a", "asset_b")
+      .as[(Long, Long)].collect()
+      .foreach { case (a, b) => assert(cid(a) == cid(b), s"pair ($a,$b) split") }
+    assert(out.count(!_._3) > 0, "the planted blocks must actually remove dups")
+  }
+
+  test("captionFilter keeps decodable assets with quality captions only") {
+    import spark.implicits._
+    val out = Multimodal.captionFilter(spark, sfDir)
+      .as[(Long, String, Double, Boolean)].collect()
+    val q = TextStats.qualityScore(spark, sfDir)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    assert(out.length == q.size, "one verdict per asset")
+    out.foreach { case (id, mt, score, keep) =>
+      assert(score == q(id), s"caption score must be x8's score (asset $id)")
+      assert(keep == (mt != "video" && score >= 0.5), s"keep rule broken on $id") }
+    assert(out.exists(_._4) && out.exists(!_._4), "both verdicts occur on the corpus")
+  }
+
   test("leakSafeSplit: clusters never straddle splits, assignment is refresh-stable") {
     import spark.implicits._
     // planted clusters: docs 1,2,3 are one group (cluster_id 1), 10,11
