@@ -305,6 +305,7 @@ object SparkEntry {
     "x39_span_dedup" -> ((s: SparkSession, d: String) => DocDedup.spanDedup(s, d)),
     "x40_pii_redact" -> ((s: SparkSession, d: String) => Curation.piiRedact(s, d)),
     "x41_rarity_score" -> ((s: SparkSession, d: String) => TextStats.rarityScore(s, d)),
+    "x77_feature_hash" -> ((s: SparkSession, d: String) => TextStats.featureHash(s, d)),
     "x42_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "x43_column_profile" -> ((s: SparkSession, d: String) => Profiling.columnProfile(s, d)),
     "x44_resample_ffill" -> ((s: SparkSession, d: String) => TimeSeries.resampleFfill(s, d)),
@@ -1444,6 +1445,17 @@ object SparkEntry {
        "CAST(max(rnk) AS BIGINT) AS max_rank, " +
        "(CAST(sum(rnk) AS BIGINT) * 1000000) // count(*) AS mean_rank_ppm " +
        "FROM tok JOIN r USING (token) GROUP BY doc_id ORDER BY doc_id"),
+    "x77_feature_hash" ->
+      // hashing trick: bucket = md5-60-bit % 16, sign = next hash bit;
+      // long-format sparse output (absent bucket = untouched; 0 = signs
+      // cancelled)
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+       "f AS (SELECT doc_id, " +
+       "CAST(CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) % 16 AS INT) AS bucket, " +
+       "CASE WHEN CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) % 32 < 16 " +
+       "THEN 1 ELSE -1 END AS sgn FROM tok WHERE length(token) > 0) " +
+       "SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS feature " +
+       "FROM f GROUP BY doc_id, bucket ORDER BY doc_id, bucket"),
     "x43_column_profile" ->
       ("WITH t AS (SELECT count(*) AS n, " +
        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber").zipWithIndex.map {

@@ -187,6 +187,43 @@ object TextStats {
     * the vocab back over a second token scan → per-doc aggregate. The
     * vocabulary is the only globally-sorted object, and it is bounded by
     * language, not corpus size. */
+  /** x77: FEATURE-HASHING text projection (the "hashing trick",
+    * Weinberger et al. 2009) — the model-free featurizer that gives every
+    * document a fixed-width vector at any corpus size with ZERO
+    * vocabulary state: bucket = (md5-60-bit of token) % dim, sign = ±1
+    * from the hash's next bit, feature[bucket] = Σ sign over the doc's
+    * tokens. The signed sum makes collisions cancel in expectation —
+    * that's what separates the hashing trick from a plain count bucket.
+    * Output is LONG FORMAT (doc_id, bucket, feature): buckets a doc
+    * never touches are absent (the sparse form a trainer ingests); a
+    * bucket whose signs cancel to 0 still appears — it HAS evidence,
+    * unlike an untouched one.
+    *
+    * 100 TB: explode → two-level hash agg on (doc_id, bucket) — map-side
+    * partial sums collapse each doc's tokens before the shuffle, so the
+    * exchange carries ≤ dim rows per doc. No vocabulary table, no
+    * broadcast, no state: the property that makes this THE featurizer
+    * that still works when the vocab would not fit anywhere. */
+  def featureHash(spark: SparkSession, dir: String, dim: Int = 16): DataFrame =
+    featureHashDocs(docsWide(spark, dir), dim)
+
+  /** Core of x77 over an arbitrary (doc_id, text) frame. */
+  def featureHashDocs(docs: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim > 0, "need a positive projection width")
+    val h = conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10).cast("long")
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("doc_id"), (h % dim).cast("int").as("bucket"),
+        // the hash's "dim place" decides the sign: ⌊h/dim⌋ % 2 == 0 ⇔
+        // h % 2dim < dim — pure modular form because Spark's `/` on
+        // longs is DOUBLE division (inexact at 2^60)
+        when(h % (2 * dim) < dim, lit(1L)).otherwise(lit(-1L)).as("sgn"))
+      .groupBy("doc_id", "bucket")
+      .agg(sum(col("sgn")).as("feature"))
+      .orderBy("doc_id", "bucket")
+  }
+
   def rarityScore(spark: SparkSession, dir: String): DataFrame =
     rarityScoreDocs(docsWide(spark, dir))
 

@@ -816,6 +816,34 @@ class LlmSpec extends SparkSpec {
     assert(r20 >= 0.4, s"ADC shortlist recall@20 too low: $r20")
   }
 
+  test("featureHash equals a scalar hashing-trick recompute, sparse long form") {
+    import spark.implicits._
+    def md5_60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "cat cat cat"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextStats.featureHashDocs(docs, dim = 16)
+      .as[(Long, Int, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val expect = Seq(1L -> "the cat sat on the mat", 2L -> "cat cat cat")
+      .flatMap { case (id, t) => t.split(" ").filter(_.nonEmpty).map { tok =>
+        val h = md5_60(tok)
+        (id, (h % 16).toInt) -> (if (h % 32 < 16) 1L else -1L)
+      } }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(out == expect, "signed bucket sums must match the scalar hashing trick")
+    // a repeated token accumulates with a consistent sign
+    val catBucket = (md5_60("cat") % 16).toInt
+    assert(math.abs(out((2L, catBucket))) == 3, "three 'cat's, one sign")
+    // sparse: the empty doc emits nothing; corpus gate emits <= dim rows/doc
+    assert(!out.keys.exists(_._1 == 3L))
+    val gate = TextStats.featureHash(spark, sfDir).as[(Long, Int, Long)].collect()
+    val perDoc = gate.groupBy(_._1).view.mapValues(_.length)
+    assert(perDoc.values.max <= 16, "never more than dim rows per doc")
+    assert(gate.exists(_._3 < 0) && gate.exists(_._3 > 0), "signs genuinely mix")
+  }
+
   test("imageDedupApply keeps exactly one representative per phash cluster") {
     import spark.implicits._
     val out = Multimodal.imageDedupApply(spark, sfDir)
