@@ -259,6 +259,7 @@ object SparkEntry {
     "x55_knn_join" -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d, nPlanes = 6)),
     "x6_ann_topk" -> ((s: SparkSession, d: String) => Similarity.topKBruteForce(s, d)),
     "x67_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
+    "x78_contrastive_pairs" -> ((s: SparkSession, d: String) => Similarity.contrastivePairs(s, d)),
     "x71_pq_topk" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     "x12_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.topKIvf(s, d)),
     "x24_vector_stats" -> ((s: SparkSession, d: String) => Similarity.vectorStats(s, d)),
@@ -899,6 +900,21 @@ object SparkEntry {
        "SELECT query_id, rank, neighbor_id, sim FROM (SELECT query_id, neighbor_id, sim, " +
        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s) " +
        "WHERE rank <= 5 ORDER BY query_id, rank"),
+    "x78_contrastive_pairs" ->
+      // one scored pass; positives (same label) and negatives (cross
+      // label) rank independently via the (query, pair_label) partition
+      (s"WITH $normCte, lab AS (SELECT n.vec_id, n.vec, n.norm, e.label " +
+       "FROM nrm n JOIN embeddings e ON e.vec_id = n.vec_id), " +
+       "q AS (SELECT vec_id AS query_id, vec AS qv, norm AS qn, label AS ql " +
+       "FROM lab WHERE vec_id < 20), " +
+       s"s AS (SELECT q.query_id, c.vec_id AS neighbor_id, ${dotSql("q.qv", "c.vec")}/(q.qn*c.norm) AS sim, " +
+       "CASE WHEN c.label = q.ql THEN 1 ELSE 0 END AS pair_label " +
+       "FROM q JOIN lab c ON c.vec_id <> q.query_id) " +
+       "SELECT query_id, pair_label, rank, neighbor_id, sim FROM (" +
+       "SELECT query_id, pair_label, neighbor_id, sim, " +
+       "CAST(row_number() OVER (PARTITION BY query_id, pair_label ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM s) " +
+       "WHERE rank <= CASE WHEN pair_label = 1 THEN 2 ELSE 5 END " +
+       "ORDER BY query_id, pair_label DESC, rank"),
     "x6_ann_topk" ->
       (s"WITH $normCte, q AS (SELECT vec_id AS query_id, vec AS qv, norm AS qn FROM nrm WHERE vec_id < 20), " +
        s"s AS (SELECT q.query_id, c.vec_id AS neighbor_id, ${dotSql("q.qv", "c.vec")}/(q.qn*c.norm) AS sim " +

@@ -126,6 +126,42 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** x78: CONTRASTIVE-PAIR MANIFEST — the batch-construction artifact a
+    * supervised-contrastive / embedding-model trainer consumes (SupCon,
+    * sentence-embedding fine-tuning): for each anchor, its `kPos`
+    * most-similar SAME-label vectors (pair_label 1, the in-class
+    * positives) and its `kNeg` most-similar CROSS-label vectors
+    * (pair_label 0 — x67's hard negatives), in one manifest. Both ranks
+    * come out of ONE scored pass: the window partitions by
+    * (query, pair_label), so positives and negatives rank independently
+    * without a second corpus scan; the literal rank cap keeps the
+    * two-phase WindowGroupLimit bounded-heap plan.
+    *
+    * Scale: x6's bounded-broadcast probe layout (the gate pins
+    * `nQueries` anchors); full-corpus manifest construction swaps the
+    * candidate stage for x55's LSH path exactly as x67 documents. */
+  def contrastivePairs(spark: SparkSession, dir: String, nQueries: Int = 20,
+      kPos: Int = 2, kNeg: Int = 5): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+      .join(Tables.embeddings(spark, dir).select("vec_id", "label"), Seq("vec_id"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"),
+        col("norm").as("qn"), col("label").as("q_label"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("vec").as("cv"),
+      col("norm").as("cn"), col("label").as("n_label"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("pair_label", (col("q_label") === col("n_label")).cast("int"))
+    val w = Window.partitionBy("query_id", "pair_label")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      // literal cap first (drives WindowGroupLimit), per-branch cap second
+      .filter(col("rank") <= math.max(kPos, kNeg) &&
+        col("rank") <= when(col("pair_label") === 1, kPos).otherwise(kNeg))
+      .select("query_id", "pair_label", "rank", "neighbor_id", "sim")
+      .orderBy(col("query_id"), desc("pair_label"), col("rank"))
+  }
+
   /** Data-derived PQ codebooks: [subspace][centroid][component] — codebook
     * m is the m-th subvector of vectors 0..15 (the same first-k-vectors
     * seeding x12 uses for IVF cells; a 16-row driver collect, bounded like

@@ -816,6 +816,25 @@ class LlmSpec extends SparkSpec {
     assert(r20 >= 0.4, s"ADC shortlist recall@20 too low: $r20")
   }
 
+  test("contrastivePairs: negatives equal x67, positives same-label, counts exact") {
+    import spark.implicits._
+    val rows = Similarity.contrastivePairs(spark, sfDir)
+      .as[(Long, Int, Int, Long, Double)].collect()
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").as[(Long, String)].collect().toMap
+    rows.foreach { case (q, pl, _, n, _) =>
+      assert(q != n)
+      assert((labels(q) == labels(n)) == (pl == 1), s"pair_label wrong for ($q,$n)") }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.count(_._2 == 1) == 2, s"query $q positives")
+      assert(rs.count(_._2 == 0) == 5, s"query $q negatives") }
+    // the negative branch IS x67's hard-negative set, rank for rank
+    val negs = rows.filter(_._2 == 0).map(t => (t._1, t._3) -> t._4).toMap
+    val x67 = Similarity.hardNegatives(spark, sfDir)
+      .as[(Long, Int, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(negs == x67, "manifest negatives must equal x67's hard negatives")
+  }
+
   test("featureHash equals a scalar hashing-trick recompute, sparse long form") {
     import spark.implicits._
     def md5_60(s: String): Long = java.lang.Long.parseLong(
