@@ -261,6 +261,7 @@ object SparkEntry {
     "x67_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "x78_contrastive_pairs" -> ((s: SparkSession, d: String) => Similarity.contrastivePairs(s, d)),
     "x71_pq_topk" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
+    "x71b_ivfpq_topk" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
     "x12_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.topKIvf(s, d)),
     "x24_vector_stats" -> ((s: SparkSession, d: String) => Similarity.vectorStats(s, d)),
     "x29_quantize_int8" -> ((s: SparkSession, d: String) => Similarity.quantizeInt8(s, d)),
@@ -947,6 +948,43 @@ object SparkEntry {
         " FROM dlv WHERE vec_id < 20), " +
         "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, " +
         s"$distEst AS dist_est FROM q JOIN enc e ON e.vec_id <> q.query_id) " +
+        "SELECT query_id, rank, neighbor_id, dist_est FROM (" +
+        "SELECT query_id, neighbor_id, dist_est, " +
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist_est, neighbor_id) AS INT) AS rank " +
+        "FROM s) WHERE rank <= 5 ORDER BY query_id, rank"
+    },
+    "x71b_ivfpq_topk" -> {
+      // x12's cells/probes verbatim + x71's rebuilt codebooks/codes/ADC,
+      // with the candidate set restricted to each query's probed cells
+      val m = 8; val subDim = 8
+      def sl(e: String, i: Int) = s"$e[${i * subDim + 1}:${(i + 1) * subDim}]"
+      val dCols = (0 until m).map { i =>
+        s"list_sum(list_transform(list_zip(${sl("v.vec", i)}, ${sl("c.cvec", i)}), " +
+          s"t -> (t[1]-t[2])*(t[1]-t[2]))) AS d$i"
+      }.mkString(", ")
+      val dlCols = (0 until m).map(i => s"list(d$i ORDER BY cid) AS dl$i").mkString(", ")
+      val codeCols = (0 until m)
+        .map(i => s"CAST(list_position(dl$i, list_min(dl$i)) AS INT) AS code$i").mkString(", ")
+      val distEst = (0 until m).map(i => s"q.dl$i[e.code$i]").mkString(" + ")
+      s"WITH $normCte, cents AS (SELECT vec_id AS cell_id, vec AS cvec, norm AS cnorm FROM nrm WHERE vec_id < 16), " +
+        "assigned AS (SELECT vec_id, cell_id FROM (" +
+        s"SELECT n.vec_id, c.cell_id, row_number() OVER (PARTITION BY n.vec_id ORDER BY ${dotSql("n.vec", "c.cvec")}/(n.norm*c.cnorm) DESC, c.cell_id) AS rn " +
+        "FROM nrm n, cents c) WHERE rn = 1), " +
+        "probes AS (SELECT query_id, cell_id FROM (" +
+        s"SELECT q.vec_id AS query_id, c.cell_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY ${dotSql("q.vec", "c.cvec")}/(q.norm*c.cnorm) DESC, c.cell_id) AS rn " +
+        "FROM nrm q, cents c WHERE q.vec_id < 20) WHERE rn <= 4), " +
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings), " +
+        "cb AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < 16), " +
+        s"pairs AS (SELECT v.vec_id, c.cid, $dCols FROM v, cb c), " +
+        s"dlv AS (SELECT vec_id, $dlCols FROM pairs GROUP BY vec_id), " +
+        s"enc AS (SELECT *, $codeCols FROM dlv), " +
+        "q AS (SELECT vec_id AS query_id, " +
+        (0 until m).map(i => s"dl$i").mkString(", ") +
+        " FROM dlv WHERE vec_id < 20), " +
+        "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, " +
+        s"$distEst AS dist_est FROM probes p JOIN q ON q.query_id = p.query_id " +
+        "JOIN assigned a ON a.cell_id = p.cell_id " +
+        "JOIN enc e ON e.vec_id = a.vec_id AND e.vec_id <> q.query_id) " +
         "SELECT query_id, rank, neighbor_id, dist_est FROM (" +
         "SELECT query_id, neighbor_id, dist_est, " +
         "CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist_est, neighbor_id) AS INT) AS rank " +

@@ -248,6 +248,72 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** x71b: IVF-PQ — the composition x71 documents made EXECUTABLE: ADC
+    * runs only within each query's `nProbe` closest IVF cells (x12's
+    * cosine cells and probe rule, verbatim), so at lake scale the probe
+    * touches nProbe/nCells of the codes table instead of all of it while
+    * the per-pair cost stays 8 array lookups. This is the billion-vector
+    * layout (IVF partition pruning × PQ compression); the gate pins the
+    * same 20 queries / 16 cells / 4 probes as x12 so the two indexes are
+    * directly comparable. One scored pass, bounded WindowGroupLimit
+    * top-k, broadcast-sized probe and distance-table sides only. */
+  def ivfPqTopK(spark: SparkSession, dir: String, nQueries: Int = 20,
+      k: Int = 5, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cbs = pqCodebooks(spark, dir)
+    val m = cbs.length; val subDim = cbs.head.head.length
+    def litArr(vs: Seq[Double]): Column = array(vs.map(lit): _*)
+    def withTables(df: DataFrame): DataFrame = {
+      val staged = (0 until m).foldLeft(df) { (acc, i) =>
+        acc.withColumn(s"s$i", slice(col("vec"), i * subDim + 1, subDim))
+      }
+      (0 until m).foldLeft(staged) { (acc, i) =>
+        val dists = cbs(i).map { c =>
+          normSq(zip_with(col(s"s$i"), litArr(c), (x, y) => x - y))
+        }
+        acc.withColumn(s"dl$i", array(dists: _*))
+          .withColumn(s"code$i",
+            array_position(col(s"dl$i"), array_min(col(s"dl$i"))).cast("int"))
+      }
+    }
+    // x12's cell machinery: cosine centroids, max_by assignment, top-nProbe
+    val e = withNorm(Tables.embeddings(spark, dir)).localCheckpoint(eager = false)
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .withColumn("__csim", dot(col("vec"), col("cvec")) / (col("norm") * col("cnorm")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell_id"), struct(col("__csim"), -col("cell_id"))).as("cell_id"))
+    val wProbe = Window.partitionBy("query_id").orderBy(desc("__qsim"), asc("cell_id"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("__qsim", dot(col("qv"), col("cvec")) / (col("qn") * col("cnorm")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nProbe)
+      .select("query_id", "cell_id")
+    // PQ arm: codes carry their cell; queries carry their distance tables
+    val enc = withTables(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec")))
+    val codes = enc.select(col("vec_id").as("neighbor_id") +:
+        (0 until m).map(i => col(s"code$i")): _*)
+      .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+    val queries = enc.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id") +:
+        (0 until m).map(i => col(s"dl$i").as(s"qdl$i")): _*)
+    val probesDl = broadcast(probes.join(queries, Seq("query_id")))
+    val distEst = (0 until m)
+      .map(i => element_at(col(s"qdl$i"), col(s"code$i")))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(asc("dist_est"), asc("neighbor_id"))
+    codes.join(probesDl, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist_est", distEst)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dist_est")
+      .orderBy("query_id", "rank")
+  }
+
   /** The PQ codes table alone (the 32×-compressed index a production
     * deployment persists): vec_id + 8 small-int codes. */
   def pqEncode(spark: SparkSession, dir: String): DataFrame = {

@@ -816,6 +816,47 @@ class LlmSpec extends SparkSpec {
     assert(r20 >= 0.4, s"ADC shortlist recall@20 too low: $r20")
   }
 
+  test("ivfPqTopK equals a scalar IVF-restricted ADC recompute") {
+    import spark.implicits._
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val byId = vecs.toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cents = (0L until 16L).map(i => i -> byId(i))
+    def bestCell(v: Seq[Double]): Long =
+      cents.map { case (cid, cv) => (cos(v, cv), -cid) }.zip(cents.map(_._1))
+        .maxBy(_._1)._2
+    val cellOf = vecs.map { case (id, v) => id -> bestCell(v) }.toMap
+    def probes(v: Seq[Double]): Set[Long] =
+      cents.map { case (cid, cv) => (cos(v, cv), -cid, cid) }.sortBy(t => (-t._1, -t._2))
+        .take(4).map(_._3).toSet
+    val cbs = Similarity.pqCodebooks(spark, sfDir)
+    def codeOf(v: Seq[Double]): Seq[Int] = (0 until 8).map { mi =>
+      val sub = v.slice(mi * 8, mi * 8 + 8)
+      val ds = cbs(mi).map(c => sub.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+      ds.indexOf(ds.min)
+    }
+    def dlOf(v: Seq[Double]): Seq[Seq[Double]] = (0 until 8).map { mi =>
+      val sub = v.slice(mi * 8, mi * 8 + 8)
+      cbs(mi).map(c => sub.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+    }
+    val expect = (0L until 20L).flatMap { qid =>
+      val pr = probes(byId(qid)); val dl = dlOf(byId(qid))
+      vecs.filter { case (nid, _) => nid != qid && pr.contains(cellOf(nid)) }
+        .map { case (nid, nv) =>
+          (codeOf(nv).zipWithIndex.map { case (c, mi) => dl(mi)(c) }.sum, nid) }
+        .sortBy(identity).take(5).zipWithIndex
+        .map { case ((d, nid), r) => (qid, r + 1, nid, d) }
+    }.toSet
+    val got = Similarity.ivfPqTopK(spark, sfDir)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == expect, s"IVF-PQ mismatch: ${got.size} vs ${expect.size}")
+  }
+
   test("contrastivePairs: negatives equal x67, positives same-label, counts exact") {
     import spark.implicits._
     val rows = Similarity.contrastivePairs(spark, sfDir)
