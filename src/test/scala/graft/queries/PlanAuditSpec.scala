@@ -17,10 +17,13 @@ class PlanAuditSpec extends SparkSpec {
   // vec_id filter, so the nested loop is linear in the corpus, and the
   // documented lake-scale path swaps it for x55's LSH bucket join)
   // x71's ADC probe is the same bounded layout: 20 query distance-tables
-  // broadcast over the one-scan codes side
+  // broadcast over the one-scan codes side; x71b adds x12's 16-row
+  // centroid cross probe (cell assignment) on top — both broadcast sides
+  // are constant-bounded (nQueries / nCells); x78 is x67's layout with
+  // the (query, pair_label) double-branch window over the one scored pass
   private val allPairsByDesign =
     Set("x5_embed_neardup", "x6_ann_topk", "x12_ivf_topk", "x42_semantic_dedup",
-      "x67_hard_negatives", "x71_pq_topk")
+      "x67_hard_negatives", "x71_pq_topk", "x71b_ivfpq_topk", "x78_contrastive_pairs")
 
   private lazy val plans: Map[String, String] = {
     graft.functions.GraftFunctions.register(spark)
