@@ -308,6 +308,7 @@ object SparkEntry {
     "x40_pii_redact" -> ((s: SparkSession, d: String) => Curation.piiRedact(s, d)),
     "x41_rarity_score" -> ((s: SparkSession, d: String) => TextStats.rarityScore(s, d)),
     "x77_feature_hash" -> ((s: SparkSession, d: String) => TextStats.featureHash(s, d)),
+    "x79_source_quality" -> (TextStats.sourceQualityProfile _),
     "x42_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "x43_column_profile" -> ((s: SparkSession, d: String) => Profiling.columnProfile(s, d)),
     "x44_resample_ffill" -> ((s: SparkSession, d: String) => TimeSeries.resampleFfill(s, d)),
@@ -1499,6 +1500,17 @@ object SparkEntry {
        "CAST(max(rnk) AS BIGINT) AS max_rank, " +
        "(CAST(sum(rnk) AS BIGINT) * 1000000) // count(*) AS mean_rank_ppm " +
        "FROM tok JOIN r USING (token) GROUP BY doc_id ORDER BY doc_id"),
+    "x79_source_quality" ->
+      // fixed tenth-bands of the x8 score (bit-identical doubles → same
+      // banding); per-source share in integer ppm
+      (s"WITH q AS ($x8QualitySql), " +
+       "b AS (SELECT d.source, CAST(least(9, floor(q.quality_score * 10)) AS INT) AS band " +
+       "FROM q JOIN documents d ON d.doc_id = q.doc_id), " +
+       "c AS (SELECT source, band, count(*) AS n_docs FROM b GROUP BY 1, 2), " +
+       "t AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_total FROM c GROUP BY 1) " +
+       "SELECT c.source, c.band, CAST(c.n_docs AS BIGINT) AS n_docs, " +
+       "CAST(c.n_docs * 1000000 // t.n_total AS BIGINT) AS share_ppm " +
+       "FROM c JOIN t ON t.source = c.source ORDER BY c.source, c.band"),
     "x77_feature_hash" ->
       // hashing trick: bucket = md5-60-bit % 16, sign = next hash bit;
       // long-format sparse output (absent bucket = untouched; 0 = signs

@@ -224,6 +224,35 @@ object TextStats {
       .orderBy("doc_id", "bucket")
   }
 
+  /** x79: PER-SOURCE QUALITY-DISTRIBUTION report — the monitoring table a
+    * multi-source ingest watches per refresh (FineWeb publishes exactly
+    * this per dump): for each (source, quality band) the doc count and
+    * the share of that source's docs in integer ppm. Bands are fixed
+    * tenths of the x8 score (⌊q·10⌋ clamped to 0..9) — the x8 doubles
+    * are bit-identical cross-engine, so the banding is too. A source
+    * whose distribution shifts between snapshots is the drift signal
+    * that triggers re-tuning the filter cascade.
+    *
+    * 100 TB: one corpus scan (the x8 projection) + one hash agg on
+    * (source, band) — ≤ 10·|sources| rows out; the per-source total
+    * joins back from a second short agg of the SAME aggregated frame,
+    * never the corpus. */
+  def sourceQualityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val banded = qualityScore(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+      .withColumn("band",
+        least(lit(9), floor(col("quality_score") * 10)).cast("int"))
+    val counts = banded.groupBy("source", "band")
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = counts.groupBy("source").agg(sum("n_docs").as("n_total"))
+    counts.join(totals, Seq("source"))
+      // `div` (IntegralDivide), not `/`: Column `/` on longs is DOUBLE
+      // division — the ppm must stay an exact integer cross-engine
+      .select(col("source"), col("band"), col("n_docs"),
+        expr("n_docs * 1000000 div n_total").as("share_ppm"))
+      .orderBy("source", "band")
+  }
+
   def rarityScore(spark: SparkSession, dir: String): DataFrame =
     rarityScoreDocs(docsWide(spark, dir))
 

@@ -816,6 +816,26 @@ class LlmSpec extends SparkSpec {
     assert(r20 >= 0.4, s"ADC shortlist recall@20 too low: $r20")
   }
 
+  test("sourceQualityProfile: partitions each source, ppm shares reconcile") {
+    import spark.implicits._
+    val rows = TextStats.sourceQualityProfile(spark, sfDir)
+      .as[(String, Int, Long, Long)].collect()
+    val perDoc = TextStats.qualityScore(spark, sfDir)
+      .join(graft.Tables.documents(spark, sfDir).select("doc_id", "source"), Seq("doc_id"))
+      .select("source", "quality_score").as[(String, Double)].collect()
+    // counts are a partition of each source's docs into the fixed bands
+    val expect = perDoc.groupBy { case (s, q) =>
+      (s, math.min(9, math.floor(q * 10).toInt)) }.view.mapValues(_.length.toLong).toMap
+    assert(rows.map(t => (t._1, t._2) -> t._3).toMap == expect)
+    rows.foreach { case (_, band, _, _) => assert(band >= 0 && band <= 9) }
+    // shares: exact integer ppm of the source total, Σ within 10 ppm of 1e6
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val total = rs.map(_._3).sum
+      rs.foreach { case (_, _, n, ppm) => assert(ppm == n * 1000000L / total) }
+      val s = rs.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - 10L * rs.length, s"$src shares sum $s") }
+  }
+
   test("ivfPqTopK equals a scalar IVF-restricted ADC recompute") {
     import spark.implicits._
     val vecs = graft.Tables.embeddings(spark, sfDir)
