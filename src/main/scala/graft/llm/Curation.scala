@@ -65,6 +65,14 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The x31 verdicts as a materialize-once artifact (Tables.materializeOnce):
+    * both downstream consumers (x38 training set, x65 funnel) re-ran the
+    * whole decontamination pipeline per query; a refresh computes the
+    * verdicts once and persists them, and consumers read the table. The
+    * x31 gate itself still exercises the live pipeline. */
+  def decontaminationVerdicts(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.materializeOnce(spark, s"decontam:$dir")(decontaminate(spark, dir))
+
   /** x60: contamination ATTRIBUTION — x31 answers "is this training doc
     * contaminated?"; this answers "by WHICH eval document?" (the report a
     * curation team actually reads: which benchmark leaked into the
@@ -454,7 +462,7 @@ object Curation {
       .groupBy(md5(col("text").cast("binary")).as("ch"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    val clean = decontaminate(spark, dir)
+    val clean = decontaminationVerdicts(spark, dir)
       .filter(col("contaminated") === 0)
       .select("doc_id")
     lengthFilter(spark, dir)
@@ -492,7 +500,7 @@ object Curation {
     // decontaminate() emits only non-bench docs (doc_id % 17 ≠ 0): bench
     // docs fall out of the left join as f2 = 0 — the same "eval docs never
     // train" semantics trainingSet's semi-join has
-    val clean = decontaminate(spark, dir)
+    val clean = decontaminationVerdicts(spark, dir)
       .filter(col("contaminated") === 0)
       .select(col("doc_id"), lit(1L).as("f2"))
     val lenOk = lengthFilter(spark, dir)

@@ -370,8 +370,12 @@ object DocDedup {
     * 64-bit signature; more → the two-stream 128-bit one (~2× signature
     * cost, 2³² chunk space — linear out to ~10⁹ docs). */
   private[graft] def autoChunkBits(nDocs: Long): Int = {
-    val raw = math.ceil(math.log(math.max(nDocs, 1L).toDouble / 32.0) / math.log(2.0)).toInt
-    math.min(32, math.max(8, raw))
+    // integer-exact ⌈log₂(n/32)⌉ (see Similarity.autoPlanes): count the
+    // thresholds 32·2^k the corpus exceeds — exact at power-of-two corpus
+    // sizes where float log2 jitter could flip the ceil, so the SQL oracle
+    // of the auto gate (deriving the same value from count(*)) always
+    // agrees with this side.
+    math.min(32, math.max(8, (0 until 32).count(k => nDocs > (32L << k))))
   }
 
   /** SimHash near-dup with size-derived blocking: chunkBits > 0 pins the
@@ -516,6 +520,16 @@ object DocDedup {
   def dedupClustersGate(spark: SparkSession, dir: String): DataFrame =
     dedupClusters(ngramJaccardPairs(spark, dir).drop("jaccard"))
 
+  /** The x17 labels as a materialize-once ARTIFACT (Tables.materializeOnce):
+    * six queries consume the component labels (x30 apply, x61 best-of-
+    * cluster, x66 stats, x75 split, plus compositions) and re-running the
+    * CC rounds per consumer is exactly what a lake refresh would NOT do —
+    * labels are computed once per refresh and persisted; consumers read
+    * the table. The x17 gate itself still exercises the live pipeline. */
+  def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.materializeOnce(spark, s"cc_labels:$dir")(
+      dedupClusters(ngramJaccardPairs(spark, dir).drop("jaccard")))
+
   /** x75: LEAKAGE-SAFE train/val/test split — the assignment every
     * training-data pipeline needs but a naive per-doc coin gets wrong:
     * near-duplicate documents MUST land in the same split, or the
@@ -527,18 +541,22 @@ object DocDedup {
     *
     * Coin: first md5 byte of the group id (the x46/x54 idiom) —
     * deterministic, engine-mirrorable, and uniform enough that the
-    * 204/230 cut points give ≈ 80/10/10. Adding tomorrow's crawl never
-    * reshuffles yesterday's assignment (the coin depends only on the
-    * group id), which is what makes the split REPRODUCIBLE across corpus
-    * refreshes — the property random-number splits lose.
+    * 204/230 cut points give ≈ 80/10/10. The assignment is stable across
+    * corpus refreshes EXACTLY as far as the cluster labels are: docs whose
+    * group id is unchanged keep their split (the coin depends only on the
+    * group id, unlike a random-number split). A refresh CAN move docs —
+    * a new doc that bridges two existing clusters merges them, relabeling
+    * the higher-min cluster's members and re-throwing their coin. A
+    * production refresh therefore FREEZES prior assignments (anti-join new
+    * docs against the persisted split before assigning) and uses this coin
+    * only for never-before-seen groups; the frozen-union is a projection +
+    * anti-join, no new machinery.
     *
     * 100 TB: clusters are the checkpointed CC labels (short-key
     * shuffles, measured linear); the group join is doc_id-keyed; the
     * coin is a projection. Nothing here is heavier than x17 itself. */
-  def leakSafeSplit(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = dedupClusters(ngramJaccardPairs(spark, dir).drop("jaccard"))
-    leakSafeSplitOf(docsWide(spark, dir).select("doc_id"), clusters)
-  }
+  def leakSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    leakSafeSplitOf(docsWide(spark, dir).select("doc_id"), clusterLabels(spark, dir))
 
   /** Library form over arbitrary (doc_id) docs + (doc_id, cluster_id)
     * labels; docs absent from `clusters` are their own group. */
@@ -565,7 +583,7 @@ object DocDedup {
     * shuffles); quality is a per-row projection on the scan; the argmax
     * shuffles one short row per (cluster, task). */
   def bestOfCluster(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = dedupClustersGate(spark, dir)
+    val clusters = clusterLabels(spark, dir)
     val q = TextStats.qualityScore(spark, dir).select("doc_id", "quality_score")
     clusters.join(q, Seq("doc_id"))
       .groupBy("cluster_id")
@@ -583,7 +601,7 @@ object DocDedup {
     * One anti-join of the corpus against the (tiny) loser set; at lake
     * scale the loser list is the persisted artifact a re-run would reuse. */
   def dedupApply(spark: SparkSession, dir: String): DataFrame = {
-    val losers = dedupClustersGate(spark, dir)
+    val losers = clusterLabels(spark, dir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     Tables.documents(spark, dir)
@@ -607,7 +625,7 @@ object DocDedup {
     // checkpoint: the per-cluster sizes feed BOTH the histogram and the
     // clustered-doc total; without the barrier the whole x15+CC pipeline
     // would run twice
-    val sizes = dedupClustersGate(spark, dir)
+    val sizes = clusterLabels(spark, dir)
       .groupBy("cluster_id").agg(count(lit(1)).cast("int").as("cluster_size"))
       .localCheckpoint(eager = false)
     val hist = sizes.groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
@@ -745,12 +763,21 @@ object DocDedup {
 
   /** The historical Bloom position set for `bloomProbeAny` — the tiny
     * (≤ mBits rows) table a production ingest persists and unions each
-    * day's new keys into. */
-  def bloomPositions(docs: DataFrame, mBits: Int = 4096, k: Int = 3): DataFrame =
+    * day's new keys into. The artifact CARRIES its own (m_bits, k)
+    * parameters as constant columns: a probe configured with different
+    * parameters than the build would silently yield false negatives —
+    * "certainly new" verdicts on true duplicates, the one failure a Bloom
+    * prefilter must never produce — so the probe reads the parameters
+    * from the artifact instead of trusting its caller. mBits = 0 derives
+    * the size from the key count (`autoMBits`), the production sizing. */
+  def bloomPositions(docs: DataFrame, mBits: Int = 4096, k: Int = 3): DataFrame = {
+    val m = if (mBits > 0) mBits else autoMBits(docs.count())
     docs.select(md5(col("text").cast("binary")).as("ch"))
       .select(explode(array((0 until k).map(t =>
-        conv(substring(col("ch"), t * 8 + 1, 8), 16, 10).cast("long") % mBits): _*)).as("pos"))
+        conv(substring(col("ch"), t * 8 + 1, 8), 16, 10).cast("long") % m): _*)).as("pos"))
       .distinct()
+      .withColumn("m_bits", lit(m)).withColumn("k", lit(k))
+  }
 
   /** STREAM-SAFE Bloom membership probe — the ingest-time form of x73:
     * the static position set collapses to ONE array row that attaches via
@@ -761,13 +788,34 @@ object DocDedup {
     * Rows gain `bloom_hit`: false = certainly new (skip the expensive
     * exact-membership lookup entirely), true = candidate for it. */
   def bloomProbeAny(docs: DataFrame, positions: DataFrame,
-      mBits: Int = 4096, k: Int = 3): DataFrame = {
+      mBits: Int = 0, k: Int = 0): DataFrame = {
+    // resolve (m, k) from the artifact itself when it carries them (every
+    // `bloomPositions` build does) — a probe whose parameters disagree
+    // with the build yields silent false negatives, so self-configuration
+    // beats trusting the caller. The fetch is a 1-row plan-time read of
+    // index METADATA (constant columns), bounded like pqCodebooks' k×dim
+    // collect — never data. Explicitly-passed parameters must agree.
+    val (m, kk) =
+      if (positions.columns.contains("m_bits")) {
+        val r = positions.select("m_bits", "k").limit(1).collect()
+        require(r.nonEmpty, "empty Bloom positions artifact")
+        val (am, ak) = (r(0).getInt(0), r(0).getInt(1))
+        require(mBits == 0 || mBits == am,
+          s"probe mBits=$mBits disagrees with the positions artifact's m_bits=$am")
+        require(k == 0 || k == ak,
+          s"probe k=$k disagrees with the positions artifact's k=$ak")
+        (am, ak)
+      } else {
+        require(mBits > 0 && k > 0,
+          "positions artifact carries no (m_bits, k) — pass them explicitly")
+        (mBits, k)
+      }
     val posArr = broadcast(
       positions.agg(collect_set(col("pos")).as("bloom_ps")).withColumn("kj", lit(1)))
     val ch = md5(col("text").cast("binary"))
     docs
-      .withColumn("ps", array((0 until k).map(t =>
-        conv(substring(ch, t * 8 + 1, 8), 16, 10).cast("long") % mBits): _*))
+      .withColumn("ps", array((0 until kk).map(t =>
+        conv(substring(ch, t * 8 + 1, 8), 16, 10).cast("long") % m): _*))
       .withColumn("kj", lit(1))
       .join(posArr, Seq("kj"))
       .withColumn("bloom_hit", forall(col("ps"), p => array_contains(col("bloom_ps"), p)))

@@ -622,9 +622,11 @@ object Multimodal {
     * shallow (the fixture's are diameter 1), so the CC loop converges in
     * one round; everything else is doc_id-keyed joins. */
   def imageDedupApply(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = imageNearDup(spark, dir)
-      .select(col("asset_a").as("id_a"), col("asset_b").as("id_b"))
-    val clusters = DocDedup.dedupClusters(pairs)
+    // materialize-once (Tables.materializeOnce): the image CC labels are a
+    // per-refresh artifact exactly like the text-side x17 labels
+    val clusters = graft.Tables.materializeOnce(spark, s"img_cc_labels:$dir")(
+        DocDedup.dedupClusters(imageNearDup(spark, dir)
+          .select(col("asset_a").as("id_a"), col("asset_b").as("id_b"))))
       .withColumnRenamed("doc_id", "asset_id")
     val gid = coalesce(col("cluster_id"), col("asset_id"))
     assets(spark, dir).toDF()

@@ -353,8 +353,12 @@ object Similarity {
     * cap (28) bounds the literal plane matrix in the plan; the floor (6)
     * matches the gate oracles' baked matrix so tiny corpora are unchanged. */
   private[graft] def autoPlanes(nVecs: Long): Int = {
-    val raw = math.ceil(math.log(math.max(nVecs, 1L).toDouble / 32.0) / math.log(2.0)).toInt
-    math.min(28, math.max(6, raw))
+    // integer-exact ⌈log₂(n/32)⌉: count thresholds 32·2^k the corpus
+    // exceeds. Equivalent to the float form away from boundaries, but
+    // EXACT at n = 32·2^k where float log2 jitter could flip the ceil —
+    // required because the auto ORACLE gates (x5b_auto/x55_auto) derive
+    // the same value in SQL from count(*) and both engines must agree.
+    math.max(6, (0 until 28).count(k => nVecs > (32L << k)))
   }
 
   /** Resolve an nPlanes argument: positive = caller-pinned (the gates pin 6
