@@ -100,11 +100,10 @@ object ScaleRehearsal {
     // per-bucket occupancy — and thus candidate volume and time — linear
     // as the corpus grows. These rows prove the derived setting scales
     // where pinned-6 measurably saturated (r5: x55 12.1×, x5b 10.1×).
+    // (x5b_auto_neardup / x55_auto_knn need no variant here anymore: the
+    // derived-parameter md5-plane forms are REGISTERED oracle gates now
+    // and ride the x-family selection directly)
     val autoVariants: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      "x5b_ann_neardup_auto" ->
-        ((s: SparkSession, d: String) => graft.llm.Similarity.annPairsLsh(s, d, nPlanes = 0)),
-      "x55_knn_join_auto" ->
-        ((s: SparkSession, d: String) => graft.llm.Similarity.knnJoin(s, d, nPlanes = 0)),
       "x73_bloom_prefilter_auto" ->
         ((s: SparkSession, d: String) => graft.llm.DocDedup.bloomPrefilter(s, d, mBits = 0)))
     // (the simhash auto path needs no variant here: x4e_simhash_auto is a

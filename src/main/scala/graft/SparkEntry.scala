@@ -157,6 +157,9 @@ object SparkEntry {
     // rows-only (quantile-sketch internals are engine-specific; AggsSpec
     // pins the estimates against the exact a10 medians)
     "a10c_median_approx" -> ((s: SparkSession, d: String) => Aggs.medianApprox(s, d)),
+    // driver-verified sketch tolerance: exact medians hash-matched, plus
+    // within-1%-of-exact booleans the oracle asserts as literal TRUE
+    "a10d_median_tol" -> ((s: SparkSession, d: String) => Aggs.medianApproxTol(s, d)),
     "a11_daily_avg_revenue" -> (Aggs.dailyAvgRevenue _),
     "a12_ratio_kpis" -> (Aggs.ratioKpis _),
     "a13_sum_by_location" -> (Aggs.sumByLocation _),
@@ -248,6 +251,10 @@ object SparkEntry {
     // footer-metadata count (64-bit path at gate scale; the two-stream
     // wide path beyond ~2M docs)
     "x4e_simhash_auto" -> ((s: SparkSession, d: String) => DocDedup.simhashPairsAuto(s, d)),
+    // the derived-width dispatch, oracle-gated in the md5 domain: the
+    // oracle re-derives chunk width from its own count(*) and dispatches
+    // between the same two mirrored witness branches
+    "x4e_auto_md5" -> ((s: SparkSession, d: String) => DocDedup.simhashPairsAutoMd5(s, d)),
     "x5_embed_neardup" -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
     // the SCALE path for embedding near-dup: LSH-bucketed candidates, no
     // cartesian anywhere in the plan (x5 stays as the small-scale verifier).
@@ -257,6 +264,14 @@ object SparkEntry {
     // fixed bucket space (Similarity.autoPlanes).
     "x5b_ann_neardup" -> ((s: SparkSession, d: String) => Similarity.annPairsLsh(s, d, nPlanes = 6)),
     "x55_knn_join" -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d, nPlanes = 6)),
+    // the DERIVED-PARAMETER production forms, oracle-checked end to end:
+    // nPlanes comes from count(*) (autoPlanes, integer-exact) and the
+    // ±1 planes are md5-derived, so the oracle SQL re-derives BOTH from
+    // its own count(*)/md5() — no literal matrix, no pinned knob. These
+    // are the constructions you would run at 100 TB; the pinned gates
+    // above stay as the fixed-knob verifiers.
+    "x5b_auto_neardup" -> ((s: SparkSession, d: String) => Similarity.annPairsLshAuto(s, d)),
+    "x55_auto_knn" -> ((s: SparkSession, d: String) => Similarity.knnJoinAuto(s, d)),
     "x6_ann_topk" -> ((s: SparkSession, d: String) => Similarity.topKBruteForce(s, d)),
     "x67_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "x78_contrastive_pairs" -> ((s: SparkSession, d: String) => Similarity.contrastivePairs(s, d)),
@@ -397,6 +412,38 @@ object SparkEntry {
        "SELECT id_a, id_b, hamming FROM (SELECT id_a, id_b, " +
        "CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS INT) AS hamming FROM cand) " +
        "WHERE hamming <= 3 ORDER BY id_a, id_b"),
+    "x4e_auto_md5" ->
+      // derived-width dispatch: bits = clamp(ceil(log2(n/32)), 8, 32) as
+      // an integer threshold sum over count(*) (== DocDedup.autoChunkBits),
+      // then the width picks the branch — ≤16 → the x4c single-stream
+      // witness (hamming ≤ 1), else the x4d two-stream one (hamming ≤ 3)
+      (s"WITH prm AS (SELECT LEAST(32, GREATEST(8, " +
+       (0 until 32).map(k => s"(CASE WHEN cnt > ${32L << k} THEN 1 ELSE 0 END)")
+         .mkString(" + ") +
+       ")) AS bits FROM (SELECT count(*) AS cnt FROM documents)), " +
+       s"$simhash16Cte, $simhash2x16Cte, " +
+       "shc AS (SELECT * FROM sh16 WHERE doc_id < 10000), " +
+       "nch AS (SELECT doc_id, simhash16, i, CASE WHEN i = 0 THEN simhash16 & 255 " +
+       "ELSE (simhash16 >> 8) & 255 END AS chunk FROM shc, range(0, 2) r(i)), " +
+       "ncand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, " +
+       "a.simhash16 AS sa, b.simhash16 AS sb FROM nch a " +
+       "JOIN nch b ON a.i = b.i AND a.chunk = b.chunk AND a.doc_id < b.doc_id), " +
+       "sh2c AS (SELECT * FROM sh2 WHERE doc_id < 10000), " +
+       "wch AS (SELECT doc_id, sh_lo16, sh_hi16, i, CASE " +
+       "WHEN i = 0 THEN sh_lo16 & 255 WHEN i = 1 THEN (sh_lo16 >> 8) & 255 " +
+       "WHEN i = 2 THEN sh_hi16 & 255 ELSE (sh_hi16 >> 8) & 255 END AS chunk " +
+       "FROM sh2c, range(0, 4) r(i)), " +
+       "wcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, " +
+       "a.sh_lo16 AS la, a.sh_hi16 AS ha, b.sh_lo16 AS lb, b.sh_hi16 AS hb FROM wch a " +
+       "JOIN wch b ON a.i = b.i AND a.chunk = b.chunk AND a.doc_id < b.doc_id) " +
+       "SELECT id_a, id_b, hamming FROM (" +
+       "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming " +
+       "FROM ncand WHERE (SELECT bits FROM prm) <= 16 " +
+       "UNION ALL " +
+       "SELECT id_a, id_b, CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS INT) " +
+       "FROM wcand WHERE (SELECT bits FROM prm) > 16) " +
+       "WHERE hamming <= (CASE WHEN (SELECT bits FROM prm) <= 16 THEN 1 ELSE 3 END) " +
+       "ORDER BY id_a, id_b"),
     "p9_anomaly_tag" ->
       (s"$taggedCte SELECT l_orderkey, l_linenumber, rejection_reason FROM t " +
        "ORDER BY l_orderkey, l_linenumber"),
@@ -694,6 +741,13 @@ object SparkEntry {
     "a10_median_kpi" ->
       ("SELECT round(median(l_quantity),2) AS median_qty, round(median(l_extendedprice),2) AS median_price " +
        "FROM lineitem"),
+    "a10d_median_tol" ->
+      // the oracle asserts the tolerance booleans as literal TRUE: a Spark
+      // sketch estimate drifting past 1% of exact flips the column to
+      // false and hash-fails the gate
+      ("SELECT round(median(l_quantity),2) AS median_qty, " +
+       "round(median(l_extendedprice),2) AS median_price, " +
+       "TRUE AS qty_within_tol, TRUE AS price_within_tol FROM lineitem"),
     "a11_daily_avg_revenue" ->
       ("WITH d AS (SELECT CAST(l_shipdate AS DATE) AS pickup_date, sum(l_extendedprice*(1-l_discount)) AS s " +
        "FROM lineitem GROUP BY 1) SELECT round(avg(s),2) AS daily_avg_revenue FROM d"),
@@ -890,6 +944,30 @@ object SparkEntry {
         "CAST(row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS INT) AS rank FROM s) " +
         "WHERE rank <= 5 ORDER BY vec_id, rank"
     },
+    "x5b_auto_neardup" ->
+      // derived-parameter production form: np from count(*), planes from
+      // md5 — both re-derived inside this SQL (autoLshCtes); rescore and
+      // threshold as x5b
+      (s"WITH ${autoLshCtes(8)}, " +
+       "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM coded a " +
+       "JOIN coded b ON a.t = b.t AND a.code = b.code AND a.vec_id < b.vec_id) " +
+       "SELECT id_a, id_b, sim FROM (SELECT c.id_a, c.id_b, " +
+       s"${dotSql("x.vec", "y.vec")}/(x.norm*y.norm) AS sim FROM cand c " +
+       "JOIN nrm x ON x.vec_id = c.id_a JOIN nrm y ON y.vec_id = c.id_b) " +
+       "WHERE sim >= 0.35 ORDER BY id_a, id_b"),
+    "x55_auto_knn" ->
+      // derived-parameter KNN graph: directed auto-LSH candidates, exact
+      // rescore, per-vector top-5
+      (s"WITH ${autoLshCtes(8)}, " +
+       "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM coded a " +
+       "JOIN coded b ON a.t = b.t AND a.code = b.code AND a.vec_id <> b.vec_id), " +
+       "s AS (SELECT c.id_a, c.id_b, " +
+       s"${dotSql("x.vec", "y.vec")}/(x.norm*y.norm) AS sim FROM cand c " +
+       "JOIN nrm x ON x.vec_id = c.id_a JOIN nrm y ON y.vec_id = c.id_b) " +
+       "SELECT vec_id, rank, neighbor_id, sim FROM (SELECT id_a AS vec_id, " +
+       "id_b AS neighbor_id, sim, CAST(row_number() OVER (PARTITION BY id_a " +
+       "ORDER BY sim DESC, id_b) AS INT) AS rank FROM s) " +
+       "WHERE rank <= 5 ORDER BY vec_id, rank"),
     "x67_hard_negatives" ->
       // x6's exact top-k with the label-exclusion predicate: negatives
       // must come from a different class than the query
@@ -1847,6 +1925,30 @@ object SparkEntry {
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), t -> t[1]*t[2]))"
+
+  /** Shared CTE prefix for the DERIVED-PARAMETER LSH oracles
+    * (x5b_auto/x55_auto): DuckDB re-derives the plane count from its own
+    * count(*) — the integer threshold sum is exactly
+    * `Similarity.autoPlanes` — and rebuilds the ±1 plane matrix from its
+    * own md5() (`Similarity.planeMd5`: component i of plane (t, j) is +1
+    * iff the first md5 nibble of "pl_t_j_i" is odd). No literal matrix,
+    * no pinned knob: candidate generation itself is cross-engine-checked.
+    * The j >= np guard is applied in the WHERE (before the dot), so only
+    * the resolved planes are evaluated, like the Spark side. */
+  private def autoLshCtes(nTables: Int): String =
+    s"$normCte, " +
+      "prm AS (SELECT GREATEST(6, " +
+      (0 until 28).map(k => s"(CASE WHEN cnt > ${32L << k} THEN 1 ELSE 0 END)")
+        .mkString(" + ") +
+      ") AS np FROM (SELECT count(*) AS cnt FROM embeddings)), " +
+      "pl AS (SELECT t, j, list(CASE WHEN CAST(concat('0x', " +
+      "substr(md5('pl_' || t || '_' || j || '_' || i), 1, 1)) AS BIGINT) % 2 = 1 " +
+      "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END ORDER BY i) AS pv " +
+      s"FROM range(0, $nTables) r1(t), range(0, 28) r2(j), range(0, 64) r3(i) " +
+      "WHERE j < (SELECT np FROM prm) GROUP BY t, j), " +
+      "coded AS (SELECT n.vec_id, p.t, CAST(sum(CASE WHEN " +
+      s"${dotSql("n.vec", "p.pv")} >= 0 THEN CAST(1 AS BIGINT) << p.j ELSE 0 END) " +
+      "AS BIGINT) AS code FROM nrm n, pl p GROUP BY n.vec_id, p.t)"
 
   /** marker-word hit count per language (mirror of TextStats.langScore). */
   private def markerSql(lang: String): String = {

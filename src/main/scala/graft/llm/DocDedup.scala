@@ -390,6 +390,24 @@ object DocDedup {
     else simhashPairsWide(spark, dir, maxHamming)
   }
 
+  /** x4e_md5: the derived-width DISPATCH itself, oracle-gated — the md5
+    * witness of `simhashPairsAuto`: chunk width from a count(*) of the
+    * corpus (`autoChunkBits`, integer-exact), then the width picks the
+    * construction — ≤ 16 needed bits → the single-stream witness
+    * (`simhashPairsMd5`), more → the two-stream wide witness
+    * (`simhashPairsWideMd5`). The oracle SQL re-derives the same width
+    * from ITS count(*) and dispatches between the same two mirrored
+    * branch queries, so the size→construction decision — the thing the
+    * rows-only x4e gate could not pin cross-engine — is hash-checked.
+    * (xxhash64 production forms stay rows-only; this witness is their
+    * oracle-domain twin, hard-capped like both branch witnesses.) */
+  def simhashPairsAutoMd5(spark: SparkSession, dir: String,
+      maxDocs: Int = 10000): DataFrame = {
+    val bits = autoChunkBits(Tables.documents(spark, dir).count())
+    if (bits <= 16) simhashPairsMd5(spark, dir, maxHamming = 1, maxDocs = maxDocs)
+    else simhashPairsWideMd5(spark, dir, maxHamming = 3, maxDocs = maxDocs)
+  }
+
   // ---- exact n-gram Jaccard (verification of candidates) ----
 
   /** End-to-end near-dup pipeline with an ORACLE-EXPRESSIBLE candidate

@@ -595,4 +595,100 @@ object Similarity {
       .select("id_a", "id_b", "sim")
       .orderBy("id_a", "id_b")
   }
+
+  // ---- derived-parameter (auto) LSH, oracle-expressible ----
+
+  /** Deterministic ±1 hyperplane from MD5 — the plane matrix both engines
+    * can REBUILD: component i of plane (t, j) is +1 iff the low bit of the
+    * first hex nibble of md5("pl_t_j_i") is set. Two properties the
+    * seeded-Random matrix (`planes`) lacks: (a) DuckDB regenerates the
+    * identical matrix from its own md5(), so the auto gates' oracle SQL
+    * carries NO literal matrix and the whole construction — plane
+    * derivation included — is cross-engine-checked; (b) the plane for
+    * (t, j) is independent of the resolved plane count, so sharpening
+    * nPlanes as the corpus grows only APPENDS bits to each code instead of
+    * reshuffling the whole matrix (an incremental re-index reuses every
+    * already-computed bit). */
+  private[graft] def planeMd5(t: Int, j: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { i =>
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pl_${t}_${j}_$i".getBytes("UTF-8"))
+      if (((dig(0) >> 4) & 1) == 1) 1.0 else -1.0
+    }
+
+  /** Per-table bucket codes over the md5-derived planes, nP bits each. */
+  private def codesMd5(nP: Int, nTables: Int, dim: Int): Column =
+    array((0 until nTables).map { t =>
+      (0 until nP).map { j =>
+        when(dot(col("vec"), typedlit(planeMd5(t, j, dim))) >= 0,
+          shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** Corpus with norm + md5-plane codes behind the usual one-evaluation
+    * localCheckpoint barrier (see annPairsLsh). */
+  private def codedEmbeddings(spark: SparkSession, dir: String,
+      nTables: Int, dim: Int): (DataFrame, Int) = {
+    val nP = autoPlanes(Tables.embeddings(spark, dir).count())
+    val e = withNorm(Tables.embeddings(spark, dir))
+      .withColumn("codes", codesMd5(nP, nTables, dim))
+      .localCheckpoint(eager = false)
+    (e, nP)
+  }
+
+  private def lshCandidates(e: DataFrame, directed: Boolean): DataFrame = {
+    val coded = e.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("tbl", "code")))
+    val idPred =
+      if (directed) col("id_a") =!= col("id_b") else col("id_a") < col("id_b")
+    coded.select(col("tbl"), col("code"), col("vec_id").as("id_a"))
+      .join(coded.select(col("tbl").as("tb"), col("code").as("cb"),
+        col("vec_id").as("id_b")),
+        col("tbl") === col("tb") && col("code") === col("cb") && idPred)
+      .select("id_a", "id_b").distinct()
+  }
+
+  private def rescored(e: DataFrame, candidates: DataFrame): DataFrame =
+    candidates
+      .join(e.select(col("vec_id").as("id_a"), col("vec").as("va"), col("norm").as("na")),
+        Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("vec").as("vb"), col("norm").as("nb")),
+        Seq("id_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+
+  /** x5b_auto: the PRODUCTION form of `annPairsLsh` — plane count derived
+    * from a count(*) of the corpus (`autoPlanes` holds expected bucket
+    * occupancy ~32 as the corpus grows; the pinned-6 gate saturates
+    * quadratically at 10×, SCALE.md), planes themselves md5-derived so the
+    * ORACLE REBUILDS the identical matrix and re-derives the identical
+    * plane count from its own count(*). This is the construction you would
+    * run at 100 TB, hash-checked end to end — candidate generation
+    * included, not just the rescore. Same plan shape as `annPairsLsh`:
+    * equi-join on short (table, code) keys, dedup before vectors attach,
+    * exact rescore on candidates only. */
+  def annPairsLshAuto(spark: SparkSession, dir: String, threshold: Double = 0.35,
+      nTables: Int = 8, dim: Int = 64): DataFrame = {
+    val (e, _) = codedEmbeddings(spark, dir, nTables, dim)
+    rescored(e, lshCandidates(e, directed = false))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** x55_auto: the PRODUCTION form of `knnJoin` — auto-sized md5-derived
+    * planes (see annPairsLshAuto), DIRECTED candidates so every vector
+    * ranks its own list, exact rescore, per-vector top-k via the
+    * WindowGroupLimit bounded heap. The scale-safe KNN graph build,
+    * oracle-checked end to end. */
+  def knnJoinAuto(spark: SparkSession, dir: String, k: Int = 5,
+      nTables: Int = 8, dim: Int = 64): DataFrame = {
+    val (e, _) = codedEmbeddings(spark, dir, nTables, dim)
+    val w = Window.partitionBy("id_a").orderBy(desc("sim"), asc("id_b"))
+    rescored(e, lshCandidates(e, directed = true))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a").as("vec_id"), col("rank"), col("id_b").as("neighbor_id"),
+        col("sim"))
+      .orderBy("vec_id", "rank")
+  }
 }

@@ -102,6 +102,29 @@ object Aggs {
         round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(accuracy)), 2)
           .as("median_price"))
 
+  /** a10d: DRIVER-VERIFIED tolerance gate for the A10 sketch swap — the
+    * cross-engine check a10c (rows-only, sketch internals engine-specific)
+    * cannot be: emit the EXACT medians (hash-matched against DuckDB's
+    * median()) alongside a boolean per KPI asserting the sketch estimate
+    * is within 1% relative of the exact value. DuckDB emits literal TRUE
+    * for the booleans, so a sketch drifting past tolerance flips the
+    * Spark side to false and FAILS the hash compare — the sketch quality
+    * contract is checked by the driver, not just by AggsSpec. One pass
+    * computes both (exact median + sketch in a single agg). */
+  def medianApproxTol(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        round(median(col("l_quantity")), 2).as("median_qty"),
+        round(median(col("l_extendedprice")), 2).as("median_price"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(accuracy)).as("__aq"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(accuracy)).as("__ap"),
+        median(col("l_quantity")).as("__eq"),
+        median(col("l_extendedprice")).as("__ep"))
+      .select(col("median_qty"), col("median_price"),
+        (abs(col("__aq") - col("__eq")) <= col("__eq") * 0.01).as("qty_within_tol"),
+        (abs(col("__ap") - col("__ep")) <= col("__ep") * 0.01).as("price_within_tol"))
+
   /** Sketch-KPI gate: the 100 TB replacements for exact countDistinct
     * (`d6`) and exact percentile (`a10`/`a20`) — HyperLogLog++ and
     * KLL-style quantile sketches are MERGEABLE, so both run as one-pass

@@ -135,6 +135,13 @@ class LlmSpec extends SparkSpec {
     val wideFixed = DocDedup.simhashPairsWide(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(wide == wideFixed)
+    // the md5-witness dispatch (x4e_auto_md5 gate) picks the single-stream
+    // witness at gate scale — exactly simhashPairsMd5's pair set
+    val autoMd5 = DocDedup.simhashPairsAutoMd5(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md5Fixed = DocDedup.simhashPairsMd5(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(autoMd5 == md5Fixed)
   }
 
   test("4-chunk blocking refuses maxHamming > 3 (incomplete pair set)") {
@@ -180,6 +187,40 @@ class LlmSpec extends SparkSpec {
       knnPairs.contains((a, b)) || knnPairs.contains((b, a)) }
     assert(pairs.isEmpty || bidir.size.toDouble / pairs.size >= 0.8,
       s"near-dup pairs should rank inside top-k lists: ${bidir.size}/${pairs.size}")
+    knn.unpersist()
+  }
+
+  test("derived-parameter LSH: md5 planes, integer-exact autoPlanes, auto gates behave") {
+    // planeMd5 is the contract with the oracle SQL (DuckDB rebuilds the
+    // matrix from its own md5) — pin a few signs so a silent change to the
+    // key format or nibble choice cannot pass as green
+    assert(Similarity.planeMd5(0, 0, 8) ==
+      Seq(-1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0))
+    assert(Similarity.planeMd5(7, 27, 8) ==
+      Seq(-1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0))
+    // integer-exact ceil(log2(n/32)): exact at power-of-two corpus sizes
+    // (where float log2 jitter could disagree with the SQL threshold sum)
+    assert(Similarity.autoPlanes(500) == 6)
+    assert(Similarity.autoPlanes(32L << 6) == 6)      // exactly 2048 -> 6
+    assert(Similarity.autoPlanes((32L << 6) + 1) == 7) // 2049 -> 7
+    assert(Similarity.autoPlanes(20000) == 10)
+    assert(Similarity.autoPlanes(Long.MaxValue / 4) == 28) // cap
+    // the auto pair path must not invent pairs (exact rescore) and keeps
+    // the multi-table recall floor of the pinned form
+    val exact = Similarity.nearDupPairs(spark, sfDir, threshold = 0.35)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Similarity.annPairsLshAuto(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(exact), "auto LSH must not invent pairs")
+    assert(exact.nonEmpty && auto.size.toDouble / exact.size >= 0.3,
+      s"auto-LSH recall regressed: ${auto.size}/${exact.size}")
+    // auto KNN: well-formed ranked lists (no self-loops, contiguous ranks)
+    val knn = Similarity.knnJoinAuto(spark, sfDir).cache()
+    assert(knn.filter(col("vec_id") === col("neighbor_id")).count() == 0)
+    val perVec = knn.groupBy("vec_id").agg(count(lit(1)).as("n"),
+      min("rank").as("lo"), max("rank").as("hi"))
+    assert(perVec.filter(col("lo") =!= 1 || col("hi") =!= col("n") ||
+      col("n") > 5).count() == 0)
     knn.unpersist()
   }
 
