@@ -37,16 +37,37 @@ object ScaleRehearsal {
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, factor: Int): Unit = {
     val reps = explode(sequence(lit(0), lit(factor - 1))).as("rep")
+    // HEAPS-LAW decorrelation (replaces the r5–r8 per-replica token
+    // suffixes): replica i > 0 maps every token t → "w" + (xxhash64(t, i)
+    // mod V), V = the BASE corpus's distinct-token count. Properties:
+    //  - within-replica structure is preserved exactly (the map is
+    //    per-token, so shingle/Jaccard/dup-cluster geometry is unchanged
+    //    up to ~1/V hash collisions) — dup cluster sizes stay CONSTANT as
+    //    the corpus grows, the x72b fixture lesson;
+    //  - cross-replica token overlap is ~1/V per token (~1/V³ per
+    //    3-shingle) — decorrelated, like the suffixes;
+    //  - token vocabulary stays ~V at ANY factor, where suffixes grew it
+    //    ×factor — a real corpus's vocab follows Heaps' law (sublinear),
+    //    and the linear-vocab fixture made the bigram-LM family (x56/x59)
+    //    read superlinear when the PLAN was linear (r8 verdict). Bigram
+    //    vocab still grows ~×factor (replicas share words, not word
+    //    ORDER — decorrelation demands that), which matches real bigram
+    //    Heaps exponents (β ≈ 0.7–1) far better than ×factor tokens; and
+    //    the scrambled tokens are short, so the fixture no longer
+    //    inflates every downstream shuffle byte with suffix characters.
+    val vBase = Tables.documents(spark, baseDir)
+      .select(explode(split(col("text"), " ")).as("t")).distinct().count()
     val docs = Tables.documents(spark, baseDir)
       .select(col("*"), reps)
       .withColumn("doc_id", col("doc_id") + col("rep") * idOffset)
-      // token-level replica suffix: replica 0 keeps the base text
-      // byte-identical; replicas i>0 suffix every token, zeroing
-      // cross-replica shingle/token overlap
+      // replica 0 keeps the base text byte-identical (planted fixtures —
+      // contamination shingles, PII spans, language markers — stay live)
       .withColumn("text",
         when(col("rep") === 0, col("text"))
-          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-            concat(lit("$1_r"), col("rep").cast("string")))))
+          .otherwise(array_join(
+            transform(split(col("text"), " "), t =>
+              concat(lit("w"), pmod(xxhash64(t, col("rep")), lit(vBase)))),
+            " ")))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars")
     // wide layout on purpose: the scaled scan must exercise the

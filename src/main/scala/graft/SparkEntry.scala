@@ -1165,14 +1165,25 @@ object SparkEntry {
        "CASE WHEN longest <= 512 THEN height ELSE greatest(1, CAST(floor(height*512.0/longest) AS INT)) END AS new_height " +
        "FROM s ORDER BY asset_id"),
     // media_type 'video' ⇔ doc_id % 3 = 2 (assets() maps pmod(doc_id,3));
-    // 9500 = (maxFrames-1)*strideMs — the per-asset fan-out cap
+    // 9500 = (maxFrames-1)*strideMs — the per-asset fan-out cap. The
+    // Spark side REALLY encodes a motion-PNG container (one frame per
+    // 250 ms tick, pixel (x,y) = (id + 7·(ts/250) + x + y) % 256), demuxes
+    // it by chunk structure, and ImageIO-decodes the sampled frames; the
+    // oracle predicts each decoded frame's dims + band-0 pixel sum
+    // arithmetically from the fixture formula
     "m3_frame_sample" ->
-      ("WITH a AS (SELECT doc_id AS asset_id, n_chars*10 AS duration_ms FROM documents " +
-       "WHERE doc_id % 3 = 2), " +
-       "f AS (SELECT asset_id, duration_ms, " +
-       "unnest(range(0, least(duration_ms, 9500) + 1, 500)) AS ts FROM a) " +
-       "SELECT asset_id, duration_ms, CAST(ts/500 AS INT) AS frame_idx, ts AS frame_ts_ms " +
-       "FROM f ORDER BY asset_id, frame_idx"),
+      ("WITH a AS (SELECT doc_id AS asset_id, n_chars*10 AS duration_ms, " +
+       "CAST(doc_id % 16 + 1 AS INT) AS w, CAST(doc_id % 9 + 1 AS INT) AS h " +
+       "FROM documents WHERE doc_id % 3 = 2), " +
+       "f AS (SELECT asset_id, duration_ms, w, h, " +
+       "unnest(range(0, least(duration_ms, 9500) + 1, 500)) AS ts FROM a), " +
+       "g AS (SELECT asset_id, duration_ms, w, h, ts, " +
+       "CAST(sum((asset_id + 7*(ts//250) + x + y) % 256) AS BIGINT) AS gs " +
+       "FROM f, UNNEST(range(w)) AS tx(x), UNNEST(range(h)) AS ty(y) " +
+       "GROUP BY asset_id, duration_ms, w, h, ts) " +
+       "SELECT asset_id, duration_ms, CAST(ts//500 AS INT) AS frame_idx, ts AS frame_ts_ms, " +
+       "w AS width_px, h AS height_px, gs AS gray_sum " +
+       "FROM g ORDER BY asset_id, frame_idx"),
     "x73_bloom_prefilter" ->
       // relational Bloom filter: position t = (t-th 32-bit md5 slice) %
       // 4096; historical side -> distinct position set; batch doc hits iff

@@ -424,25 +424,101 @@ object Multimodal {
       .orderBy("asset_id")
   }
 
-  /** m3 gate: video frame-sampling plan — one row per sampled frame
-    * timestamp, every `strideMs` ms from 0 through duration, capped at
-    * `maxFrames` per asset. The DECODE of each frame is the stubbed part;
-    * the row explosion (sequence + posexplode, a Generator — no join, no
-    * shuffle) is the Spark-side plumbing a real sampler rides on. The cap
-    * bounds the fan-out per asset: the explode multiplies rows ≤64× no
-    * matter how long the video, so downstream partition sizing stays
-    * predictable at lake scale. */
+  /** Motion-PNG toy video container: one REAL PNG per frame tick
+    * (`frameIntervalMs` apart) covering [0, min(duration, maxWindowMs)],
+    * concatenated — the MJPEG layout with a lossless per-frame codec, so
+    * decoded frame statistics stay arithmetically predictable (JPEG's
+    * lossy DCT would not be). Frame f carries pixel (x, y) =
+    * (seed + 7·f + x + y) % 256 — frames genuinely differ, so a demuxer
+    * that returns the wrong frame for a timestamp cannot hash-match. */
+  def videoPayload(seed: Long, w: Int, h: Int, durationMs: Long,
+      frameIntervalMs: Int = 250, maxWindowMs: Int = 9500): Array[Byte] = {
+    val n = (math.min(durationMs, maxWindowMs.toLong) / frameIntervalMs).toInt + 1
+    val bos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < n) { bos.write(pngPayload(seed + 7L * f, w, h)); f += 1 }
+    bos.toByteArray
+  }
+
+  /** Chunk-walking demuxer for the motion-PNG container: each frame is
+    * located by PARSING its actual structure — verify the 8-byte PNG
+    * signature, then walk (length, type, data, crc) chunks to IEND —
+    * never by scanning for byte patterns (the signature can occur inside
+    * a zlib stream). Returns (offset, length) per frame; a real
+    * fixed-rate container would expose the same seekable frame index. */
+  private[llm] def demuxMotionPng(payload: Array[Byte]): IndexedSeq[(Int, Int)] = {
+    def be32(p: Int): Int =
+      ((payload(p) & 0xFF) << 24) | ((payload(p + 1) & 0xFF) << 16) |
+        ((payload(p + 2) & 0xFF) << 8) | (payload(p + 3) & 0xFF)
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var off = 0
+    while (off < payload.length) {
+      require(off + 8 <= payload.length &&
+        (0 until 8).forall(i => (payload(off + i) & 0xFF) == sig(i)),
+        s"no PNG signature at frame boundary $off")
+      var p = off + 8
+      var done = false
+      while (!done) {
+        val len = be32(p)
+        val isEnd = payload(p + 4) == 'I' && payload(p + 5) == 'E' &&
+          payload(p + 6) == 'N' && payload(p + 7) == 'D'
+        p += 12 + len
+        if (isEnd) done = true
+      }
+      out += ((off, p - off))
+      off = p
+    }
+    out.toIndexedSeq
+  }
+
+  /** m3 row: a REALLY-decoded sampled frame. */
+  case class FrameRow(asset_id: Long, duration_ms: Long, frame_idx: Int,
+      frame_ts_ms: Long, width_px: Int, height_px: Int, gray_sum: Long)
+
+  /** m3 gate: video frame sampling with REAL per-frame decode — per video
+    * asset, synthesize its motion-PNG container (`videoPayload`, frames
+    * every `frameIntervalMs`), DEMUX it by walking actual PNG chunk
+    * structure, pick every `strideMs` (skipping the in-between frames, as
+    * a seeking sampler would), and ImageIO-DECODE exactly the sampled
+    * frames, emitting each frame's true raster dimensions and band-0
+    * pixel sum. The oracle predicts the decoded values arithmetically
+    * from the fixture formula, so a broken container writer, demuxer,
+    * frame seek, or decoder all hash-diverge. The `maxFrames` cap bounds
+    * per-asset fan-out (≤ 20 rows per video regardless of duration).
+    *
+    * 100 TB: map-only (no join, no shuffle) — demux + decode run
+    * executor-side inside mapPartitions, reading only sampled frames,
+    * which is exactly how a container with a frame index behaves; the
+    * real-world H.264/VP9 arm stays out of scope (no JDK codec — the
+    * decode CALL here swaps for a JNI codec binding, the dataflow does
+    * not change). */
   def frameSample(spark: SparkSession, dir: String, strideMs: Int = 500,
-      maxFrames: Int = 20): DataFrame = {
+      maxFrames: Int = 20, frameIntervalMs: Int = 250): DataFrame = {
     require(strideMs > 0 && maxFrames > 0, "need positive stride and frame cap")
-    val lastTs = least(col("duration_ms"), lit((maxFrames - 1).toLong * strideMs))
-    assets(spark, dir).toDF()
+    require(strideMs % frameIntervalMs == 0,
+      "sample stride must land on container frame ticks")
+    import spark.implicits._
+    val step = strideMs / frameIntervalMs
+    assets(spark, dir)
       .filter(col("media_type") === "video")
-      .select(col("asset_id"), col("duration_ms"),
-        posexplode(sequence(lit(0L), lastTs, lit(strideMs.toLong)))
-          .as(Seq("frame_idx", "frame_ts_ms")))
-      .select(col("asset_id"), col("duration_ms"),
-        col("frame_idx").cast("int").as("frame_idx"), col("frame_ts_ms"))
+      .mapPartitions(_.flatMap { a =>
+        // tiny true raster dims (the x72 trick): metadata width/height
+        // stay the declared asset dims; the ENCODED frames are small so
+        // the real codec round-trip stays cheap at corpus scale
+        val w = (a.asset_id % 16 + 1).toInt
+        val h = (a.asset_id % 9 + 1).toInt
+        val payload = videoPayload(a.asset_id, w, h, a.duration_ms, frameIntervalMs)
+        val frames = demuxMotionPng(payload)
+        val lastTs = math.min(a.duration_ms, (maxFrames - 1).toLong * strideMs)
+        (0 to (lastTs / strideMs).toInt).iterator.map { k =>
+          val (o, l) = frames(k * step)
+          val (fw, fh, sum) = decodeImage(
+            java.util.Arrays.copyOfRange(payload, o, o + l))
+            .getOrElse(sys.error(s"asset ${a.asset_id}: frame ${k * step} failed to decode"))
+          FrameRow(a.asset_id, a.duration_ms, k, k.toLong * strideMs, fw, fh, sum)
+        }
+      }).toDF()
       .orderBy("asset_id", "frame_idx")
   }
 

@@ -559,6 +559,33 @@ class LlmSpec extends SparkSpec {
     assert(resized.count() == Multimodal.assets(spark, sfDir).count())
   }
 
+  test("motion-PNG container: structural demux, frame seek, decoded samples") {
+    // container = 0..min(dur, 9500) ms at 250 ms/frame -> 2501/250+1 = 11
+    val payload = Multimodal.videoPayload(seed = 5L, w = 12, h = 7, durationMs = 2501L)
+    val frames = Multimodal.demuxMotionPng(payload)
+    assert(frames.size == 11)
+    // frames tile the container exactly (structural parse, no gaps)
+    assert(frames.head._1 == 0 &&
+      frames.map(_._2).sum == payload.length &&
+      frames.sliding(2).forall { case Seq((o1, l1), (o2, _)) => o1 + l1 == o2 })
+    // frame f decodes to pixel (x,y) = (seed + 7f + x + y) % 256
+    for (f <- Seq(0, 3, 10)) {
+      val (o, l) = frames(f)
+      val Some((w, h, sum)) =
+        Multimodal.decodeImage(java.util.Arrays.copyOfRange(payload, o, o + l))
+      assert((w, h) == (12, 7))
+      val expect = (for { y <- 0 until 7; x <- 0 until 12 } yield (5L + 7L * f + x + y) % 256).sum
+      assert(sum == expect, s"frame $f: $sum != $expect")
+    }
+    // garbage between frames is a parse error, not a silent wrong frame
+    intercept[IllegalArgumentException](
+      Multimodal.demuxMotionPng(payload ++ Array[Byte](1, 2, 3)))
+    // the m3 gate samples every 2nd container frame up to the cap
+    val m3 = Multimodal.frameSample(spark, sfDir)
+    assert(m3.filter(col("frame_ts_ms") % 500 =!= 0).count() == 0)
+    assert(m3.groupBy("asset_id").count().agg(max("count")).head().getLong(0) <= 20)
+  }
+
   test("multimodal: real PNG codec round-trip, pixel resize, decoded m1 columns") {
     // encode → decode identity through the ACTUAL JDK PNG codec
     val png = Multimodal.pngPayload(seed = 7L, w = 13, h = 5)
