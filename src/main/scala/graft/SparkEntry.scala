@@ -272,6 +272,10 @@ object SparkEntry {
     // above stay as the fixed-knob verifiers.
     "x5b_auto_neardup" -> ((s: SparkSession, d: String) => Similarity.annPairsLshAuto(s, d)),
     "x55_auto_knn" -> ((s: SparkSession, d: String) => Similarity.knnJoinAuto(s, d)),
+    // embedding-space eval decontamination (paraphrase tier; x31 is the
+    // n-gram tier) — per-train argmax vs the broadcast eval set
+    "x80_semantic_decontaminate" ->
+      ((s: SparkSession, d: String) => Similarity.semanticDecontaminate(s, d)),
     "x6_ann_topk" -> ((s: SparkSession, d: String) => Similarity.topKBruteForce(s, d)),
     "x67_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "x78_contrastive_pairs" -> ((s: SparkSession, d: String) => Similarity.contrastivePairs(s, d)),
@@ -314,6 +318,9 @@ object SparkEntry {
     "x65_filter_funnel" -> ((s: SparkSession, d: String) => Curation.filterFunnel(s, d)),
     "x32_mixture_weights" -> ((s: SparkSession, d: String) => Curation.mixtureWeights(s, d)),
     "x33_shuffle_shards" -> ((s: SparkSession, d: String) => Curation.shuffleShards(s, d)),
+    // per-shard release manifest: doc/token counts + order-sensitive
+    // content checksum over x33's shard assignment
+    "x81_shard_manifest" -> ((s: SparkSession, d: String) => Curation.shardManifest(s, d)),
     "x34_clean_text" -> ((s: SparkSession, d: String) => Curation.cleanText(s, d)),
     "x35_incremental_dedup" -> ((s: SparkSession, d: String) => DocDedup.incrementalDedup(s, d)),
     "x36_length_filter" -> ((s: SparkSession, d: String) => Curation.lengthFilter(s, d)),
@@ -968,6 +975,19 @@ object SparkEntry {
        "id_b AS neighbor_id, sim, CAST(row_number() OVER (PARTITION BY id_a " +
        "ORDER BY sim DESC, id_b) AS INT) AS rank FROM s) " +
        "WHERE rank <= 5 ORDER BY vec_id, rank"),
+    "x80_semantic_decontaminate" ->
+      // x60's argmax layout in embedding space: per train vector, the
+      // most-similar eval vector (ties -> smallest eval id) + threshold flag
+      (s"WITH $normCte, ev AS (SELECT vec_id AS eval_id, vec AS ev, norm AS en " +
+       "FROM nrm WHERE vec_id % 17 = 0), " +
+       "tr AS (SELECT vec_id, vec, norm FROM nrm WHERE vec_id % 17 <> 0), " +
+       s"s AS (SELECT t.vec_id, e.eval_id, ${dotSql("t.vec", "e.ev")}/(t.norm*e.en) AS sim " +
+       "FROM tr t, ev e) " +
+       "SELECT vec_id, top_eval_id, max_sim, contaminated FROM (" +
+       "SELECT vec_id, eval_id AS top_eval_id, sim AS max_sim, " +
+       "CAST(CASE WHEN sim >= 0.35 THEN 1 ELSE 0 END AS INT) AS contaminated, " +
+       "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rn FROM s) " +
+       "WHERE rn = 1 ORDER BY vec_id"),
     "x67_hard_negatives" ->
       // x6's exact top-k with the label-exclusion predicate: negatives
       // must come from a different class than the query
@@ -1439,6 +1459,20 @@ object SparkEntry {
        "SELECT doc_id, CAST(h % 8 AS INT) AS shard, " +
        "CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos " +
        "FROM h ORDER BY shard, pos"),
+    "x81_shard_manifest" ->
+      // content_digest = md5 over the shard's per-doc md5s concatenated in
+      // shard order: string_agg(... ORDER BY pos) mirrors Spark's
+      // collect_list(struct(pos, md5)) -> array_sort -> array_join
+      ("WITH h AS (SELECT doc_id, " +
+       "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM documents), " +
+       "a AS (SELECT doc_id, CAST(h % 8 AS INT) AS shard, " +
+       "CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos FROM h), " +
+       "d AS (SELECT doc_id, md5(text) AS dmd5, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok, n_chars FROM documents) " +
+       "SELECT a.shard, count(*) AS n_docs, CAST(sum(d.ntok) AS BIGINT) AS n_tokens, " +
+       "CAST(sum(d.n_chars) AS BIGINT) AS n_chars, " +
+       "md5(string_agg(d.dmd5, '' ORDER BY a.pos)) AS content_digest " +
+       "FROM a JOIN d ON a.doc_id = d.doc_id GROUP BY a.shard ORDER BY a.shard"),
     "x35_incremental_dedup" ->
       (s"WITH $simhash16Cte, " +
        "sig AS (SELECT d.doc_id, md5(d.text) AS ch, s.simhash16 " +

@@ -387,6 +387,39 @@ object Curation {
       .select("doc_id", "shard", "pos")
       .orderBy("shard", "pos")
 
+  /** x81: SHARD MANIFEST — the publishing artifact of a dataset release
+    * (every released corpus ships one: per shard, how many documents,
+    * how many tokens, and a CONTENT CHECKSUM a consumer can re-verify
+    * after download). Shards and within-shard order are x33's md5-keyed
+    * assignment, so the manifest is reproducible from the corpus alone;
+    * the checksum is md5 over the shard's per-document md5s concatenated
+    * in shard order — the ordered-reassembly aggregate (collect_list of
+    * (pos, md5) structs, array_sort, join), mirrored in the oracle by
+    * `string_agg(... ORDER BY pos)`. A flipped byte in any document, a
+    * dropped document, or a reordered shard all change the digest.
+    *
+    * 100 TB: one corpus scan projects (doc_id, md5, token count); the
+    * manifest agg shuffles one short row per document to `shards`
+    * groups; the digest concatenation is 32 bytes per doc WITHIN each
+    * shard group — at real shard sizes (~1 GB data → ~100k docs → 3 MB
+    * of hex per shard row) this is the same order as the shard listing
+    * a release pipeline writes anyway. */
+  def shardManifest(spark: SparkSession, dir: String, shards: Int = 8): DataFrame = {
+    val assign = shuffleShards(spark, dir, shards)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("dmd5"),
+        size(split(col("text"), " ")).cast("long").as("ntok"), col("n_chars"))
+    assign.join(docs, Seq("doc_id"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("dmd5")))),
+          s => s.getField("dmd5")), "").cast("binary")).as("content_digest"))
+      .orderBy("shard")
+  }
+
   /** Stopword list for cleanText — standard English function words. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 

@@ -50,15 +50,15 @@ object Multimodal {
     * allocation pressure SCALE.md measured on the m1 rehearsal (a fresh
     * BufferedImage + raster per decode → GC churn at corpus scale):
     * repeated dimensions decode into the SAME destination raster
-    * (`ImageReadParam.setDestination`), and fixture encode reuses a
-    * (w, h)-keyed BufferedImage. A returned image is valid only until the
-    * thread's next decode — every caller here walks the raster
+    * (`ImageReadParam.setDestination`). A returned image is valid only
+    * until the thread's next decode — every caller here walks the raster
     * immediately. Any fast-path mismatch (non-PNG payload, incompatible
-    * destination raster) falls back to a plain `ImageIO.read`. */
+    * destination raster) falls back to a plain `ImageIO.read`. (Fixture
+    * ENCODE goes through `encodeGrayPng` below — the decode side here is
+    * the real javax.imageio codec and validates those streams.) */
   private final class PngCodec {
     private val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
     private var dest: java.awt.image.BufferedImage = null
-    private val encodeBufs = new java.util.HashMap[Long, java.awt.image.BufferedImage]()
 
     private def isPng(p: Array[Byte]): Boolean =
       p.length > 8 && (p(0) & 0xFF) == 0x89 && p(1) == 'P'.toByte &&
@@ -87,17 +87,6 @@ object Multimodal {
           javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       }
 
-    /** Reusable TYPE_BYTE_GRAY image for fixture encode at (w, h). */
-    def grayImage(w: Int, h: Int): java.awt.image.BufferedImage = {
-      val key = (w.toLong << 32) | (h.toLong & 0xFFFFFFFFL)
-      var img = encodeBufs.get(key)
-      if (img == null) {
-        img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        encodeBufs.put(key, img)
-      }
-      img
-    }
   }
   private object PngCodec {
     private val tl = new ThreadLocal[PngCodec] {
@@ -106,23 +95,65 @@ object Multimodal {
     def get(): PngCodec = tl.get()
   }
 
-  /** Deterministic tiny grayscale PNG: pixel (x, y) carries sample
-    * (seed + x + y) % 256. A REAL PNG — encoded by the JDK's ImageIO
-    * codec — whose decoded statistics are arithmetically predictable, so
-    * the decode path is oracle-checkable without shipping image files. */
-  def pngPayload(seed: Long, w: Int, h: Int): Array[Byte] = {
-    val img = PngCodec.get().grayImage(w, h) // reused raster, fully overwritten below
-    val r = img.getRaster
+  /** Minimal 8-bit-grayscale PNG ENCODER (sig + IHDR + one IDAT + IEND,
+    * filter 0 scanlines, BEST_SPEED deflate) — the FIXTURE side of the
+    * image gates, ~10× faster than the ImageIO writer per tiny image
+    * (the writer's per-call stream/metadata setup dominated the m3
+    * rehearsal: 650k frame encodes at 10×). Everything the OPERATORS do —
+    * the decode path — still goes through the real javax.imageio codec,
+    * which also validates these streams (the codec round-trip specs pin
+    * decoded == arithmetic). Chunk layout is the public PNG spec. */
+  private def encodeGrayPng(w: Int, h: Int, sample: (Int, Int) => Int): Array[Byte] = {
+    val raw = new Array[Byte](h * (w + 1))
+    var p = 0
     var y = 0
     while (y < h) {
+      raw(p) = 0 // filter type None per scanline
+      p += 1
       var x = 0
-      while (x < w) { r.setSample(x, y, 0, ((seed + x + y) % 256).toInt); x += 1 }
+      while (x < w) { raw(p) = sample(x, y).toByte; p += 1; x += 1 }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    defl.setInput(raw); defl.finish()
+    val zBuf = new Array[Byte](raw.length + 64)
+    var zLen = 0
+    while (!defl.finished()) {
+      if (zLen == zBuf.length) sys.error("deflate overflow") // tiny rasters never grow
+      zLen += defl.deflate(zBuf, zLen, zBuf.length - zLen)
+    }
+    defl.end()
+    val bos = new java.io.ByteArrayOutputStream(zLen + 64)
+    bos.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte], len: Int): Unit = {
+      def be32(v: Int): Array[Byte] =
+        Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      bos.write(be32(len))
+      val t = typ.getBytes("US-ASCII")
+      bos.write(t)
+      bos.write(data, 0, len)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data, 0, len)
+      bos.write(be32(crc.getValue.toInt))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(0.toByte)  // color type: grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter 0, no interlace
+      .array()
+    chunk("IHDR", ihdr, 13)
+    chunk("IDAT", zBuf, zLen)
+    chunk("IEND", Array.emptyByteArray, 0)
     bos.toByteArray
   }
+
+  /** Deterministic tiny grayscale PNG: pixel (x, y) carries sample
+    * (seed + x + y) % 256. A REAL PNG — decoded by the JDK's ImageIO
+    * codec — whose decoded statistics are arithmetically predictable, so
+    * the decode path is oracle-checkable without shipping image files. */
+  def pngPayload(seed: Long, w: Int, h: Int): Array[Byte] =
+    encodeGrayPng(w, h, (x, y) => ((seed + x + y) % 256).toInt)
 
   /** REAL image decode (javax.imageio, runs on executors inside
     * mapPartitions): parses the payload's actual PNG structure and reads
@@ -596,22 +627,8 @@ object Multimodal {
     * IS the seed, so different seeds yield perceptually DIFFERENT images
     * (unlike the m1 gradient, which aHash correctly sees as all-alike)
     * while equal seeds yield pixel-identical ones. */
-  def pngFreqPayload(seed: Long, w: Int, h: Int): Array[Byte] = {
-    val img = PngCodec.get().grayImage(w, h)
-    val r = img.getRaster
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        r.setSample(x, y, 0, ((seed * (y.toLong * w + x)) % 256).toInt)
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
-  }
+  def pngFreqPayload(seed: Long, w: Int, h: Int): Array[Byte] =
+    encodeGrayPng(w, h, (x, y) => ((seed * (y.toLong * w + x)) % 256).toInt)
 
   /** Quadratic-phase pattern PNG for the x72b fixture: with q = y·w + x,
     * pixel = ((block%256)·q + ((block/256)%256)·q²) % 256. The family has
@@ -622,21 +639,10 @@ object Multimodal {
     * measured 17.5× at 10× before this fixture). */
   def pngQuadPayload(block: Long, w: Int, h: Int): Array[Byte] = {
     val lo = block % 256; val hi = (block / 256) % 256
-    val img = PngCodec.get().grayImage(w, h)
-    val r = img.getRaster
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val q = y.toLong * w + x
-        r.setSample(x, y, 0, ((lo * q + hi * q * q) % 256).toInt)
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    encodeGrayPng(w, h, { (x, y) =>
+      val q = y.toLong * w + x
+      ((lo * q + hi * q * q) % 256).toInt
+    })
   }
 
   /** x72b gate: image NEAR-DUP pairs by perceptual-hash hamming distance —

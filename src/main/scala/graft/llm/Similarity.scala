@@ -675,6 +675,40 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** x80: SEMANTIC decontamination — the embedding-space complement of
+    * x31's n-gram tier (the modern eval-hygiene stack runs BOTH: n-gram
+    * collision catches verbatim/near-verbatim leakage, embedding cosine
+    * catches paraphrases and translations that share no shingles). Every
+    * train vector is scored against the eval set; the output names the
+    * most-similar eval item (the attribution a curation team reads, like
+    * x60) and flags contamination at `threshold`.
+    *
+    * Per-train argmax is `max(struct(sim, -eval_id))` — map-side
+    * combinable (x60's layout), so each task reduces a train vector to
+    * one candidate before the exchange; no window sort over the n×|eval|
+    * expansion. The eval side broadcasts: eval suites are bounded by
+    * construction (MBs — x31's same argument; the gate's deterministic
+    * `vec_id % mod` split stands in for the external suite). At 100 TB
+    * the expansion is |corpus|×|eval| dot products, embarrassingly
+    * map-parallel — the same bounded-broadcast probe shape as x6/x67,
+    * and at billion-scale the candidate stage swaps for x55's LSH path
+    * with the threshold applied at rescore, output contract unchanged. */
+  def semanticDecontaminate(spark: SparkSession, dir: String, mod: Int = 17,
+      threshold: Double = 0.35): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir)).localCheckpoint(eager = false)
+    val eval = e.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("eval_id"), col("vec").as("ev"), col("norm").as("en"))
+    e.filter(col("vec_id") % mod =!= 0)
+      .join(broadcast(eval), lit(true))
+      .withColumn("sim", dot(col("vec"), col("ev")) / (col("norm") * col("en")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim").as("s"), (-col("eval_id")).as("ne"))).as("m"))
+      .select(col("vec_id"), (-col("m.ne")).as("top_eval_id"),
+        col("m.s").as("max_sim"),
+        (col("m.s") >= threshold).cast("int").as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   /** x55_auto: the PRODUCTION form of `knnJoin` — auto-sized md5-derived
     * planes (see annPairsLshAuto), DIRECTED candidates so every vector
     * ranks its own list, exact rescore, per-vector top-k via the

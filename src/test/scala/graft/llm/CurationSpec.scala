@@ -72,6 +72,29 @@ class CurationSpec extends SparkSpec {
     s.unpersist()
   }
 
+  test("x81 shard manifest: counts reconcile with x33, digest is order- and content-sensitive") {
+    val m = Curation.shardManifest(spark, sfDir).collect()
+    val docs = graft.Tables.documents(spark, sfDir)
+    assert(m.map(_.getLong(1)).sum == docs.count(), "sum of shard n_docs = corpus size")
+    assert(m.map(_.getLong(3)).sum ==
+      docs.agg(sum("n_chars")).head().getLong(0), "n_chars reconciles")
+    assert(m.map(_.getString(4)).distinct.length == m.length,
+      "distinct shards carry distinct digests")
+    // the digest re-derives from x33's order + per-doc md5s (driver-side)
+    val assign = Curation.shuffleShards(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val dmd5 = docs.select(col("doc_id"), md5(col("text").cast("binary")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = assign.groupBy(_._2).map { case (shard, rows) =>
+      val concat = rows.sortBy(_._3).map(r => dmd5(r._1)).mkString("")
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(concat.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      shard -> dig
+    }
+    m.foreach(r => assert(expect(r.getInt(0)) == r.getString(4),
+      s"shard ${r.getInt(0)} digest mismatch"))
+  }
+
   test("clean text drops stopwords and short tokens, keeps the rest in order") {
     val c = Curation.cleanText(spark, sfDir)
     val joined = graft.Tables.documents(spark, sfDir).join(c, "doc_id")

@@ -224,6 +224,33 @@ class LlmSpec extends SparkSpec {
     knn.unpersist()
   }
 
+  test("x80 semantic decontamination: attribution equals brute force, flags follow the threshold") {
+    val rows = Similarity.semanticDecontaminate(spark, sfDir).collect()
+    // covers exactly the train split; eval ids never appear as subjects
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    assert(rows.length == n - (n + 16) / 17 && rows.forall(_.getLong(0) % 17 != 0))
+    // attribution vs a driver-side brute force over the raw vectors
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val evalIds = emb.keys.filter(_ % 17 == 0).toSeq.sorted
+    rows.foreach { r =>
+      val (id, top, sim, flag) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+      val best = evalIds.map(e => (e, cos(emb(id), emb(e))))
+        .maxBy { case (e, s) => (s, -e) }
+      assert(best._1 == top, s"vec $id: top $top != brute ${best._1}")
+      assert(math.abs(best._2 - sim) < 1e-9)
+      assert(flag == (if (sim >= 0.35) 1 else 0))
+    }
+    // the threshold is live on this corpus: both flag values occur
+    assert(rows.exists(_.getInt(3) == 1) && rows.exists(_.getInt(3) == 0))
+  }
+
   test("bigram LM score: valid ppm range, corpus-complete, repeats score higher than rarities") {
     val lm = TextStats.bigramLmScore(spark, sfDir).cache()
     // conditional probability ppm is in (0, 1e6]: every bigram was seen at

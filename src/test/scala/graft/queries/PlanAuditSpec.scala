@@ -22,8 +22,12 @@ class PlanAuditSpec extends SparkSpec {
   // are constant-bounded (nQueries / nCells); x78 is x67's layout with
   // the (query, pair_label) double-branch window over the one scored pass
   private val allPairsByDesign =
+    // x80: bounded broadcast probe of the EVAL side (eval suites are MBs
+    // by construction — x31's argument), per-train argmax collapses the
+    // expansion map-side
     Set("x5_embed_neardup", "x6_ann_topk", "x12_ivf_topk", "x42_semantic_dedup",
-      "x67_hard_negatives", "x71_pq_topk", "x71b_ivfpq_topk", "x78_contrastive_pairs")
+      "x67_hard_negatives", "x71_pq_topk", "x71b_ivfpq_topk", "x78_contrastive_pairs",
+      "x80_semantic_decontaminate")
 
   private lazy val plans: Map[String, String] = {
     graft.functions.GraftFunctions.register(spark)
