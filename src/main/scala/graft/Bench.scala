@@ -103,9 +103,14 @@ object Bench {
       // round-over-round comparisons.
       val med3 = first.sorted.apply(1)
       val samples =
-        if (med3 > 1.0 && med3 / math.max(first.min, 1e-3) > 1.3)
-          first ++ (1 to 2).flatMap(_ => sample())
-        else first
+        if (med3 > 1.0 && med3 / math.max(first.min, 1e-3) > 1.3) {
+          // the statistic must stay an odd-count true median: retry failed
+          // extras (bounded) until exactly 2 more succeed, else fall back
+          // to the 3-sample median — an even-count upper-mid would report
+          // biased-high exactly on the noisy slow gates this path targets
+          val extras = (1 to 4).iterator.flatMap(_ => sample()).take(2).toSeq
+          if (extras.size == 2) first ++ extras else first
+        } else first
       maybeGc()
       Some((samples.sorted.apply(samples.size / 2), samples.min))
     }

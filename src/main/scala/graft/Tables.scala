@@ -108,11 +108,22 @@ object Tables {
     * hashes are unchanged vs recomputation. */
   def materializeOnce(spark: SparkSession, key: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val path = materializeCache.computeIfAbsent((spark, key), { _ =>
-      val out = java.nio.file.Files.createTempDirectory("graft_artifact_").toString
-      build.write.mode("overwrite").parquet(out)
-      out
-    })
+    // The build (a full Spark write job, possibly itself calling
+    // materializeOnce for a dependency artifact) runs OUTSIDE the map —
+    // computeIfAbsent's contract forbids long or recursive computations
+    // under the bin lock. check-then-putIfAbsent tolerates the rare
+    // duplicate concurrent build (last-writer's temp dir is simply unused).
+    val k = (spark, key)
+    val cached = materializeCache.get(k)
+    val path =
+      if (cached != null) cached
+      else {
+        val out = java.nio.file.Files.createTempDirectory("graft_artifact_")
+        out.toFile.deleteOnExit()
+        build.write.mode("overwrite").parquet(out.toString)
+        val prior = materializeCache.putIfAbsent(k, out.toString)
+        if (prior != null) prior else out.toString
+      }
     spark.read.parquet(path)
   }
   private val materializeCache =

@@ -491,7 +491,14 @@ object Multimodal {
       var p = off + 8
       var done = false
       while (!done) {
+        // a truncated final frame (cut-off chunk header or body) must
+        // surface as the same structured failure as a bad signature —
+        // carrying the offending offset — never a raw array-bounds throw
+        require(p + 8 <= payload.length,
+          s"truncated chunk header at offset $p (frame starting at $off)")
         val len = be32(p)
+        require(len >= 0 && p + 12 + len <= payload.length,
+          s"truncated chunk body at offset $p (len=$len, frame starting at $off)")
         val isEnd = payload(p + 4) == 'I' && payload(p + 5) == 'E' &&
           payload(p + 6) == 'N' && payload(p + 7) == 'D'
         p += 12 + len
@@ -539,7 +546,14 @@ object Multimodal {
         // the real codec round-trip stays cheap at corpus scale
         val w = (a.asset_id % 16 + 1).toInt
         val h = (a.asset_id % 9 + 1).toInt
-        val payload = videoPayload(a.asset_id, w, h, a.duration_ms, frameIntervalMs)
+        // the container window must cover the last sampled timestamp for
+        // ANY (strideMs, maxFrames) — the hard-coded 9500 default only
+        // matched the default arguments; non-defaults indexed past the
+        // demuxed frame table. (With the defaults (500, 20) this expression
+        // IS 9500, so every existing oracle/spec hash is unchanged.)
+        val windowMs = (maxFrames - 1) * strideMs
+        val payload = videoPayload(a.asset_id, w, h, a.duration_ms,
+          frameIntervalMs, maxWindowMs = windowMs)
         val frames = demuxMotionPng(payload)
         val lastTs = math.min(a.duration_ms, (maxFrames - 1).toLong * strideMs)
         (0 to (lastTs / strideMs).toInt).iterator.map { k =>

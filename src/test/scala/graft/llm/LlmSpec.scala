@@ -488,18 +488,43 @@ class LlmSpec extends SparkSpec {
     m1.unpersist()
   }
 
-  test("dedup clusters: unconverged propagation fails loudly, not silently") {
+  test("dedup clusters: unconverged resolution fails loudly; deep chains fit the default budget") {
     import spark.implicits._
-    // chain 1-2-…-8: diameter 7, min label needs 7 rounds to reach node 8
-    val chain = (1L to 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // path graph 1-2-…-64: diameter 63 — far past the default 20-round
+    // budget under min-label propagation, trivially inside it for the
+    // large-star/small-star alternation (O(log n) rounds)
+    val chain = (1L to 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val ex = intercept[IllegalArgumentException] {
-      DocDedup.dedupClusters(chain, maxIters = 2).collect()
+      DocDedup.dedupClusters(chain, maxIters = 1).collect()
     }
     assert(ex.getMessage.contains("did not converge"))
-    // with enough rounds the same graph resolves to one cluster, label 1
-    val labs = DocDedup.dedupClusters(chain, maxIters = 10)
-      .collect().map(_.getLong(1)).distinct.toSeq
-    assert(labs == Seq(1L))
+    // DEFAULT maxIters resolves the whole chain to one cluster, label 1
+    val labs = DocDedup.dedupClusters(chain).collect()
+    assert(labs.map(_.getLong(1)).distinct.toSeq == Seq(1L))
+    assert(labs.length == 64 && labs.map(_.getLong(0)).toSet == (1L to 64L).toSet)
+  }
+
+  test("dedup clusters: star alternation matches brute-force components on a scrambled graph") {
+    import spark.implicits._
+    // adversarial shapes in one fixture: a deep path given in REVERSED id
+    // order (worst case for min-propagation), a binary tree, a cycle, a
+    // clique, and duplicate + self edges that must be ignored
+    val path = (100L to 130L).map(i => (i + 1, i))
+    val tree = (1L until 32L).map(i => (200L + i, 200L + i / 2))
+    val cycle = (300L until 310L).map(i => (i, 300L + (i - 299L) % 10L))
+    val clique = for { a <- 400L to 405L; b <- (a + 1) to 405L } yield (a, b)
+    val noise = Seq((100L, 100L), (101L, 100L), (101L, 100L))
+    val edges = path ++ tree ++ cycle ++ clique ++ noise
+    val got = DocDedup.dedupClusters(edges.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: union-find over the same edges
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val want = parent.keys.toSeq.map(k => k -> find(k)).toMap
+    assert(got == want, s"star alternation diverged from union-find")
   }
 
   test("top-k neighbors are correctly ranked") {
@@ -607,10 +632,22 @@ class LlmSpec extends SparkSpec {
     // garbage between frames is a parse error, not a silent wrong frame
     intercept[IllegalArgumentException](
       Multimodal.demuxMotionPng(payload ++ Array[Byte](1, 2, 3)))
+    // a TRUNCATED final frame (cut-off chunk) is the same structured
+    // require failure carrying the offset — never a raw array-bounds throw
+    intercept[IllegalArgumentException](
+      Multimodal.demuxMotionPng(payload.dropRight(5)))
+    intercept[IllegalArgumentException](
+      Multimodal.demuxMotionPng(payload.dropRight(20)))
     // the m3 gate samples every 2nd container frame up to the cap
     val m3 = Multimodal.frameSample(spark, sfDir)
     assert(m3.filter(col("frame_ts_ms") % 500 =!= 0).count() == 0)
     assert(m3.groupBy("asset_id").count().agg(max("count")).head().getLong(0) <= 20)
+    // non-default (strideMs, maxFrames): the container window is derived
+    // from them, so sampling never indexes past the demuxed frame table
+    // (latent IndexOutOfBounds with the old hard-coded 9500 ms window)
+    val m3b = Multimodal.frameSample(spark, sfDir, strideMs = 1000, maxFrames = 20)
+    assert(m3b.filter(col("frame_ts_ms") % 1000 =!= 0).count() == 0)
+    assert(m3b.groupBy("asset_id").count().agg(max("count")).head().getLong(0) <= 20)
   }
 
   test("multimodal: real PNG codec round-trip, pixel resize, decoded m1 columns") {
@@ -1115,6 +1152,23 @@ class LlmSpec extends SparkSpec {
     val huge = DocDedup.bloomPrefilterOf(many, col("doc_id") % 2 === 0, mBits = 1 << 20)
       .as[(Long, Boolean, Boolean)].collect()
     assert(huge.count(t => t._2 && !t._3) == 0, "2^20 bits for 200 keys: no FPs expected")
+  }
+
+  test("bloomProbeAny: a positions union with mixed (m_bits, k) is a hard failure") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val p64 = DocDedup.bloomPositions(docs, mBits = 64, k = 3)
+    val p128 = DocDedup.bloomPositions(docs, mBits = 128, k = 3)
+    // the docstring workflow unions daily position builds — two builds with
+    // different autoMBits sizes must fail loudly, not silently pick one and
+    // yield false negatives (the one verdict a Bloom filter must never give)
+    val ex = intercept[IllegalArgumentException](
+      DocDedup.bloomProbeAny(docs, p64.union(p128)).collect())
+    assert(ex.getMessage.contains("mixed Bloom parameters"))
+    // a consistent artifact still self-configures and probes clean
+    val ok = DocDedup.bloomProbeAny(docs, p64)
+      .select("doc_id", "bloom_hit").as[(Long, Boolean)].collect().toMap
+    assert(ok(1L) && ok(2L), "member keys must hit their own filter")
   }
 
   test("audioQuality computes its stats from REALLY-decoded PCM (scalar recompute)") {
