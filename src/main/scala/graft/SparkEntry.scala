@@ -134,6 +134,7 @@ object SparkEntry {
     "x15_ngram_jaccard" -> ((s: SparkSession, d: String) => DocDedup.ngramJaccardPairs(s, d)),
     "x17_dedup_clusters" -> ((s: SparkSession, d: String) => DocDedup.dedupClustersGate(s, d)),
     "x75_leak_safe_split" -> (DocDedup.leakSafeSplit _),
+    "x82_frozen_split" -> ((s: SparkSession, d: String) => DocDedup.frozenSplitGate(s, d)),
     "x66_dedup_stats" -> ((s: SparkSession, d: String) => DocDedup.dedupStats(s, d)),
     "x69_source_overlap" -> ((s: SparkSession, d: String) => DocDedup.sourceOverlap(s, d)),
     "x68_snapshot_diff" -> ((s: SparkSession, d: String) => graft.llm.Curation.snapshotDiff(s, d)),
@@ -321,6 +322,7 @@ object SparkEntry {
     // per-shard release manifest: doc/token counts + order-sensitive
     // content checksum over x33's shard assignment
     "x81_shard_manifest" -> ((s: SparkSession, d: String) => Curation.shardManifest(s, d)),
+    "x81b_auto_manifest" -> ((s: SparkSession, d: String) => Curation.shardManifestAuto(s, d)),
     "x34_clean_text" -> ((s: SparkSession, d: String) => Curation.cleanText(s, d)),
     "x35_incremental_dedup" -> ((s: SparkSession, d: String) => DocDedup.incrementalDedup(s, d)),
     "x36_length_filter" -> ((s: SparkSession, d: String) => Curation.lengthFilter(s, d)),
@@ -598,6 +600,40 @@ object SparkEntry {
        "SELECT doc_id, group_id, CASE WHEN coin < 204 THEN 'train' " +
        "WHEN coin < 230 THEN 'val' ELSE 'test' END AS split " +
        "FROM c ORDER BY doc_id"),
+    "x82_frozen_split" ->
+      // two-snapshot frozen refresh: the oracle re-derives the prior split
+      // artifact (pair clusters over the 80% snapshot, x75 md5 coin), then
+      // mirrors the three tiers — frozen verbatim, inherited = arg_min-
+      // doc_id frozen member's split per refresh group, coined = md5 coin
+      // on never-before-seen group ids
+      ("WITH docs AS (SELECT doc_id FROM documents), " +
+       "pd AS (SELECT doc_id FROM docs WHERE doc_id % 5 <> 0), " +
+       "pc AS (SELECT doc_id, doc_id - doc_id % 2 AS cluster_id FROM pd WHERE doc_id % 20 < 8), " +
+       "pg AS (SELECT d.doc_id, COALESCE(pc.cluster_id, d.doc_id) AS group_id " +
+       "FROM pd d LEFT JOIN pc ON pc.doc_id = d.doc_id), " +
+       "prior AS (SELECT doc_id, CASE WHEN coin < 204 THEN 'train' " +
+       "WHEN coin < 230 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, " +
+       "CAST(concat('0x', substr(md5(CAST(group_id AS VARCHAR)), 1, 2)) AS INT) AS coin FROM pg)), " +
+       "nc AS (SELECT doc_id, doc_id - doc_id % 4 AS cluster_id FROM docs WHERE doc_id % 20 < 8), " +
+       "g AS (SELECT d.doc_id, COALESCE(nc.cluster_id, d.doc_id) AS group_id " +
+       "FROM docs d LEFT JOIN nc ON nc.doc_id = d.doc_id), " +
+       "wp AS (SELECT g.doc_id, g.group_id, prior.split AS prior_split " +
+       "FROM g LEFT JOIN prior ON prior.doc_id = g.doc_id), " +
+       "frozen AS (SELECT doc_id, group_id, prior_split AS split, 'frozen' AS assignment " +
+       "FROM wp WHERE prior_split IS NOT NULL), " +
+       "gs AS (SELECT group_id, arg_min(prior_split, doc_id) AS inherit_split " +
+       "FROM wp WHERE prior_split IS NOT NULL GROUP BY group_id), " +
+       "nd AS (SELECT doc_id, group_id FROM wp WHERE prior_split IS NULL), " +
+       "inh AS (SELECT nd.doc_id, nd.group_id, gs.inherit_split AS split, " +
+       "'inherited' AS assignment FROM nd JOIN gs ON gs.group_id = nd.group_id), " +
+       "cn AS (SELECT doc_id, group_id, CASE WHEN coin < 204 THEN 'train' " +
+       "WHEN coin < 230 THEN 'val' ELSE 'test' END AS split, 'coined' AS assignment " +
+       "FROM (SELECT nd.doc_id, nd.group_id, " +
+       "CAST(concat('0x', substr(md5(CAST(nd.group_id AS VARCHAR)), 1, 2)) AS INT) AS coin " +
+       "FROM nd LEFT JOIN gs ON gs.group_id = nd.group_id WHERE gs.group_id IS NULL)) " +
+       "SELECT doc_id, group_id, split, assignment FROM frozen " +
+       "UNION ALL SELECT doc_id, group_id, split, assignment FROM inh " +
+       "UNION ALL SELECT doc_id, group_id, split, assignment FROM cn ORDER BY doc_id"),
     "x66_dedup_stats" ->
       // cluster-size histogram over the x17 components + the singleton row
       // (total − clustered), so Σ n_docs = corpus and Σ n_removed = x30's
@@ -1467,6 +1503,20 @@ object SparkEntry {
        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM documents), " +
        "a AS (SELECT doc_id, CAST(h % 8 AS INT) AS shard, " +
        "CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos FROM h), " +
+       "d AS (SELECT doc_id, md5(text) AS dmd5, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok, n_chars FROM documents) " +
+       "SELECT a.shard, count(*) AS n_docs, CAST(sum(d.ntok) AS BIGINT) AS n_tokens, " +
+       "CAST(sum(d.n_chars) AS BIGINT) AS n_chars, " +
+       "md5(string_agg(d.dmd5, '' ORDER BY a.pos)) AS content_digest " +
+       "FROM a JOIN d ON a.doc_id = d.doc_id GROUP BY a.shard ORDER BY a.shard"),
+    "x81b_auto_manifest" ->
+      // production form: shard count re-derived from the oracle's own
+      // count(*) — shards = ceil(n/64), integer floor-div on both engines
+      ("WITH sc AS (SELECT CAST((count(*) + 63) // 64 AS BIGINT) AS s FROM documents), " +
+       "h AS (SELECT doc_id, " +
+       "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM documents), " +
+       "a AS (SELECT doc_id, CAST(h % s AS INT) AS shard, " +
+       "CAST(row_number() OVER (PARTITION BY h % s ORDER BY h, doc_id) AS INT) AS pos FROM h, sc), " +
        "d AS (SELECT doc_id, md5(text) AS dmd5, " +
        "CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok, n_chars FROM documents) " +
        "SELECT a.shard, count(*) AS n_docs, CAST(sum(d.ntok) AS BIGINT) AS n_tokens, " +

@@ -420,6 +420,29 @@ object Curation {
       .orderBy("shard")
   }
 
+  /** Shard count derived from corpus size — the `autoPlanes`/`autoMBits`
+    * idiom applied to the release layout: shards = ⌈n_docs / target⌉,
+    * integer-exact so the SQL oracle re-derives the identical value from
+    * its own count(*). This is what keeps x81 scale-safe: with a FIXED
+    * shard count, one manifest agg buffer holds 1/shards of the corpus's
+    * digests (unbounded as the corpus grows); deriving the count pins the
+    * per-shard digest concatenation at ~target × 32 hex bytes forever. */
+  private[graft] def autoShards(nDocs: Long, targetDocsPerShard: Long = 64L): Int = {
+    require(targetDocsPerShard > 0, "need a positive shard size target")
+    math.max(1L, (nDocs + targetDocsPerShard - 1) / targetDocsPerShard).toInt
+  }
+
+  /** x81b: the production-form manifest — shard count derived from the
+    * corpus (one metadata-cheap count(*)), everything else exactly x81.
+    * The gate's oracle re-derives shards from ITS count(*), so the
+    * size→layout decision is itself hash-checked, like x4e/x55's auto
+    * dispatches. (target = 64 keeps the gate multi-shard from sf0.01 up;
+    * a real release would target ~10⁵ docs/shard — same arithmetic.) */
+  def shardManifestAuto(spark: SparkSession, dir: String,
+      targetDocsPerShard: Long = 64L): DataFrame =
+    shardManifest(spark, dir,
+      autoShards(Tables.documents(spark, dir).count(), targetDocsPerShard))
+
   /** Stopword list for cleanText — standard English function words. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 

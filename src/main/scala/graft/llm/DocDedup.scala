@@ -539,21 +539,34 @@ object DocDedup {
           .select(col("lo").as("hi"), col("m").as("lo")))
         .distinct()
     }
-    // exact set difference, both directions — short (long, long) keys, so
-    // the convergence check costs the same order as the star ops themselves
-    def diffCount(a: DataFrame, b: DataFrame): Long =
-      a.except(b).count() + b.except(a).count()
     var converged = false
     var iter = 0
+    var eCount = e.count()
     while (!converged && iter < maxIters) {
-      val e1 = largeStar(e).localCheckpoint()
-      val e2 = smallStar(e1).localCheckpoint()
-      // converged ⟺ BOTH ops were no-ops on e — only then is e a fixpoint
-      // of each individually, which is exactly the min-centered star
-      // forest (a star centered off-minimum is a small-star fixpoint but
-      // NOT a large-star one, so the joint check cannot stop early there)
-      converged = diffCount(e, e1) == 0 && diffCount(e1, e2) == 0
+      // ONE fused plan + ONE materialization per round (lazy checkpoint,
+      // realized by the count): rounds on a near-dup graph are dominated
+      // by fixed per-job latency, not data, so job count is the cost.
+      val e2 = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      val c2 = e2.count()
+      // converged ⟺ the fused round is an identity on e. That implies
+      // BOTH ops were individually no-ops — i.e. e is a fixpoint of each,
+      // which is exactly the min-centered star forest: under either op
+      // every output edge is componentwise ≤ its input edge (large-star
+      // keeps hi, shrinks lo to m ≤ u; small-star maps (hi, lo) to
+      // (hi, m) or (lo, m) with m ≤ lo), and distinct only removes rows —
+      // so set equality of input and output forces every per-edge step to
+      // have been an exact identity (a strict shrink anywhere would drop
+      // the total Σ(hi+lo), and nothing can raise it back). A star
+      // centered off-minimum therefore cannot stop the loop early: it is
+      // a small-star fixpoint but large-star rewires it, changing the set.
+      // Cheap-first: both sides are distinct sets, so equal counts + one
+      // empty one-directional except ⟺ equality; the count compare (a
+      // metadata-cheap job on the checkpointed RDD) short-circuits the
+      // except shuffle on every still-shrinking round — only the final
+      // stable round pays it.
+      converged = c2 == eCount && e2.except(e).count() == 0
       e = e2
+      eCount = c2
       iter += 1
     }
     // exiting via maxIters with edges still moving would return WRONG
@@ -626,6 +639,76 @@ object DocDedup {
     g.select(col("doc_id"), col("group_id"),
         when(coin < 204, "train").when(coin < 230, "val").otherwise("test").as("split"))
       .orderBy("doc_id")
+  }
+
+  /** x82: FROZEN-refresh split — the production idiom the x75 split
+    * promises made literal: on a corpus refresh, previously-assigned docs
+    * NEVER change split (re-deriving would silently move docs whose
+    * clusters merged — eval sets must be append-only or prior training
+    * runs leak into them). Three tiers, each a projection over one join:
+    *  - frozen    — the doc is in `priorSplit`: keep its split verbatim,
+    *                whatever the new clustering says (reported under its
+    *                CURRENT group_id so merges stay observable);
+    *  - inherited — a NEW doc whose current group contains ≥ 1 frozen
+    *                member takes the split of the group's minimum-doc_id
+    *                frozen member (a near-dup of a train doc must train;
+    *                if prior clusters straddling splits merged, that leak
+    *                is historical — the min rule just keeps the verdict
+    *                deterministic);
+    *  - coined    — a NEW doc in a never-before-seen group throws the
+    *                x75 md5 coin on its group id.
+    *
+    * 100 TB: `priorSplit` is the persisted split artifact (one row per
+    * assigned doc); everything here is doc_id/group_id-keyed equi-joins
+    * and one map-side-combinable min per group — strictly lighter than
+    * re-running the split, and no text ever shuffles. */
+  def leakSafeSplitFrozen(docs: DataFrame, clusters: DataFrame,
+      priorSplit: DataFrame): DataFrame = {
+    val g = docs.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+    val withPrior = g.join(
+      priorSplit.select(col("doc_id"), col("split").as("prior_split")),
+      Seq("doc_id"), "left")
+    val assigned = withPrior.filter(col("prior_split").isNotNull)
+      // barrier: frozen rows AND the per-group inheritance read this side
+      .localCheckpoint(eager = false)
+    val frozen = assigned.select(col("doc_id"), col("group_id"),
+      col("prior_split").as("split"), lit("frozen").as("assignment"))
+    val groupSplit = assigned.groupBy("group_id")
+      .agg(min_by(col("prior_split"), col("doc_id")).as("inherit_split"))
+    val newDocs = withPrior.filter(col("prior_split").isNull)
+      .select("doc_id", "group_id")
+    val inherited = newDocs.join(groupSplit, Seq("group_id"))
+      .select(col("doc_id"), col("group_id"),
+        col("inherit_split").as("split"), lit("inherited").as("assignment"))
+    val coin = conv(substring(md5(col("group_id").cast("string").cast("binary")), 1, 2), 16, 10)
+      .cast("int")
+    val coined = newDocs.join(groupSplit, Seq("group_id"), "left_anti")
+      .select(col("doc_id"), col("group_id"),
+        when(coin < 204, "train").when(coin < 230, "val").otherwise("test").as("split"),
+        lit("coined").as("assignment"))
+    frozen.unionByName(inherited).unionByName(coined).orderBy("doc_id")
+  }
+
+  /** x82 gate: a deterministic two-snapshot refresh over the real corpus
+    * ids. Snapshot 1 = the 80% of docs with doc_id % 5 ≠ 0, clustered as
+    * consecutive PAIRS (cluster = doc_id − doc_id % 2) within the
+    * doc_id % 20 < 8 stratum; the refresh adds the remaining docs and
+    * MERGES each two adjacent pairs into a QUAD (cluster = doc_id −
+    * doc_id % 4) — so refresh groups bridge prior clusters whose coins
+    * landed on different splits, the exact relabeling hazard the freeze
+    * exists for. Both snapshots are pure id arithmetic, so the oracle
+    * re-derives the full prior artifact and all three tiers in SQL; the
+    * cluster PIPELINE is x17's gate, not this one's. */
+  def frozenSplitGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val priorDocs = docs.filter(col("doc_id") % 5 =!= 0)
+    val priorClusters = priorDocs.filter(col("doc_id") % 20 < 8)
+      .select(col("doc_id"), (col("doc_id") - col("doc_id") % 2).as("cluster_id"))
+    val nowClusters = docs.filter(col("doc_id") % 20 < 8)
+      .select(col("doc_id"), (col("doc_id") - col("doc_id") % 4).as("cluster_id"))
+    leakSafeSplitFrozen(docs, nowClusters,
+      leakSafeSplitOf(priorDocs, priorClusters))
   }
 
   /** x61: quality-aware cluster REPRESENTATIVE selection — production

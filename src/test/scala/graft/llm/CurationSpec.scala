@@ -95,6 +95,25 @@ class CurationSpec extends SparkSpec {
       s"shard ${r.getInt(0)} digest mismatch"))
   }
 
+  test("x81b auto manifest: shard count derives from corpus size, agrees with explicit x81") {
+    // integer-exact ceil: boundary cases around the target
+    assert(Curation.autoShards(0) == 1 && Curation.autoShards(1) == 1)
+    assert(Curation.autoShards(64) == 1 && Curation.autoShards(65) == 2)
+    assert(Curation.autoShards(640) == 10 && Curation.autoShards(641) == 11)
+    assert(Curation.autoShards(1000, targetDocsPerShard = 100) == 10)
+    intercept[IllegalArgumentException](Curation.autoShards(10, 0))
+    // the auto gate equals shardManifest called with the derived count —
+    // the dispatch is the ONLY new moving part
+    val n = graft.Tables.documents(spark, sfDir).count()
+    val auto = Curation.shardManifestAuto(spark, sfDir).collect().toSeq
+    val explicit = Curation.shardManifest(spark, sfDir, Curation.autoShards(n)).collect().toSeq
+    assert(auto == explicit)
+    // per-shard doc counts stay near the target (±3× — md5 balance, not
+    // an exact quota), which is the bound that keeps digest buffers flat
+    assert(auto.map(_.getLong(1)).max <= 3 * 64,
+      "a shard 3x over target means the derived count is not tracking size")
+  }
+
   test("clean text drops stopwords and short tokens, keeps the rest in order") {
     val c = Curation.cleanText(spark, sfDir)
     val joined = graft.Tables.documents(spark, sfDir).join(c, "doc_id")

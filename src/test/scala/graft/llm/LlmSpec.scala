@@ -504,6 +504,37 @@ class LlmSpec extends SparkSpec {
     assert(labs.length == 64 && labs.map(_.getLong(0)).toSet == (1L to 64L).toSet)
   }
 
+  test("frozen refresh split: prior assignments never move; bridges inherit; new groups coin") {
+    import spark.implicits._
+    // snapshot 1: pair clusters {3,4} (group 3 → coin test) and {11,12}
+    // (group 11 → coin train); snapshot 2 adds doc 7 BRIDGING them (merged
+    // label 3) and singleton doc 30
+    val priorDocs = Seq(3L, 4L, 11L, 12L).toDF("doc_id")
+    val priorClusters = Seq((3L, 3L), (4L, 3L), (11L, 11L), (12L, 11L))
+      .toDF("doc_id", "cluster_id")
+    val prior = DocDedup.leakSafeSplitOf(priorDocs, priorClusters)
+    assert(prior.collect().map(r => r.getLong(0) -> r.getString(2)).toMap ==
+      Map(3L -> "test", 4L -> "test", 11L -> "train", 12L -> "train"),
+      "fixture must straddle splits or the freeze is untested")
+    val docs = Seq(3L, 4L, 7L, 11L, 12L, 30L).toDF("doc_id")
+    val merged = Seq((3L, 3L), (4L, 3L), (7L, 3L), (11L, 3L), (12L, 3L))
+      .toDF("doc_id", "cluster_id")
+    val out = DocDedup.leakSafeSplitFrozen(docs, merged, prior).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    // frozen: 11/12 KEEP train although their group relabeled to 3 — the
+    // naive x75 re-run would move them to the merged group's coin (test)
+    assert(out(11L) == ((3L, "train", "frozen")) && out(12L) == ((3L, "train", "frozen")))
+    assert(out(3L) == ((3L, "test", "frozen")) && out(4L) == ((3L, "test", "frozen")))
+    val naive = DocDedup.leakSafeSplitOf(docs, merged).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(naive(11L) == "test", "the hazard is real: re-deriving WOULD move doc 11")
+    // inherited: bridge doc 7 takes the min-frozen-doc_id member's split
+    assert(out(7L) == ((3L, "test", "inherited")))
+    // coined: never-before-seen group throws the x75 coin on its own id
+    assert(out(30L) == ((30L, "train", "coined")))
+    assert(out.size == 6)
+  }
+
   test("dedup clusters: star alternation matches brute-force components on a scrambled graph") {
     import spark.implicits._
     // adversarial shapes in one fixture: a deep path given in REVERSED id
