@@ -203,6 +203,8 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
         .orderBy("window_start", "event_type")),
+    "e1b_stream_hourly" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventsStream.hourlyAggStreamGate(s, d)),
     "e2_sessionize" -> ((s: SparkSession, d: String) => Funcs.sessionizeEvents(s, d)),
     "e6_trending_topk" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.trendingTopK(
@@ -273,6 +275,7 @@ object SparkEntry {
     // above stay as the fixed-knob verifiers.
     "x5b_auto_neardup" -> ((s: SparkSession, d: String) => Similarity.annPairsLshAuto(s, d)),
     "x55_auto_knn" -> ((s: SparkSession, d: String) => Similarity.knnJoinAuto(s, d)),
+    "x80b_semantic_auto" -> ((s: SparkSession, d: String) => Similarity.semanticDecontaminateAuto(s, d)),
     // embedding-space eval decontamination (paraphrase tier; x31 is the
     // n-gram tier) — per-train argmax vs the broadcast eval set
     "x80_semantic_decontaminate" ->
@@ -893,6 +896,12 @@ object SparkEntry {
     "e1_hourly_events" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, " +
        "round(sum(value),2) AS total_value FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
+    "e1b_stream_hourly" ->
+      // IDENTICAL oracle to e1 — the gate's point is that the STREAMING
+      // engine (file-source readStream, complete-mode state store) produces
+      // the same hashed rows the batch planner does
+      ("SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, " +
+       "round(sum(value),2) AS total_value FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
     "e6_trending_topk" ->
       ("WITH h AS (SELECT date_trunc('hour', ts) AS window_start, event_type, " +
        "count(*) AS n FROM events GROUP BY 1, 2) " +
@@ -1024,6 +1033,25 @@ object SparkEntry {
        "CAST(CASE WHEN sim >= 0.35 THEN 1 ELSE 0 END AS INT) AS contaminated, " +
        "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rn FROM s) " +
        "WHERE rn = 1 ORDER BY vec_id"),
+    "x80b_semantic_auto" ->
+      // billion-scale x80: train×eval auto-LSH bucket collisions (planes +
+      // plane count re-derived in SQL) → exact rescore → per-train argmax;
+      // trains with no colliding eval bucket keep NULL attribution and a
+      // 0 flag (CASE on a NULL sim falls to ELSE 0, mirroring coalesce)
+      (s"WITH ${autoLshCtes(32)}, " +
+       "cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS eval_id FROM coded a " +
+       "JOIN coded b ON a.t = b.t AND a.code = b.code " +
+       "WHERE a.vec_id % 17 <> 0 AND b.vec_id % 17 = 0), " +
+       "s AS (SELECT c.vec_id, c.eval_id, " +
+       s"${dotSql("x.vec", "y.vec")}/(x.norm*y.norm) AS sim FROM cand c " +
+       "JOIN nrm x ON x.vec_id = c.vec_id JOIN nrm y ON y.vec_id = c.eval_id), " +
+       "best AS (SELECT vec_id, eval_id AS top_eval_id, sim AS max_sim FROM (" +
+       "SELECT vec_id, eval_id, sim, row_number() OVER (PARTITION BY vec_id " +
+       "ORDER BY sim DESC, eval_id) AS rn FROM s) WHERE rn = 1) " +
+       "SELECT t.vec_id, b.top_eval_id, b.max_sim, " +
+       "CAST(CASE WHEN b.max_sim >= 0.35 THEN 1 ELSE 0 END AS INT) AS contaminated " +
+       "FROM (SELECT vec_id FROM nrm WHERE vec_id % 17 <> 0) t " +
+       "LEFT JOIN best b ON b.vec_id = t.vec_id ORDER BY t.vec_id"),
     "x67_hard_negatives" ->
       // x6's exact top-k with the label-exclusion predicate: negatives
       // must come from a different class than the query

@@ -709,6 +709,46 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** x80b: the BILLION-SCALE form of `semanticDecontaminate` the x80
+    * Scaladoc promises — the broadcast all-pairs probe swaps for the x55
+    * auto-LSH candidate tier (md5-derived planes, plane count from a
+    * count(*)), with the threshold applied at the exact rescore. Train and
+    * eval vectors share one coded pass; candidates are train×eval bucket
+    * collisions on short (table, code) keys — the eval side never
+    * broadcasts and the train side never expands |corpus|×|eval|, so the
+    * same query runs when BOTH sides are huge. Output contract unchanged
+    * (every train vector, argmax attribution, threshold flag) except that
+    * a train vector colliding with NO eval bucket reports NULL attribution
+    * and contaminated = 0 — the recall trade LSH makes by construction,
+    * bounded by the multi-table OR (recall pinned vs brute force in
+    * SimilaritySpec). Oracle: re-derives plane count AND matrix from its
+    * own count(*)/md5, like x5b_auto. */
+  def semanticDecontaminateAuto(spark: SparkSession, dir: String, mod: Int = 17,
+      threshold: Double = 0.35, nTables: Int = 32, dim: Int = 64): DataFrame = {
+    val (e, _) = codedEmbeddings(spark, dir, nTables, dim)
+    val coded = e.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("tbl", "code")))
+    val trainSide = coded.filter(col("vec_id") % mod =!= 0)
+    val evalSide = coded.filter(col("vec_id") % mod === 0)
+      .select(col("tbl").as("tb"), col("code").as("cb"), col("vec_id").as("eval_id"))
+    val cands = trainSide
+      .join(evalSide, col("tbl") === col("tb") && col("code") === col("cb"))
+      .select("vec_id", "eval_id").distinct()
+    val best = cands
+      .join(e.select(col("vec_id"), col("vec").as("tv"), col("norm").as("tn")), Seq("vec_id"))
+      .join(e.select(col("vec_id").as("eval_id"), col("vec").as("ev"), col("norm").as("en")),
+        Seq("eval_id"))
+      .withColumn("sim", dot(col("tv"), col("ev")) / (col("tn") * col("en")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim").as("s"), (-col("eval_id")).as("ne"))).as("m"))
+    e.filter(col("vec_id") % mod =!= 0).select("vec_id")
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), (-col("m.ne")).as("top_eval_id"),
+        col("m.s").as("max_sim"),
+        coalesce((col("m.s") >= threshold).cast("int"), lit(0)).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   /** x55_auto: the PRODUCTION form of `knnJoin` — auto-sized md5-derived
     * planes (see annPairsLshAuto), DIRECTED candidates so every vector
     * ranks its own list, exact rescore, per-vector top-k via the

@@ -81,6 +81,58 @@ object EventsStream {
       .select("window_start", "rank", "event_type", "n")
   }
 
+  /** e1b DRIVER GATE: the e1 hourly aggregation executed BY THE STREAMING
+    * ENGINE — a real file-source `readStream` over the same events parquet,
+    * run to completion (processAllAvailable) into a Complete-mode memory
+    * sink, final table returned for the driver's DuckDB hash-compare
+    * against the SAME oracle SQL as e1. This promotes the stream == batch
+    * property from a MemoryStream spec to driver-gate evidence: the
+    * streaming planner (StateStore aggregation, micro-batch scheduling,
+    * complete-mode result table) — not the batch planner — produces the
+    * hashed rows.
+    *
+    * Determinism: the file source drains ALL files before the final
+    * result is read (processAllAvailable blocks until no input remains),
+    * Complete mode re-emits the full aggregate, and the 2-dp round
+    * absorbs double-sum association-order differences exactly as e1's
+    * batch/oracle compare already does. 100 TB: this is the production
+    * backfill shape — the same streaming query that tails the live feed
+    * replays history from the lake (checkpointed state, bounded by
+    * #hours × #event-types). */
+  def hourlyAggStreamGate(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    // declare the RAW on-disk schema to the stream reader, then normalize
+    // ts exactly as Tables.events does for the batch side
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // FileStreamSource requires a DIRECTORY source path (the production
+    // shape: a landing directory files arrive into); the harness table is
+    // a single parquet FILE, so stage a symlink to it inside a temp dir —
+    // zero-copy, read-only on the original
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+    stage.toFile.deleteOnExit()
+    val link = stage.resolve("events.parquet")
+    java.nio.file.Files.createSymbolicLink(
+      link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    link.toFile.deleteOnExit()
+    val stream = spark.readStream.schema(raw.schema).parquet(stage.toString)
+    val events = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => stream
+    }
+    val agg = events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+    val name = "e1b_stream_hourly_result"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("window_start", "event_type")
+  }
+
   /** Streaming exact dedup: at-least-once sources redeliver rows, so the
     * ingest edge dedups on event_id. `dropDuplicatesWithinWatermark` keys
     * the state store on event_id but EVICTS entries once the watermark

@@ -251,6 +251,31 @@ class LlmSpec extends SparkSpec {
     assert(rows.exists(_.getInt(3) == 1) && rows.exists(_.getInt(3) == 0))
   }
 
+  test("x80b auto-LSH decontamination: exact rescore never over-reports, recall pinned") {
+    val brute = Similarity.semanticDecontaminate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+    val lsh = Similarity.semanticDecontaminateAuto(spark, sfDir).collect()
+    assert(lsh.length == brute.size, "every train vector reports, attributed or not")
+    lsh.foreach { r =>
+      val (bTop, bSim, _) = brute(r.getLong(0))
+      if (!r.isNullAt(1)) {
+        val sim = r.getDouble(2)
+        assert(sim <= bSim + 1e-12, "candidate rescore is exact: cannot exceed the brute max")
+        // when the LSH candidates contain the true argmax, attribution matches
+        if (math.abs(sim - bSim) < 1e-12) assert(r.getLong(1) == bTop)
+        assert(r.getInt(3) == (if (sim >= 0.35) 1 else 0))
+      } else assert(r.getInt(3) == 0, "bucket-less trains must not flag")
+    }
+    // the decision that matters: flags are a SUBSET of brute force (exact
+    // rescore -> no false positives) with a pinned recall floor (seeded
+    // planes + fixed corpus -> deterministic)
+    val bruteFlagged = brute.collect { case (id, (_, _, 1)) => id }.toSet
+    val lshFlagged = lsh.filter(_.getInt(3) == 1).map(_.getLong(0)).toSet
+    assert(lshFlagged.subsetOf(bruteFlagged), "no false contamination flags")
+    assert(bruteFlagged.nonEmpty && lshFlagged.size.toDouble / bruteFlagged.size >= 0.5,
+      s"x80b recall regressed: ${lshFlagged.size}/${bruteFlagged.size}")
+  }
+
   test("bigram LM score: valid ppm range, corpus-complete, repeats score higher than rarities") {
     val lm = TextStats.bigramLmScore(spark, sfDir).cache()
     // conditional probability ppm is in (0, 1e6]: every bigram was seen at
