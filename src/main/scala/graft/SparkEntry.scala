@@ -135,6 +135,7 @@ object SparkEntry {
     "x17_dedup_clusters" -> ((s: SparkSession, d: String) => DocDedup.dedupClustersGate(s, d)),
     "x75_leak_safe_split" -> (DocDedup.leakSafeSplit _),
     "x82_frozen_split" -> ((s: SparkSession, d: String) => DocDedup.frozenSplitGate(s, d)),
+    "x83_incremental_cc" -> ((s: SparkSession, d: String) => DocDedup.incrementalClustersGate(s, d)),
     "x66_dedup_stats" -> ((s: SparkSession, d: String) => DocDedup.dedupStats(s, d)),
     "x69_source_overlap" -> ((s: SparkSession, d: String) => DocDedup.sourceOverlap(s, d)),
     "x68_snapshot_diff" -> ((s: SparkSession, d: String) => graft.llm.Curation.snapshotDiff(s, d)),
@@ -290,6 +291,8 @@ object SparkEntry {
     "x29_quantize_int8" -> ((s: SparkSession, d: String) => Similarity.quantizeInt8(s, d)),
     "x7_lang_id" -> (TextStats.langId _),
     "x8_quality_score" -> (TextStats.qualityScore _),
+    "x85_quality_quantile_norm" ->
+      ((s: SparkSession, d: String) => Curation.qualityQuantileNormalize(s, d)),
     "x9_token_count" -> (TextStats.tokenCount _),
     "x56_bigram_lm" -> (TextStats.bigramLmScore _),
     "x57_classifier_margin" -> ((s: SparkSession, d: String) => TextStats.classifierMargin(s, d)),
@@ -309,6 +312,7 @@ object SparkEntry {
     "m5_caption_filter" -> ((s: SparkSession, d: String) => Multimodal.captionFilter(s, d)),
     "x25_pair_counts" -> ((s: SparkSession, d: String) => TextStats.pairCounts(s, d)),
     "x26_kmeans_iter" -> ((s: SparkSession, d: String) => graft.llm.Clustering.lloydIter(s, d)),
+    "x84_kcenter_coreset" -> ((s: SparkSession, d: String) => graft.llm.Clustering.kcenterCoreset(s, d)),
     "x26b_kmeans_assign" -> ((s: SparkSession, d: String) => graft.llm.Clustering.assign(s, d)),
     "x27_source_quota" -> ((s: SparkSession, d: String) => TextStats.sourceQuota(s, d)),
     "x28_repetition" -> ((s: SparkSession, d: String) => TextStats.repetitionStats(s, d)),
@@ -586,6 +590,25 @@ object SparkEntry {
        "UNION SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node) " +
        "SELECT node AS doc_id, min(lab) AS cluster_id FROM reach " +
        "GROUP BY node ORDER BY doc_id"),
+    "x83_incremental_cc" ->
+      // incremental refresh ≡ full recompute: the oracle ignores the
+      // prior-label/new-edge split entirely and derives reachability over
+      // the FULL pair set, plus self-labels for old-snapshot singletons
+      // (doc_id % 10 <> 0 docs in no pair) — exactly the node set the
+      // incremental path must cover
+      (s"WITH RECURSIVE pairs AS ($x15PairsSql), " +
+       "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+       "UNION ALL SELECT id_b, id_a FROM pairs), " +
+       "reach(node, lab) AS (SELECT src, src FROM (SELECT DISTINCT src FROM e) " +
+       "UNION SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node), " +
+       "cl AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node), " +
+       // explicit DISTINCT over UNION ALL: inside a WITH RECURSIVE list
+       // DuckDB does not set-dedupe a plain UNION in a non-recursive CTE
+       "nodes AS (SELECT DISTINCT doc_id FROM (SELECT doc_id FROM documents " +
+       "WHERE doc_id % 10 <> 0 " +
+       "UNION ALL SELECT id_a FROM pairs UNION ALL SELECT id_b FROM pairs)) " +
+       "SELECT n.doc_id, COALESCE(cl.cluster_id, n.doc_id) AS cluster_id " +
+       "FROM nodes n LEFT JOIN cl ON cl.node = n.doc_id ORDER BY doc_id"),
     "x75_leak_safe_split" ->
       // group = x17 component label (min doc_id) for clustered docs, own
       // id for singletons; split coin = first md5 byte of the GROUP id,
@@ -1190,6 +1213,18 @@ object SparkEntry {
        s"greatest(${markerSql("en")}, ${markerSql("de")}, ${markerSql("fr")}, ${markerSql("es")}) AS best " +
        "FROM documents) ORDER BY doc_id"),
     "x8_quality_score" -> (x8QualitySql + " ORDER BY doc_id"),
+    "x85_quality_quantile_norm" ->
+      // per-source percent_rank of the x8 quality score (DuckDB's
+      // percent_rank = (rank-1)/(n-1), ties share min rank — identical to
+      // the Spark side's n_less/(n_src-1) over the grouped CDF table);
+      // keep = not in the source's own bottom 20%
+      (s"WITH q AS ($x8QualitySql), " +
+       "s AS (SELECT q.doc_id, d.source, q.quality_score FROM q " +
+       "JOIN documents d ON d.doc_id = q.doc_id), " +
+       "p AS (SELECT doc_id, source, quality_score, " +
+       "percent_rank() OVER (PARTITION BY source ORDER BY quality_score) AS pct FROM s) " +
+       "SELECT doc_id, source, quality_score, pct, " +
+       "CAST(pct >= 0.2 AS INT) AS keep FROM p ORDER BY doc_id"),
     "x9_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens_ws, " +
        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_tokens_bpe " +
@@ -1364,6 +1399,7 @@ object SparkEntry {
        "FROM asg, range(1, 65) r(i) GROUP BY 1, 2 ORDER BY cluster_id, dim_idx"),
     "x26b_kmeans_assign" ->
       (s"WITH $kmeansAssignCte SELECT vec_id, cell_id AS cluster_id FROM asg ORDER BY vec_id"),
+    "x84_kcenter_coreset" -> (s"${kcenterSql(8)} ORDER BY rank"),
     "x27_source_quota" ->
       ("WITH r AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source " +
        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk FROM documents) " +
@@ -2048,6 +2084,31 @@ object SparkEntry {
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), t -> t[1]*t[2]))"
+
+  /** k-center greedy CTE chain (x84): the k-round farthest-point traversal
+    * unrolled as chained CTEs — step i computes every remaining vector's
+    * min squared-L2 distance to the i−1 chosen (the same list fold shape
+    * as the k-means oracle, bit-exact vs Clustering.dist2) and picks the
+    * max, ties to the smaller vec_id. */
+  private def kcenterSql(k: Int): String = {
+    def d2(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), t -> (t[1]-t[2])*(t[1]-t[2])))"
+    val ctes = new StringBuilder(
+      "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings), " +
+      "c1 AS (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT 1), " +
+      "s1 AS (SELECT vec_id, vec FROM c1)")
+    for (i <- 2 to k) {
+      ctes ++= (s", d$i AS (SELECT v.vec_id, v.vec, min(${d2("v.vec", "s.vec")}) AS md " +
+        s"FROM v, s${i - 1} s WHERE v.vec_id NOT IN (SELECT vec_id FROM s${i - 1}) " +
+        "GROUP BY v.vec_id, v.vec)")
+      ctes ++= s", c$i AS (SELECT vec_id, vec, md FROM d$i ORDER BY md DESC, vec_id LIMIT 1)"
+      ctes ++= s", s$i AS (SELECT vec_id, vec FROM s${i - 1} UNION ALL SELECT vec_id, vec FROM c$i)"
+    }
+    val sel = (Seq("SELECT CAST(1 AS INT) AS rank, vec_id, CAST(NULL AS DOUBLE) AS min_dist FROM c1") ++
+      (2 to k).map(i => s"SELECT CAST($i AS INT) AS rank, vec_id, md AS min_dist FROM c$i"))
+      .mkString(" UNION ALL ")
+    s"WITH ${ctes.toString} $sel"
+  }
 
   /** Shared CTE prefix for the DERIVED-PARAMETER LSH oracles
     * (x5b_auto/x55_auto): DuckDB re-derives the plane count from its own

@@ -80,4 +80,41 @@ object Clustering {
     assigned(spark, dir, k)
       .select(col("vec_id"), col("cell_id").as("cluster_id"))
       .orderBy("vec_id")
+
+  /** x84: k-CENTER GREEDY coreset selection (farthest-point traversal,
+    * Gonzalez 1985 — the classic 2-approximation to the k-center
+    * objective, and the standard diversity/coreset sampler for training
+    * data: pick the k most mutually-distant examples so a small budget
+    * covers the embedding space instead of oversampling its densest
+    * mode). Deterministic: seed = min vec_id; each step adds the vector
+    * maximizing its min squared-L2 distance to the chosen set, ties to
+    * the smaller vec_id.
+    *
+    * Scale shape: the greedy state is the chosen set itself — ≤ k×dim
+    * doubles, driver-sized at ANY corpus size (the same contract as the
+    * k-means seeds above) — folded into the plan as literals, so each of
+    * the k rounds is a pure MAP (min-dist over ≤ k literal centers) plus
+    * a TakeOrdered(1) reduction: no join, no window, no slow-growing
+    * shuffle, k passes total. min_dist is the exact double at selection
+    * time (NULL for the seed); cross-engine bit-equality of the fold is
+    * the proven dist2/dotSql precedent. */
+  def kcenterCoreset(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    require(k > 0, s"k-center needs k > 0, got $k")
+    val v = vecs(spark, dir)
+    val seed = v.orderBy("vec_id").limit(1).collect().head
+    var chosen = Vector((seed.getLong(0), seed.getSeq[Double](1)))
+    var out = Vector[(Int, Long, Option[Double])]((1, seed.getLong(0), None))
+    for (rank <- 2 to k) {
+      val cvecs = array(chosen.map { case (_, cv) => typedlit(cv) }: _*)
+      val md = array_min(transform(cvecs, cv => dist2(col("vec"), cv)))
+      val next = v.filter(!col("vec_id").isin(chosen.map(_._1): _*))
+        .withColumn("md", md)
+        .orderBy(desc("md"), col("vec_id")).limit(1)
+        .collect().head
+      chosen :+= ((next.getLong(0), next.getSeq[Double](1)))
+      out :+= ((rank, next.getLong(0), Some(next.getDouble(2))))
+    }
+    import spark.implicits._
+    out.toDF("rank", "vec_id", "min_dist").orderBy("rank")
+  }
 }

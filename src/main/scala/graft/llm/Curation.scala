@@ -822,6 +822,44 @@ object Curation {
     snapshotDiffOf(oldV, newV)
   }
 
+  /** x85: CROSS-SOURCE QUALITY QUANTILE NORMALIZATION — the fairness fix
+    * a multi-source corpus needs before any global quality threshold: raw
+    * x8 scores from different sources live on different distributions
+    * (a forum crawl's median ≠ an encyclopedia's), so one absolute cutoff
+    * silently biases the mix toward whichever source scores high. The
+    * normalized value is the per-source percent_rank CDF position
+    * (ties share the min rank, Spark/SQL percent_rank semantics), and the
+    * keep flag drops each source's own bottom `dropFrac` — every source
+    * loses the same fraction regardless of its raw-score location.
+    *
+    * Scale shape: NOT a window over the corpus. Rows group to the
+    * DISTINCT (source, score) table first (heavily tied by construction —
+    * scores are bounded ratio arithmetic), the running `n_less` CDF runs
+    * over THAT table, and the corpus-width step is a plain equi-join back
+    * on (source, score). At 100 TB the same plan holds with scores
+    * quantized to ppm (the x-family integer idiom) to hard-bound the CDF
+    * table; here scores stay raw so the oracle's percent_rank() matches
+    * bit-for-bit: pct = n_less/(n_src−1), both exact longs, one exact
+    * division — the cross-engine double contract. */
+  def qualityQuantileNormalize(spark: SparkSession, dir: String,
+      dropFrac: Double = 0.2): DataFrame = {
+    val scored = TextStats.qualityScore(spark, dir)
+      .select("doc_id", "quality_score")
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+    val grp = scored.groupBy("source", "quality_score").agg(count(lit(1)).as("n"))
+    val byScore = Window.partitionBy("source").orderBy("quality_score")
+    val cdf = grp
+      .withColumn("n_less", coalesce(
+        sum("n").over(byScore.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_src", sum("n").over(Window.partitionBy("source")))
+    scored.join(cdf, Seq("source", "quality_score"))
+      .withColumn("pct", when(col("n_src") === 1, lit(0.0))
+        .otherwise(col("n_less").cast("double") / (col("n_src") - 1).cast("double")))
+      .select(col("doc_id"), col("source"), col("quality_score"), col("pct"),
+        (col("pct") >= dropFrac).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** The diff construction over arbitrary (doc_id, text) snapshot frames. */
   def snapshotDiffOf(oldV: DataFrame, newV: DataFrame): DataFrame = {
     val o = oldV.select(col("doc_id").as("o_id"),

@@ -591,6 +591,60 @@ object DocDedup {
   def dedupClustersGate(spark: SparkSession, dir: String): DataFrame =
     dedupClusters(ngramJaccardPairs(spark, dir).drop("jaccard"))
 
+  /** x83: INCREMENTAL connected components — the daily-refresh path that
+    * pairs with the x82 frozen split. Yesterday's labels are persisted;
+    * today's crawl contributes only NEW edges (pairs touching a new doc,
+    * from the incremental x35 candidate path). Rather than re-running CC
+    * over the full corpus graph, the prior labels ARE re-usable structure:
+    * a label table (doc_id → cluster_id) is exactly a star forest — the
+    * converged output of large-star/small-star — so feeding (prior stars ∪
+    * new edges) back through `dedupClusters` converges in rounds
+    * proportional to how much the NEW edges entangle components, not to
+    * the size or shape of the historical graph. The edge volume is
+    * |prior docs| + |new edges| (one short edge per historical doc — the
+    * same order as reading the label artifact at all), every shuffle key
+    * is a long, and the result is CONTRACTUALLY equal to a full recompute
+    * over the union graph: stars preserve connectivity, so
+    * CC(stars(G_old) ∪ E_new) = CC(G_old ∪ E_new). Output covers every
+    * prior doc (singletons keep self-labels) plus every endpoint of a new
+    * edge; labels are component minima over ALL doc ids, old and new. */
+  def incrementalClusters(priorLabels: DataFrame, newEdges: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val priorEdges = priorLabels.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("id_a"), col("cluster_id").as("id_b"))
+    val merged =
+      dedupClusters(priorEdges.unionByName(newEdges.select("id_a", "id_b")), maxIters)
+    val nodes = priorLabels.select("doc_id")
+      .unionByName(newEdges.select(col("id_a").as("doc_id")))
+      .unionByName(newEdges.select(col("id_b").as("doc_id"))).distinct()
+    nodes.join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** x83 gate: deterministic two-snapshot refresh over the REAL x15
+    * near-dup pipeline. Old snapshot = doc_id % 10 ≠ 0 (~90% of the
+    * corpus); prior labels = CC over pairs internal to the old snapshot
+    * (old singletons self-labeled — the persisted artifact shape); new
+    * edges = every pair touching a new doc. The oracle does NOT mirror
+    * the incremental mechanics — it hash-checks the CONTRACT, recursive-
+    * CTE reachability over the FULL pair set (+ old singletons), i.e.
+    * incremental refresh ≡ full recompute. One checkpoint on the pairs:
+    * prior-CC and new-edge filters both consume them, and without the
+    * barrier the whole LSH pipeline would run twice. */
+  def incrementalClustersGate(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir).drop("jaccard").localCheckpoint()
+    val oldPairs = pairs.filter(col("id_a") % 10 =!= 0 && col("id_b") % 10 =!= 0)
+    val oldDocs = Tables.documents(spark, dir).select("doc_id")
+      .filter(col("doc_id") % 10 =!= 0)
+    val prior = oldDocs.join(dedupClusters(oldPairs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val newEdges = pairs.filter(col("id_a") % 10 === 0 || col("id_b") % 10 === 0)
+    incrementalClusters(prior, newEdges)
+  }
+
   /** The x17 labels as a materialize-once ARTIFACT (Tables.materializeOnce):
     * six queries consume the component labels (x30 apply, x61 best-of-
     * cluster, x66 stats, x75 split, plus compositions) and re-running the

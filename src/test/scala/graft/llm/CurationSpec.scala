@@ -464,4 +464,29 @@ class CurationSpec extends SparkSpec {
     gate.filter(_._2 > 0).foreach { case (id, mx, np) =>
       assert(np >= mx - 7, s"doc $id: run length ${mx - 7} exceeds dup position count $np") }
   }
+
+  test("quality quantile normalization: matches built-in percent_rank; every source drops its own bottom slice") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Curation.qualityQuantileNormalize(spark, sfDir).cache()
+    // independent plan: Spark's own percent_rank over the RAW rows (a
+    // corpus-wide window, the shape the grouped-CDF form avoids) must
+    // agree bit-for-bit on every pct
+    val raw = TextStats.qualityScore(spark, sfDir).select("doc_id", "quality_score")
+      .join(graft.Tables.documents(spark, sfDir).select("doc_id", "source"), "doc_id")
+      .withColumn("pct_w", percent_rank().over(
+        Window.partitionBy("source").orderBy("quality_score")))
+    assert(out.join(raw.select("doc_id", "pct_w"), "doc_id")
+      .filter(col("pct") =!= col("pct_w")).count() == 0,
+      "grouped-CDF pct diverged from percent_rank")
+    // keep flag = pct >= 0.2, and every source retains ~top 80% (ties at
+    // the cut keep, so the kept fraction is >= 0.8 minus one tie class)
+    assert(out.filter((col("pct") >= 0.2) =!= (col("keep") === 1)).count() == 0)
+    val bySrc = out.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("keep").as("k")).collect()
+    bySrc.foreach { r =>
+      val frac = r.getLong(2).toDouble / r.getLong(1)
+      assert(frac >= 0.75 && frac <= 1.0, s"source ${r.getString(0)} kept $frac")
+    }
+    out.unpersist()
+  }
 }

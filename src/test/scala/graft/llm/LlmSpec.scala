@@ -560,6 +560,62 @@ class LlmSpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("incremental CC: refresh over prior stars equals full recompute; merges relabel; singletons survive") {
+    import spark.implicits._
+    // prior artifact: components {1,2,3} and {10,11} (star-form labels) +
+    // singletons 20, 30; refresh edges BRIDGE the two components via new
+    // doc 50, attach 51 to singleton 20, and introduce isolated pair 60-61
+    val prior = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (30L, 30L)).toDF("doc_id", "cluster_id")
+    val newEdges = Seq((11L, 50L), (50L, 3L), (51L, 20L), (60L, 61L))
+      .toDF("id_a", "id_b")
+    val got = DocDedup.incrementalClusters(prior, newEdges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      50L -> 1L, 20L -> 20L, 51L -> 20L, 30L -> 30L, 60L -> 60L, 61L -> 60L)
+    assert(got == want, s"incremental merge wrong: $got")
+    // the CONTRACT on the real pipeline: gate output == full recompute
+    // over the complete pair set (+ old-snapshot singletons)
+    val pairs = DocDedup.ngramJaccardPairs(spark, sfDir).drop("jaccard")
+      .localCheckpoint()
+    val full = graft.Tables.documents(spark, sfDir).select("doc_id")
+      .filter(col("doc_id") % 10 =!= 0)
+      .unionByName(pairs.select(col("id_a").as("doc_id")))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+      .join(DocDedup.dedupClusters(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val inc = DocDedup.incrementalClustersGate(spark, sfDir)
+    assert(inc.exceptAll(full).count() == 0 && full.exceptAll(inc).count() == 0,
+      "incremental refresh diverged from full recompute")
+  }
+
+  test("k-center coreset: matches scalar greedy recompute; selection radius non-increasing") {
+    val got = Clustering.kcenterCoreset(spark, sfDir, k = 6).collect()
+      .map(r => (r.getInt(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // brute force on the collected vectors (corpus is test-sized)
+    val vs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    var chosen = Vector(vs.head)
+    var want = Vector((1, vs.head._1, None: Option[Double]))
+    for (rank <- 2 to 6) {
+      val cand = vs.filter(v => !chosen.exists(_._1 == v._1))
+        .map { case (id, vec) => (id, vec, chosen.map(c => d2(vec, c._2)).min) }
+      val best = cand.minBy { case (id, _, md) => (-md, id) }
+      chosen :+= ((best._1, best._2)); want :+= ((rank, best._1, Some(best._3)))
+    }
+    assert(got.map(t => (t._1, t._2)).toSeq == want.map(t => (t._1, t._2)).toSeq,
+      s"greedy selection diverged: ${got.toSeq} vs ${want.toSeq}")
+    // classic farthest-point property: the selection radius never grows
+    val ds = got.flatMap(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => b <= a + 1e-12 },
+      s"selection radius increased: ${ds.toSeq}")
+  }
+
   test("dedup clusters: star alternation matches brute-force components on a scrambled graph") {
     import spark.implicits._
     // adversarial shapes in one fixture: a deep path given in REVERSED id
