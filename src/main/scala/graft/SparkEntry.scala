@@ -206,6 +206,10 @@ object SparkEntry {
         .orderBy("window_start", "event_type")),
     "e1b_stream_hourly" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.hourlyAggStreamGate(s, d)),
+    "e7_stream_sliding" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventsStream.slidingAggStreamGate(s, d)),
+    "e8_stream_dedup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventsStream.dedupStreamGate(s, d)),
     "e2_sessionize" -> ((s: SparkSession, d: String) => Funcs.sessionizeEvents(s, d)),
     "e6_trending_topk" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.trendingTopK(
@@ -925,6 +929,19 @@ object SparkEntry {
       // the same hashed rows the batch planner does
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, " +
        "round(sum(value),2) AS total_value FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"),
+    "e7_stream_sliding" ->
+      // sliding window(2h, 1h): every event belongs to the window starting
+      // at trunc(ts) AND the one starting an hour earlier — a 2-row
+      // UNION ALL per event, then the e1 aggregate; window_end = start+2h
+      ("WITH w AS (SELECT date_trunc('hour', ts) AS window_start, event_type, value FROM events " +
+       "UNION ALL SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events) " +
+       "SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end, event_type, " +
+       "count(*) AS n, round(sum(value), 2) AS total_value " +
+       "FROM w GROUP BY 1, 3 ORDER BY window_start, event_type"),
+    "e8_stream_dedup" ->
+      // the staged stream redelivers the whole table twice; state-store
+      // dedup on event_id must reduce it back to exactly the events table
+      ("SELECT event_id, ts, user_id, event_type, value FROM events ORDER BY event_id"),
     "e6_trending_topk" ->
       ("WITH h AS (SELECT date_trunc('hour', ts) AS window_start, event_type, " +
        "count(*) AS n FROM events GROUP BY 1, 2) " +

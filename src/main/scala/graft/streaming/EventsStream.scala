@@ -101,36 +101,90 @@ object EventsStream {
     * #hours × #event-types). */
   def hourlyAggStreamGate(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
-    // declare the RAW on-disk schema to the stream reader, then normalize
-    // ts exactly as Tables.events does for the batch side
+    val agg = eventsStream(spark, dir, copies = 1)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+    runToMemory(spark, agg, "e1b_stream_hourly_result", OutputMode.Complete())
+      .orderBy("window_start", "event_type")
+  }
+
+  /** e7 DRIVER GATE: SLIDING-window aggregation by the streaming engine —
+    * `window(ts, 2 hours, 1 hour)`, so every event lands in TWO
+    * overlapping state rows and the StateStore path being exercised is
+    * the multi-assignment windowing one (Expand → stateful agg), not a
+    * plain group-by relabel. Complete mode + processAllAvailable as in
+    * e1b. Oracle: each event contributes to the windows starting at
+    * trunc(ts) and trunc(ts) − 1h — a 2-row UNION ALL per event, then the
+    * same count/round(sum) aggregate. */
+  def slidingAggStreamGate(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir, copies = 1)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("n"), col("total_value"))
+    runToMemory(spark, agg, "e7_stream_sliding_result", OutputMode.Complete())
+      .orderBy("window_start", "event_type")
+  }
+
+  /** e8 DRIVER GATE: at-least-once REDELIVERY dedup by the streaming
+    * engine — the staged source directory holds TWO links to the same
+    * events file (a redelivered batch, byte-identical rows), the stream
+    * dedups on event_id in Append mode, and the memory sink must hold
+    * each event exactly once. The oracle is simply the events table: if
+    * the state-store dedup ever under- or over-suppresses, the row count
+    * or hash diverges. (The production form is
+    * `dropDuplicatesWithinWatermark` — bounded state — spec-tested in
+    * StreamingSpec; the gate uses the unbounded variant because the
+    * redelivery here spans the whole replayed history, and the gate's
+    * point is the STATE-STORE dedup path, not the eviction policy.) */
+  def dedupStreamGate(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val deduped = eventsStream(spark, dir, copies = 2)
+      .dropDuplicates("event_id")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    runToMemory(spark, deduped, "e8_stream_dedup_result", OutputMode.Append())
+      .orderBy("event_id")
+  }
+
+  /** Shared staging for the streaming driver gates: FileStreamSource
+    * requires a DIRECTORY source path (the production shape: a landing
+    * directory files arrive into); the harness table is a single parquet
+    * FILE, so stage `copies` symlink(s) to it inside a temp dir —
+    * zero-copy, read-only on the original. copies > 1 simulates
+    * at-least-once redelivery of the identical batch. ts is normalized
+    * exactly as Tables.events does for the batch side. */
+  private def eventsStream(spark: org.apache.spark.sql.SparkSession,
+      dir: String, copies: Int): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    // FileStreamSource requires a DIRECTORY source path (the production
-    // shape: a landing directory files arrive into); the harness table is
-    // a single parquet FILE, so stage a symlink to it inside a temp dir —
-    // zero-copy, read-only on the original
     val stage = java.nio.file.Files.createTempDirectory("graft_stream_src_")
     stage.toFile.deleteOnExit()
-    val link = stage.resolve("events.parquet")
-    java.nio.file.Files.createSymbolicLink(
-      link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-    link.toFile.deleteOnExit()
+    for (i <- 1 to copies) {
+      val link = stage.resolve(s"events_$i.parquet")
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      link.toFile.deleteOnExit()
+    }
     val stream = spark.readStream.schema(raw.schema).parquet(stage.toString)
-    val events = raw.schema("ts").dataType match {
+    raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         stream.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => stream
     }
-    val agg = events
-      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
-    val name = "e1b_stream_hourly_result"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
+  }
+
+  /** Run a streaming frame to completion into a memory sink and return
+    * the drained result table. */
+  private def runToMemory(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name).orderBy("window_start", "event_type")
+    spark.table(name)
   }
 
   /** Streaming exact dedup: at-least-once sources redeliver rows, so the

@@ -269,4 +269,34 @@ class StreamingSpec extends SparkSpec {
     batchDocs.map(_._1).filter(_ % 7 != 0)
       .foreach(id => assert(streamed(id) == x73(id), s"probe vs x73 disagree on doc $id"))
   }
+
+  test("sliding-window and redelivery-dedup driver gates: streaming engine equals batch semantics") {
+    val nEvents = graft.Tables.events(spark, sfDir).count()
+    // e7: window(2h, 1h) — every event lands in exactly two windows, so
+    // the n column totals 2× the corpus, and every window spans 2 hours
+    val sliding = EventsStream.slidingAggStreamGate(spark, sfDir).cache()
+    assert(sliding.agg(sum("n")).head().getLong(0) == 2 * nEvents)
+    assert(sliding.filter(
+      col("window_end") =!= col("window_start") + expr("INTERVAL 2 HOURS")).count() == 0)
+    // consecutive window overlap: a batch recompute of the tumbling e1
+    // aggregate must equal the sliding rows summed... cheaper invariant:
+    // each tumbling hour h contributes to windows h-1h and h, so the
+    // sliding n for window h = tumbling n(h) + tumbling n(h+1)
+    val tumbling = graft.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("tn"))
+    val joined = sliding
+      .join(tumbling.select(col("h").as("window_start"), col("event_type"),
+        col("tn").as("tn1")), Seq("window_start", "event_type"), "left")
+      .join(tumbling.select((col("h") - expr("INTERVAL 1 HOUR")).as("window_start"),
+        col("event_type"), col("tn").as("tn2")), Seq("window_start", "event_type"), "left")
+    assert(joined.filter(col("n") =!=
+      coalesce(col("tn1"), lit(0L)) + coalesce(col("tn2"), lit(0L))).count() == 0,
+      "sliding window counts must decompose into the two covered tumbling hours")
+    sliding.unpersist()
+    // e8: double-delivered input, state-store dedup restores exactly the table
+    val deduped = EventsStream.dedupStreamGate(spark, sfDir)
+    assert(deduped.count() == nEvents)
+    assert(deduped.select("event_id").distinct().count() == nEvents)
+  }
 }
