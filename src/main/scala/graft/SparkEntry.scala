@@ -348,6 +348,8 @@ object SparkEntry {
     "x43_column_profile" -> ((s: SparkSession, d: String) => Profiling.columnProfile(s, d)),
     "x44_resample_ffill" -> ((s: SparkSession, d: String) => TimeSeries.resampleFfill(s, d)),
     "x45_pagerank" -> ((s: SparkSession, d: String) => graft.graph.PageRank.nationRank(s, d)),
+    "x86_triangle_stats" -> ((s: SparkSession, d: String) => graft.graph.Triangles.neardupTriangles(s, d)),
+    "x87_distinct_ngrams" -> ((s: SparkSession, d: String) => TextStats.distinctNgrams(s, d)),
     "x46_mixture_epochs" -> ((s: SparkSession, d: String) => Curation.mixtureEpochs(s, d)),
     "x47_bm25_rank" -> ((s: SparkSession, d: String) => Retrieval.bm25Rank(s, d)),
     "x49_fuzzy_join" -> ((s: SparkSession, d: String) => Dedup.fuzzyNameJoin(s, d)),
@@ -613,6 +615,39 @@ object SparkEntry {
        "UNION ALL SELECT id_a FROM pairs UNION ALL SELECT id_b FROM pairs)) " +
        "SELECT n.doc_id, COALESCE(cl.cluster_id, n.doc_id) AS cluster_id " +
        "FROM nodes n LEFT JOIN cl ON cl.node = n.doc_id ORDER BY doc_id"),
+    "x86_triangle_stats" ->
+      // triangle recount with plain id-ordering (orientation-independent):
+      // wedge at the minimal id (b > a, c > b), closed by the (b, c) edge;
+      // per-node membership via a 3-way UNION ALL; coeff = 2T/(d(d-1))
+      (s"WITH pairs AS ($x15PairsSql), " +
+       "e AS (SELECT id_a, id_b FROM pairs), " +
+       "deg AS (SELECT v, count(*) AS degree FROM (SELECT id_a AS v FROM e " +
+       "UNION ALL SELECT id_b FROM e) GROUP BY v), " +
+       "tri AS (SELECT x.id_a AS a, x.id_b AS b, y.id_b AS c FROM e x " +
+       "JOIN e y ON y.id_a = x.id_a AND y.id_b > x.id_b " +
+       "JOIN e z ON z.id_a = x.id_b AND z.id_b = y.id_b), " +
+       "tn AS (SELECT v, count(*) AS n_triangles FROM (SELECT a AS v FROM tri " +
+       "UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) GROUP BY v) " +
+       "SELECT deg.v AS doc_id, deg.degree, " +
+       "COALESCE(tn.n_triangles, 0) AS n_triangles, " +
+       "CASE WHEN deg.degree >= 2 THEN 2.0 * COALESCE(tn.n_triangles, 0) / " +
+       "(deg.degree * (deg.degree - 1)) ELSE 0.0 END AS clustering_coeff " +
+       "FROM deg LEFT JOIN tn ON tn.v = deg.v ORDER BY doc_id"),
+    "x87_distinct_ngrams" ->
+      ("WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents), " +
+       "u AS (SELECT source, unnest(t) AS g FROM tok), " +
+       "us AS (SELECT source, count(*) AS n_tokens, " +
+       "count(DISTINCT g) AS n_distinct_tokens FROM u GROUP BY source), " +
+       "sgl AS (SELECT source, unnest(CASE WHEN len(t) >= 3 THEN " +
+       "list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
+       "ELSE [array_to_string(t, ' ')] END) AS g FROM tok), " +
+       "ss AS (SELECT source, count(*) AS n_shingles, " +
+       "count(DISTINCT g) AS n_distinct_shingles FROM sgl GROUP BY source) " +
+       "SELECT us.source, n_tokens, n_distinct_tokens, " +
+       "CAST(n_distinct_tokens AS DOUBLE)/n_tokens AS distinct1_ratio, " +
+       "n_shingles, n_distinct_shingles, " +
+       "CAST(n_distinct_shingles AS DOUBLE)/n_shingles AS distinct3_ratio " +
+       "FROM us JOIN ss ON ss.source = us.source ORDER BY us.source"),
     "x75_leak_safe_split" ->
       // group = x17 component label (min doc_id) for clustered docs, own
       // id for singletons; split coin = first md5 byte of the GROUP id,

@@ -607,6 +607,40 @@ object TextStats {
     aggregate(toks, lit(0L), (acc, tok) => acc + weight(bucket(tok)))
   }
 
+  /** x87: per-source DISTINCT-N diversity report — the corpus-level
+    * complement of x28's per-doc repetition: distinct-1 (token) and
+    * distinct-3 (shingle) ratios per source, the standard diversity
+    * metric for spotting a source whose documents repeat each other
+    * (template farms, boilerplate mirrors, synthetic-data mode collapse)
+    * even when every individual document looks fine. A ratio near 1 means
+    * nearly every n-gram in the source is unique; near 0 means the source
+    * is recycling the same material.
+    *
+    * Scale: two explode→aggregate passes over one checkpointed token
+    * scan. The exact distinct counts are two-level hash aggregates
+    * (partial distinct per partition, then per-source) — the shuffle
+    * carries the DISTINCT (source, gram) pairs, not the corpus; at lake
+    * scale the a21 idiom applies (swap count_distinct for
+    * approx_count_distinct's HLL sketch, mergeable and bounded). Ratios
+    * are exact-long divisions — cross-engine bit-safe. */
+  def distinctNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .localCheckpoint(eager = false)
+    val uni = docs.select(col("source"), explode(col("t")).as("g"))
+      .groupBy("source").agg(count(lit(1)).as("n_tokens"),
+        countDistinct("g").as("n_distinct_tokens"))
+    val tri = docs.select(col("source"), explode(DocDedup.shingles(col("t"))).as("g"))
+      .groupBy("source").agg(count(lit(1)).as("n_shingles"),
+        countDistinct("g").as("n_distinct_shingles"))
+    uni.join(tri, "source")
+      .select(col("source"), col("n_tokens"), col("n_distinct_tokens"),
+        (col("n_distinct_tokens").cast("double") / col("n_tokens")).as("distinct1_ratio"),
+        col("n_shingles"), col("n_distinct_shingles"),
+        (col("n_distinct_shingles").cast("double") / col("n_shingles")).as("distinct3_ratio"))
+      .orderBy("source")
+  }
+
   /** Library form over any (doc_id, text) frame. */
   def classifierMarginDocs(docs: DataFrame, dim: Int = 256): DataFrame = {
     val toks = split(col("text"), " ")

@@ -125,4 +125,43 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty, "fixture must produce fuzzy matches")
   }
+
+  test("triangle stats: degree-ordered count matches brute force on known shapes; corpus invariants hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // K4 clique (1-4): every node deg 3, 3 triangles, coeff 1.0; a path
+    // 10-11-12-13: zero triangles, coeff 0; a hub 20 with leaves 21-23
+    // plus one closed pair (21, 22): exactly one triangle at 20,21,22
+    val edges = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)) ++
+      Seq((10L, 11L), (11L, 12L), (12L, 13L)) ++
+      Seq((20L, 21L), (20L, 22L), (20L, 23L), (21L, 22L))
+    val got = graft.graph.Triangles.triangleStats(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    (1L to 4L).foreach(v => assert(got(v) == ((3L, 3L, 1.0)), s"K4 node $v: ${got(v)}"))
+    assert(got(10L) == ((1L, 0L, 0.0)) && got(11L) == ((2L, 0L, 0.0)))
+    assert(got(20L) == ((3L, 1L, 1.0 * 2 / 6)) && got(21L) == ((2L, 1L, 1.0)))
+    assert(got(23L) == ((1L, 0L, 0.0)))
+    // corpus gate: every triangle contributes 3 memberships; coeff bounded
+    val corpus = graft.graph.Triangles.neardupTriangles(spark, sfDir).cache()
+    assert(corpus.agg(sum("n_triangles")).head().getLong(0) % 3 == 0)
+    assert(corpus.filter(col("clustering_coeff") < 0 || col("clustering_coeff") > 1).count() == 0)
+    corpus.unpersist()
+  }
+
+  test("distinct-ngram diversity: scalar recompute per source; ratios bounded") {
+    import org.apache.spark.sql.functions._
+    val got = graft.llm.TextStats.distinctNgrams(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    // scalar recompute over the collected corpus (test-sized)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val toks = rows.map(_._2.split(" ").toSeq)
+      val shingles = toks.flatMap(t =>
+        if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSeq else Seq(t.mkString(" ")))
+      val want = (toks.map(_.length.toLong).sum, toks.flatten.distinct.length.toLong,
+        shingles.length.toLong, shingles.distinct.length.toLong)
+      assert(got(src) == want, s"source $src: ${got(src)} vs $want")
+    }
+  }
 }
