@@ -264,6 +264,7 @@ object SparkEntry {
     // between the same two mirrored witness branches
     "x4e_auto_md5" -> ((s: SparkSession, d: String) => DocDedup.simhashPairsAutoMd5(s, d)),
     "x5_embed_neardup" -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
+    "x88_matryoshka" -> ((s: SparkSession, d: String) => Similarity.matryoshkaFidelity(s, d)),
     // the SCALE path for embedding near-dup: LSH-bucketed candidates, no
     // cartesian anywhere in the plan (x5 stays as the small-scale verifier).
     // nPlanes is PINNED to 6 here because the oracle SQL bakes the 6-plane
@@ -1024,6 +1025,19 @@ object SparkEntry {
        "SELECT id_a, id_b, sim FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
        s"${dotSql("a.vec", "b.vec")}/(a.norm*b.norm) AS sim " +
        "FROM capped a JOIN capped b ON a.vec_id < b.vec_id) WHERE sim >= 0.35 ORDER BY id_a, id_b"),
+    "x88_matryoshka" ->
+      // the x5 pair set with a 16-component truncated cosine beside the
+      // full one; DuckDB list slice l[1:16] is 1-based inclusive — pairs
+      // with Spark slice(vec, 1, 16)
+      (s"WITH $normCte, capped AS (SELECT vec_id, vec, norm, " +
+       "vec[1:16] AS p, sqrt(list_sum(list_transform(vec[1:16], x -> x*x))) AS pn " +
+       "FROM nrm WHERE vec_id < 2000) " +
+       "SELECT id_a, id_b, sim, sim_trunc, sim_trunc - sim AS err FROM (" +
+       "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+       s"${dotSql("a.vec", "b.vec")}/(a.norm*b.norm) AS sim, " +
+       s"${dotSql("a.p", "b.p")}/(a.pn*b.pn) AS sim_trunc " +
+       "FROM capped a JOIN capped b ON a.vec_id < b.vec_id) " +
+       "WHERE sim >= 0.35 ORDER BY id_a, id_b"),
     "x5b_ann_neardup" -> {
       // the ±1 plane matrix folds into the SQL as literals — the per-table
       // bucket codes, the (table, code) equi-join, and the exact rescoring

@@ -79,6 +79,36 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** x88: MATRYOSHKA (MRL) truncation fidelity — the measurement a
+    * pipeline runs before swapping full-dim vectors for a cheap prefix
+    * (Kusupati et al. 2022: matryoshka-trained embeddings keep most of
+    * the signal in their leading components; the production pattern is
+    * prefix-dim candidate search + full-dim rescore). For every x5
+    * near-dup pair, report the full-dim cosine next to the cosine of the
+    * `prefixDim`-component truncation (re-normalized) and the signed
+    * error — the table that tells you whether a 16-dim prefilter is safe
+    * at your threshold. Same hard input cap and arithmetic as x5 (the
+    * fold-exact dot/norm expressions), so the oracle mirrors with list
+    * slices; at scale the pair set comes from the x5b LSH path and this
+    * stays a per-pair projection. */
+  def matryoshkaFidelity(spark: SparkSession, dir: String, prefixDim: Int = 16,
+      threshold: Double = 0.35, maxVecs: Int = 2000): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir).filter(col("vec_id") < maxVecs))
+      .withColumn("p", slice(col("vec"), 1, prefixDim))
+      .withColumn("pn", sqrt(normSq(col("p"))))
+    val a = e.select(col("vec_id").as("id_a"), col("vec").as("va"),
+      col("norm").as("na"), col("p").as("pa"), col("pn").as("pna"))
+    val b = e.select(col("vec_id").as("id_b"), col("vec").as("vb"),
+      col("norm").as("nb"), col("p").as("pb"), col("pn").as("pnb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .withColumn("sim_trunc", dot(col("pa"), col("pb")) / (col("pna") * col("pnb")))
+      .select(col("id_a"), col("id_b"), col("sim"), col("sim_trunc"),
+        (col("sim_trunc") - col("sim")).as("err"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Brute-force cosine top-k for a bounded query set (vec_id < nQueries):
     * the small side broadcasts, the corpus streams — no corpus shuffle. */
   def topKBruteForce(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5): DataFrame = {

@@ -589,6 +589,20 @@ class LlmSpec extends SparkSpec {
       "incremental refresh diverged from full recompute")
   }
 
+  test("matryoshka fidelity: covers exactly the x5 pair set; truncated cosine is a valid cosine") {
+    val x5 = Similarity.nearDupPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val m = Similarity.matryoshkaFidelity(spark, sfDir).collect()
+    assert(m.map(r => (r.getLong(0), r.getLong(1))).toSet == x5.keySet,
+      "x88 must report every x5 near-dup pair and nothing else")
+    m.foreach { r =>
+      assert(r.getDouble(2) == x5((r.getLong(0), r.getLong(1))), "full cosine must equal x5's")
+      val t = r.getDouble(3)
+      assert(t >= -1.0 - 1e-9 && t <= 1.0 + 1e-9, s"truncated cosine out of range: $t")
+      assert(r.getDouble(4) == t - r.getDouble(2), "err must be the signed difference")
+    }
+  }
+
   test("k-center coreset: matches scalar greedy recompute; selection radius non-increasing") {
     val got = Clustering.kcenterCoreset(spark, sfDir, k = 6).collect()
       .map(r => (r.getInt(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))

@@ -25,9 +25,11 @@ class PlanAuditSpec extends SparkSpec {
     // x80: bounded broadcast probe of the EVAL side (eval suites are MBs
     // by construction — x31's argument), per-train argmax collapses the
     // expansion map-side
+    // x88 is x5's capped all-pairs verifier with the truncated cosine
+    // beside the full one — same hard vec_id cap, same sanction
     Set("x5_embed_neardup", "x6_ann_topk", "x12_ivf_topk", "x42_semantic_dedup",
       "x67_hard_negatives", "x71_pq_topk", "x71b_ivfpq_topk", "x78_contrastive_pairs",
-      "x80_semantic_decontaminate")
+      "x80_semantic_decontaminate", "x88_matryoshka")
 
   private lazy val plans: Map[String, String] = {
     graft.functions.GraftFunctions.register(spark)
