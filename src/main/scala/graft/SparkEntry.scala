@@ -210,6 +210,8 @@ object SparkEntry {
       graft.streaming.EventsStream.slidingAggStreamGate(s, d)),
     "e8_stream_dedup" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.dedupStreamGate(s, d)),
+    "e9_stream_enrich" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventsStream.enrichStreamGate(s, d)),
     "e2_sessionize" -> ((s: SparkSession, d: String) => Funcs.sessionizeEvents(s, d)),
     "e6_trending_topk" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.trendingTopK(
@@ -978,6 +980,12 @@ object SparkEntry {
       // the staged stream redelivers the whole table twice; state-store
       // dedup on event_id must reduce it back to exactly the events table
       ("SELECT event_id, ts, user_id, event_type, value FROM events ORDER BY event_id"),
+    "e9_stream_enrich" ->
+      // the stream-static broadcast-join enrichment as a batch CASE map
+      ("SELECT event_id, event_type, CASE event_type " +
+       "WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement' " +
+       "WHEN 'purchase' THEN 'revenue' WHEN 'signup' THEN 'growth' " +
+       "ELSE 'other' END AS category, value FROM events ORDER BY event_id"),
     "e6_trending_topk" ->
       ("WITH h AS (SELECT date_trunc('hour', ts) AS window_start, event_type, " +
        "count(*) AS n FROM events GROUP BY 1, 2) " +

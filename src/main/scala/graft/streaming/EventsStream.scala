@@ -148,6 +148,29 @@ object EventsStream {
       .orderBy("event_id")
   }
 
+  /** e9 DRIVER GATE: STREAM–STATIC broadcast join by the streaming engine —
+    * the third stateful-planner shape after aggregation (e1b/e7) and
+    * dedup (e8): a stateless per-batch enrichment join of the stream
+    * against a static dimension (here a 5-row category map, the f5 label
+    * shape; in production the broadcast lake dim). Append mode — each
+    * micro-batch emits its enriched rows exactly once; the join itself
+    * carries no state. Left join + coalesce('other') keeps the output
+    * total over any event_type. Oracle: the equivalent batch CASE map. */
+  def enrichStreamGate(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = Seq(
+      "click" -> "engagement", "view" -> "engagement",
+      "purchase" -> "revenue", "signup" -> "growth")
+      .toDF("event_type", "category")
+    val enriched = eventsStream(spark, dir, copies = 1)
+      .join(broadcast(cat), Seq("event_type"), "left")
+      .select(col("event_id"), col("event_type"),
+        coalesce(col("category"), lit("other")).as("category"), col("value"))
+    runToMemory(spark, enriched, "e9_stream_enrich_result", OutputMode.Append())
+      .orderBy("event_id")
+  }
+
   /** Shared staging for the streaming driver gates: FileStreamSource
     * requires a DIRECTORY source path (the production shape: a landing
     * directory files arrive into); the harness table is a single parquet

@@ -298,5 +298,13 @@ class StreamingSpec extends SparkSpec {
     val deduped = EventsStream.dedupStreamGate(spark, sfDir)
     assert(deduped.count() == nEvents)
     assert(deduped.select("event_id").distinct().count() == nEvents)
+    // e9: stateless stream-static enrichment is total and batch-equal
+    val enriched = EventsStream.enrichStreamGate(spark, sfDir).cache()
+    assert(enriched.count() == nEvents)
+    assert(enriched.filter(col("category").isNull).count() == 0)
+    assert(enriched.filter(col("event_type") === "error")
+      .filter(col("category") =!= "other").count() == 0,
+      "unmapped types must coalesce to 'other'")
+    enriched.unpersist()
   }
 }
