@@ -352,6 +352,7 @@ object SparkEntry {
     "x44_resample_ffill" -> ((s: SparkSession, d: String) => TimeSeries.resampleFfill(s, d)),
     "x45_pagerank" -> ((s: SparkSession, d: String) => graft.graph.PageRank.nationRank(s, d)),
     "x86_triangle_stats" -> ((s: SparkSession, d: String) => graft.graph.Triangles.neardupTriangles(s, d)),
+    "x89_split_leakage" -> ((s: SparkSession, d: String) => DocDedup.splitLeakageAudit(s, d)),
     "x87_distinct_ngrams" -> ((s: SparkSession, d: String) => TextStats.distinctNgrams(s, d)),
     "x46_mixture_epochs" -> ((s: SparkSession, d: String) => Curation.mixtureEpochs(s, d)),
     "x47_bm25_rank" -> ((s: SparkSession, d: String) => Retrieval.bm25Rank(s, d)),
@@ -618,6 +619,34 @@ object SparkEntry {
        "UNION ALL SELECT id_a FROM pairs UNION ALL SELECT id_b FROM pairs)) " +
        "SELECT n.doc_id, COALESCE(cl.cluster_id, n.doc_id) AS cluster_id " +
        "FROM nodes n LEFT JOIN cl ON cl.node = n.doc_id ORDER BY doc_id"),
+    "x89_split_leakage" ->
+      // x75's split derivation (component groups → md5 coin) feeding
+      // x69's distinct-shingle overlap matrix, keyed on split — the
+      // held-out contamination measurement
+      (s"WITH RECURSIVE pairs AS ($x15PairsSql), " +
+       "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+       "UNION ALL SELECT id_b, id_a FROM pairs), " +
+       "reach(node, lab) AS (SELECT src, src FROM (SELECT DISTINCT src FROM e) " +
+       "UNION SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node), " +
+       "cl AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node), " +
+       "g AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS group_id " +
+       "FROM documents d LEFT JOIN cl ON cl.node = d.doc_id), " +
+       "sp AS (SELECT doc_id, CASE WHEN coin < 204 THEN 'train' " +
+       "WHEN coin < 230 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, " +
+       "CAST(concat('0x', substr(md5(CAST(group_id AS VARCHAR)), 1, 2)) AS INT) AS coin FROM g)), " +
+       "tok AS (SELECT sp.split, string_split(d.text, ' ') AS t " +
+       "FROM documents d JOIN sp ON sp.doc_id = d.doc_id), " +
+       "sgl AS (SELECT split, unnest(CASE WHEN len(t) >= 3 THEN " +
+       "list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
+       "ELSE [array_to_string(t, ' ')] END) AS s FROM tok), " +
+       "shd AS (SELECT DISTINCT split, md5(s) AS h FROM sgl), " +
+       "ps AS (SELECT split, count(*) AS n_distinct FROM shd GROUP BY split), " +
+       "ov AS (SELECT a.split AS split_a, b.split AS split_b, " +
+       "CAST(count(*) AS BIGINT) AS n_shared FROM shd a JOIN shd b ON a.h = b.h " +
+       "AND a.split < b.split GROUP BY 1, 2) " +
+       "SELECT split_a, split_b, n_shared, pa.n_distinct AS n_a, pb.n_distinct AS n_b " +
+       "FROM ov JOIN ps pa ON pa.split = ov.split_a " +
+       "JOIN ps pb ON pb.split = ov.split_b ORDER BY split_a, split_b"),
     "x86_triangle_stats" ->
       // triangle recount with plain id-ordering (orientation-independent):
       // wedge at the minimal id (b > a, c > b), closed by the (b, c) edge;

@@ -1126,4 +1126,41 @@ object DocDedup {
       .select("source_a", "source_b", "n_shared", "n_a", "n_b")
       .orderBy("source_a", "source_b")
   }
+
+  /** x89: SPLIT-LEAKAGE AUDIT — the report that closes the x75 loop: after
+    * assigning a train/val/test split, MEASURE the cross-split shingle
+    * overlap (x69's matrix keyed on split instead of source). This is the
+    * number a training-data pipeline actually ships with its split: how
+    * many distinct 3-shingles the held-out sets share with train — the
+    * contamination the cluster-coherent coin exists to minimize. The spec
+    * proves the point end-to-end: the same audit over a naive per-doc
+    * hash split (x18) shows strictly MORE cross-split sharing on the
+    * planted-near-dup corpus.
+    *
+    * Scale: the split join is doc_id-keyed; the distinct (split, shingle)
+    * set is ≤ 3× the corpus shingle space and the pairwise join output is
+    * 3 rows — the same bucketed shape as x69, measured linear there. */
+  def splitLeakageAudit(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageAuditOf(
+      docsWide(spark, dir).select("doc_id", "text")
+        .join(leakSafeSplit(spark, dir).select("doc_id", "split"), "doc_id"))
+
+  /** The audit construction over an arbitrary (doc_id, text, split) frame. */
+  def splitLeakageAuditOf(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("split"), explode(shingles(tokensCol)).as("sgl"))
+      .select(col("split"), md5(col("sgl").cast("binary")).as("h"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val perSplit = sh.groupBy("split").agg(count(lit(1)).as("n_distinct"))
+    sh.select(col("split").as("split_a"), col("h"))
+      .join(sh.select(col("split").as("split_b"), col("h")), Seq("h"))
+      .filter(col("split_a") < col("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(perSplit.select(col("split").as("split_a"), col("n_distinct").as("n_a"))), Seq("split_a"))
+      .join(broadcast(perSplit.select(col("split").as("split_b"), col("n_distinct").as("n_b"))), Seq("split_b"))
+      .select("split_a", "split_b", "n_shared", "n_a", "n_b")
+      .orderBy("split_a", "split_b")
+  }
 }

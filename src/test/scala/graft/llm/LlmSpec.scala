@@ -589,6 +589,23 @@ class LlmSpec extends SparkSpec {
       "incremental refresh diverged from full recompute")
   }
 
+  test("split leakage audit: cluster-coherent split leaks strictly less than a per-doc coin") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    def totalShared(audit: org.apache.spark.sql.DataFrame): Long =
+      audit.agg(sum("n_shared")).head().getLong(0)
+    val safe = DocDedup.splitLeakageAudit(spark, sfDir)
+    assert(safe.count() == 3, "three split pairs expected")
+    // the counterfactual: the SAME coin thrown per doc instead of per
+    // near-dup group (empty cluster table -> every doc its own group)
+    val naiveAssign = DocDedup.leakSafeSplitOf(docs.select("doc_id"),
+      Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"))
+    val naive = DocDedup.splitLeakageAuditOf(
+      docs.join(naiveAssign.select("doc_id", "split"), "doc_id"))
+    assert(totalShared(naive) > totalShared(safe),
+      s"cluster-coherent split must leak less: naive ${totalShared(naive)} vs safe ${totalShared(safe)}")
+  }
+
   test("matryoshka fidelity: covers exactly the x5 pair set; truncated cosine is a valid cosine") {
     val x5 = Similarity.nearDupPairs(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
