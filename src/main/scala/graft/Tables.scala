@@ -119,7 +119,11 @@ object Tables {
       if (cached != null) cached
       else {
         val out = java.nio.file.Files.createTempDirectory("graft_artifact_")
-        out.toFile.deleteOnExit()
+        // deleteOnExit only removes EMPTY directories — once parquet is
+        // written it is a no-op. Recursive shutdown-hook delete instead,
+        // one hook for all artifacts (losers of the duplicate-build race
+        // included: their dirs are registered too).
+        registerArtifactCleanup(out)
         build.write.mode("overwrite").parquet(out.toString)
         val prior = materializeCache.putIfAbsent(k, out.toString)
         if (prior != null) prior else out.toString
@@ -128,6 +132,24 @@ object Tables {
   }
   private val materializeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private val artifactDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val artifactHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      artifactDirs.forEach { d =>
+        try {
+          java.nio.file.Files.walk(d)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } catch { case _: Throwable => () } // best-effort tmp hygiene
+      }))
+  }
+  private def registerArtifactCleanup(dir: java.nio.file.Path): Unit = {
+    artifactHook
+    artifactDirs.add(dir)
+    ()
+  }
 
   // typed variants (Dataset[T]) for pipelines that want field checks
   def lineitemDs(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.schema.LineItem] = {

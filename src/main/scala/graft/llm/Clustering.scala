@@ -107,10 +107,13 @@ object Clustering {
     for (rank <- 2 to k) {
       val cvecs = array(chosen.map { case (_, cv) => typedlit(cv) }: _*)
       val md = array_min(transform(cvecs, cv => dist2(col("vec"), cv)))
-      val next = v.filter(!col("vec_id").isin(chosen.map(_._1): _*))
+      val picked = v.filter(!col("vec_id").isin(chosen.map(_._1): _*))
         .withColumn("md", md)
         .orderBy(desc("md"), col("vec_id")).limit(1)
-        .collect().head
+        .collect()
+      require(picked.nonEmpty,
+        s"k-center: corpus exhausted at rank $rank — k=$k exceeds the vector count")
+      val next = picked.head
       chosen :+= ((next.getLong(0), next.getSeq[Double](1)))
       out :+= ((rank, next.getLong(0), Some(next.getDouble(2))))
     }

@@ -843,9 +843,12 @@ object Curation {
     * division — the cross-engine double contract. */
   def qualityQuantileNormalize(spark: SparkSession, dir: String,
       dropFrac: Double = 0.2): DataFrame = {
+    // one-evaluation barrier: `scored` feeds BOTH the grouped CDF and the
+    // final join — without it the whole quality-score pipeline runs twice
     val scored = TextStats.qualityScore(spark, dir)
       .select("doc_id", "quality_score")
       .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .localCheckpoint(eager = false)
     val grp = scored.groupBy("source", "quality_score").agg(count(lit(1)).as("n"))
     val byScore = Window.partitionBy("source").orderBy("quality_score")
     val cdf = grp

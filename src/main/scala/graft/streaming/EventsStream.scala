@@ -184,10 +184,13 @@ object EventsStream {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     val stage = java.nio.file.Files.createTempDirectory("graft_stream_src_")
     stage.toFile.deleteOnExit()
+    // absolute target: a RELATIVE symlink target resolves against the
+    // LINK's parent (the temp dir), not the caller's CWD — a relative
+    // sfDir would produce dangling links and an empty stream
+    val target = java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath
     for (i <- 1 to copies) {
       val link = stage.resolve(s"events_$i.parquet")
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      java.nio.file.Files.createSymbolicLink(link, target)
       link.toFile.deleteOnExit()
     }
     val stream = spark.readStream.schema(raw.schema).parquet(stage.toString)
