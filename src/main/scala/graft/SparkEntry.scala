@@ -300,6 +300,8 @@ object SparkEntry {
     "x8_quality_score" -> (TextStats.qualityScore _),
     "x85_quality_quantile_norm" ->
       ((s: SparkSession, d: String) => Curation.qualityQuantileNormalize(s, d)),
+    "x90_rendezvous_shards" ->
+      ((s: SparkSession, d: String) => Curation.rendezvousShards(s, d)),
     "x9_token_count" -> (TextStats.tokenCount _),
     "x56_bigram_lm" -> (TextStats.bigramLmScore _),
     "x57_classifier_margin" -> ((s: SparkSession, d: String) => TextStats.classifierMargin(s, d)),
@@ -619,6 +621,18 @@ object SparkEntry {
        "UNION ALL SELECT id_a FROM pairs UNION ALL SELECT id_b FROM pairs)) " +
        "SELECT n.doc_id, COALESCE(cl.cluster_id, n.doc_id) AS cluster_id " +
        "FROM nodes n LEFT JOIN cl ON cl.node = n.doc_id ORDER BY doc_id"),
+    "x90_rendezvous_shards" ->
+      // per-doc argmax over the 8 candidate md5-60-bit scores; ties broken
+      // toward the higher shard id in BOTH engines (Spark struct max picks
+      // the larger second field on equal scores; ORDER BY score DESC,
+      // shard DESC mirrors it) — unreachable in practice with 60-bit scores
+      ("WITH s AS (SELECT doc_id, u.s AS shard, " +
+       "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#', " +
+       "CAST(u.s AS VARCHAR))), 1, 15)) AS BIGINT) AS score " +
+       "FROM documents, UNNEST(range(0, 8)) u(s)), " +
+       "r AS (SELECT doc_id, shard, row_number() OVER (PARTITION BY doc_id " +
+       "ORDER BY score DESC, shard DESC) AS rn FROM s) " +
+       "SELECT doc_id, CAST(shard AS INT) AS shard FROM r WHERE rn = 1 ORDER BY doc_id"),
     "x89_split_leakage" ->
       // x75's split derivation (component groups → md5 coin) feeding
       // x69's distinct-shingle overlap matrix, keyed on split — the

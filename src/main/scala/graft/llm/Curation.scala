@@ -863,6 +863,36 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** x90: RENDEZVOUS (highest-random-weight) sharding — the shard
+    * assignment a GROWING corpus store needs where x33's `md5 mod n`
+    * cannot serve: under mod-hashing, going from n to n+1 shards moves
+    * ~n/(n+1) of ALL documents (every residue reshuffles); under
+    * rendezvous hashing (Thaler & Ravishankar 1996), each doc picks the
+    * shard maximizing md5(doc_id # shard), so adding a shard moves ONLY
+    * the ~1/(n+1) of docs whose new-shard score wins — and every moved
+    * doc moves INTO the new shard, never between old ones. That is the
+    * property that keeps a 100 TB shard layout incrementally rebalanceable:
+    * a reshard touches 1/(n+1) of the data instead of all of it (the spec
+    * pins both properties).
+    *
+    * Plan: a pure per-row projection — the n candidate scores are an
+    * inline array of (score, shard) structs and the pick is `array_max`
+    * (struct ordering: score first); no join, no shuffle, no state. Score
+    * = the md5-60-bit integer idiom, so the oracle re-derives identical
+    * longs. */
+  def rendezvousShards(spark: SparkSession, dir: String, shards: Int = 8): DataFrame = {
+    require(shards > 0, s"rendezvous needs shards > 0, got $shards")
+    val candidates = array((0 until shards).map { s =>
+      struct(
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(s"#$s"))
+          .cast("binary")), 1, 15), 16, 10).cast("long").as("score"),
+        lit(s).as("shard"))
+    }: _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), array_max(candidates).getField("shard").as("shard"))
+      .orderBy("doc_id")
+  }
+
   /** The diff construction over arbitrary (doc_id, text) snapshot frames. */
   def snapshotDiffOf(oldV: DataFrame, newV: DataFrame): DataFrame = {
     val o = oldV.select(col("doc_id").as("o_id"),

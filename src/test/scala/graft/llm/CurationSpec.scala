@@ -465,6 +465,29 @@ class CurationSpec extends SparkSpec {
       assert(np >= mx - 7, s"doc $id: run length ${mx - 7} exceeds dup position count $np") }
   }
 
+  test("rendezvous sharding: adding a shard moves ~1/(n+1) of docs, all INTO the new shard") {
+    val s8 = Curation.rendezvousShards(spark, sfDir, shards = 8).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val s9 = Curation.rendezvousShards(spark, sfDir, shards = 9).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(s8.keySet == s9.keySet)
+    val moved = s8.keys.filter(id => s8(id) != s9(id)).toSeq
+    // the minimal-movement guarantee: every mover lands in the NEW shard
+    moved.foreach(id => assert(s9(id) == 8, s"doc $id moved between OLD shards"))
+    val frac = moved.size.toDouble / s8.size
+    assert(frac > 0.03 && frac < 0.25, s"movement fraction $frac far from 1/9")
+    // the counterfactual that motivates the operator: md5-mod sharding
+    // moves the great majority of docs on the same reshard
+    def modShard(id: Long, n: Int): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      (((h(0) & 0xff).toLong << 16 | (h(1) & 0xff) << 8 | (h(2) & 0xff)) % n).toInt
+    }
+    val modMoved = s8.keys.count(id => modShard(id, 8) != modShard(id, 9))
+    assert(modMoved.toDouble / s8.size > 0.5,
+      "fixture sanity: mod-hash resharding should reshuffle most docs")
+  }
+
   test("quality quantile normalization: matches built-in percent_rank; every source drops its own bottom slice") {
     import org.apache.spark.sql.expressions.Window
     val out = Curation.qualityQuantileNormalize(spark, sfDir).cache()
