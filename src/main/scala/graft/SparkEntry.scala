@@ -356,6 +356,7 @@ object SparkEntry {
     "x86_triangle_stats" -> ((s: SparkSession, d: String) => graft.graph.Triangles.neardupTriangles(s, d)),
     "x89_split_leakage" -> ((s: SparkSession, d: String) => DocDedup.splitLeakageAudit(s, d)),
     "x87_distinct_ngrams" -> ((s: SparkSession, d: String) => TextStats.distinctNgrams(s, d)),
+    "x91_vocab_coverage" -> ((s: SparkSession, d: String) => TextStats.vocabCoverage(s, d)),
     "x46_mixture_epochs" -> ((s: SparkSession, d: String) => Curation.mixtureEpochs(s, d)),
     "x47_bm25_rank" -> ((s: SparkSession, d: String) => Retrieval.bm25Rank(s, d)),
     "x49_fuzzy_join" -> ((s: SparkSession, d: String) => Dedup.fuzzyNameJoin(s, d)),
@@ -679,6 +680,23 @@ object SparkEntry {
        "CASE WHEN deg.degree >= 2 THEN 2.0 * COALESCE(tn.n_triangles, 0) / " +
        "(deg.degree * (deg.degree - 1)) ELSE 0.0 END AS clustering_coeff " +
        "FROM deg LEFT JOIN tn ON tn.v = deg.v ORDER BY doc_id"),
+    "x91_vocab_coverage" ->
+      // frequency-ranked running coverage over the vocab table; cut = first
+      // rank clearing 99% of occurrences; `//` mirrors Spark's `div`
+      ("WITH f AS (SELECT t AS token, count(*) AS n FROM (SELECT unnest(string_split(text, ' ')) AS t " +
+       "FROM documents) GROUP BY t), " +
+       "r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank, " +
+       "sum(n) OVER (ORDER BY n DESC, token ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM f), " +
+       "tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens, count(*) AS distinct_tokens FROM f), " +
+       "cut AS (SELECT r.rank AS vocab_size, r.cum, tot.total_tokens, tot.distinct_tokens " +
+       "FROM r, tot WHERE r.cum * 1000000 >= 990000 * tot.total_tokens ORDER BY r.rank LIMIT 1), " +
+       "a2 AS (SELECT r.cum AS cum2x FROM r, cut " +
+       "WHERE r.rank = least(cut.vocab_size * 2, cut.distinct_tokens)) " +
+       "SELECT CAST(cut.vocab_size AS BIGINT) AS vocab_size, " +
+       "CAST(cut.cum * 1000000 // cut.total_tokens AS BIGINT) AS coverage_ppm, " +
+       "CAST(a2.cum2x * 1000000 // cut.total_tokens AS BIGINT) AS coverage_ppm_2x, " +
+       "cut.total_tokens, CAST(cut.distinct_tokens AS BIGINT) AS distinct_tokens " +
+       "FROM cut, a2"),
     "x87_distinct_ngrams" ->
       ("WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents), " +
        "u AS (SELECT source, unnest(t) AS g FROM tok), " +

@@ -641,6 +641,55 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** x91: VOCABULARY COVERAGE SIZING — the smallest frequency-ranked
+    * vocabulary reaching a token-coverage target (the number x70's OOV
+    * rate takes as GIVEN): rank tokens by corpus frequency (ties by token,
+    * so the cut is deterministic), take the running occurrence sum, and
+    * report the first rank whose cumulative share clears the target —
+    * plus the coverage actually achieved there and at a 2× budget. This
+    * is how tokenizer vocab budgets are actually chosen: "how big must V
+    * be for ≤1% OOV?".
+    *
+    * Scale: the heavy step is the token-frequency aggregate (map-side
+    * combine, shuffle carries distinct tokens); the ranking window runs
+    * over the VOCAB table, not the corpus — Heaps' law keeps it sublinear
+    * in corpus size. All arithmetic is exact longs and integer ppm; the
+    * one-row output hashes bit-for-bit. */
+  def vocabCoverage(spark: SparkSession, dir: String,
+      targetPpm: Long = 990000L): DataFrame = {
+    val freq = docsWide(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(desc("n"), col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = freq
+      .withColumn("rank", row_number().over(Window.orderBy(desc("n"), col("token"))))
+      .withColumn("cum", sum("n").over(w))
+    val totals = freq.agg(sum("n").as("total_tokens"),
+      count(lit(1)).as("distinct_tokens"))
+    // `div` (integer division), not `/` (Spark's / on longs yields
+    // double); cum*1e6 fits a long to ~9e12 corpus tokens — past that the
+    // same expressions run in decimal(38,0), the x46 idiom
+    val cut = ranked.crossJoin(broadcast(totals))
+      .filter(col("cum") * 1000000L >= lit(targetPpm) * col("total_tokens"))
+      .orderBy("rank").limit(1)
+      .select(col("rank").cast("long").as("vocab_size"),
+        expr("cum * 1000000 div total_tokens").as("coverage_ppm"),
+        col("total_tokens"), col("distinct_tokens"))
+    // coverage at a 2× budget (clamped to the full vocab) — the marginal
+    // value of doubling V, the number the budget decision actually weighs
+    val at2x = ranked.crossJoin(broadcast(cut.select(
+        col("vocab_size").as("vs"), col("distinct_tokens").as("dt"))))
+      .filter(col("rank") === least(col("vs") * 2, col("dt")))
+      .select(col("cum").as("cum2x"))
+    cut.crossJoin(broadcast(at2x))
+      .select(col("vocab_size"), col("coverage_ppm"),
+        expr("cum2x * 1000000 div total_tokens").as("coverage_ppm_2x"),
+        col("total_tokens"), col("distinct_tokens"))
+  }
+
   /** Library form over any (doc_id, text) frame. */
   def classifierMarginDocs(docs: DataFrame, dim: Int = 256): DataFrame = {
     val toks = split(col("text"), " ")

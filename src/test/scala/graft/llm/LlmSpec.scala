@@ -589,6 +589,26 @@ class LlmSpec extends SparkSpec {
       "incremental refresh diverged from full recompute")
   }
 
+  test("vocab coverage: matches a scalar recompute; cut clears the target; doubling V helps monotonically") {
+    val r = TextStats.vocabCoverage(spark, sfDir).collect().head
+    val (vs, cov, cov2, total, distinct) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(cov >= 990000L, s"cut coverage $cov below target")
+    assert(cov2 >= cov && cov2 <= 1000000L)
+    // scalar recompute over the collected corpus
+    val toks = graft.Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(_.getString(0).split(" "))
+    val freq = toks.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, n) => (-n, t) }
+    assert(total == toks.length.toLong && distinct == freq.size.toLong)
+    val cums = freq.scanLeft(0L)(_ + _._2).tail
+    val wantVs = cums.indexWhere(c => c * 1000000L >= 990000L * total) + 1
+    assert(vs == wantVs.toLong, s"vocab size $vs vs scalar $wantVs")
+    assert(cov == cums(wantVs - 1) * 1000000L / total)
+    val idx2 = math.min(wantVs * 2, freq.size)
+    assert(cov2 == cums(idx2 - 1) * 1000000L / total)
+  }
+
   test("split leakage audit: cluster-coherent split leaks strictly less than a per-doc coin") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
