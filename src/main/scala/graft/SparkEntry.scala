@@ -302,6 +302,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Curation.qualityQuantileNormalize(s, d)),
     "x90_rendezvous_shards" ->
       ((s: SparkSession, d: String) => Curation.rendezvousShards(s, d)),
+    "x92_source_budget" ->
+      ((s: SparkSession, d: String) => Curation.sourceBudget(s, d)),
     "x9_token_count" -> (TextStats.tokenCount _),
     "x56_bigram_lm" -> (TextStats.bigramLmScore _),
     "x57_classifier_margin" -> ((s: SparkSession, d: String) => TextStats.classifierMargin(s, d)),
@@ -622,6 +624,30 @@ object SparkEntry {
        "UNION ALL SELECT id_a FROM pairs UNION ALL SELECT id_b FROM pairs)) " +
        "SELECT n.doc_id, COALESCE(cl.cluster_id, n.doc_id) AS cluster_id " +
        "FROM nodes n LEFT JOIN cl ON cl.node = n.doc_id ORDER BY doc_id"),
+    "x92_source_budget" ->
+      // x32's sqrt-scaled weights allocate the 100k global budget; each
+      // source fills highest-quality-first (greedy prefix by running
+      // token sum); `//` mirrors Spark's `div`
+      (s"WITH q AS ($x8QualitySql), " +
+       "d AS (SELECT q.doc_id, q.n_tokens, q.quality_score, doc.source FROM q " +
+       "JOIN documents doc ON doc.doc_id = q.doc_id), " +
+       "per AS (SELECT source, count(*) AS n_docs_total, " +
+       "CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total, " +
+       "CAST(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS sqrt_scaled FROM d GROUP BY source), " +
+       "tot AS (SELECT CAST(sum(sqrt_scaled) AS BIGINT) AS scale_total FROM per), " +
+       "b AS (SELECT source, n_docs_total, n_tokens_total, " +
+       "sqrt_scaled * 100000 // scale_total AS budget_tokens FROM per, tot), " +
+       "r AS (SELECT d.source, d.n_tokens, sum(d.n_tokens) OVER (PARTITION BY d.source " +
+       "ORDER BY d.quality_score DESC, d.doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d), " +
+       "k AS (SELECT r.source, count(*) AS n_docs_kept, " +
+       "CAST(sum(r.n_tokens) AS BIGINT) AS n_tokens_kept FROM r " +
+       "JOIN b ON b.source = r.source WHERE r.cum <= b.budget_tokens GROUP BY r.source) " +
+       "SELECT b.source, CAST(b.budget_tokens AS BIGINT) AS budget_tokens, " +
+       "COALESCE(k.n_docs_kept, 0) AS n_docs_kept, " +
+       "COALESCE(k.n_tokens_kept, 0) AS n_tokens_kept, " +
+       "b.n_docs_total, b.n_tokens_total " +
+       "FROM b LEFT JOIN k ON k.source = b.source ORDER BY b.source"),
     "x90_rendezvous_shards" ->
       // per-doc argmax over the 8 candidate md5-60-bit scores; ties broken
       // toward the higher shard id in BOTH engines (Spark struct max picks

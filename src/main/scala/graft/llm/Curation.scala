@@ -863,6 +863,51 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** x92: MIXTURE-AWARE PER-SOURCE TOKEN BUDGETING — the step between
+    * mixture weighting (x32) and the training-set build: a global token
+    * budget is allocated to sources by the sqrt-scaled mixture weights
+    * (integer arithmetic: budget_s = sqrt_scaled_s · B div Σ sqrt_scaled),
+    * and each source fills its allocation HIGHEST-QUALITY-FIRST (x8 score
+    * desc, doc_id tiebreak) — greedy prefix by running token sum. Output
+    * is the per-source accounting row: allocation, docs/tokens kept,
+    * corpus totals — the table a data order actually executes against.
+    *
+    * Scale: the ranking window is per-source (the x64 per-shard window
+    * discipline — never a global sort); at lake scale the greedy prefix
+    * swaps for x63's token-weighted histogram cut per source (same
+    * output contract, noted there). Budgets and cumulative sums are exact
+    * longs; quality ordering is the proven cross-engine double compare. */
+  def sourceBudget(spark: SparkSession, dir: String,
+      totalBudget: Long = 100000L): DataFrame = {
+    val docs = TextStats.qualityScore(spark, dir)
+      .select("doc_id", "n_tokens", "quality_score")
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .localCheckpoint(eager = false)
+    val per = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs_total"),
+      sum(col("n_tokens").cast("long")).as("n_tokens_total"),
+      floor(sqrt(count(lit(1)).cast("double")) * 1e6).cast("long").as("sqrt_scaled"))
+    val budgets = per
+      .crossJoin(broadcast(per.agg(sum("sqrt_scaled").as("scale_total"))))
+      .select(col("source"), col("n_docs_total"), col("n_tokens_total"),
+        expr(s"sqrt_scaled * $totalBudget div scale_total").as("budget_tokens"))
+    val byQuality = Window.partitionBy("source")
+      .orderBy(desc("quality_score"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = docs
+      .withColumn("cum", sum(col("n_tokens").cast("long")).over(byQuality))
+      .join(broadcast(budgets.select("source", "budget_tokens")), "source")
+      .filter(col("cum") <= col("budget_tokens"))
+      .groupBy("source").agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tokens").cast("long")).as("n_tokens_kept"))
+    budgets.join(kept, Seq("source"), "left")
+      .select(col("source"), col("budget_tokens"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        col("n_docs_total"), col("n_tokens_total"))
+      .orderBy("source")
+  }
+
   /** x90: RENDEZVOUS (highest-random-weight) sharding — the shard
     * assignment a GROWING corpus store needs where x33's `md5 mod n`
     * cannot serve: under mod-hashing, going from n to n+1 shards moves

@@ -465,6 +465,33 @@ class CurationSpec extends SparkSpec {
       assert(np >= mx - 7, s"doc $id: run length ${mx - 7} exceeds dup position count $np") }
   }
 
+  test("source token budget: allocations respected, filled highest-quality-first, sums bounded") {
+    val out = Curation.sourceBudget(spark, sfDir, totalBudget = 50000L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out.nonEmpty)
+    // per-source: never exceed the allocation; global: allocations never
+    // exceed the budget (floor division leaves a remainder unallocated)
+    out.foreach { case (src, (budget, _, tokKept, _, _)) =>
+      assert(tokKept <= budget, s"$src kept $tokKept tokens over budget $budget") }
+    assert(out.values.map(_._1).sum <= 50000L)
+    // scalar recompute for one source: the kept set is the greedy
+    // highest-quality prefix
+    val src = out.keys.min
+    val docs = TextStats.qualityScore(spark, sfDir)
+      .select("doc_id", "n_tokens", "quality_score")
+      .join(graft.Tables.documents(spark, sfDir).select("doc_id", "source"), "doc_id")
+      .filter(col("source") === src)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getDouble(2)))
+      .sortBy { case (id, _, qs) => (-qs, id) }
+    val budget = out(src)._1
+    var (cum, nKept, tKept) = (0L, 0L, 0L)
+    docs.foreach { case (_, n, _) =>
+      cum += n; if (cum <= budget) { nKept += 1; tKept += n } }
+    assert(out(src)._2 == nKept && out(src)._3 == tKept,
+      s"$src: got (${out(src)._2}, ${out(src)._3}) want ($nKept, $tKept)")
+  }
+
   test("rendezvous sharding: adding a shard moves ~1/(n+1) of docs, all INTO the new shard") {
     val s8 = Curation.rendezvousShards(spark, sfDir, shards = 8).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap

@@ -60,9 +60,11 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast onto the scan — the same sanctioned 1-row-probe shape
     // x91: three 1-row broadcast stat frames (totals, the cut row, the
     // 2×-budget row) crossed onto the vocab table — the same shape
+    // x92: the 1-row Σ sqrt_scaled frame crossed onto the ≤|sources|
+    // budget table — the same shape
     val allowed = allPairsByDesign + "j8_range_bin_join" + "x36_length_filter" +
       "x38_training_set" + "x47_bm25_rank" + "x48_hybrid_rrf" + "x66_dedup_stats" +
-      "x70_oov_rate" + "x91_vocab_coverage"
+      "x70_oov_rate" + "x91_vocab_coverage" + "x92_source_budget"
     val offenders = plans.collect {
       case (n, p) if !allowed(n) && p.contains("BroadcastNestedLoopJoin") => n
     }
