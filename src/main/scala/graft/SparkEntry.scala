@@ -367,6 +367,13 @@ object SparkEntry {
     "x52_pack_chop" -> ((s: SparkSession, d: String) => Packing.packChop(s, d)),
     "x54_stratified_sample" -> ((s: SparkSession, d: String) => Curation.stratifiedSample(s, d)),
     "x48_hybrid_rrf" -> ((s: SparkSession, d: String) => Retrieval.hybridRrf(s, d)),
+    "x93_boilerplate_ratio" -> ((s: SparkSession, d: String) => TextStats.boilerplateRatio(s, d)),
+    "x94_priority_sample" -> ((s: SparkSession, d: String) => Curation.prioritySample(s, d)),
+    "x95_source_overlap" -> ((s: SparkSession, d: String) => DocDedup.sourceOverlapMatrix(s, d)),
+    "x96_embed_dim_profile" -> ((s: SparkSession, d: String) => graft.llm.Similarity.embeddingDimProfile(s, d)),
+    "x97_curriculum_order" -> ((s: SparkSession, d: String) => Curation.curriculumOrder(s, d)),
+    "x99_pmi_collocations" -> ((s: SparkSession, d: String) => TextStats.pmiCollocations(s, d)),
+    "x100_dedup_survivorship" -> ((s: SparkSession, d: String) => DocDedup.dedupSurvivorship(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -2076,10 +2083,114 @@ object SparkEntry {
          s"(((CAST(l_partkey % 65536 AS BIGINT) >> $i) & 1) << ${2 * i}) + " +
          s"(((CAST(l_suppkey % 65536 AS BIGINT) >> $i) & 1) << ${2 * i + 1})"
        }.mkString(" + ") +
-       ") AS zkey FROM lineitem ORDER BY l_orderkey, l_linenumber")
+       ") AS zkey FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "x93_boilerplate_ratio" ->
+      // per-source shingle doc-frequency vs the source's doc count; a doc's
+      // ratio counts boilerplate shingle OCCURRENCES over all its shingles
+      (s"WITH occ AS (SELECT doc_id, source, unnest($shingleListSql) AS sh " +
+       "FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)), " +
+       "sd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM occ GROUP BY source), " +
+       "df AS (SELECT source, sh, count(DISTINCT doc_id) AS df FROM occ GROUP BY 1, 2), " +
+       "b AS (SELECT df.source, df.sh FROM df JOIN sd ON sd.source = df.source " +
+       "WHERE df.df * 100 >= sd.n_docs * 30) " +
+       "SELECT occ.doc_id, occ.source, count(*) AS n_shingles, " +
+       "CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler, " +
+       "CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS boiler_ratio " +
+       "FROM occ LEFT JOIN b ON b.source = occ.source AND b.sh = occ.sh " +
+       "GROUP BY occ.doc_id, occ.source ORDER BY occ.doc_id"),
+    "x94_priority_sample" ->
+      // Duffield–Lund–Thorup priority q = w/u; u = (first 52 md5 bits + 1)
+      // / 2^52 — a dyadic rational, exact as a double, so the division is
+      // the same IEEE op in both engines; τ = the (k+1)-th priority
+      ("WITH pr AS (SELECT source, doc_id, n_chars AS weight, " +
+       "CAST(n_chars AS DOUBLE) / " +
+       "((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1) " +
+       "/ 4503599627370496.0) AS priority FROM documents), " +
+       "r AS (SELECT *, CAST(row_number() OVER " +
+       "(PARTITION BY source ORDER BY priority DESC, doc_id) AS INT) AS rank FROM pr), " +
+       "tau AS (SELECT source, priority AS tau FROM r WHERE rank = 6) " +
+       "SELECT r.source, r.rank, r.doc_id, r.weight, r.priority, " +
+       "greatest(CAST(r.weight AS DOUBLE), COALESCE(tau.tau, 0.0)) AS est_weight " +
+       "FROM r LEFT JOIN tau ON tau.source = r.source WHERE r.rank <= 5 " +
+       "ORDER BY r.source, r.rank"),
+    "x95_source_overlap" ->
+      (s"WITH sh AS (SELECT DISTINCT source, sh FROM (SELECT source, unnest($shingleListSql) AS sh " +
+       "FROM (SELECT source, string_split(text, ' ') AS t FROM documents))), " +
+       "ps AS (SELECT source, count(*) AS n_distinct FROM sh GROUP BY source), " +
+       "p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared " +
+       "FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2) " +
+       "SELECT source_a, source_b, n_shared, pa.n_distinct AS n_a, pb.n_distinct AS n_b, " +
+       "CAST(n_shared AS DOUBLE)/(pa.n_distinct + pb.n_distinct - n_shared) AS jaccard " +
+       "FROM p JOIN ps pa ON pa.source = source_a JOIN ps pb ON pb.source = source_b " +
+       "ORDER BY source_a, source_b"),
+    "x96_embed_dim_profile" ->
+      // moments in exact integer milli-units (floor(v*1000)) so the sums
+      // are order-free; mean/variance are single divisions of exact longs
+      ("WITH v AS (SELECT unnest(range(len(embedding))) AS dim, unnest(embedding) AS v " +
+       "FROM embeddings), " +
+       "m AS (SELECT dim, CAST(v AS DOUBLE) AS vd, " +
+       "CAST(floor(CAST(v AS DOUBLE) * 1000.0) AS BIGINT) AS m FROM v) " +
+       "SELECT dim, count(*) AS n, " +
+       "CAST(sum(m) AS DOUBLE)/count(*) AS mean_milli, " +
+       "CAST(count(*)*sum(m*m) - sum(m)*sum(m) AS DOUBLE)/CAST(count(*)*count(*) AS DOUBLE) AS var_milli2, " +
+       "min(vd) AS min_v, max(vd) AS max_v " +
+       "FROM m GROUP BY dim ORDER BY dim"),
+    "x97_curriculum_order" ->
+      (s"WITH q AS ($x8QualitySql), " +
+       "d AS (SELECT d.doc_id, d.source, q.quality_score FROM documents d " +
+       "JOIN q ON q.doc_id = d.doc_id), " +
+       "t AS (SELECT *, CAST(ntile(10) OVER (ORDER BY quality_score DESC, doc_id) AS INT) AS decile FROM d), " +
+       "s AS (SELECT *, CAST(row_number() OVER " +
+       "(PARTITION BY decile, source ORDER BY quality_score DESC, doc_id) AS INT) AS src_rank FROM t) " +
+       "SELECT CAST(row_number() OVER (ORDER BY decile, src_rank, source, doc_id) AS INT) AS curriculum_rank, " +
+       "doc_id, source, decile, src_rank FROM s ORDER BY curriculum_rank"),
+    "x99_pmi_collocations" ->
+      // association ratio p(ab)/(p(a)p(b)) from exact long counts; the log
+      // is monotone and omitted, the divisions are fixed-order IEEE ops
+      ("WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents), " +
+       "bi AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM " +
+       "(SELECT t, unnest(range(1, len(t))) AS i FROM tok)), " +
+       "pc0 AS (SELECT w1, w2, count(*) AS n_ab FROM bi GROUP BY 1, 2), " +
+       "pc AS (SELECT * FROM pc0 WHERE n_ab >= 5), " +
+       "uc AS (SELECT w, count(*) AS n_w FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w), " +
+       "tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_uni FROM uc), " +
+       "bt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_bi FROM pc0) " +
+       "SELECT w1, w2, n_ab, a.n_w AS n_a, b.n_w AS n_b, " +
+       "(CAST(n_ab AS DOUBLE)/n_bi) / ((CAST(a.n_w AS DOUBLE)/n_uni) * (CAST(b.n_w AS DOUBLE)/n_uni)) AS assoc_ratio " +
+       "FROM pc JOIN uc a ON a.w = pc.w1 JOIN uc b ON b.w = pc.w2, tot, bt " +
+       "ORDER BY assoc_ratio DESC, w1, w2 LIMIT 30"),
+    "x100_dedup_survivorship" ->
+      // survivors = docs that are their own cluster label (x30's keeper
+      // contract) under the same recursive-CTE CC the x17 oracle uses
+      (s"WITH RECURSIVE pairs AS ($x15PairsSql), " +
+       "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+       "UNION ALL SELECT id_b, id_a FROM pairs), " +
+       "reach(node, lab) AS (SELECT src, src FROM (SELECT DISTINCT src FROM e) " +
+       "UNION SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node), " +
+       "cl AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node), " +
+       "l AS (SELECT node AS doc_id FROM cl WHERE node <> cluster_id), " +
+       "d AS (SELECT d.doc_id, d.source, " +
+       "CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, l.doc_id AS loser " +
+       "FROM documents d LEFT JOIN l ON l.doc_id = d.doc_id) " +
+       "SELECT source, count(*) AS n_docs, " +
+       "CAST(sum(CASE WHEN loser IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors, " +
+       "CAST(sum(CASE WHEN loser IS NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS doc_survival, " +
+       "CAST(sum(n_tokens) AS BIGINT) AS tokens_before, " +
+       "CAST(sum(CASE WHEN loser IS NULL THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_after, " +
+       "CAST(sum(CASE WHEN loser IS NULL THEN n_tokens ELSE 0 END) AS DOUBLE)/" +
+       "CAST(sum(n_tokens) AS DOUBLE) AS token_retention " +
+       "FROM d GROUP BY source ORDER BY source")
   )
 
   // ---- extension SQL fragments ----
+
+  // the 3-token shingle list over a pre-split token column `t` — the SQL
+  // mirror of DocDedup.shingles (short docs collapse to one whole-text
+  // shingle), shared by the x93/x95 gates
+  private lazy val shingleListSql: String =
+    "CASE WHEN len(t) >= 3 THEN " +
+    "list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
+    "ELSE [array_to_string(t, ' ')] END"
 
   /** x47/x48 BM25 pipeline CTEs (integer ppm scoring over the tf index;
     * mirrors Retrieval.bm25Scores step for step — floor division at every

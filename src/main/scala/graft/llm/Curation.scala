@@ -938,6 +938,122 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** x94: PRIORITY SAMPLING — weighted without-replacement sampling per
+    * source by the Duffield–Lund–Thorup scheme (JACM 2007): each document
+    * draws priority q = w / u with u uniform in (0, 1], and the k highest
+    * priorities per source are the sample. Unlike uniform subsampling,
+    * long documents (weight = n_chars, the token-mass proxy) are kept with
+    * proportionally higher probability — the right invariant when the
+    * sample must preserve token mass, not doc counts. The scheme's
+    * unbiased weight estimator is included: with τ = the (k+1)-th priority
+    * of the source, each sampled doc represents max(w, τ) of corpus mass,
+    * so Σ est_weight across the sample estimates the source's total.
+    *
+    * Determinism contract: u = (h + 1) / 2^52 with h the first 52 bits of
+    * md5(doc_id) — a dyadic rational, EXACT as a double; the priority is
+    * then one IEEE division of two exact doubles, bit-identical in any
+    * engine. No RNG state, no partition-order dependence: re-running on a
+    * differently-partitioned 100 TB corpus reproduces the sample
+    * bit-for-bit (the same property the x18 hash split relies on).
+    *
+    * Scale: one scan computes priorities map-side; top-(k+1) per source is
+    * a per-key window — at lake scale the RewriteRowNumberTopK rule turns
+    * it into the bounded per-key heap, so no source's full doc list is
+    * ever materialized. */
+  def prioritySample(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val h52 = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("long")
+    val u = (h52 + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
+    val pr = col("n_chars").cast("double") / u
+    val w = Window.partitionBy("source").orderBy(desc("priority"), col("doc_id"))
+    val ranked = docsWide(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").as("weight"),
+        pr.as("priority"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k + 1)
+      .localCheckpoint(eager = false)
+    val tau = ranked.filter(col("rank") === k + 1)
+      .select(col("source"), col("priority").as("tau"))
+    ranked.filter(col("rank") <= k)
+      .join(tau, Seq("source"), "left")
+      .select(col("source"), col("rank"), col("doc_id"), col("weight"),
+        col("priority"),
+        greatest(col("weight").cast("double"), coalesce(col("tau"), lit(0.0)))
+          .as("est_weight"))
+      .orderBy("source", "rank")
+  }
+
+  /** x97: CURRICULUM ORDERING — the deterministic training-order builder:
+    * documents are bucketed into quality deciles (ntile semantics over the
+    * x8 score, best first), and WITHIN each decile the sources are
+    * interleaved round-robin (1st doc of each source, then 2nd of each, …)
+    * so no contiguous run of training batches is dominated by one source —
+    * the ordering curriculum-learning setups and mixture-stability
+    * arguments both want. Output is the full ordered manifest:
+    * curriculum_rank is the position a data loader reads at.
+    *
+    * NO GLOBAL WINDOW touches the corpus (a naive ntile/row_number with no
+    * partition spec moves the whole table to one task — PlanAuditSpec
+    * rejects that shape). Instead the classic two-level rank construction:
+    *  1. range-bucket by the score value (21 fixed buckets over [0,1]);
+    *     per-BUCKET row_number (partitioned window) + the tiny per-bucket
+    *     offset frame gives the exact global rank;
+    *  2. ntile(10) is then ARITHMETIC on (rank, N) — SQL's "first N mod k
+    *     tiles get one extra row" contract, computed map-side;
+    *  3. the interleave position inside a decile is derived by joining the
+    *     broadcast per-(decile, source) count table: docs ahead of (r, s)
+    *     are Σ_{s'} min(c_{s'}, r−1) plus the same-rank sources before s —
+    *     a 20-row-per-doc broadcast expansion collapsed by one hash-agg;
+    *  4. decile offsets are closed-form: (d−1)·⌊N/10⌋ + min(d−1, N mod 10).
+    * Every window is either partitioned or over an aggregate; the one
+    * corpus shuffle is the final per-doc hash-agg. All keys exact
+    * ints/longs, so the manifest is bit-stable under any partitioning. */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.llm.TextStats.qualityScore(spark, dir)
+      .select("doc_id", "quality_score")
+    val docs = docsWide(spark, dir).select("doc_id", "source")
+      .join(q, "doc_id")
+      .withColumn("bucket", floor(col("quality_score") * 20).cast("int"))
+      .localCheckpoint(eager = false)
+    // tiny per-bucket frame: counts, descending-rank offsets, corpus total
+    val bcounts = docs.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    val wOff = Window.orderBy(desc("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(desc("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offs = bcounts
+      .withColumn("boff", coalesce(sum("bn").over(wOff), lit(0L)))
+      .withColumn("total", sum("bn").over(wAll))
+      .select("bucket", "boff", "total")
+    val wInBucket = Window.partitionBy("bucket")
+      .orderBy(desc("quality_score"), col("doc_id"))
+    val ranked = docs
+      .withColumn("rn", row_number().over(wInBucket))
+      .join(broadcast(offs), "bucket")
+      .withColumn("rank", col("boff") + col("rn"))
+      // SQL ntile(10): tiles 1..N%10 hold ⌈N/10⌉ rows, the rest ⌊N/10⌋
+      .withColumn("decile", expr(
+        "CAST(CASE WHEN rank <= (total % 10) * (total div 10 + 1) " +
+        "THEN (rank - 1) div (total div 10 + 1) + 1 " +
+        "ELSE (total % 10) + (rank - (total % 10) * (total div 10 + 1) - 1) div (total div 10) + 1 END AS INT)"))
+    val perSource = Window.partitionBy("decile", "source")
+      .orderBy(desc("quality_score"), col("doc_id"))
+    val sr = ranked.withColumn("src_rank", row_number().over(perSource))
+      .select("doc_id", "source", "decile", "src_rank", "total")
+      .localCheckpoint(eager = false)
+    val counts = sr.groupBy(col("decile"), col("source").as("s2"))
+      .agg(count(lit(1)).as("c2"))
+    sr.join(broadcast(counts), Seq("decile"))
+      .groupBy("doc_id", "source", "decile", "src_rank", "total")
+      .agg(sum(least(col("c2"), col("src_rank").cast("long") - 1) +
+        when(col("s2") < col("source") && col("c2") >= col("src_rank"), 1L)
+          .otherwise(0L)).as("before"))
+      .withColumn("curriculum_rank", expr(
+        "CAST((decile - 1) * (total div 10) + least(decile - 1, total % 10) + before + 1 AS INT)"))
+      .select("curriculum_rank", "doc_id", "source", "decile", "src_rank")
+      .orderBy("curriculum_rank")
+  }
+
   /** The diff construction over arbitrary (doc_id, text) snapshot frames. */
   def snapshotDiffOf(oldV: DataFrame, newV: DataFrame): DataFrame = {
     val o = oldV.select(col("doc_id").as("o_id"),

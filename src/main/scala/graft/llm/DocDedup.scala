@@ -1180,4 +1180,77 @@ object DocDedup {
       .select("split_a", "split_b", "n_shared", "n_a", "n_b")
       .orderBy("split_a", "split_b")
   }
+
+  /** x95: SOURCE OVERLAP MATRIX — pairwise content overlap between crawl
+    * sources (distinct-shingle Jaccard per source pair), the
+    * redundancy-diagnosis artifact mixture design reads BEFORE setting
+    * weights: two sources that are 40% the same material should not both
+    * get full temperature-scaled weight (x32), and a high-overlap pair is
+    * the first place cross-source near-dup dedup (x17) pays off. x89 is
+    * this shape keyed on SPLIT (a leakage audit); here the key is the
+    * provenance the mixture is designed over.
+    *
+    * Scale: the join key is the distinct (shingle, source) table — the
+    * corpus text never shuffles. The pair expansion per shingle is
+    * bounded by #sources² (sources are tens, not millions, at any corpus
+    * size), and aggregation collapses it map-side. At lake scale the
+    * distinct-shingle sides swap for per-source HLL sketches union'd
+    * pairwise (the a21 idiom) — this gate pins the exact semantics.
+    * Jaccard = shared / (|A| + |B| − shared) in exact longs, one IEEE
+    * division at the end. */
+  def sourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.Tables.widen(graft.Tables.documents(spark, dir))
+      .select(col("source"), explode(shingles(split(col("text"), " "))).as("sh"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val perSource = sh.groupBy("source").agg(count(lit(1)).as("n_distinct"))
+    sh.select(col("source").as("source_a"), col("sh"))
+      .join(sh.select(col("source").as("source_b"), col("sh")), Seq("sh"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(perSource.select(col("source").as("source_a"),
+        col("n_distinct").as("n_a"))), Seq("source_a"))
+      .join(broadcast(perSource.select(col("source").as("source_b"),
+        col("n_distinct").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** x100: DEDUP SURVIVORSHIP REPORT — the per-source bias audit published
+    * alongside a deduped corpus: near-dup dedup (keeper = cluster min
+    * doc_id, x30's contract) does NOT remove uniformly — a source that is
+    * largely re-crawled material loses far more than an original-content
+    * source, silently shifting the trained mixture away from the weights
+    * x32 chose. This reports, per source, the doc and token mass before
+    * and after dedup, so the mixture step can re-weigh on POST-dedup
+    * counts (the x92 budgeter's correct input).
+    *
+    * Scale: reads the materialized cluster-label artifact (built once per
+    * corpus, shared by 8 consumers); losers are a tiny broadcast side of
+    * the corpus anti-join; both aggregates are per-source hash-aggs over
+    * exact longs. Ratios are single long/long IEEE divisions. */
+  def dedupSurvivorship(spark: SparkSession, dir: String): DataFrame = {
+    val losers = clusterLabels(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(1L).as("is_loser"))
+    graft.Tables.widen(graft.Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(broadcast(losers), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_loser").isNull, 1L).otherwise(0L)).as("n_survivors"),
+        sum("n_tokens").as("tokens_before"),
+        sum(when(col("is_loser").isNull, col("n_tokens")).otherwise(0L))
+          .as("tokens_after"))
+      .select(col("source"), col("n_docs"), col("n_survivors"),
+        (col("n_survivors").cast("double") / col("n_docs")).as("doc_survival"),
+        col("tokens_before"), col("tokens_after"),
+        (col("tokens_after").cast("double") / col("tokens_before")).as("token_retention"))
+      .orderBy("source")
+  }
 }

@@ -795,4 +795,46 @@ object Similarity {
         col("sim"))
       .orderBy("vec_id", "rank")
   }
+
+  /** x96: EMBEDDING DIMENSION PROFILE — per-dimension distribution health
+    * of the embedding table: mean, variance, and range for each of the d
+    * coordinates. This is the drift/collapse monitor an embedding
+    * pipeline runs after every encoder change: a dimension whose variance
+    * falls to ~0 is dead (wasted capacity, and it silently degrades
+    * IVF/PQ cell balance — x12/x71's codebooks train on these very
+    * moments), and a mean far from 0 breaks the symmetric-quantizer
+    * assumption PQ makes.
+    *
+    * Determinism contract: float sums are partition-order-dependent, so
+    * moments are accumulated in EXACT INTEGER milli-units —
+    * floor(v·1000) per value — making both aggregates (Σx, Σx²)
+    * order-free exact longs (the x46 fixed-point idiom). Mean and
+    * variance come back as single IEEE divisions of exact longs:
+    * mean_milli = Σx/n, var_milli2 = (nΣx² − (Σx)²)/n² — bit-exact in any
+    * engine, at any partitioning. min/max of floats are order-free
+    * already and reported in natural units.
+    *
+    * Scale: one Generator pass (posexplode — d rows per vector), one
+    * hash-agg keyed by the d dimension indices — map-side partials
+    * collapse everything, the shuffle carries d rows per task. Long
+    * bounds: |v| < 10³ ⇒ milli² < 10¹², so nΣx² overflows only past ~10⁹
+    * vectors per run — past that the same expressions run in
+    * decimal(38,0) (the x46 escape hatch). */
+  def embeddingDimProfile(spark: SparkSession, dir: String): DataFrame = {
+    val milli = floor(col("v").cast("double") * 1000.0).cast("long")
+    Tables.widen(Tables.embeddings(spark, dir))
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"), col("v"), milli.as("m"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("m").as("sum_milli"),
+        sum(col("m") * col("m")).as("sumsq_milli"),
+        min(col("v").cast("double")).as("min_v"),
+        max(col("v").cast("double")).as("max_v"))
+      .select(col("dim"), col("n"),
+        (col("sum_milli").cast("double") / col("n")).as("mean_milli"),
+        ((col("n") * col("sumsq_milli") - col("sum_milli") * col("sum_milli"))
+          .cast("double") / (col("n") * col("n")).cast("double")).as("var_milli2"),
+        col("min_v"), col("max_v"))
+      .orderBy("dim")
+  }
 }

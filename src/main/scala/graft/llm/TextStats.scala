@@ -690,6 +690,99 @@ object TextStats {
         col("total_tokens"), col("distinct_tokens"))
   }
 
+  /** x93: BOILERPLATE RATIO — the CCNet-style boilerplate signal at
+    * shingle granularity: a 3-gram shingle that appears in at least
+    * `thresholdPct`% of a source's documents is that source's boilerplate
+    * (headers, navigation chrome, license footers repeat across a crawl
+    * source; organic content does not). Each document is then scored by
+    * the fraction of its shingle OCCURRENCES that are boilerplate — the
+    * quality filter drops or trims high-ratio docs before training.
+    *
+    * Layout: one Generator pass explodes (doc, source, shingle)
+    * occurrences; the boilerplate set is a per-(source, shingle)
+    * distinct-doc count compared against the source's doc count — both
+    * hash-aggs whose shuffles carry DISTINCT (source, shingle [, doc])
+    * keys, never the corpus text. The occurrence→boilerplate check is an
+    * equi-join on (source, shingle); the boilerplate side is
+    * source-vocabulary-sized (shingles crossing the df threshold), small
+    * enough to broadcast per source at any corpus size. All counts are
+    * exact longs; the ratio is one long/long division — bit-exact
+    * cross-engine. */
+  def boilerplateRatio(spark: SparkSession, dir: String,
+      thresholdPct: Int = 30): DataFrame = {
+    val occ = docsWide(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(DocDedup.shingles(split(col("text"), " "))).as("sh"))
+      .localCheckpoint(eager = false)
+    val srcDocs = occ.select("source", "doc_id").distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val boiler = occ.select("source", "sh", "doc_id").distinct()
+      .groupBy("source", "sh").agg(count(lit(1)).as("df"))
+      .join(srcDocs, "source")
+      .filter(col("df") * 100 >= col("n_docs") * thresholdPct)
+      .select("source", "sh")
+    occ.join(boiler.withColumn("is_boiler", lit(1L)), Seq("source", "sh"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        col("n_boiler").cast("double") / col("n_shingles"))
+      .select("doc_id", "source", "n_shingles", "n_boiler", "boiler_ratio")
+      .orderBy("doc_id")
+  }
+
+  /** x99: PMI COLLOCATIONS — pointwise-mutual-information-ranked adjacent
+    * token pairs, the standard collocation extractor (x25's raw pair
+    * counts rank frequent GENERIC pairs; PMI ranks pairs that co-occur
+    * far above what their unigram frequencies predict — the multi-word
+    * expressions a tokenizer or phrase miner wants). A minimum pair count
+    * screens out the unstable low-frequency tail, as usual.
+    *
+    * Determinism contract: PMI is reported as the raw ASSOCIATION RATIO
+    * p(ab)/(p(a)p(b)) — the log is monotone, so the ranking is identical
+    * and the transcendental (whose last-bit behavior is libm-specific) is
+    * avoided. Every count is an exact long; the three divisions and one
+    * multiplication are IEEE-correctly-rounded double ops evaluated in a
+    * fixed parenthesization — bit-exact cross-engine.
+    *
+    * Scale: pair counts via the x25 zip-with-tail Generator (no self
+    * join); both count aggregates shuffle DISTINCT pairs / tokens
+    * (vocabulary-sized, Heaps-sublinear). The unigram side joins twice on
+    * the pair endpoints (broadcast — it IS the vocabulary), and the two
+    * 1-row totals frames are the sanctioned broadcast-stat-probe shape
+    * (PlanAuditSpec). */
+  def pmiCollocations(spark: SparkSession, dir: String,
+      minCount: Int = 5, topN: Int = 30): DataFrame = {
+    val t = split(col("text"), " ")
+    val toks = docsWide(spark, dir).select(t.as("t"))
+      .localCheckpoint(eager = false)
+    val pairsAll = toks
+      .select(explode(zip_with(col("t"), slice(col("t"), lit(2), size(col("t"))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .filter(col("p.w2").isNotNull)
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint(eager = false)
+    val pairs = pairsAll.filter(col("n_ab") >= minCount)
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val totals = uni.agg(sum("n_w").as("n_uni"))
+    // p(ab) normalizes by ALL adjacent pairs, not just those clearing the
+    // min-count screen — the screen gates OUTPUT, not the distribution
+    val pairTotal = pairsAll.agg(sum("n_ab").as("n_bi"))
+    pairs
+      .join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_a"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_b"))), "w2")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(pairTotal))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab").cast("double") / col("n_bi")) /
+          ((col("n_a").cast("double") / col("n_uni")) *
+           (col("n_b").cast("double") / col("n_uni")))).as("assoc_ratio"))
+      .orderBy(desc("assoc_ratio"), col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   /** Library form over any (doc_id, text) frame. */
   def classifierMarginDocs(docs: DataFrame, dim: Int = 256): DataFrame = {
     val toks = split(col("text"), " ")

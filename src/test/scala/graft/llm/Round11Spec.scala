@@ -1,0 +1,108 @@
+package graft.llm
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-11 operator properties: boilerplate ratio (x93), priority
+  * sampling (x94), source-overlap matrix (x95), embedding dimension
+  * profile (x96), curriculum ordering (x97), PMI collocations (x99) and
+  * the dedup survivorship report (x100). Each test pins an algebraic
+  * invariant of the operator, not fixture values — the value-level gate is
+  * the DuckDB oracle. */
+class Round11Spec extends SparkSpec {
+
+  private lazy val nDocs = Tables.documents(spark, sfDir).count()
+
+  test("x93: boilerplate ratio is a valid fraction and covers every doc") {
+    val r = TextStats.boilerplateRatio(spark, sfDir).persist()
+    assert(r.count() == nDocs)
+    assert(r.filter(col("n_boiler") > col("n_shingles")).count() == 0)
+    assert(r.filter(col("boiler_ratio") < 0 || col("boiler_ratio") > 1).count() == 0)
+    r.unpersist()
+  }
+
+  test("x93: a stricter df threshold never marks more boilerplate") {
+    val loose = TextStats.boilerplateRatio(spark, sfDir, thresholdPct = 10)
+      .select(col("doc_id"), col("n_boiler").as("b_loose"))
+    val strict = TextStats.boilerplateRatio(spark, sfDir, thresholdPct = 90)
+      .select(col("doc_id"), col("n_boiler").as("b_strict"))
+    assert(loose.join(strict, "doc_id")
+      .filter(col("b_strict") > col("b_loose")).count() == 0)
+  }
+
+  test("x94: priority sample takes k per source, priorities dominate weights") {
+    val s = Curation.prioritySample(spark, sfDir, k = 5).persist()
+    val perSource = s.groupBy("source").agg(count(lit(1)).as("n"),
+      max("rank").as("maxr"))
+    // every source in this fixture has >= 5 docs, so exactly k rows each
+    assert(perSource.filter(col("n") =!= 5 || col("maxr") =!= 5).count() == 0)
+    // u <= 1 so priority = w/u >= w; the DLT estimator never shrinks a weight
+    assert(s.filter(col("priority") < col("weight")).count() == 0)
+    assert(s.filter(col("est_weight") < col("weight")).count() == 0)
+    // deterministic: a rerun reproduces the sample exactly
+    val again = Curation.prioritySample(spark, sfDir, k = 5)
+    assert(s.exceptAll(again).isEmpty && again.exceptAll(s).isEmpty)
+    s.unpersist()
+  }
+
+  test("x95: overlap matrix is a valid Jaccard over ordered source pairs") {
+    val m = DocDedup.sourceOverlapMatrix(spark, sfDir).persist()
+    assert(m.filter(col("source_a") >= col("source_b")).count() == 0)
+    assert(m.filter(col("n_shared") > least(col("n_a"), col("n_b"))).count() == 0)
+    assert(m.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
+    m.unpersist()
+  }
+
+  test("x96: dimension profile has one row per dim with coherent moments") {
+    val dim = Tables.embeddings(spark, sfDir)
+      .select(size(col("embedding"))).head().getInt(0)
+    val nVec = Tables.embeddings(spark, sfDir).count()
+    val p = Similarity.embeddingDimProfile(spark, sfDir).persist()
+    assert(p.count() == dim)
+    assert(p.filter(col("n") =!= nVec).count() == 0)
+    assert(p.filter(col("var_milli2") < 0).count() == 0)
+    // mean in milli-units sits inside [1000*min - 1, 1000*max] (floor slack)
+    assert(p.filter(col("mean_milli") < col("min_v") * 1000 - 1 ||
+      col("mean_milli") > col("max_v") * 1000).count() == 0)
+    p.unpersist()
+  }
+
+  test("x97: curriculum rank is a contiguous permutation with balanced deciles") {
+    val c = Curation.curriculumOrder(spark, sfDir).persist()
+    assert(c.count() == nDocs)
+    val agg = c.agg(min("curriculum_rank"), max("curriculum_rank"),
+      countDistinct("curriculum_rank")).head()
+    assert(agg.getInt(0) == 1 && agg.getInt(1) == nDocs.toInt &&
+      agg.getLong(2) == nDocs)
+    val sizes = c.groupBy("decile").agg(count(lit(1)).as("n"))
+      .agg(max("n") - min("n")).head().getLong(0)
+    assert(sizes <= 1, "ntile deciles differ by at most one")
+    // the manifest never interleaves across deciles: rank order == decile order
+    val w = org.apache.spark.sql.expressions.Window.orderBy("curriculum_rank")
+    val disorder = c.withColumn("prev", lag("decile", 1).over(w))
+      .filter(col("prev") > col("decile")).count()
+    assert(disorder == 0)
+    c.unpersist()
+  }
+
+  test("x99: collocations clear the count screen and beat independence at the top") {
+    val p = TextStats.pmiCollocations(spark, sfDir).persist()
+    assert(p.count() > 0)
+    assert(p.filter(col("n_ab") < 5).count() == 0)
+    assert(p.filter(col("assoc_ratio") <= 0).count() == 0)
+    // ranked descending: the head dominates the tail
+    val rows = p.select("assoc_ratio").collect().map(_.getDouble(0))
+    assert(rows.zip(rows.tail).forall { case (a, b) => a >= b })
+    p.unpersist()
+  }
+
+  test("x100: survivorship totals reconcile with the applied dedup (x30)") {
+    val r = DocDedup.dedupSurvivorship(spark, sfDir).persist()
+    assert(r.filter(col("n_survivors") > col("n_docs")).count() == 0)
+    assert(r.filter(col("tokens_after") > col("tokens_before")).count() == 0)
+    val survivors = r.agg(sum("n_survivors")).head().getLong(0)
+    assert(survivors == DocDedup.dedupApply(spark, sfDir).count())
+    assert(r.agg(sum("n_docs")).head().getLong(0) == nDocs)
+    r.unpersist()
+  }
+}

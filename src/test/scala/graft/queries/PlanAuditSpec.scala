@@ -62,9 +62,12 @@ class PlanAuditSpec extends SparkSpec {
     // 2×-budget row) crossed onto the vocab table — the same shape
     // x92: the 1-row Σ sqrt_scaled frame crossed onto the ≤|sources|
     // budget table — the same shape
+    // x99: the two 1-row totals frames (Σ unigrams, Σ bigrams) crossed
+    // onto the vocabulary-sized PMI pair table — the same shape
     val allowed = allPairsByDesign + "j8_range_bin_join" + "x36_length_filter" +
       "x38_training_set" + "x47_bm25_rank" + "x48_hybrid_rrf" + "x66_dedup_stats" +
-      "x70_oov_rate" + "x91_vocab_coverage" + "x92_source_budget"
+      "x70_oov_rate" + "x91_vocab_coverage" + "x92_source_budget" +
+      "x99_pmi_collocations"
     val offenders = plans.collect {
       case (n, p) if !allowed(n) && p.contains("BroadcastNestedLoopJoin") => n
     }
