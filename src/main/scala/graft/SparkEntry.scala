@@ -212,6 +212,8 @@ object SparkEntry {
       graft.streaming.EventsStream.dedupStreamGate(s, d)),
     "e9_stream_enrich" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.enrichStreamGate(s, d)),
+    "e10_stream_sessions" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventsStream.sessionStreamGate(s, d)),
     "e2_sessionize" -> ((s: SparkSession, d: String) => Funcs.sessionizeEvents(s, d)),
     "e6_trending_topk" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.trendingTopK(
@@ -1080,6 +1082,26 @@ object SparkEntry {
        "WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement' " +
        "WHEN 'purchase' THEN 'revenue' WHEN 'signup' THEN 'growth' " +
        "ELSE 'other' END AS category, value FROM events ORDER BY event_id"),
+    "e10_stream_sessions" ->
+      // Append-mode flatMapGroupsWithState emission contract: a session is
+      // in the sink iff closed by data (not the user's last session) or by
+      // timeout (end_ms + gap_ms < final watermark = max ts_ms - delay_ms,
+      // strict). gap = delay = 1800 s; ms via integer µs division.
+      ("WITH g AS (SELECT user_id, event_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+       "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess " +
+       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+       "s AS (SELECT user_id, ts, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g), " +
+       "sess AS (SELECT user_id, session_id, count(*) AS n_events, " +
+       "epoch_us(min(ts)) AS session_start_us, epoch_us(max(ts)) AS session_end_us " +
+       "FROM s GROUP BY user_id, session_id), " +
+       "lasts AS (SELECT user_id, max(session_id) AS last_sid FROM sess GROUP BY user_id), " +
+       "mx AS (SELECT epoch_us(max(ts)) AS mx_us FROM events) " +
+       "SELECT sess.user_id, sess.session_start_us, sess.session_end_us, sess.n_events " +
+       "FROM sess JOIN lasts ON lasts.user_id = sess.user_id, mx " +
+       "WHERE sess.session_id < lasts.last_sid " +
+       "OR (sess.session_end_us // 1000 + 1800000) < (mx.mx_us // 1000 - 1800000) " +
+       "ORDER BY sess.user_id, sess.session_start_us"),
     "e6_trending_topk" ->
       ("WITH h AS (SELECT date_trunc('hour', ts) AS window_start, event_type, " +
        "count(*) AS n FROM events GROUP BY 1, 2) " +

@@ -171,6 +171,58 @@ object EventsStream {
       .orderBy("event_id")
   }
 
+  /** e10 DRIVER GATE: flatMapGroupsWithState SESSIONIZATION by the
+    * streaming engine — the custom-state flagship path (arbitrary state +
+    * EventTimeTimeout), promoted from spec-only (StreamingSpec's
+    * stream==batch MemoryStream test) to driver-oracle evidence. The
+    * events table is staged as TWO time-split files (ts ≤ / > the range
+    * midpoint) with `maxFilesPerTrigger=1`, so the run spans real
+    * micro-batch boundaries: sessions straddling the split are carried in
+    * state across batches, batch 2 fires the timeouts the batch-1
+    * watermark armed, and the closing no-data micro-batch fires every
+    * timeout below the final watermark (global max ts − the 1800 s
+    * delay).
+    *
+    * The emission contract is therefore EXACTLY mirrorable in SQL: a
+    * session is in the sink iff it was closed by data (a later event of
+    * the same user exists past the gap — i.e. it is not the user's last
+    * session) OR closed by timeout (session_end_ms + gap_ms <
+    * final_watermark_ms, strict — FlatMapGroupsWithStateExec fires on
+    * `timeoutTimestamp < watermark`). Open sessions near the stream tail
+    * correctly remain unsent — that is the Append-mode contract, and the
+    * oracle enforces it rather than papering over it. */
+  def sessionStreamGate(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val mm = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx")).head()
+    val cutUs = (mm.getLong(0) + mm.getLong(1)) / 2
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_sess_")
+    stage.toFile.deleteOnExit()
+    def dump(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sess_part_")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val dst = stage.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+      dst.toFile.deleteOnExit()
+    }
+    // distinct mod-times pin the FileStreamSource batch order: half 1
+    // (older) is batch 1, half 2 is batch 2
+    val t0 = System.currentTimeMillis() - 120000L
+    dump(ev.filter(unix_micros(col("ts")) <= cutUs), "events_1.parquet", t0)
+    dump(ev.filter(unix_micros(col("ts")) > cutUs), "events_2.parquet", t0 + 60000L)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val sessions = gapSessions(stream, gapSec = 1800).toDF()
+    runToMemory(spark, sessions, "e10_stream_sessions_result", OutputMode.Append())
+      .orderBy("user_id", "session_start_us")
+  }
+
   /** Shared staging for the streaming driver gates: FileStreamSource
     * requires a DIRECTORY source path (the production shape: a landing
     * directory files arrive into); the harness table is a single parquet
