@@ -376,6 +376,9 @@ object SparkEntry {
     "x97_curriculum_order" -> ((s: SparkSession, d: String) => Curation.curriculumOrder(s, d)),
     "x99_pmi_collocations" -> ((s: SparkSession, d: String) => TextStats.pmiCollocations(s, d)),
     "x100_dedup_survivorship" -> ((s: SparkSession, d: String) => DocDedup.dedupSurvivorship(s, d)),
+    "x101_mixed_language" -> ((s: SparkSession, d: String) => TextStats.mixedLanguage(s, d)),
+    "x102_ann_quality_eval" -> ((s: SparkSession, d: String) => graft.llm.Similarity.annQualityEval(s, d)),
+    "x103_seqlen_budget" -> ((s: SparkSession, d: String) => Packing.seqlenBudget(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -2181,6 +2184,58 @@ object SparkEntry {
        "(CAST(n_ab AS DOUBLE)/n_bi) / ((CAST(a.n_w AS DOUBLE)/n_uni) * (CAST(b.n_w AS DOUBLE)/n_uni)) AS assoc_ratio " +
        "FROM pc JOIN uc a ON a.w = pc.w1 JOIN uc b ON b.w = pc.w2, tot, bt " +
        "ORDER BY assoc_ratio DESC, w1, w2 LIMIT 30"),
+    "x101_mixed_language" ->
+      // second-best from the sorted 4-score list; mixed ⇔ second > 0 and
+      // 2·second ≥ best — integer marker arithmetic only
+      ("SELECT doc_id, CASE WHEN score_en = best AND best > 0 THEN 'en' " +
+       "WHEN score_de = best AND best > 0 THEN 'de' " +
+       "WHEN score_fr = best AND best > 0 THEN 'fr' " +
+       "WHEN score_es = best AND best > 0 THEN 'es' ELSE 'unknown' END AS predicted_lang, " +
+       "best AS best_score, second AS second_score, " +
+       "CAST(CASE WHEN second > 0 AND second * 2 >= best THEN 1 ELSE 0 END AS INT) AS is_mixed " +
+       "FROM (SELECT doc_id, score_en, score_de, score_fr, score_es, " +
+       "srt[4] AS best, srt[3] AS second FROM (SELECT doc_id, " +
+       s"${markerSql("en")} AS score_en, ${markerSql("de")} AS score_de, " +
+       s"${markerSql("fr")} AS score_fr, ${markerSql("es")} AS score_es, " +
+       s"list_sort([${markerSql("en")}, ${markerSql("de")}, ${markerSql("fr")}, ${markerSql("es")}]) AS srt " +
+       "FROM documents)) ORDER BY doc_id"),
+    "x102_ann_quality_eval" ->
+      // x55's auto-LSH KNN graph scored against label ground truth:
+      // hits/ideal/RR in exact longs + single divisions; singleton-class
+      // queries get NULL recall, bucket-less queries are absent
+      (s"WITH ${autoLshCtes(8)}, " +
+       "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM coded a " +
+       "JOIN coded b ON a.t = b.t AND a.code = b.code AND a.vec_id <> b.vec_id), " +
+       "s AS (SELECT c.id_a, c.id_b, " +
+       s"${dotSql("x.vec", "y.vec")}/(x.norm*y.norm) AS sim FROM cand c " +
+       "JOIN nrm x ON x.vec_id = c.id_a JOIN nrm y ON y.vec_id = c.id_b), " +
+       "knn AS (SELECT id_a AS vec_id, id_b AS neighbor_id, rank FROM " +
+       "(SELECT id_a, id_b, CAST(row_number() OVER (PARTITION BY id_a " +
+       "ORDER BY sim DESC, id_b) AS INT) AS rank FROM s) WHERE rank <= 5), " +
+       "lab AS (SELECT vec_id, label FROM embeddings), " +
+       "cls AS (SELECT label, count(*) AS cls_n FROM lab GROUP BY label), " +
+       "agg AS (SELECT k.vec_id, q.label, count(*) AS n_returned, " +
+       "CAST(sum(CASE WHEN n.label = q.label THEN 1 ELSE 0 END) AS BIGINT) AS hits, " +
+       "min(CASE WHEN n.label = q.label THEN k.rank END) AS first_rel_rank " +
+       "FROM knn k JOIN lab q ON q.vec_id = k.vec_id " +
+       "JOIN lab n ON n.vec_id = k.neighbor_id GROUP BY k.vec_id, q.label) " +
+       "SELECT a.vec_id, a.label, a.n_returned, a.hits, " +
+       "least(5, c.cls_n - 1) AS ideal, " +
+       "CASE WHEN least(5, c.cls_n - 1) > 0 THEN " +
+       "CAST(a.hits AS DOUBLE) / least(5, c.cls_n - 1) END AS recall_at_k, " +
+       "CASE WHEN a.first_rel_rank IS NOT NULL THEN 1.0 / a.first_rel_rank " +
+       "ELSE 0.0 END AS rr " +
+       "FROM agg a JOIN cls c ON c.label = a.label ORDER BY a.vec_id"),
+    "x103_seqlen_budget" ->
+      ("SELECT budget, count(*) AS n_docs, " +
+       "CAST(sum(CASE WHEN len > budget THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated, " +
+       "CAST(sum(len) AS BIGINT) AS tokens_total, " +
+       "CAST(sum(greatest(len - budget, 0)) AS BIGINT) AS tokens_lost, " +
+       "CAST(sum(greatest(len - budget, 0)) AS BIGINT) * 1000000 // CAST(sum(len) AS BIGINT) AS lost_ppm, " +
+       "CAST(sum(budget - least(len, budget)) AS BIGINT) * 1000000 // (count(*) * budget) AS pad_ppm " +
+       "FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents), " +
+       "UNNEST([CAST(128 AS BIGINT), CAST(256 AS BIGINT), CAST(512 AS BIGINT), CAST(1024 AS BIGINT)]) AS u(budget) " +
+       "GROUP BY budget ORDER BY budget"),
     "x100_dedup_survivorship" ->
       // survivors = docs that are their own cluster label (x30's keeper
       // contract) under the same recursive-CTE CC the x17 oracle uses

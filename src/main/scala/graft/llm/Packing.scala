@@ -142,4 +142,36 @@ object Packing {
           - greatest(col("begin0"), col("seq_id") * L) + 1).as("frag_len"))
       .orderBy("shard", "seq_id", "doc_id")
   }
+
+  /** x103: SEQUENCE-LENGTH BUDGET SIZING — the max_seq_len decision table
+    * (x91's "how big must the budget be" question, asked of sequence
+    * length instead of vocabulary): for each candidate budget, how many
+    * documents get truncated, what fraction of corpus tokens is lost to
+    * truncation, and what fraction of a doc-per-sequence batch is padding
+    * waste. Truncation loss falls and padding waste rises with the
+    * budget; the table exposes the tradeoff a pipeline picks its training
+    * length from (then x52's concat-and-chop removes the padding term —
+    * this table also quantifies what chopping saves).
+    *
+    * Scale: ONE corpus scan — each doc's token count fans out over the
+    * candidate-budget array with a Generator (|budgets| rows per doc,
+    * collapsed map-side by the hash-agg on budget); every stat is an exact
+    * long, ratios are integer-ppm `div` arithmetic. */
+  def seqlenBudget(spark: SparkSession, dir: String,
+      budgets: Seq[Int] = Seq(128, 256, 512, 1024)): DataFrame = {
+    Tables.widen(Tables.documents(spark, dir))
+      .select(size(split(col("text"), " ")).cast("long").as("len"))
+      .select(col("len"), explode(array(budgets.map(b => lit(b.toLong)): _*)).as("budget"))
+      .groupBy("budget")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("len").as("tokens_total"),
+        sum(when(col("len") > col("budget"), 1L).otherwise(0L)).as("n_truncated"),
+        sum(greatest(col("len") - col("budget"), lit(0L))).as("tokens_lost"),
+        sum(col("budget") - least(col("len"), col("budget"))).as("pad_tokens"))
+      .select(col("budget"), col("n_docs"), col("n_truncated"),
+        col("tokens_total"), col("tokens_lost"),
+        expr("tokens_lost * 1000000 div tokens_total").as("lost_ppm"),
+        expr("pad_tokens * 1000000 div (n_docs * budget)").as("pad_ppm"))
+      .orderBy("budget")
+  }
 }

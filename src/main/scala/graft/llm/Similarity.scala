@@ -796,6 +796,46 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** x102: ANN INDEX QUALITY EVAL — recall@k and reciprocal rank of the
+    * production LSH index (x55's derived-parameter KNN graph) against
+    * LABEL ground truth: a returned neighbor is relevant iff it shares the
+    * query's class label. This is the eval an embedding pipeline runs
+    * BEFORE shipping an index build — "did the bucketing destroy recall?"
+    * — and the per-query rows localize failures to specific vectors
+    * instead of one corpus mean.
+    *
+    * Metrics stay exact: hits and the ideal (min(k, class_size − 1)) are
+    * longs; recall@k and RR are single IEEE divisions; queries whose class
+    * is a singleton get NULL recall (no relevant neighbor exists) and
+    * queries whose LSH buckets returned nothing are absent — the honest
+    * Append-style contract, mirrored by the oracle.
+    *
+    * Scale: rides the x55 auto-LSH KNN graph (bucket equi-joins on short
+    * codes, no cartesian); labels broadcast (one row per vector id is the
+    * corpus — the join is on vec_id, co-partitioned with the KNN output);
+    * class sizes are a label-cardinality aggregate. */
+  def annQualityEval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val clsSizes = labels.groupBy("label").agg(count(lit(1)).as("cls_n"))
+    val knn = knnJoinAuto(spark, dir, k)
+      .join(labels.select(col("vec_id"), col("label").as("q_label")), Seq("vec_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), Seq("neighbor_id"))
+    knn.groupBy(col("vec_id"), col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_returned"),
+        sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L)).as("hits"),
+        min(when(col("n_label") === col("q_label"), col("rank"))).as("first_rel_rank"))
+      .join(broadcast(clsSizes), Seq("label"))
+      .withColumn("ideal", least(lit(k.toLong), col("cls_n") - 1))
+      .select(col("vec_id"), col("label"), col("n_returned"), col("hits"),
+        col("ideal"),
+        when(col("ideal") > 0, col("hits").cast("double") / col("ideal"))
+          .as("recall_at_k"),
+        when(col("first_rel_rank").isNotNull,
+          lit(1.0) / col("first_rel_rank")).otherwise(lit(0.0)).as("rr"))
+      .orderBy("vec_id")
+  }
+
   /** x96: EMBEDDING DIMENSION PROFILE — per-dimension distribution health
     * of the embedding table: mean, variance, and range for each of the d
     * coordinates. This is the drift/collapse monitor an embedding

@@ -783,6 +783,31 @@ object TextStats {
       .limit(topN)
   }
 
+  /** x101: MIXED-LANGUAGE DETECTION — the flag x7's single-label argmax
+    * cannot express: a document whose SECOND-best language score is a
+    * sizable fraction of the best is code-switched or a concatenation of
+    * two languages, and monolingual training pipelines either drop or
+    * segment it (the mC4/CCNet practice) rather than mislabel the whole
+    * doc with the winner. Rule: mixed ⇔ second > 0 ∧ 2·second ≥ best —
+    * pure integer marker-hit arithmetic, bit-exact cross-engine.
+    *
+    * Scale: identical to x7 — one codegen'd projection pass, no shuffle;
+    * the second-best extraction is a 4-element array_sort per row. */
+  def mixedLanguage(spark: SparkSession, dir: String): DataFrame = {
+    val scores = langMarkers.map { case (l, m) => langScore(m).as(s"score_$l") }
+    val arr = array_sort(array(langMarkers.map { case (l, _) => col(s"score_$l") }: _*))
+    docsWide(spark, dir)
+      .select(col("doc_id") +: scores: _*)
+      .withColumn("predicted_lang", pickLang)
+      .withColumn("best_score", element_at(arr, 4))
+      .withColumn("second_score", element_at(arr, 3))
+      .withColumn("is_mixed",
+        when(col("second_score") > 0 &&
+          col("second_score") * 2 >= col("best_score"), lit(1)).otherwise(lit(0)))
+      .select("doc_id", "predicted_lang", "best_score", "second_score", "is_mixed")
+      .orderBy("doc_id")
+  }
+
   /** Library form over any (doc_id, text) frame. */
   def classifierMarginDocs(docs: DataFrame, dim: Int = 256): DataFrame = {
     val toks = split(col("text"), " ")

@@ -96,6 +96,44 @@ class Round11Spec extends SparkSpec {
     p.unpersist()
   }
 
+  test("x101: mixed flag only fires on docs with two live language signals") {
+    val m = TextStats.mixedLanguage(spark, sfDir).persist()
+    assert(m.count() == nDocs)
+    assert(m.filter(col("second_score") > col("best_score")).count() == 0)
+    assert(m.filter(col("is_mixed") === 1 && col("second_score") === 0).count() == 0)
+    // the argmax label agrees with x7 on every doc
+    val x7 = TextStats.langId(spark, sfDir)
+      .select(col("doc_id"), col("predicted_lang").as("p7"))
+    assert(m.join(x7, "doc_id")
+      .filter(col("predicted_lang") =!= col("p7")).count() == 0)
+    m.unpersist()
+  }
+
+  test("x102: ANN eval metrics are coherent (hits bounded, RR in range)") {
+    val e = Similarity.annQualityEval(spark, sfDir).persist()
+    assert(e.count() > 0)
+    assert(e.filter(col("hits") > col("n_returned")).count() == 0)
+    assert(e.filter(col("hits") > col("ideal")).count() == 0)
+    assert(e.filter(col("n_returned") > 5).count() == 0)
+    assert(e.filter(col("recall_at_k").isNotNull &&
+      (col("recall_at_k") < 0 || col("recall_at_k") > 1)).count() == 0)
+    assert(e.filter(col("rr") < 0 || col("rr") > 1).count() == 0)
+    // rr = 0 exactly when no relevant neighbor was returned
+    assert(e.filter((col("rr") === 0.0) =!= (col("hits") === 0)).count() == 0)
+    e.unpersist()
+  }
+
+  test("x103: truncation loss falls and padding waste rises with the budget") {
+    val t = Packing.seqlenBudget(spark, sfDir)
+      .orderBy("budget").collect()
+    assert(t.length == 4)
+    assert(t.map(_.getAs[Long]("tokens_total")).distinct.length == 1)
+    val lost = t.map(_.getAs[Long]("tokens_lost"))
+    val pad = t.map(_.getAs[Long]("pad_ppm"))
+    assert(lost.zip(lost.tail).forall { case (a, b) => a >= b })
+    assert(pad.zip(pad.tail).forall { case (a, b) => a <= b })
+  }
+
   test("x100: survivorship totals reconcile with the applied dedup (x30)") {
     val r = DocDedup.dedupSurvivorship(spark, sfDir).persist()
     assert(r.filter(col("n_survivors") > col("n_docs")).count() == 0)
