@@ -379,6 +379,7 @@ object SparkEntry {
     "x101_mixed_language" -> ((s: SparkSession, d: String) => TextStats.mixedLanguage(s, d)),
     "x102_ann_quality_eval" -> ((s: SparkSession, d: String) => graft.llm.Similarity.annQualityEval(s, d)),
     "x103_seqlen_budget" -> ((s: SparkSession, d: String) => Packing.seqlenBudget(s, d)),
+    "x104_threshold_sweep" -> ((s: SparkSession, d: String) => DocDedup.thresholdSweep(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -2184,6 +2185,21 @@ object SparkEntry {
        "(CAST(n_ab AS DOUBLE)/n_bi) / ((CAST(a.n_w AS DOUBLE)/n_uni) * (CAST(b.n_w AS DOUBLE)/n_uni)) AS assoc_ratio " +
        "FROM pc JOIN uc a ON a.w = pc.w1 JOIN uc b ON b.w = pc.w2, tot, bt " +
        "ORDER BY assoc_ratio DESC, w1, w2 LIMIT 30"),
+    "x104_threshold_sweep" ->
+      // one pass over the x15 verified pair set fanned across thresholds;
+      // zero rows kept for thresholds that kill every pair
+      (s"WITH RECURSIVE pairs AS ($x15PairsSql), " +
+       "t(threshold) AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9])), " +
+       "f AS (SELECT t.threshold, p.id_a, p.id_b FROM pairs p JOIN t " +
+       "ON p.jaccard >= t.threshold), " +
+       "np AS (SELECT threshold, count(*) AS n_pairs FROM f GROUP BY threshold), " +
+       "nd AS (SELECT threshold, count(*) AS n_docs_involved FROM " +
+       "(SELECT DISTINCT threshold, doc_id FROM (SELECT threshold, unnest([id_a, id_b]) AS doc_id FROM f)) " +
+       "GROUP BY threshold) " +
+       "SELECT t.threshold, COALESCE(np.n_pairs, 0) AS n_pairs, " +
+       "COALESCE(nd.n_docs_involved, 0) AS n_docs_involved " +
+       "FROM t LEFT JOIN np ON np.threshold = t.threshold " +
+       "LEFT JOIN nd ON nd.threshold = t.threshold ORDER BY t.threshold"),
     "x101_mixed_language" ->
       // second-best from the sorted 4-score list; mixed ⇔ second > 0 and
       // 2·second ≥ best — integer marker arithmetic only

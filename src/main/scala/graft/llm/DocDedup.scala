@@ -1220,6 +1220,44 @@ object DocDedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** x104: JACCARD THRESHOLD SWEEP — the dedup-threshold tuning table: for
+    * each candidate threshold ≥ the band recall floor (0.5, the x15
+    * construction's guarantee), how many verified pairs survive and how
+    * many documents they touch. This is the table a curation owner reads
+    * before picking the x17 clustering threshold: too low merges topical
+    * siblings, too high leaves re-crawls in — the doc-count column shows
+    * the blast radius of each choice.
+    *
+    * Scale: ONE pass over the (already bucketed-and-rescored) x15 pair
+    * set — a Generator fans each pair over the 5 thresholds and two hash
+    * aggregates collapse it; the corpus itself is never rescanned. All
+    * counts exact longs. */
+  def thresholdSweep(spark: SparkSession, dir: String,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .localCheckpoint(eager = false)
+    val fanned = pairs
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        explode(array(thresholds.map(t => lit(t)): _*)).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+    val nPairs = fanned.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = fanned
+      .select(col("threshold"), explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+      .groupBy("threshold").agg(count(lit(1)).as("n_docs_involved"))
+    // every requested threshold gets a row, zeros included — a threshold
+    // that kills ALL pairs is exactly the data point the tuner wants
+    spark.range(1)
+      .select(explode(array(thresholds.map(t => lit(t)): _*)).as("threshold"))
+      .join(nPairs, Seq("threshold"), "left")
+      .join(nDocs, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_involved"), lit(0L)).as("n_docs_involved"))
+      .orderBy("threshold")
+  }
+
   /** x100: DEDUP SURVIVORSHIP REPORT — the per-source bias audit published
     * alongside a deduped corpus: near-dup dedup (keeper = cluster min
     * doc_id, x30's contract) does NOT remove uniformly — a source that is

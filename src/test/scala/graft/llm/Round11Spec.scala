@@ -134,6 +134,19 @@ class Round11Spec extends SparkSpec {
     assert(pad.zip(pad.tail).forall { case (a, b) => a <= b })
   }
 
+  test("x104: sweep counts are monotone in the threshold and tie to x15") {
+    val t = DocDedup.thresholdSweep(spark, sfDir).orderBy("threshold").collect()
+    assert(t.length == 5)
+    val pairs = t.map(_.getAs[Long]("n_pairs"))
+    val docs = t.map(_.getAs[Long]("n_docs_involved"))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b })
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b })
+    // the 0.5 row IS the x15 pair set
+    assert(pairs.head == DocDedup.ngramJaccardPairs(spark, sfDir).count())
+    // a pair involves 2 docs, shared docs only shrink the distinct count
+    assert(t.forall(r => r.getAs[Long]("n_docs_involved") <= 2 * r.getAs[Long]("n_pairs")))
+  }
+
   test("x100: survivorship totals reconcile with the applied dedup (x30)") {
     val r = DocDedup.dedupSurvivorship(spark, sfDir).persist()
     assert(r.filter(col("n_survivors") > col("n_docs")).count() == 0)
