@@ -27,7 +27,10 @@ object ShuffleProbe {
     "x15_ngram_jaccard", "x17_dedup_clusters", "x3_minhash_pairs",
     "x38_training_set", "x39_span_dedup", "x45_pagerank",
     "x56_bigram_lm", "x59_filter_ensemble", "x60_contamination_report",
-    "x62_substring_decontaminate", "x74_dup_span_profile", "x75_leak_safe_split")
+    "x62_substring_decontaminate", "x74_dup_span_profile", "x75_leak_safe_split",
+    // round 11: the two new shingle-family pipelines (per-source df agg,
+    // distinct-(shingle, source) self-join) and the two-level-rank manifest
+    "x93_boilerplate_ratio", "x95_source_overlap", "x97_curriculum_order")
 
   def main(args: Array[String]): Unit = {
     val gate = args.headOption.getOrElse(sys.error("usage: ShuffleProbe <gate>|--table [sfDir]"))
