@@ -1199,7 +1199,7 @@ object DocDedup {
     * Jaccard = shared / (|A| + |B| − shared) in exact longs, one IEEE
     * division at the end. */
   def sourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val sh = graft.Tables.widen(graft.Tables.documents(spark, dir))
+    val sh = docsWide(spark, dir)
       .select(col("source"), explode(shingles(split(col("text"), " "))).as("sh"))
       .distinct()
       .localCheckpoint(eager = false)
@@ -1275,7 +1275,7 @@ object DocDedup {
     val losers = clusterLabels(spark, dir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"), lit(1L).as("is_loser"))
-    graft.Tables.widen(graft.Tables.documents(spark, dir))
+    docsWide(spark, dir)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .join(broadcast(losers), Seq("doc_id"), "left")

@@ -811,9 +811,10 @@ object Similarity {
     * Append-style contract, mirrored by the oracle.
     *
     * Scale: rides the x55 auto-LSH KNN graph (bucket equi-joins on short
-    * codes, no cartesian); labels broadcast (one row per vector id is the
-    * corpus — the join is on vec_id, co-partitioned with the KNN output);
-    * class sizes are a label-cardinality aggregate. */
+    * codes, no cartesian). The label table is corpus-sized (one row per
+    * vector), so it is NOT broadcast — the two label joins are plain
+    * vec_id equi-joins that co-partition with the KNN output; only the
+    * label-cardinality class-size aggregate broadcasts. */
   def annQualityEval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
     val clsSizes = labels.groupBy("label").agg(count(lit(1)).as("cls_n"))

@@ -210,6 +210,10 @@ object EventsStream {
       java.nio.file.Files.move(part.toPath, dst)
       dst.toFile.setLastModified(mtime)
       dst.toFile.deleteOnExit()
+      // the writer dir only held _SUCCESS/.crc litter once the part file
+      // moved out — remove it now rather than leaking one pair per run
+      tmp.toFile.listFiles().foreach(_.delete())
+      java.nio.file.Files.deleteIfExists(tmp)
     }
     // distinct mod-times pin the FileStreamSource batch order: half 1
     // (older) is batch 1, half 2 is batch 2
