@@ -960,13 +960,17 @@ object Curation {
     * a per-key window — at lake scale the RewriteRowNumberTopK rule turns
     * it into the bounded per-key heap, so no source's full doc list is
     * ever materialized. */
-  def prioritySample(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def prioritySample(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    prioritySampleOf(docsWide(spark, dir), k)
+
+  /** Library form over any (doc_id, source, n_chars) frame. */
+  def prioritySampleOf(docs: DataFrame, k: Int): DataFrame = {
     val h52 = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 13), 16, 10)
       .cast("long")
     val u = (h52 + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
     val pr = col("n_chars").cast("double") / u
     val w = Window.partitionBy("source").orderBy(desc("priority"), col("doc_id"))
-    val ranked = docsWide(spark, dir)
+    val ranked = docs
       .select(col("doc_id"), col("source"), col("n_chars").as("weight"),
         pr.as("priority"))
       .withColumn("rank", row_number().over(w))
@@ -1011,8 +1015,12 @@ object Curation {
   def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
     val q = graft.llm.TextStats.qualityScore(spark, dir)
       .select("doc_id", "quality_score")
-    val docs = docsWide(spark, dir).select("doc_id", "source")
-      .join(q, "doc_id")
+    curriculumOrderOf(docsWide(spark, dir).select("doc_id", "source").join(q, "doc_id"))
+  }
+
+  /** Library form over any (doc_id, source, quality_score ∈ [0,1]) frame. */
+  def curriculumOrderOf(scored: DataFrame): DataFrame = {
+    val docs = scored
       .withColumn("bucket", floor(col("quality_score") * 20).cast("int"))
       .localCheckpoint(eager = false)
     // tiny per-bucket frame: counts, descending-rank offsets, corpus total

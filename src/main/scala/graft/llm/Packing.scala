@@ -158,8 +158,13 @@ object Packing {
     * collapsed map-side by the hash-agg on budget); every stat is an exact
     * long, ratios are integer-ppm `div` arithmetic. */
   def seqlenBudget(spark: SparkSession, dir: String,
+      budgets: Seq[Int] = Seq(128, 256, 512, 1024)): DataFrame =
+    seqlenBudgetOf(Tables.widen(Tables.documents(spark, dir)), budgets)
+
+  /** Library form over any (text) frame. */
+  def seqlenBudgetOf(docs: DataFrame,
       budgets: Seq[Int] = Seq(128, 256, 512, 1024)): DataFrame = {
-    Tables.widen(Tables.documents(spark, dir))
+    docs
       .select(size(split(col("text"), " ")).cast("long").as("len"))
       .select(col("len"), explode(array(budgets.map(b => lit(b.toLong)): _*)).as("budget"))
       .groupBy("budget")

@@ -861,9 +861,13 @@ object Similarity {
     * bounds: |v| < 10³ ⇒ milli² < 10¹², so nΣx² overflows only past ~10⁹
     * vectors per run — past that the same expressions run in
     * decimal(38,0) (the x46 escape hatch). */
-  def embeddingDimProfile(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingDimProfile(spark: SparkSession, dir: String): DataFrame =
+    embeddingDimProfileOf(Tables.widen(Tables.embeddings(spark, dir)))
+
+  /** Library form over any frame with an `embedding: array<float>` column. */
+  def embeddingDimProfileOf(emb: DataFrame): DataFrame = {
     val milli = floor(col("v").cast("double") * 1000.0).cast("long")
-    Tables.widen(Tables.embeddings(spark, dir))
+    emb
       .select(posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("dim").cast("long").as("dim"), col("v"), milli.as("m"))
       .groupBy("dim")
