@@ -380,6 +380,7 @@ object SparkEntry {
     "x102_ann_quality_eval" -> ((s: SparkSession, d: String) => graft.llm.Similarity.annQualityEval(s, d)),
     "x103_seqlen_budget" -> ((s: SparkSession, d: String) => Packing.seqlenBudget(s, d)),
     "x104_threshold_sweep" -> ((s: SparkSession, d: String) => DocDedup.thresholdSweep(s, d)),
+    "x105_source_datacard" -> ((s: SparkSession, d: String) => Curation.sourceDataCard(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -2185,6 +2186,48 @@ object SparkEntry {
        "(CAST(n_ab AS DOUBLE)/n_bi) / ((CAST(a.n_w AS DOUBLE)/n_uni) * (CAST(b.n_w AS DOUBLE)/n_uni)) AS assoc_ratio " +
        "FROM pc JOIN uc a ON a.w = pc.w1 JOIN uc b ON b.w = pc.w2, tot, bt " +
        "ORDER BY assoc_ratio DESC, w1, w2 LIMIT 30"),
+    "x105_source_datacard" ->
+      // the per-source datasheet: volume + quality (floor-ppm mean of the
+      // x8 score) + modal language (ties to the larger label, mirroring
+      // max-of-struct) + distinct-3 diversity + CC-artifact dup share
+      (s"WITH RECURSIVE pairs AS ($x15PairsSql), " +
+       "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+       "UNION ALL SELECT id_b, id_a FROM pairs), " +
+       "reach(node, lab) AS (SELECT src, src FROM (SELECT DISTINCT src FROM e) " +
+       "UNION SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node), " +
+       "cl AS (SELECT DISTINCT node FROM reach), " +
+       s"q AS ($x8QualitySql), " +
+       "lang AS (SELECT doc_id, CASE WHEN score_en = best AND best > 0 THEN 'en' " +
+       "WHEN score_de = best AND best > 0 THEN 'de' " +
+       "WHEN score_fr = best AND best > 0 THEN 'fr' " +
+       "WHEN score_es = best AND best > 0 THEN 'es' ELSE 'unknown' END AS predicted_lang " +
+       "FROM (SELECT doc_id, " +
+       s"${markerSql("en")} AS score_en, ${markerSql("de")} AS score_de, " +
+       s"${markerSql("fr")} AS score_fr, ${markerSql("es")} AS score_es, " +
+       s"greatest(${markerSql("en")}, ${markerSql("de")}, ${markerSql("fr")}, ${markerSql("es")}) AS best " +
+       "FROM documents)), " +
+       "base AS (SELECT d.doc_id, d.source, " +
+       "CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, " +
+       "CAST(floor(q.quality_score * 1000000.0) AS BIGINT) AS q_ppm, l.predicted_lang " +
+       "FROM documents d JOIN q ON q.doc_id = d.doc_id JOIN lang l ON l.doc_id = d.doc_id), " +
+       "per AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+       "CAST(sum(q_ppm) AS BIGINT) // count(*) AS mean_quality_ppm FROM base GROUP BY source), " +
+       "lc AS (SELECT source, predicted_lang, count(*) AS n FROM base GROUP BY 1, 2), " +
+       "lm AS (SELECT source, predicted_lang AS top_lang, n AS top_lang_docs FROM " +
+       "(SELECT *, row_number() OVER (PARTITION BY source ORDER BY n DESC, predicted_lang DESC) AS rn " +
+       "FROM lc) WHERE rn = 1), " +
+       s"shg AS (SELECT source, count(*) AS n_sh, count(DISTINCT g) AS n_sh_d FROM " +
+       s"(SELECT source, unnest($shingleListSql) AS g FROM " +
+       "(SELECT source, string_split(text, ' ') AS t FROM documents)) GROUP BY source), " +
+       "dup AS (SELECT d.source, count(*) AS dup_docs FROM documents d " +
+       "JOIN cl ON cl.node = d.doc_id GROUP BY d.source) " +
+       "SELECT per.source, per.n_docs, per.n_tokens, per.mean_quality_ppm, " +
+       "lm.top_lang, lm.top_lang_docs * 1000000 // per.n_docs AS top_lang_ppm, " +
+       "CAST(shg.n_sh_d AS DOUBLE)/shg.n_sh AS distinct3_ratio, " +
+       "COALESCE(dup.dup_docs, 0) AS dup_docs, " +
+       "CAST(COALESCE(dup.dup_docs, 0) AS DOUBLE)/per.n_docs AS dup_rate " +
+       "FROM per JOIN lm ON lm.source = per.source JOIN shg ON shg.source = per.source " +
+       "LEFT JOIN dup ON dup.source = per.source ORDER BY per.source"),
     "x104_threshold_sweep" ->
       // one pass over the x15 verified pair set fanned across thresholds;
       // zero rows kept for thresholds that kill every pair

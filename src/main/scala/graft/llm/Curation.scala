@@ -1062,6 +1062,72 @@ object Curation {
       .orderBy("curriculum_rank")
   }
 
+  /** x105: PER-SOURCE DATA CARD — the datasheet a dataset release ships
+    * per provenance (Gebru et al.'s "Datasheets for Datasets", reduced to
+    * the fields a mixture owner actually reads): volume (docs, tokens),
+    * quality (mean x8 score in exact ppm), language (modal x7 label and
+    * its share), diversity (distinct-3-gram ratio, the x87 template-farm
+    * signal), and redundancy (fraction of docs in near-dup clusters, from
+    * the materialized x17 artifact). One row per source; every published
+    * number is an exact long or a single IEEE division.
+    *
+    * Layout: quality + language + token count are all PROJECTIONS of the
+    * text, so they fuse into ONE corpus scan feeding one per-source
+    * hash-agg; the language mode is a per-(source, lang) count argmax
+    * (max-of-struct, ties to the lexicographically larger label — the
+    * oracle mirrors with its row_number order); diversity adds the x87
+    * shingle-distinct agg (shuffle = distinct (source, shingle) keys);
+    * redundancy joins the tiny clustered-doc set from the CC artifact. */
+  def sourceDataCard(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val base = docsWide(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"), size(t).as("n_tokens"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") / size(t))
+          .as("avg_token_len"))
+      .withColumn("stop_ratio",
+        graft.llm.TextStats.langScore(Seq(" the ", " a ", " of ", " and "))
+          .cast("double") / col("n_tokens"))
+      .withColumn("q_ppm", floor(graft.llm.TextStats.qualityExpr(
+        col("n_tokens"), col("avg_token_len"), col("stop_ratio")) * 1000000.0)
+        .cast("long"))
+      .select(col("doc_id"), col("source"), col("text"),
+        col("n_tokens").cast("long").as("n_tokens"), col("q_ppm"))
+      .localCheckpoint(eager = false)
+    val lang = base.select(Seq(col("doc_id"), col("source")) ++
+        graft.llm.TextStats.langMarkers.map { case (l, m) =>
+          graft.llm.TextStats.langScore(m).as(s"score_$l")
+        }: _*)
+      .withColumn("predicted_lang", graft.llm.TextStats.pickLang)
+      .groupBy(col("source"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(max(struct(col("n"), col("predicted_lang"))).as("m"))
+      .select(col("source"), col("m.predicted_lang").as("top_lang"),
+        col("m.n").as("top_lang_docs"))
+    val per = base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        expr("sum(q_ppm) div count(1)").as("mean_quality_ppm"))
+    val sh = base
+      .select(col("source"), explode(DocDedup.shingles(split(col("text"), " "))).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sh"), countDistinct("g").as("n_sh_d"))
+      .select(col("source"),
+        (col("n_sh_d").cast("double") / col("n_sh")).as("distinct3_ratio"))
+    val dup = base.select("doc_id", "source")
+      .join(DocDedup.clusterLabels(spark, dir).select("doc_id"), Seq("doc_id"))
+      .groupBy("source").agg(count(lit(1)).as("dup_docs"))
+    per.join(lang, "source").join(sh, "source")
+      .join(dup, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("mean_quality_ppm"), col("top_lang"),
+        expr("top_lang_docs * 1000000 div n_docs").as("top_lang_ppm"),
+        col("distinct3_ratio"),
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"),
+        (coalesce(col("dup_docs"), lit(0L)).cast("double") / col("n_docs"))
+          .as("dup_rate"))
+      .orderBy("source")
+  }
+
   /** The diff construction over arbitrary (doc_id, text) snapshot frames. */
   def snapshotDiffOf(oldV: DataFrame, newV: DataFrame): DataFrame = {
     val o = oldV.select(col("doc_id").as("o_id"),

@@ -42,7 +42,7 @@ object TextStats {
   /** Argmax over the per-language `score_*` columns, 'unknown' when no
     * marker fires; earlier langs win ties (en first) — the when-chain is
     * built left to right. Expects the score columns to be present. */
-  private def pickLang: Column = {
+  private[llm] def pickLang: Column = {
     val best = langMarkers.map { case (l, _) => col(s"score_$l") }.reduce((a, b) => greatest(a, b))
     langMarkers.reverse.foldLeft(lit("unknown")) { case (acc, (l, _)) =>
       when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)

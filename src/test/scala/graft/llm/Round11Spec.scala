@@ -147,6 +147,23 @@ class Round11Spec extends SparkSpec {
     assert(t.forall(r => r.getAs[Long]("n_docs_involved") <= 2 * r.getAs[Long]("n_pairs")))
   }
 
+  test("x105: data card partitions the corpus and bounds every published rate") {
+    val c = Curation.sourceDataCard(spark, sfDir).persist()
+    val nSources = Tables.documents(spark, sfDir).select("source").distinct().count()
+    assert(c.count() == nSources)
+    assert(c.agg(sum("n_docs")).head().getLong(0) == nDocs)
+    assert(c.filter(col("top_lang_docs") > col("n_docs")).count() == 0)
+    assert(c.filter(col("top_lang_ppm") < 0 || col("top_lang_ppm") > 1000000).count() == 0)
+    assert(c.filter(col("distinct3_ratio") <= 0 || col("distinct3_ratio") > 1).count() == 0)
+    assert(c.filter(col("dup_docs") > col("n_docs")).count() == 0)
+    assert(c.filter(col("dup_rate") < 0 || col("dup_rate") > 1).count() == 0)
+    // redundancy column reconciles with the CC artifact: every clustered doc
+    // lands in exactly one source's dup_docs
+    assert(c.agg(sum("dup_docs")).head().getLong(0) ==
+      DocDedup.clusterLabels(spark, sfDir).count())
+    c.unpersist()
+  }
+
   test("x100: survivorship totals reconcile with the applied dedup (x30)") {
     val r = DocDedup.dedupSurvivorship(spark, sfDir).persist()
     assert(r.filter(col("n_survivors") > col("n_docs")).count() == 0)
