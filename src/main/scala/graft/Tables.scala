@@ -145,7 +145,7 @@ object Tables {
         } catch { case _: Throwable => () } // best-effort tmp hygiene
       }))
   }
-  private def registerArtifactCleanup(dir: java.nio.file.Path): Unit = {
+  private[graft] def registerArtifactCleanup(dir: java.nio.file.Path): Unit = {
     artifactHook
     artifactDirs.add(dir)
     ()

@@ -195,11 +195,34 @@ object EventsStream {
       dir: String): DataFrame = {
     val ev = graft.Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
+    // The staged time-split directory is a pure function of the input
+    // table, so build it ONCE per (session, dir) — the build is two write
+    // jobs plus a min/max agg, and without the memo every bench sample and
+    // every "3/3 identical runs" re-pays it (the artifact contract of
+    // Tables.materializeOnce, here with file mtimes the generic helper
+    // can't express). Reuse is safe: each run opens a fresh streaming
+    // query (fresh checkpoint) over the same immutable files.
+    val stageDir = stagedSessionDir(spark, dir, ev)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val sessions = gapSessions(stream, gapSec = 1800).toDF()
+    runToMemory(spark, sessions, "e10_stream_sessions_result", OutputMode.Append())
+      .orderBy("user_id", "session_start_us")
+  }
+
+  /** Build (once per session+dir) the two-file time-split staging
+    * directory for the e10 gate: events with ts ≤ / > the range midpoint,
+    * as two single-part parquet files whose distinct mod-times pin the
+    * FileStreamSource batch order (half 1, older, is batch 1). */
+  private def stagedSessionDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ev: DataFrame): String = {
+    val k = (spark, dir)
+    val cached = sessionStageCache.get(k)
+    if (cached != null) return cached
     val mm = ev.agg(min(unix_micros(col("ts"))).as("mn"),
       max(unix_micros(col("ts"))).as("mx")).head()
     val cutUs = (mm.getLong(0) + mm.getLong(1)) / 2
     val stage = java.nio.file.Files.createTempDirectory("graft_stream_sess_")
-    stage.toFile.deleteOnExit()
     def dump(df: DataFrame, name: String, mtime: Long): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_sess_part_")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -209,7 +232,6 @@ object EventsStream {
       val dst = stage.resolve(name)
       java.nio.file.Files.move(part.toPath, dst)
       dst.toFile.setLastModified(mtime)
-      dst.toFile.deleteOnExit()
       // the writer dir only held _SUCCESS/.crc litter once the part file
       // moved out — remove it now rather than leaking one pair per run
       tmp.toFile.listFiles().foreach(_.delete())
@@ -220,12 +242,15 @@ object EventsStream {
     val t0 = System.currentTimeMillis() - 120000L
     dump(ev.filter(unix_micros(col("ts")) <= cutUs), "events_1.parquet", t0)
     dump(ev.filter(unix_micros(col("ts")) > cutUs), "events_2.parquet", t0 + 60000L)
-    val stream = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
-    val sessions = gapSessions(stream, gapSec = 1800).toDF()
-    runToMemory(spark, sessions, "e10_stream_sessions_result", OutputMode.Append())
-      .orderBy("user_id", "session_start_us")
+    // recursive shutdown-hook cleanup (deleteOnExit skips non-empty dirs);
+    // losers of a duplicate concurrent build register their dir too
+    graft.Tables.registerArtifactCleanup(stage)
+    val prior = sessionStageCache.putIfAbsent(k, stage.toString)
+    if (prior != null) prior else stage.toString
   }
+  private val sessionStageCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]()
 
   /** Shared staging for the streaming driver gates: FileStreamSource
     * requires a DIRECTORY source path (the production shape: a landing
