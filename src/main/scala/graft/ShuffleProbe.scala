@@ -29,8 +29,10 @@ object ShuffleProbe {
     "x56_bigram_lm", "x59_filter_ensemble", "x60_contamination_report",
     "x62_substring_decontaminate", "x74_dup_span_profile", "x75_leak_safe_split",
     // round 11: the two new shingle-family pipelines (per-source df agg,
-    // distinct-(shingle, source) self-join) and the two-level-rank manifest
-    "x93_boilerplate_ratio", "x95_source_overlap", "x97_curriculum_order")
+    // distinct-(shingle, source) self-join), the two-level-rank manifest,
+    // the multi-family data card, and the iterative k-core peel
+    "x93_boilerplate_ratio", "x95_source_overlap", "x97_curriculum_order",
+    "x105_source_datacard", "x106_kcore_peel")
 
   def main(args: Array[String]): Unit = {
     val gate = args.headOption.getOrElse(sys.error("usage: ShuffleProbe <gate>|--table [sfDir]"))

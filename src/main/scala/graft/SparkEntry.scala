@@ -381,6 +381,10 @@ object SparkEntry {
     "x103_seqlen_budget" -> ((s: SparkSession, d: String) => Packing.seqlenBudget(s, d)),
     "x104_threshold_sweep" -> ((s: SparkSession, d: String) => DocDedup.thresholdSweep(s, d)),
     "x105_source_datacard" -> ((s: SparkSession, d: String) => Curation.sourceDataCard(s, d)),
+    "x106_kcore_peel" -> ((s: SparkSession, d: String) => graft.graph.KCore.neardupKCore(s, d)),
+    "x107_cluster_size_profile" -> ((s: SparkSession, d: String) => DocDedup.clusterSizeProfile(s, d)),
+    "x108_cross_source_dup" -> ((s: SparkSession, d: String) => DocDedup.crossSourceDup(s, d)),
+    "x109_embedding_drift" -> ((s: SparkSession, d: String) => Similarity.embeddingDrift(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -2228,6 +2232,66 @@ object SparkEntry {
        "CAST(COALESCE(dup.dup_docs, 0) AS DOUBLE)/per.n_docs AS dup_rate " +
        "FROM per JOIN lm ON lm.source = per.source JOIN shg ON shg.source = per.source " +
        "LEFT JOIN dup ON dup.source = per.source ORDER BY per.source"),
+    "x106_kcore_peel" ->
+      // six chained peel rounds over the x15 pair graph (idempotent once
+      // converged — both fixtures converge in one); peel_layer 0 = the
+      // 2-core survivors with their in-core degree. Every CTE in the chain
+      // is MATERIALIZED: each e_r is referenced three times (next round's
+      // FROM plus both NOT IN prunes), so inlining would re-evaluate the
+      // expensive pairs CTE O(3^rounds) times.
+      (s"WITH pairs AS MATERIALIZED ($x15PairsSql), ${kcoreSql(2, 6)} ORDER BY doc_id"),
+    "x107_cluster_size_profile" ->
+      // CC reachability (the x17 oracle) → component sizes → histogram;
+      // size-1 row = docs absent from the label table
+      (s"WITH RECURSIVE pairs AS MATERIALIZED ($x15PairsSql), " +
+       "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+       "UNION ALL SELECT id_b, id_a FROM pairs), " +
+       "reach(node, lab) AS (SELECT src, src FROM (SELECT DISTINCT src FROM e) " +
+       "UNION SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node), " +
+       "lab AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node), " +
+       "sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROUP BY 1), " +
+       "hist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters FROM sz GROUP BY 1), " +
+       "single AS (SELECT CAST(1 AS BIGINT) AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters " +
+       "FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM lab)), " +
+       "u AS (SELECT * FROM hist UNION ALL SELECT * FROM single WHERE n_clusters > 0) " +
+       "SELECT cluster_size, n_clusters, CAST(cluster_size * n_clusters AS BIGINT) AS n_docs " +
+       "FROM u ORDER BY cluster_size"),
+    "x108_cross_source_dup" ->
+      // verified pairs labeled by source, orientation normalized
+      // source-lexically; mean similarity from exact micro-quantized longs
+      (s"WITH pairs AS ($x15PairsSql) " +
+       "SELECT least(da.source, db.source) AS source_a, " +
+       "greatest(da.source, db.source) AS source_b, " +
+       "CAST(count(*) AS BIGINT) AS n_pairs, " +
+       "CAST(CAST(sum(CAST(floor(p.jaccard * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) " +
+       "/ count(*) AS mean_jaccard_micro " +
+       "FROM pairs p JOIN documents da ON da.doc_id = p.id_a " +
+       "JOIN documents db ON db.doc_id = p.id_b " +
+       "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "x109_embedding_drift" ->
+      // md5-coin halves; per-dim milli-sums are exact longs, the
+      // cross-multiplied numerator Σ(sa·n_b − sb·n_a)² is one BIGINT, and
+      // drift is two IEEE divisions by the identical double denominator —
+      // bit-exact vs Similarity.embeddingDrift
+      ("WITH h AS (SELECT vec_id, label, embedding, " +
+       "CASE WHEN CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)),1,2)) AS INT) < 128 " +
+       "THEN 'a' ELSE 'b' END AS half FROM embeddings), " +
+       "cnt AS (SELECT label, CAST(count(*) FILTER (WHERE half = 'a') AS BIGINT) AS n_a, " +
+       "CAST(count(*) FILTER (WHERE half = 'b') AS BIGINT) AS n_b FROM h GROUP BY label), " +
+       "v AS (SELECT label, half, unnest(range(len(embedding))) AS dim, " +
+       "unnest(embedding) AS v FROM h), " +
+       "s AS (SELECT label, dim, " +
+       "COALESCE(CAST(sum(CASE WHEN half = 'a' THEN CAST(floor(CAST(v AS DOUBLE) * 1000.0) AS BIGINT) END) AS BIGINT), 0) AS sa, " +
+       "COALESCE(CAST(sum(CASE WHEN half = 'b' THEN CAST(floor(CAST(v AS DOUBLE) * 1000.0) AS BIGINT) END) AS BIGINT), 0) AS sb " +
+       "FROM v GROUP BY 1, 2), " +
+       "n AS (SELECT s.label, cnt.n_a, cnt.n_b, " +
+       "CAST(sum((sa * cnt.n_b - sb * cnt.n_a) * (sa * cnt.n_b - sb * cnt.n_a)) AS BIGINT) AS drift_num " +
+       "FROM s JOIN cnt ON s.label IS NOT DISTINCT FROM cnt.label GROUP BY 1, 2, 3) " +
+       "SELECT label, n_a, n_b, " +
+       "CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(drift_num AS DOUBLE) " +
+       "/ (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * 1000.0) " +
+       "/ (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * 1000.0) END AS drift_sq " +
+       "FROM n ORDER BY label"),
     "x104_threshold_sweep" ->
       // one pass over the x15 verified pair set fanned across thresholds;
       // zero rows kept for thresholds that kill every pair
@@ -2498,6 +2562,29 @@ object SparkEntry {
     * min squared-L2 distance to the i−1 chosen (the same list fold shape
     * as the k-means oracle, bit-exact vs Clustering.dist2) and picks the
     * max, ties to the smaller vec_id. */
+  /** Chained peel rounds for the x106 oracle: rm_r = nodes of degree < k
+    * in the round-(r−1) edge set, e_r = edges with both endpoints alive.
+    * The chain is IDEMPOTENT once converged (an empty rm_r leaves e_r =
+    * e_{r−1}), so chaining exactly `rounds` steps matches the Spark side's
+    * converge-or-fail bound of the same length. */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val ctes = new StringBuilder(
+      "e0 AS MATERIALIZED (SELECT id_a AS s, id_b AS t FROM pairs " +
+        "UNION ALL SELECT id_b, id_a FROM pairs)")
+    for (r <- 1 to rounds) {
+      ctes ++= (s", rm$r AS MATERIALIZED " +
+        s"(SELECT s FROM e${r - 1} GROUP BY s HAVING count(*) < $k)")
+      ctes ++= (s", e$r AS MATERIALIZED (SELECT e.s, e.t FROM e${r - 1} e " +
+        s"WHERE e.s NOT IN (SELECT s FROM rm$r) AND e.t NOT IN (SELECT s FROM rm$r))")
+    }
+    val layers = (1 to rounds).map(r =>
+      s"SELECT s AS doc_id, CAST($r AS INT) AS peel_layer, " +
+        s"CAST(0 AS BIGINT) AS core_degree FROM rm$r").mkString(" UNION ALL ")
+    s"${ctes.toString}, core AS (SELECT s AS doc_id, CAST(0 AS INT) AS peel_layer, " +
+      s"CAST(count(*) AS BIGINT) AS core_degree FROM e$rounds GROUP BY s) " +
+      s"$layers UNION ALL SELECT doc_id, peel_layer, core_degree FROM core"
+  }
+
   private def kcenterSql(k: Int): String = {
     def d2(a: String, b: String) =
       s"list_sum(list_transform(list_zip($a, $b), t -> (t[1]-t[2])*(t[1]-t[2])))"

@@ -69,7 +69,8 @@ object Triangles {
       .orderBy("doc_id")
   }
 
-  /** Gate entry: triangles over the oracle-checked x15 near-dup pairs. */
+  /** Gate entry: triangles over the oracle-checked x15 near-dup pairs;
+    * reads the persisted pair artifact, as refresh-time analytics would. */
   def neardupTriangles(spark: SparkSession, dir: String): DataFrame =
-    triangleStats(graft.llm.DocDedup.ngramJaccardPairs(spark, dir).drop("jaccard"))
+    triangleStats(graft.llm.DocDedup.pairArtifact(spark, dir).drop("jaccard"))
 }

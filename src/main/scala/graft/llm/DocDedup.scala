@@ -634,7 +634,10 @@ object DocDedup {
     * prior-CC and new-edge filters both consume them, and without the
     * barrier the whole LSH pipeline would run twice. */
   def incrementalClustersGate(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccardPairs(spark, dir).drop("jaccard").localCheckpoint()
+    // the refresh's pair set is itself a persisted table in production
+    // (the pairArtifact contract) — prior-CC and new-edge filters both
+    // read it, so the LSH pipeline runs at most once per session
+    val pairs = pairArtifact(spark, dir).drop("jaccard")
     // the prior-day labels are a PERSISTED ARTIFACT in production (the
     // x17/x75 materialize-once contract) — the refresh never recomputes
     // yesterday's CC, it reads the table; memoize it the same way so the
@@ -652,6 +655,17 @@ object DocDedup {
     incrementalClusters(prior, newEdges)
   }
 
+  /** The x15 verified pair set as a materialize-once ARTIFACT — the same
+    * refresh contract as `clusterLabels`: a lake computes the
+    * LSH→exact-Jaccard pairs once per crawl and persists them; the graph
+    * analytics (x86 triangles, x106 k-core), the threshold sweep (x104)
+    * and the CC build all read the table rather than re-running the
+    * shingle/minhash pipeline per consumer. The x15 gate itself still
+    * exercises the live pipeline. */
+  def pairArtifact(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.materializeOnce(spark, s"x15_pairs:$dir")(
+      ngramJaccardPairs(spark, dir))
+
   /** The x17 labels as a materialize-once ARTIFACT (Tables.materializeOnce):
     * six queries consume the component labels (x30 apply, x61 best-of-
     * cluster, x66 stats, x75 split, plus compositions) and re-running the
@@ -660,7 +674,7 @@ object DocDedup {
     * the table. The x17 gate itself still exercises the live pipeline. */
   def clusterLabels(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.materializeOnce(spark, s"cc_labels:$dir")(
-      dedupClusters(ngramJaccardPairs(spark, dir).drop("jaccard")))
+      dedupClusters(pairArtifact(spark, dir).drop("jaccard")))
 
   /** x75: LEAKAGE-SAFE train/val/test split — the assignment every
     * training-data pipeline needs but a naive per-doc coin gets wrong:
@@ -1234,9 +1248,9 @@ object DocDedup {
     * counts exact longs. */
   def thresholdSweep(spark: SparkSession, dir: String,
       thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
-    val pairs = ngramJaccardPairs(spark, dir)
+    // parquet-backed artifact, no checkpoint barrier needed
+    val pairs = pairArtifact(spark, dir)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .localCheckpoint(eager = false)
     val fanned = pairs
       .select(col("id_a"), col("id_b"), col("jaccard"),
         explode(array(thresholds.map(t => lit(t)): _*)).as("threshold"))
@@ -1290,5 +1304,59 @@ object DocDedup {
         col("tokens_before"), col("tokens_after"),
         (col("tokens_after").cast("double") / col("tokens_before")).as("token_retention"))
       .orderBy("source")
+  }
+
+  /** x107: CLUSTER-SIZE PROFILE — the dedup report's headline histogram:
+    * how many near-dup components exist at each size, and how many
+    * documents they hold. Size 1 = docs in no verified pair (the healthy
+    * bulk); a fat tail of large components means template farms / mirror
+    * sets and predicts the dedup's doc-count impact (n_docs − n_clusters
+    * summed over sizes ≥ 2 is exactly the x30 removal count).
+    *
+    * Scale: reads the materialized CC-label artifact; two short hash-aggs
+    * (labels→sizes→histogram, both keyed by longs); singletons come from
+    * one anti-join against the label table (broadcastable — labels hold
+    * only docs in ≥1 pair) collapsed map-side to a single row. */
+  def clusterSizeProfile(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(spark, dir)
+    val hist = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val singles = Tables.documents(spark, dir).select("doc_id")
+      .join(broadcast(labels.select("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"))
+    hist.unionByName(singles)
+      .filter(col("n_clusters") > 0)
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy("cluster_size")
+  }
+
+  /** x108: CROSS-SOURCE DUPLICATION MATRIX — which source pairs share
+    * verified near-duplicates, with pair volume and mean similarity.
+    * The x95 shingle-overlap matrix estimates vocabulary sharing; this is
+    * the verified-pair ground truth at the document level — the table
+    * that tells a curation owner "crawl B is largely a mirror of crawl A,
+    * drop one" (off-diagonal mass) vs "each source re-posts internally"
+    * (diagonal mass). Pair orientation is normalized source-lexically so
+    * (A,B) and (B,A) accumulate together.
+    *
+    * Scale: the pair artifact is tiny relative to the corpus (verified
+    * near-dups only); the two source lookups are equi-joins on long doc
+    * ids. Mean similarity sums exact micro-quantized longs (order-free),
+    * one division at the end. */
+  def crossSourceDup(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    pairArtifact(spark, dir)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        floor(col("jaccard") * 1000000.0).cast("long").as("j_micro"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum("j_micro").cast("double") / count(lit(1))).as("mean_jaccard_micro"))
+      .orderBy("source_a", "source_b")
   }
 }

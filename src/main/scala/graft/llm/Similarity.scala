@@ -882,4 +882,60 @@ object Similarity {
         col("min_v"), col("max_v"))
       .orderBy("dim")
   }
+
+  /** x109: EMBEDDING DRIFT MONITOR — per label, the squared L2 distance
+    * between the centroids of two md5-coin halves of the corpus (the A/B
+    * proxy for "this crawl vs last crawl" — a refresh feeds real snapshot
+    * ids instead of the coin). Near-zero drift per label is the
+    * invariance check an embedding pipeline runs after every model or
+    * corpus refresh; a label whose halves disagree flags either a corpus
+    * shift in that class or an encoder regression.
+    *
+    * Exactness: per-dim sums are milli-quantized longs, so the centroid
+    * difference is assembled from EXACT integers — the cross-multiplied
+    * numerator Σ_d (sa·n_b − sb·n_a)² is a single BIGINT, and drift is
+    * two IEEE divisions by the same double, bit-identical in any engine
+    * at any partitioning. Long bounds: |t| ≤ 10³·|v|·n_a·n_b, so the
+    * squared sum overflows only past ~10⁵ rows per label per half at
+    * |v|≤1 — past that the same expressions run in decimal(38,0) (the
+    * x46 escape hatch). A label missing one half reports NULL drift
+    * rather than an infinity.
+    *
+    * Scale: one posexplode pass (d rows per vector), hash-aggs keyed by
+    * (label, dim) — map-side partials collapse everything; the join with
+    * the per-label count table is label-keyed (tiny, broadcastable). */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    embeddingDriftOf(Tables.widen(Tables.embeddings(spark, dir)))
+
+  /** Library form over any frame with (vec_id: long, label, embedding:
+    * array<float>) — the refresh path passes real snapshot halves by
+    * mapping its snapshot id onto the `half` coin column instead. */
+  def embeddingDriftOf(emb: DataFrame): DataFrame = {
+    val half = when(
+      conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 2), 16, 10)
+        .cast("int") < 128, lit("a")).otherwise(lit("b"))
+    val e = emb
+      .select(col("vec_id"), col("label"), col("embedding"), half.as("half"))
+    val counts = e.groupBy("label")
+      .agg(count(when(col("half") === "a", lit(1))).as("n_a"),
+        count(when(col("half") === "b", lit(1))).as("n_b"))
+      .withColumnRenamed("label", "clabel")
+    val sums = e
+      .select(col("label"), col("half"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("half"),
+        col("dim"), floor(col("v").cast("double") * 1000.0).cast("long").as("m"))
+      .groupBy("label", "dim")
+      .agg(coalesce(sum(when(col("half") === "a", col("m"))), lit(0L)).as("sa"),
+        coalesce(sum(when(col("half") === "b", col("m"))), lit(0L)).as("sb"))
+    val denom = col("n_a").cast("double") * col("n_b").cast("double") * lit(1000.0)
+    sums.join(broadcast(counts), col("label") <=> col("clabel"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        (col("sa") * col("n_b") - col("sb") * col("n_a")).as("t"))
+      .groupBy("label", "n_a", "n_b")
+      .agg(sum(col("t") * col("t")).as("drift_num"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("drift_num").cast("double") / denom / denom).as("drift_sq"))
+      .orderBy("label")
+  }
 }

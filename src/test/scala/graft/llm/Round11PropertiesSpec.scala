@@ -131,4 +131,78 @@ class Round11PropertiesSpec extends SparkSpec {
       assert(got == expected, s"round=$round")
     }
   }
+
+  test("property: embedding drift equals a scalar milli-quantized recompute") {
+    import spark.implicits._
+    def coin(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      if (Integer.parseInt(f"${d(0)}%02x", 16) < 128) "a" else "b"
+    }
+    for (round <- 1 to 6) {
+      val n = 20 + round * 12
+      val dim = draw(Gen.choose(2, 6), round * 11L)
+      val rows = (0 until n).map { i =>
+        val label = draw(Gen.choose(0, 2), round * 1000L + i)
+        val vec = (0 until dim).map(d =>
+          draw(Gen.choose(-1000, 1000), round * 5000L + i * 10L + d) / 1000.0f).toArray
+        (i.toLong, label, vec)
+      }
+      val got = Similarity.embeddingDriftOf(rows.toDF("vec_id", "label", "embedding"))
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      val expected = rows.groupBy(_._2).map { case (label, rs) =>
+        val (as, bs) = rs.partition(r => coin(r._1) == "a")
+        val na = as.length.toLong
+        val nb = bs.length.toLong
+        val drift = if (na > 0 && nb > 0) {
+          val num = (0 until dim).map { d =>
+            val sa = as.map(r => math.floor(r._3(d).toDouble * 1000.0).toLong).sum
+            val sb = bs.map(r => math.floor(r._3(d).toDouble * 1000.0).toLong).sum
+            val t = sa * nb - sb * na
+            t * t
+          }.sum
+          val den = na.toDouble * nb.toDouble * 1000.0
+          Some(num.toDouble / den / den)
+        } else None
+        label -> ((na, nb, drift))
+      }
+      assert(got == expected, s"round=$round dim=$dim")
+    }
+  }
+
+  test("property: k-core peel equals a scalar synchronous peel on random graphs") {
+    import spark.implicits._
+    def scalarPeel(edges: Seq[(Long, Long)], k: Int): Map[Long, (Int, Long)] = {
+      var adj = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      var res = Map.empty[Long, (Int, Long)]
+      var round = 0
+      var done = false
+      while (!done) {
+        val low = adj.groupBy(_._1).collect { case (n, es) if es.size < k => n }.toSet
+        if (low.isEmpty) done = true
+        else {
+          round += 1
+          low.foreach(n => res += n -> ((round, 0L)))
+          adj = adj.filterNot { case (s, t) => low(s) || low(t) }
+        }
+      }
+      adj.groupBy(_._1).foreach { case (n, es) => res += n -> ((0, es.size.toLong)) }
+      res
+    }
+    val pairGen = for {
+      a <- Gen.choose(1L, 14L)
+      b <- Gen.choose(1L, 14L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    for (round <- 1 to 12) {
+      val nEdges = draw(Gen.choose(3, 25), round * 31L)
+      val edges = draw(Gen.listOfN(nEdges, pairGen), round * 97L).distinct
+      val k = draw(Gen.choose(2, 3), round * 7L)
+      // maxRounds 50: a random 14-node graph can peel deeper than the
+      // corpus gate's 6-round bound; the library contract is parametric
+      val got = graft.graph.KCore.kCorePeel(edges.toDF("id_a", "id_b"), k, maxRounds = 50)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+      assert(got == scalarPeel(edges, k), s"round=$round k=$k edges=$edges")
+    }
+  }
 }

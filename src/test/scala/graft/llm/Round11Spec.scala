@@ -164,6 +164,69 @@ class Round11Spec extends SparkSpec {
     c.unpersist()
   }
 
+  test("x106: k-core peel layers and core degrees on a known graph") {
+    import spark.implicits._
+    // K4 clique (1-4): whole 2-core, in-core degree 3. Path 10-11-12-13:
+    // endpoints die round 1, the stranded middle edge dies round 2 —
+    // exercises a real cascade. Star 20-(21,22,23): leaves die round 1;
+    // the hub is never low-degree but loses every edge, so it VANISHES
+    // (matches the oracle: no e_r row, no rm row) — that absence is part
+    // of the contract.
+    val edges = ((for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)) ++
+      Seq((10L, 11L), (11L, 12L), (12L, 13L)) ++
+      Seq((20L, 21L), (20L, 22L), (20L, 23L))).toDF("id_a", "id_b")
+    val got = graft.graph.KCore.kCorePeel(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    (1L to 4L).foreach(v => assert(got(v) == ((0, 3L)), s"K4 node $v: ${got(v)}"))
+    assert(got(10L) == ((1, 0L)) && got(13L) == ((1, 0L)))
+    assert(got(11L) == ((2, 0L)) && got(12L) == ((2, 0L)))
+    assert(Seq(21L, 22L, 23L).forall(got(_) == ((1, 0L))))
+    assert(!got.contains(20L), "isolated hub must vanish, not get a layer")
+    // corpus gate: layers within the oracle-chained bound; core nodes have
+    // in-core degree >= k; peeled nodes report degree 0
+    val corpus = graft.graph.KCore.neardupKCore(spark, sfDir).persist()
+    assert(corpus.filter(col("peel_layer") < 0 || col("peel_layer") > 6).count() == 0)
+    assert(corpus.filter(col("peel_layer") === 0 && col("core_degree") < 2).count() == 0)
+    assert(corpus.filter(col("peel_layer") > 0 && col("core_degree") =!= 0).count() == 0)
+    corpus.unpersist()
+  }
+
+  test("x107: size histogram partitions the corpus; sizes reconcile with the labels") {
+    val p = DocDedup.clusterSizeProfile(spark, sfDir).persist()
+    assert(p.agg(sum("n_docs")).head().getLong(0) == nDocs)
+    assert(p.filter(col("n_docs") =!= col("cluster_size") * col("n_clusters")).count() == 0)
+    assert(p.filter(col("cluster_size") < 1 || col("n_clusters") < 1).count() == 0)
+    // docs in sizes >= 2 are exactly the labeled (clustered) docs; no
+    // component of size < 2 can come out of a pair graph
+    val clustered = p.filter(col("cluster_size") >= 2)
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(clustered == DocDedup.clusterLabels(spark, sfDir).count())
+    p.unpersist()
+  }
+
+  test("x108: matrix totals tie to the pair artifact; similarity means bounded") {
+    val m = DocDedup.crossSourceDup(spark, sfDir).persist()
+    assert(m.agg(sum("n_pairs")).head().getLong(0) ==
+      DocDedup.pairArtifact(spark, sfDir).count())
+    assert(m.filter(col("source_a") > col("source_b")).count() == 0)
+    // pairs are kept at jaccard >= 0.5, so every mean is in [0.5, 1.0] micro
+    assert(m.filter(col("mean_jaccard_micro") < 500000.0 ||
+      col("mean_jaccard_micro") > 1000000.0).count() == 0)
+    m.unpersist()
+  }
+
+  test("x109: one row per label; halves partition the table; drift non-negative") {
+    val d = Similarity.embeddingDrift(spark, sfDir).persist()
+    val emb = Tables.embeddings(spark, sfDir)
+    assert(d.count() == emb.select("label").distinct().count())
+    assert(d.agg(sum(col("n_a") + col("n_b"))).head().getLong(0) == emb.count())
+    assert(d.filter(col("drift_sq") < 0).count() == 0)
+    // the coin must actually split every fixture label, or drift is all-NULL
+    assert(d.filter(col("n_a") > 0 && col("n_b") > 0 && col("drift_sq").isNull)
+      .count() == 0)
+    d.unpersist()
+  }
+
   test("x100: survivorship totals reconcile with the applied dedup (x30)") {
     val r = DocDedup.dedupSurvivorship(spark, sfDir).persist()
     assert(r.filter(col("n_survivors") > col("n_docs")).count() == 0)
