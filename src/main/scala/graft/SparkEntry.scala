@@ -385,6 +385,7 @@ object SparkEntry {
     "x107_cluster_size_profile" -> ((s: SparkSession, d: String) => DocDedup.clusterSizeProfile(s, d)),
     "x108_cross_source_dup" -> ((s: SparkSession, d: String) => DocDedup.crossSourceDup(s, d)),
     "x109_embedding_drift" -> ((s: SparkSession, d: String) => Similarity.embeddingDrift(s, d)),
+    "x110_band_recall_audit" -> ((s: SparkSession, d: String) => DocDedup.bandRecallAudit(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -2292,6 +2293,32 @@ object SparkEntry {
        "/ (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * 1000.0) " +
        "/ (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * 1000.0) END AS drift_sq " +
        "FROM n ORDER BY label"),
+    "x110_band_recall_audit" ->
+      // truth sample = the x4c simhash chunk-blocking witness (independent
+      // of the bands), rescored with exact 3-gram Jaccard over the SAME
+      // shd lists the x15 oracle verifies with; for a jaccard >= 0.5 truth
+      // pair, band-candidate membership == x15-verified membership, so the
+      // LEFT JOIN against cand mirrors the Spark side's pair-artifact join
+      (shingleBandsCte + bandCandShdCte(directed = false) +
+       s", $simhash16Cte, " +
+       "sh16c AS (SELECT * FROM sh16 WHERE doc_id < 10000), " +
+       "chs AS (SELECT doc_id, simhash16, i, CASE WHEN i = 0 THEN simhash16 & 255 " +
+       "ELSE (simhash16 >> 8) & 255 END AS chunk FROM sh16c, range(0, 2) r(i)), " +
+       "scand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM chs a " +
+       "JOIN chs b ON a.i = b.i AND a.chunk = b.chunk AND a.doc_id < b.doc_id " +
+       "AND bit_count(xor(a.simhash16, b.simhash16)) <= 1), " +
+       "truth AS (SELECT id_a, id_b, jaccard FROM (SELECT c.id_a, c.id_b, " +
+       "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard " +
+       "FROM scand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b) " +
+       "WHERE jaccard >= 0.5) " +
+       "SELECT CAST(floor(t.jaccard * 10.0) AS BIGINT) AS j_bucket, " +
+       "CAST(count(*) AS BIGINT) AS n_true_pairs, " +
+       "CAST(sum(CASE WHEN cand.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found, " +
+       "CAST(sum(CASE WHEN cand.id_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missed, " +
+       "CAST(CAST(sum(CASE WHEN cand.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) " +
+       "/ count(*) AS recall " +
+       "FROM truth t LEFT JOIN cand ON cand.id_a = t.id_a AND cand.id_b = t.id_b " +
+       "GROUP BY 1 ORDER BY 1"),
     "x104_threshold_sweep" ->
       // one pass over the x15 verified pair set fanned across thresholds;
       // zero rows kept for thresholds that kill every pair

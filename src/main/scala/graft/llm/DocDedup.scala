@@ -1359,4 +1359,45 @@ object DocDedup {
         (sum("j_micro").cast("double") / count(lit(1))).as("mean_jaccard_micro"))
       .orderBy("source_a", "source_b")
   }
+
+  /** x110: BAND RECALL AUDIT — measure, don't guess: the minhash banding
+    * scheme's EMPIRICAL recall, per Jaccard decile, against an
+    * INDEPENDENT candidate generator. The simhash chunk-blocking witness
+    * (x4c's construction) surfaces a sample of true near-dup pairs by a
+    * mechanism the bands know nothing about; each is rescored with exact
+    * 3-gram Jaccard, and the audit reports how many the band stage also
+    * surfaced. Theory says two-row bands find a j-similar pair w.p.
+    * 1−(1−j²)⁴; this table is that curve measured on the corpus — the
+    * number a dedup owner checks before trusting x15's pair set at the
+    * next 10× crawl.
+    *
+    * Membership joins against the VERIFIED pair artifact: for a truth
+    * pair (jaccard ≥ 0.5 by construction of this audit), being a band
+    * candidate is equivalent to being in the verified set, so the audit
+    * rides the persisted table instead of re-running the band pipeline.
+    *
+    * Scale: the simhash sample is the hard-capped witness (16-bit space;
+    * the production-width x4d/x4e paths are the scale form); the rescore
+    * touches only sampled pairs; the membership join keys on long id
+    * pairs. Recall is one long/long IEEE division per bucket. */
+  def bandRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    // the witness sample is itself refresh-persistable (same contract as
+    // pairArtifact); docs are semi-join-pruned to the sampled pair ids
+    // before shingling — the rescore touches only sampled documents
+    val sim = graft.Tables.materializeOnce(spark, s"x4c_pairs:$dir")(
+      simhashPairsMd5(spark, dir)).select("id_a", "id_b")
+    val ids = sim.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    val docs = Tables.documents(spark, dir).join(broadcast(ids), Seq("doc_id"), "left_semi")
+    val truth = ngramJaccard(docs, sim).filter(col("jaccard") >= 0.5)
+    val band = pairArtifact(spark, dir)
+      .select(col("id_a"), col("id_b"), lit(1L).as("in_band"))
+    truth.join(band, Seq("id_a", "id_b"), "left")
+      .select(floor(col("jaccard") * 10.0).cast("long").as("j_bucket"),
+        coalesce(col("in_band"), lit(0L)).as("f"))
+      .groupBy("j_bucket")
+      .agg(count(lit(1)).as("n_true_pairs"), sum("f").as("n_found"),
+        (count(lit(1)) - sum("f")).as("n_missed"),
+        (sum("f").cast("double") / count(lit(1))).as("recall"))
+      .orderBy("j_bucket")
+  }
 }

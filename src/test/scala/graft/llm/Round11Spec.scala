@@ -227,6 +227,21 @@ class Round11Spec extends SparkSpec {
     d.unpersist()
   }
 
+  test("x110: recall audit partitions its truth sample; high buckets near-perfect") {
+    val a = DocDedup.bandRecallAudit(spark, sfDir).persist()
+    assert(a.filter(col("n_found") + col("n_missed") =!= col("n_true_pairs")).count() == 0)
+    assert(a.filter(col("recall") < 0 || col("recall") > 1).count() == 0)
+    assert(a.filter(col("j_bucket") < 5 || col("j_bucket") > 10).count() == 0,
+      "truth is filtered to jaccard >= 0.5")
+    // two-row bands find a j>=0.9 pair w.p. >= 1-(1-0.81)^4 ~ 0.9987; on
+    // the witness-sized sample that should be no more than one miss
+    val hi = a.filter(col("j_bucket") >= 9)
+      .agg(sum("n_true_pairs"), sum("n_missed")).head()
+    assert(hi.getLong(0) == 0 || hi.getLong(1) <= 1 + hi.getLong(0) / 100,
+      s"banding missed ${hi.getLong(1)} of ${hi.getLong(0)} j>=0.9 pairs")
+    a.unpersist()
+  }
+
   test("x100: survivorship totals reconcile with the applied dedup (x30)") {
     val r = DocDedup.dedupSurvivorship(spark, sfDir).persist()
     assert(r.filter(col("n_survivors") > col("n_docs")).count() == 0)
