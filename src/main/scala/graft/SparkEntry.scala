@@ -386,6 +386,8 @@ object SparkEntry {
     "x108_cross_source_dup" -> ((s: SparkSession, d: String) => DocDedup.crossSourceDup(s, d)),
     "x109_embedding_drift" -> ((s: SparkSession, d: String) => Similarity.embeddingDrift(s, d)),
     "x110_band_recall_audit" -> ((s: SparkSession, d: String) => DocDedup.bandRecallAudit(s, d)),
+    "x111_embedding_outliers" -> ((s: SparkSession, d: String) => Similarity.embeddingOutliers(s, d)),
+    "x112_centroid_confusion" -> ((s: SparkSession, d: String) => Similarity.labelCentroidConfusion(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -2319,6 +2321,43 @@ object SparkEntry {
        "/ count(*) AS recall " +
        "FROM truth t LEFT JOIN cand ON cand.id_a = t.id_a AND cand.id_b = t.id_b " +
        "GROUP BY 1 ORDER BY 1"),
+    "x111_embedding_outliers" ->
+      // x109's integer pattern: milli-quantized components, exact
+      // cross-multiplied distance numerators; "far" compares 50*num vs
+      // 51*n^2*1e6 in exact longs; dist2 is one IEEE division
+      ("WITH m AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, " +
+       "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS m " +
+       "FROM embeddings), " +
+       "s AS (SELECT label, dim, CAST(sum(m) AS BIGINT) AS sd, " +
+       "CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1, 2), " +
+       "num AS (SELECT m.vec_id, m.label, s.n, " +
+       "CAST(sum((m.m * s.n - s.sd) * (m.m * s.n - s.sd)) AS BIGINT) AS d2num " +
+       "FROM m JOIN s ON s.label = m.label AND s.dim = m.dim GROUP BY 1, 2, 3), " +
+       "far AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, " +
+       "CAST(sum(CASE WHEN d2num * 50 > 51 * n * n * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_far " +
+       "FROM num GROUP BY 1), " +
+       "topk AS (SELECT label, vec_id, n, d2num, " +
+       "row_number() OVER (PARTITION BY label ORDER BY d2num DESC, vec_id) AS rnk FROM num) " +
+       "SELECT t.label, CAST(t.rnk AS INT) AS rnk, t.vec_id, f.n_vecs, f.n_far, " +
+       "t.d2num * 1.0 / (t.n * t.n * 1e6) AS dist2 " +
+       "FROM topk t JOIN far f ON f.label = t.label WHERE t.rnk <= 3 " +
+       "ORDER BY t.label, t.rnk"),
+    "x112_centroid_confusion" ->
+      // quantization and count factors cancel inside cosine, so raw
+      // milli-sum vectors stand in for centroids; each norm takes its own
+      // sqrt BEFORE the product (the integer product would overflow)
+      ("WITH m AS (SELECT label, unnest(range(len(embedding))) AS dim, " +
+       "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS m " +
+       "FROM embeddings), " +
+       "s AS (SELECT label, dim, CAST(sum(m) AS BIGINT) AS sd FROM m GROUP BY 1, 2), " +
+       "q AS (SELECT label, CAST(sum(sd * sd) AS BIGINT) AS qq FROM s GROUP BY 1), " +
+       "d AS (SELECT a.label AS label_a, b.label AS label_b, " +
+       "CAST(sum(a.sd * b.sd) AS BIGINT) AS dot_num " +
+       "FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label GROUP BY 1, 2) " +
+       "SELECT d.label_a, d.label_b, d.dot_num, " +
+       "d.dot_num * 1.0 / (sqrt(CAST(qa.qq AS DOUBLE)) * sqrt(CAST(qb.qq AS DOUBLE))) AS cos_centroid " +
+       "FROM d JOIN q qa ON qa.label = d.label_a JOIN q qb ON qb.label = d.label_b " +
+       "ORDER BY d.label_a, d.label_b"),
     "x104_threshold_sweep" ->
       // one pass over the x15 verified pair set fanned across thresholds;
       // zero rows kept for thresholds that kill every pair

@@ -938,4 +938,109 @@ object Similarity {
           col("drift_num").cast("double") / denom / denom).as("drift_sq"))
       .orderBy("label")
   }
+
+  /** x111: EMBEDDING OUTLIER MONITOR — per label, the vectors farthest
+    * from their label centroid: the mislabeled/garbage-vector triage
+    * table an embedding owner reads after every encoder or corpus
+    * refresh (top-k worst offenders by exact rank, plus how many vectors
+    * sit past a fixed "far" radius). A label whose far-count jumps flags
+    * either label noise in the new batch or an encoder regression for
+    * that class.
+    *
+    * Exactness (x109's integer pattern): with milli-quantized components
+    * m and per-(label,dim) sums S over n vectors, the squared distance
+    * to the centroid cross-multiplies to the EXACT long
+    * Σ_d (m·n − S_d)²; ranking, the top-k window, and the "far"
+    * comparison (dist² > 1.02, i.e. 50·num > 51·n²·10⁶ in integers) all
+    * happen on exact longs, and dist² surfaces as ONE IEEE division of
+    * two identically-converted doubles. Long bounds: |m·n − S_d| ≤
+    * 2·10³·|v|·n, so the 64-dim squared sum overflows only past ~10⁵
+    * vectors per label at |v|≤1 — past that the same expressions run in
+    * decimal(38,0) (the x46 escape hatch).
+    *
+    * Scale: two corpus passes (per-(label,dim) sums, then the per-vector
+    * rescore against the BROADCAST label×dim sum table — labels·dims
+    * rows, tiny by construction); the per-vector numerator collapses
+    * map-side keyed by vec_id. The top-k window is exactly the shape
+    * RewriteRowNumberTopK bounds to a per-key heap, and the far-count is
+    * a label-keyed long agg. Nothing shuffles wider than (vec_id, label,
+    * two longs). */
+  def embeddingOutliers(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    embeddingOutliersOf(Tables.widen(Tables.embeddings(spark, dir)), k)
+
+  /** Library form over any (vec_id: long, label, embedding: array<float>)
+    * frame. */
+  def embeddingOutliersOf(emb: DataFrame, k: Int = 3): DataFrame = {
+    def milli(e: DataFrame): DataFrame = e
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("v").cast("double") * 1000.0).cast("long").as("m"))
+    val sums = milli(emb).groupBy("label", "dim")
+      .agg(sum("m").as("sd"), count(lit(1)).as("n"))
+    val t = col("m") * col("n") - col("sd")
+    val num = milli(emb).join(broadcast(sums), Seq("label", "dim"))
+      .select(col("vec_id"), col("label"), col("n"), (t * t).as("t2"))
+      .groupBy("vec_id", "label", "n")
+      .agg(sum("t2").as("d2num"))
+    val far = num.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("d2num") * 50 > lit(51L) * col("n") * col("n") * lit(1000000L),
+          1L).otherwise(0L)).as("n_far"))
+    val topk = num
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("label").orderBy(desc("d2num"), asc("vec_id"))))
+      .filter(col("rnk") <= k)
+    topk.join(broadcast(far), Seq("label"))
+      .select(col("label"), col("rnk"), col("vec_id"), col("n_vecs"), col("n_far"),
+        (col("d2num").cast("double") /
+          ((col("n") * col("n")).cast("double") * lit(1e6))).as("dist2"))
+      .orderBy("label", "rnk")
+  }
+
+  /** x112: LABEL-CENTROID CONFUSION MATRIX — pairwise cosine similarity
+    * between label centroids: the label-space collision check run before
+    * trusting the labels for eval or hard-negative mining (x67). Two
+    * labels whose centroids nearly coincide are not separable classes —
+    * recall@k against them (x102) is noise, and contrastive pairs drawn
+    * across them are false negatives.
+    *
+    * Exactness: the count-and-quantization factors cancel inside cosine,
+    * so raw per-(label,dim) milli-sum vectors S stand in for centroids:
+    * cos = Σ S_a·S_b / (√(Σ S_a²)·√(Σ S_b²)). Dot and norm sums are
+    * EXACT longs (bounded by dims·(10³·|v|·n)² — overflow only past ~10⁶
+    * vectors per label); IEEE sqrt/multiply/divide on identically-
+    * converted doubles is bit-identical in any engine. The norm PRODUCT
+    * is never formed as an integer (it would overflow) — each factor
+    * takes its own sqrt first.
+    *
+    * Scale: one corpus pass builds the labels×dims sum table; everything
+    * after is a self-join of that TINY table on dim (labels² ·dims
+    * intermediate rows, all broadcast-sized by construction). */
+  def labelCentroidConfusion(spark: SparkSession, dir: String): DataFrame =
+    labelCentroidConfusionOf(Tables.widen(Tables.embeddings(spark, dir)))
+
+  /** Library form over any (vec_id, label, embedding: array<float>)
+    * frame. */
+  def labelCentroidConfusionOf(emb: DataFrame): DataFrame = {
+    val sums = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"),
+        floor(col("v").cast("double") * 1000.0).cast("long").as("m"))
+      .groupBy("label", "dim").agg(sum("m").as("sd"))
+    val q = sums.groupBy("label").agg(sum(col("sd") * col("sd")).as("qq"))
+    val dots = sums.as("a")
+      .join(sums.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(col("a.sd") * col("b.sd")).as("dot_num"))
+    dots
+      .join(broadcast(q.select(col("label").as("label_a"), col("qq").as("qa"))), "label_a")
+      .join(broadcast(q.select(col("label").as("label_b"), col("qq").as("qb"))), "label_b")
+      .select(col("label_a"), col("label_b"), col("dot_num"),
+        (col("dot_num").cast("double") /
+          (sqrt(col("qa").cast("double")) * sqrt(col("qb").cast("double"))))
+          .as("cos_centroid"))
+      .orderBy("label_a", "label_b")
+  }
 }

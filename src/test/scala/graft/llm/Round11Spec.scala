@@ -242,6 +242,64 @@ class Round11Spec extends SparkSpec {
     a.unpersist()
   }
 
+  test("x111: outlier monitor partitions counts; ranks dense; far <= total") {
+    val o = Similarity.embeddingOutliers(spark, sfDir).persist()
+    val emb = Tables.widen(Tables.embeddings(spark, sfDir))
+    // one n_vecs per label, and they sum to the corpus vector count
+    val perLabel = o.select("label", "n_vecs", "n_far").distinct()
+    assert(perLabel.count() == emb.select("label").distinct().count())
+    assert(perLabel.agg(sum("n_vecs")).head().getLong(0) == emb.count())
+    assert(perLabel.filter(col("n_far") > col("n_vecs")).count() == 0)
+    // ranks are exactly 1..3 per label and dist2 is non-increasing in rank
+    assert(o.groupBy("label").agg(count(lit(1)).as("n"), max("rnk").as("mx"),
+      min("rnk").as("mn")).filter(col("n") =!= 3 || col("mx") =!= 3 || col("mn") =!= 1)
+      .count() == 0)
+    val lagged = o.withColumn("prev", lag("dist2", 1).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("label").orderBy("rnk")))
+    assert(lagged.filter(col("prev").isNotNull && col("prev") < col("dist2")).count() == 0)
+    assert(o.filter(col("dist2") < 0).count() == 0)
+    o.unpersist()
+  }
+
+  test("x111: a planted far vector surfaces at rank 1 with a far count") {
+    import spark.implicits._
+    val base = (1L to 20L).map(i => (i, 0, Array.fill(4)(0.1f + 0.001f * i)))
+    val planted = (21L, 0, Array(0.9f, -0.9f, 0.9f, -0.9f))
+    val emb = (base :+ planted).toDF("vec_id", "label", "embedding")
+    val o = Similarity.embeddingOutliersOf(emb, k = 1)
+    val top = o.head()
+    assert(top.getAs[Long]("vec_id") == 21L)
+    assert(top.getAs[Long]("n_far") >= 1L)
+  }
+
+  test("x112: centroid confusion emits every unordered pair, cos in [-1,1]") {
+    val c = Similarity.labelCentroidConfusion(spark, sfDir).persist()
+    val nLabels = Tables.widen(Tables.embeddings(spark, sfDir))
+      .select("label").distinct().count()
+    assert(c.count() == nLabels * (nLabels - 1) / 2)
+    assert(c.filter(col("label_a") >= col("label_b")).count() == 0)
+    assert(c.filter(col("cos_centroid") < -1.0 || col("cos_centroid") > 1.0).count() == 0)
+    c.unpersist()
+  }
+
+  test("x112: identical-centroid labels report cosine exactly 1") {
+    import spark.implicits._
+    // two labels with the SAME vector set -> same milli-sum vector; a
+    // third orthogonal-ish label must not reach cos 1 with either
+    val a = (1L to 5L).map(i => (i, 0, Array(0.2f, 0.1f, 0.3f, 0.05f)))
+    val b = (6L to 10L).map(i => (i, 1, Array(0.2f, 0.1f, 0.3f, 0.05f)))
+    val z = (11L to 15L).map(i => (i, 2, Array(-0.3f, 0.2f, -0.1f, 0.4f)))
+    val c = Similarity.labelCentroidConfusionOf((a ++ b ++ z).toDF("vec_id", "label", "embedding"))
+      .persist()
+    // sqrt(q)*sqrt(q) can differ from q by 1 ulp, so "exactly 1" is an
+    // ulp-tolerance check, not ==
+    val r01 = c.filter(col("label_a") === 0 && col("label_b") === 1).head()
+    assert(math.abs(r01.getAs[Double]("cos_centroid") - 1.0) < 1e-12)
+    assert(c.filter(abs(col("cos_centroid") - 1.0) < 1e-12).count() == 1,
+      "only the identical pair reaches cos ~ 1")
+    c.unpersist()
+  }
+
   test("x100: survivorship totals reconcile with the applied dedup (x30)") {
     val r = DocDedup.dedupSurvivorship(spark, sfDir).persist()
     assert(r.filter(col("n_survivors") > col("n_docs")).count() == 0)
