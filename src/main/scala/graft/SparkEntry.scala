@@ -388,6 +388,8 @@ object SparkEntry {
     "x110_band_recall_audit" -> ((s: SparkSession, d: String) => DocDedup.bandRecallAudit(s, d)),
     "x111_embedding_outliers" -> ((s: SparkSession, d: String) => Similarity.embeddingOutliers(s, d)),
     "x112_centroid_confusion" -> ((s: SparkSession, d: String) => Similarity.labelCentroidConfusion(s, d)),
+    "x113_clf_calibration" -> ((s: SparkSession, d: String) => TextStats.classifierCalibration(s, d)),
+    "x114_knn_agreement" -> ((s: SparkSession, d: String) => Similarity.knnLabelAgreement(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -2358,6 +2360,42 @@ object SparkEntry {
        "d.dot_num * 1.0 / (sqrt(CAST(qa.qq AS DOUBLE)) * sqrt(CAST(qb.qq AS DOUBLE))) AS cos_centroid " +
        "FROM d JOIN q qa ON qa.label = d.label_a JOIN q qb ON qb.label = d.label_b " +
        "ORDER BY d.label_a, d.label_b"),
+    "x113_clf_calibration" ->
+      // both signals exact per row (integer w_sum fold; x8's IEEE score);
+      // the bin is floor(10*w_sum/n_tokens) via one double division, the
+      // rate an integer-ppm floor-div
+      (s"WITH clf AS ($x57ClfSql), q AS ($x8QualitySql), " +
+       "b AS (SELECT CAST(floor(c.w_sum * 10.0 / c.n_tokens) AS BIGINT) AS margin_bin, " +
+       "CASE WHEN q.quality_score >= 0.6 THEN 1 ELSE 0 END AS good " +
+       "FROM clf c JOIN q ON q.doc_id = c.doc_id) " +
+       "SELECT margin_bin, CAST(count(*) AS BIGINT) AS n_docs, " +
+       "CAST(sum(good) AS BIGINT) AS n_good, " +
+       "CAST(sum(good) AS BIGINT) * 1000000 // count(*) AS good_ppm " +
+       "FROM b GROUP BY 1 ORDER BY 1"),
+    "x114_knn_agreement" ->
+      // majority label vote over the x55 auto-LSH KNN graph, ties to the
+      // smallest label via the deterministic row_number; accuracy is an
+      // integer-ppm floor-div. Bucket-less queries absent (x102's caveat)
+      (s"WITH ${autoLshCtes(8)}, " +
+       "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM coded a " +
+       "JOIN coded b ON a.t = b.t AND a.code = b.code AND a.vec_id <> b.vec_id), " +
+       "s AS (SELECT c.id_a, c.id_b, " +
+       s"${dotSql("x.vec", "y.vec")}/(x.norm*y.norm) AS sim FROM cand c " +
+       "JOIN nrm x ON x.vec_id = c.id_a JOIN nrm y ON y.vec_id = c.id_b), " +
+       "knn AS (SELECT id_a AS vec_id, id_b AS neighbor_id FROM " +
+       "(SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a " +
+       "ORDER BY sim DESC, id_b) AS rank FROM s) WHERE rank <= 5), " +
+       "lab AS (SELECT vec_id, label FROM embeddings), " +
+       "vote AS (SELECT k.vec_id, q.label AS q_label, n.label AS n_label, " +
+       "count(*) AS cnt FROM knn k JOIN lab q ON q.vec_id = k.vec_id " +
+       "JOIN lab n ON n.vec_id = k.neighbor_id GROUP BY 1, 2, 3), " +
+       "win AS (SELECT vec_id, q_label, n_label, row_number() OVER " +
+       "(PARTITION BY vec_id ORDER BY cnt DESC, n_label) AS rn FROM vote) " +
+       "SELECT q_label AS label, CAST(count(*) AS BIGINT) AS n_queries, " +
+       "CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, " +
+       "CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) * 1000000 " +
+       "// count(*) AS acc_ppm " +
+       "FROM win WHERE rn = 1 GROUP BY 1 ORDER BY 1"),
     "x104_threshold_sweep" ->
       // one pass over the x15 verified pair set fanned across thresholds;
       // zero rows kept for thresholds that kill every pair

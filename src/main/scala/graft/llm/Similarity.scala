@@ -998,6 +998,44 @@ object Similarity {
       .orderBy("label", "rnk")
   }
 
+  /** x114: KNN LABEL AGREEMENT — the classifier view of embedding
+    * quality, complementing x102's retrieval view: each vector's label is
+    * predicted by majority vote of its k auto-LSH nearest neighbours
+    * (ties to the smallest label — deterministic), and the table reports
+    * per-label leave-one-out accuracy. This is the cheapest linear-probe
+    * stand-in: a label whose accuracy is near chance is not learnable
+    * from this embedding space, and the pair (x112 high centroid cosine,
+    * x114 low accuracy) localizes WHICH classes collide.
+    *
+    * Caveat shared with x102: vectors whose LSH bucket yields no
+    * candidates are absent (the graph has no row to vote with), so
+    * n_queries can undercount tiny corpora — mirrored exactly by the
+    * oracle.
+    *
+    * Scale: rides the x55 auto-LSH KNN graph; the label table is
+    * corpus-sized, so both label joins are plain vec_id equi-joins that
+    * co-partition with the KNN output. The vote is two short-key
+    * hash-aggs and a k-bounded row_number window; accuracy is an
+    * integer-ppm `div`. */
+  def knnLabelAgreement(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val votes = knnJoinAuto(spark, dir, k)
+      .join(labels.select(col("vec_id"), col("label").as("q_label")), Seq("vec_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), Seq("neighbor_id"))
+      .groupBy("vec_id", "q_label", "n_label")
+      .agg(count(lit(1)).as("cnt"))
+    val winner = votes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cnt"), asc("n_label"))))
+      .filter(col("rn") === 1)
+    winner.groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc_ppm", expr("(n_correct * 1000000L) div n_queries"))
+      .orderBy("label")
+  }
+
   /** x112: LABEL-CENTROID CONFUSION MATRIX — pairwise cosine similarity
     * between label centroids: the label-space collision check run before
     * trusting the labels for eval or hard-negative mining (x67). Two

@@ -819,4 +819,45 @@ object TextStats {
         when(col("margin") >= 0, lit("keep")).otherwise(lit("drop")))
       .orderBy("doc_id")
   }
+
+  /** x113: CLASSIFIER CALIBRATION CURVE — per bin of the x57 hashed-
+    * classifier margin, how often the INDEPENDENT heuristic quality gate
+    * (x8's score at the x59 ensemble threshold 0.6) agrees the document
+    * is good. This is the reliability diagram a curation owner reads
+    * before moving the classifier's keep/drop cut: a well-calibrated
+    * filter shows good-rate rising monotonically with the margin bin; a
+    * flat curve means the cheap classifier adds nothing over the
+    * heuristic, and a high-margin bin with a low good-rate is the
+    * Goodhart drift check after retraining.
+    *
+    * Exactness: both signals are exact per row (w_sum is an integer fold;
+    * x8's arithmetic is bit-identical IEEE), the bin is
+    * floor(10·w_sum/n_tokens) computed with ONE double division of exact
+    * values, and the published rate is an integer-ppm `div`.
+    *
+    * Scale: entirely map-side — both signals fold inline in the SAME
+    * projection (the x59 fused-scan pattern, minus the LM), so one corpus
+    * read feeds a hash-agg keyed by the handful of margin bins. */
+  def classifierCalibration(spark: SparkSession, dir: String): DataFrame =
+    classifierCalibrationOf(docsWide(spark, dir))
+
+  /** Library form over any (doc_id, text) frame. */
+  def classifierCalibrationOf(docs: DataFrame, dim: Int = 256,
+      goodAt: Double = 0.6): DataFrame = {
+    val t = split(col("text"), " ")
+    val nTok = size(t)
+    val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+    val stopRatio =
+      langScore(Seq(" the ", " a ", " of ", " and ")).cast("double") / nTok
+    val q = qualityExpr(nTok, avgTokLen, stopRatio)
+    docs
+      .select(
+        floor(clfWSum(t, dim).cast("double") * lit(10.0) / nTok.cast("double"))
+          .cast("long").as("margin_bin"),
+        when(q >= goodAt, 1L).otherwise(0L).as("good"))
+      .groupBy("margin_bin")
+      .agg(count(lit(1)).as("n_docs"), sum("good").as("n_good"))
+      .withColumn("good_ppm", expr("(n_good * 1000000L) div n_docs"))
+      .orderBy("margin_bin")
+  }
 }

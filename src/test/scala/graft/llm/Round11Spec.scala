@@ -300,6 +300,31 @@ class Round11Spec extends SparkSpec {
     c.unpersist()
   }
 
+  test("x113: calibration bins partition the corpus with bounded rates") {
+    val c = TextStats.classifierCalibration(spark, sfDir).persist()
+    assert(c.agg(sum("n_docs")).head().getLong(0) == nDocs)
+    assert(c.filter(col("n_good") > col("n_docs")).count() == 0)
+    assert(c.filter(col("good_ppm") < 0 || col("good_ppm") > 1000000).count() == 0)
+    // total goods tie to the x8 gate the bins are scored against
+    val goods = TextStats.qualityScore(spark, sfDir)
+      .filter(col("quality_score") >= 0.6).count()
+    assert(c.agg(sum("n_good")).head().getLong(0) == goods)
+    c.unpersist()
+  }
+
+  test("x114: agreement per-label query counts tie to the x102 eval table") {
+    val a = Similarity.knnLabelAgreement(spark, sfDir).persist()
+    assert(a.filter(col("n_correct") > col("n_queries")).count() == 0)
+    assert(a.filter(col("acc_ppm") < 0 || col("acc_ppm") > 1000000).count() == 0)
+    // both ride the same KNN graph, so per-label query counts must agree
+    val evalCounts = Similarity.annQualityEval(spark, sfDir)
+      .groupBy("label").agg(count(lit(1)).as("n_eval"))
+    assert(a.join(evalCounts, Seq("label"), "full")
+      .filter(col("n_queries").isNull || col("n_eval").isNull ||
+        col("n_queries") =!= col("n_eval")).count() == 0)
+    a.unpersist()
+  }
+
   test("x100: survivorship totals reconcile with the applied dedup (x30)") {
     val r = DocDedup.dedupSurvivorship(spark, sfDir).persist()
     assert(r.filter(col("n_survivors") > col("n_docs")).count() == 0)
