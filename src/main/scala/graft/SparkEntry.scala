@@ -390,6 +390,8 @@ object SparkEntry {
     "x112_centroid_confusion" -> ((s: SparkSession, d: String) => Similarity.labelCentroidConfusion(s, d)),
     "x113_clf_calibration" -> ((s: SparkSession, d: String) => TextStats.classifierCalibration(s, d)),
     "x114_knn_agreement" -> ((s: SparkSession, d: String) => Similarity.knnLabelAgreement(s, d)),
+    "x115_jl_distortion" -> ((s: SparkSession, d: String) => Similarity.jlDistortionAudit(s, d)),
+    "x116_tokenizer_fertility" -> ((s: SparkSession, d: String) => TextStats.tokenizerFertility(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -2396,6 +2398,47 @@ object SparkEntry {
        "CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) * 1000000 " +
        "// count(*) AS acc_ppm " +
        "FROM win WHERE rn = 1 GROUP BY 1 ORDER BY 1"),
+    "x115_jl_distortion" ->
+      // md5-derived +-1 sign matrix regenerated identically; projections,
+      // both squared distances and the ratio are exact integers end to
+      // end; the pair sample is the deterministic (i, i+1) id chain
+      ("WITH m AS (SELECT vec_id, unnest(range(len(embedding))) AS dim, " +
+       "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS m " +
+       "FROM embeddings), " +
+       "sg AS (SELECT t.t, d.dim, " +
+       "(CAST(concat('0x', substr(md5(concat(CAST(t.t AS VARCHAR), ':', CAST(d.dim AS VARCHAR))), 1, 2)) AS BIGINT) % 2) * 2 - 1 AS s " +
+       "FROM range(0, 16) t(t), range(0, 64) d(dim)), " +
+       "pr AS (SELECT m.vec_id, sg.t, CAST(sum(sg.s * m.m) AS BIGINT) AS p " +
+       "FROM m JOIN sg ON sg.dim = m.dim GROUP BY 1, 2), " +
+       "o AS (SELECT a.vec_id, CAST(sum((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS d2_orig " +
+       "FROM m a JOIN m b ON b.vec_id = a.vec_id + 1 AND b.dim = a.dim GROUP BY 1), " +
+       "p2 AS (SELECT a.vec_id, CAST(sum((a.p - b.p) * (a.p - b.p)) AS BIGINT) AS d2_proj " +
+       "FROM pr a JOIN pr b ON b.vec_id = a.vec_id + 1 AND b.t = a.t GROUP BY 1), " +
+       "r AS (SELECT (d2_proj * 1000000) // (16 * d2_orig) AS ratio_ppm " +
+       "FROM o JOIN p2 USING (vec_id) WHERE d2_orig > 0) " +
+       "SELECT ratio_ppm // 100000 AS ratio_decile, CAST(count(*) AS BIGINT) AS n_pairs, " +
+       "CAST(min(ratio_ppm) AS BIGINT) AS min_ppm, CAST(max(ratio_ppm) AS BIGINT) AS max_ppm " +
+       "FROM r GROUP BY 1 ORDER BY 1"),
+    "x116_tokenizer_fertility" ->
+      // x7's argmax fused with exact integer token/char counts; fertility
+      // ratios are integer-ppm floor-divs of exact long totals
+      (s"WITH l AS (SELECT doc_id, " +
+       "CASE WHEN score_en = best AND best > 0 THEN 'en' WHEN score_de = best AND best > 0 THEN 'de' " +
+       "WHEN score_fr = best AND best > 0 THEN 'fr' WHEN score_es = best AND best > 0 THEN 'es' " +
+       "ELSE 'unknown' END AS lang, n_ws, n_bpe, n_chars FROM (SELECT doc_id, " +
+       s"${markerSql("en")} AS score_en, ${markerSql("de")} AS score_de, " +
+       s"${markerSql("fr")} AS score_fr, ${markerSql("es")} AS score_es, " +
+       s"greatest(${markerSql("en")}, ${markerSql("de")}, ${markerSql("fr")}, ${markerSql("es")}) AS best, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws, " +
+       "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe, " +
+       "CAST(length(text) AS BIGINT) AS n_chars FROM documents)) " +
+       "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+       "CAST(sum(n_ws) AS BIGINT) AS n_ws_tokens, " +
+       "CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens, " +
+       "CAST(sum(n_chars) AS BIGINT) AS n_chars_total, " +
+       "CAST(sum(n_bpe) AS BIGINT) * 1000000 // CAST(sum(n_ws) AS BIGINT) AS bpe_per_ws_ppm, " +
+       "CAST(sum(n_chars) AS BIGINT) * 1000000 // CAST(sum(n_bpe) AS BIGINT) AS chars_per_bpe_ppm " +
+       "FROM l GROUP BY 1 ORDER BY 1"),
     "x104_threshold_sweep" ->
       // one pass over the x15 verified pair set fanned across thresholds;
       // zero rows kept for thresholds that kill every pair

@@ -998,6 +998,69 @@ object Similarity {
       .orderBy("label", "rnk")
   }
 
+  /** x115: JL SIGN-PROJECTION DISTORTION AUDIT — random-projection
+    * dimensionality reduction (Achlioptas/JL: a deterministic ±1 sign
+    * matrix, md5-derived so any engine regenerates it bit-identically)
+    * from d=64 to k=16, plus the audit that justifies using the
+    * projection as the cheap pre-ANN/clustering compressor at scale: per
+    * distortion decile, how many sampled pairs' projected squared
+    * distances stay within that ratio of k× their original distance
+    * (E[‖Px‖²] = k·‖x‖² for ±1 entries, so a perfect projection
+    * concentrates at ratio 1).
+    *
+    * Exactness: components milli-quantize to longs; each projected
+    * coordinate is a ±1-weighted SUM of exact longs (order-free); both
+    * squared distances and the ratio-ppm (an integer floor-div against
+    * 16·d²orig) stay in exact integers end to end — no float until
+    * never. The pair sample is the deterministic id-chain (vec_id,
+    * vec_id+1), the arbitrary-id stand-in for a uniform pair draw.
+    *
+    * Scale: the sign matrix is k×d = 1024 rows — broadcast; projection is
+    * one posexplode pass into a (vec_id, t)-keyed hash-agg (k rows out
+    * per vector, map-side partials collapse). The audit joins projected
+    * AND original vectors pairwise on the chain key — both sides are
+    * k- or d-row-per-vector tables co-partitioned by vec_id. Long
+    * bounds: |proj| ≤ d·10³·|v| so the squared diff overflows only past
+    * |v|~10⁴ at d=64. */
+  def jlDistortionAudit(spark: SparkSession, dir: String, kOut: Int = 16): DataFrame =
+    jlDistortionAuditOf(Tables.widen(Tables.embeddings(spark, dir)), kOut)
+
+  /** Library form over any (vec_id: long, embedding: array<float>)
+    * frame. */
+  def jlDistortionAuditOf(emb: DataFrame, kOut: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    // md5-derived ±1 entry for (t, d): any engine regenerates it exactly
+    val signs = broadcast(
+      spark.range(kOut).select(col("id").cast("int").as("t"))
+        .crossJoin(spark.range(64).select(col("id").cast("int").as("dim")))
+        .select(col("t"), col("dim"),
+          (conv(substring(md5(concat(col("t").cast("string"), lit(":"),
+            col("dim").cast("string")).cast("binary")), 1, 2), 16, 10)
+            .cast("long") % 2 * 2 - 1).as("s")))
+    val m = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("v").cast("double") * 1000.0).cast("long").as("m"))
+    val proj = m.join(signs, "dim")
+      .groupBy("vec_id", "t").agg(sum(col("s") * col("m")).as("p"))
+    // chain pairs (i, i+1): distances in exact longs on both sides
+    val d2o = m.as("a")
+      .join(m.as("b"), col("a.vec_id") + 1 === col("b.vec_id") && col("a.dim") === col("b.dim"))
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(sum((col("a.m") - col("b.m")) * (col("a.m") - col("b.m"))).as("d2_orig"))
+    val d2p = proj.as("a")
+      .join(proj.as("b"), col("a.vec_id") + 1 === col("b.vec_id") && col("a.t") === col("b.t"))
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(sum((col("a.p") - col("b.p")) * (col("a.p") - col("b.p"))).as("d2_proj"))
+    d2o.join(d2p, "vec_id")
+      .filter(col("d2_orig") > 0)
+      .select(expr(s"(d2_proj * 1000000L) div (${kOut}L * d2_orig)").as("ratio_ppm"))
+      .select(expr("ratio_ppm div 100000L").as("ratio_decile"), col("ratio_ppm"))
+      .groupBy("ratio_decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("ratio_ppm").as("min_ppm"), max("ratio_ppm").as("max_ppm"))
+      .orderBy("ratio_decile")
+  }
+
   /** x114: KNN LABEL AGREEMENT — the classifier view of embedding
     * quality, complementing x102's retrieval view: each vector's label is
     * predicted by majority vote of its k auto-LSH nearest neighbours

@@ -841,6 +841,46 @@ object TextStats {
   def classifierCalibration(spark: SparkSession, dir: String): DataFrame =
     classifierCalibrationOf(docsWide(spark, dir))
 
+  /** x116: TOKENIZER FERTILITY BY LANGUAGE — per detected language, how
+    * many BPE-ish tokens each whitespace word costs and how many
+    * characters each BPE-ish token carries. Fertility is THE
+    * tokenizer-evaluation table for a multilingual corpus: a language
+    * whose bpe-per-word ratio is far above the corpus norm is being
+    * over-segmented (its documents burn sequence budget faster, skewing
+    * the x103 seq-len decision and the x63/x92 token budgets), and a
+    * drifting chars-per-token after a tokenizer change flags a
+    * regression for that language before training does.
+    *
+    * Exactness: all three counts are exact integers per row, summed as
+    * longs (order-free); both fertility ratios publish as integer-ppm
+    * floor-divs of exact totals.
+    *
+    * Scale: one fused corpus scan (the language argmax and the three
+    * counts fold in the same projection — no join against x7's table);
+    * the shuffle carries one 4-long row per document into a hash-agg
+    * keyed by the handful of languages. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    tokenizerFertilityOf(docsWide(spark, dir))
+
+  /** Library form over any (doc_id, text) frame. */
+  def tokenizerFertilityOf(docs: DataFrame): DataFrame =
+    docs
+      .select(Seq(
+        size(split(col("text"), " ")).cast("long").as("n_ws"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_bpe"),
+        length(col("text")).cast("long").as("n_chars")) ++
+        langMarkers.map { case (l, m) => langScore(m).as(s"score_$l") }: _*)
+      .withColumn("lang", pickLang)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_ws").as("n_ws_tokens"),
+        sum("n_bpe").as("n_bpe_tokens"), sum("n_chars").as("n_chars_total"))
+      .withColumn("bpe_per_ws_ppm",
+        expr("(n_bpe_tokens * 1000000L) div n_ws_tokens"))
+      .withColumn("chars_per_bpe_ppm",
+        expr("(n_chars_total * 1000000L) div n_bpe_tokens"))
+      .orderBy("lang")
+
   /** Library form over any (doc_id, text) frame. */
   def classifierCalibrationOf(docs: DataFrame, dim: Int = 256,
       goodAt: Double = 0.6): DataFrame = {

@@ -325,6 +325,40 @@ class Round11Spec extends SparkSpec {
     a.unpersist()
   }
 
+  test("x115: distortion buckets are coherent and cover every live chain pair") {
+    val a = Similarity.jlDistortionAudit(spark, sfDir).persist()
+    // ppm bounds sit inside their decile bucket
+    assert(a.filter(col("min_ppm") < col("ratio_decile") * 100000L ||
+      col("max_ppm") >= (col("ratio_decile") + 1) * 100000L ||
+      col("min_ppm") > col("max_ppm")).count() == 0)
+    // every (i, i+1) chain pair with a nonzero original distance is audited
+    val ids = Tables.widen(Tables.embeddings(spark, sfDir)).select("vec_id")
+    val nChain = ids.as("a").join(ids.as("b"),
+      col("a.vec_id") + 1 === col("b.vec_id")).count()
+    assert(a.agg(sum("n_pairs")).head().getLong(0) == nChain,
+      "no identical chain vectors in this fixture, so all pairs survive the d2>0 guard")
+    a.unpersist()
+  }
+
+  test("x115: identical vectors produce no auditable pairs") {
+    import spark.implicits._
+    val emb = (1L to 6L).map(i => (i, Array(0.25f, -0.5f, 0.125f, 0.75f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.jlDistortionAuditOf(emb, kOut = 4).count() == 0)
+  }
+
+  test("x116: fertility partitions the corpus and token totals tie to x9") {
+    val f = TextStats.tokenizerFertility(spark, sfDir).persist()
+    assert(f.agg(sum("n_docs")).head().getLong(0) == nDocs)
+    assert(f.filter(col("bpe_per_ws_ppm") <= 0 || col("chars_per_bpe_ppm") <= 0)
+      .count() == 0)
+    val x9 = TextStats.tokenCount(spark, sfDir)
+      .agg(sum("n_tokens_ws"), sum("n_tokens_bpe")).head()
+    val tot = f.agg(sum("n_ws_tokens"), sum("n_bpe_tokens")).head()
+    assert(tot.getLong(0) == x9.getLong(0) && tot.getLong(1) == x9.getLong(1))
+    f.unpersist()
+  }
+
   test("x100: survivorship totals reconcile with the applied dedup (x30)") {
     val r = DocDedup.dedupSurvivorship(spark, sfDir).persist()
     assert(r.filter(col("n_survivors") > col("n_docs")).count() == 0)
