@@ -1029,10 +1029,12 @@ object Similarity {
     * frame. */
   def jlDistortionAuditOf(emb: DataFrame, kOut: Int = 16): DataFrame = {
     val spark = emb.sparkSession
-    // md5-derived ±1 entry for (t, d): any engine regenerates it exactly
+    // md5-derived ±1 entry for (t, d): any engine regenerates it exactly.
+    // One flat range, (t, dim) unpacked arithmetically — no join at all
     val signs = broadcast(
-      spark.range(kOut).select(col("id").cast("int").as("t"))
-        .crossJoin(spark.range(64).select(col("id").cast("int").as("dim")))
+      spark.range(kOut * 64L)
+        .select(expr("CAST(id div 64 AS INT)").as("t"),
+          (col("id") % 64).cast("int").as("dim"))
         .select(col("t"), col("dim"),
           (conv(substring(md5(concat(col("t").cast("string"), lit(":"),
             col("dim").cast("string")).cast("binary")), 1, 2), 16, 10)
