@@ -392,6 +392,7 @@ object SparkEntry {
     "x114_knn_agreement" -> ((s: SparkSession, d: String) => Similarity.knnLabelAgreement(s, d)),
     "x115_jl_distortion" -> ((s: SparkSession, d: String) => Similarity.jlDistortionAudit(s, d)),
     "x116_tokenizer_fertility" -> ((s: SparkSession, d: String) => TextStats.tokenizerFertility(s, d)),
+    "x117_shuffle_quality" -> ((s: SparkSession, d: String) => Curation.shuffleQualityAudit(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -2439,6 +2440,25 @@ object SparkEntry {
        "CAST(sum(n_bpe) AS BIGINT) * 1000000 // CAST(sum(n_ws) AS BIGINT) AS bpe_per_ws_ppm, " +
        "CAST(sum(n_chars) AS BIGINT) * 1000000 // CAST(sum(n_bpe) AS BIGINT) AS chars_per_bpe_ppm " +
        "FROM l GROUP BY 1 ORDER BY 1"),
+    "x117_shuffle_quality" ->
+      // observed adjacent same-source rate vs the random-permutation
+      // expectation from the shard's own composition; both integer-ppm
+      // floor-divs of exact counts over x33's deterministic order
+      ("WITH h AS (SELECT doc_id, " +
+       "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM documents), " +
+       "a AS (SELECT d.source, CAST(h.h % 8 AS INT) AS shard, " +
+       "CAST(row_number() OVER (PARTITION BY h.h % 8 ORDER BY h.h, h.doc_id) AS INT) AS pos " +
+       "FROM h JOIN documents d ON d.doc_id = h.doc_id), " +
+       "adj AS (SELECT x.shard, CAST(count(*) AS BIGINT) AS n_adjacent, " +
+       "CAST(sum(CASE WHEN x.source = y.source THEN 1 ELSE 0 END) AS BIGINT) AS n_same " +
+       "FROM a x JOIN a y ON y.shard = x.shard AND y.pos = x.pos + 1 GROUP BY 1), " +
+       "comp AS (SELECT shard, CAST(sum(ns) AS BIGINT) AS n_docs, " +
+       "CAST(sum(ns * (ns - 1)) AS BIGINT) AS coll_num FROM " +
+       "(SELECT shard, source, CAST(count(*) AS BIGINT) AS ns FROM a GROUP BY 1, 2) GROUP BY 1) " +
+       "SELECT c.shard, c.n_docs, j.n_adjacent, j.n_same, " +
+       "(j.n_same * 1000000) // j.n_adjacent AS same_ppm, " +
+       "(c.coll_num * 1000000) // (c.n_docs * (c.n_docs - 1)) AS expected_same_ppm " +
+       "FROM comp c JOIN adj j ON j.shard = c.shard ORDER BY c.shard"),
     "x104_threshold_sweep" ->
       // one pass over the x15 verified pair set fanned across thresholds;
       // zero rows kept for thresholds that kill every pair

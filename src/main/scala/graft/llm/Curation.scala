@@ -387,6 +387,46 @@ object Curation {
       .select("doc_id", "shard", "pos")
       .orderBy("shard", "pos")
 
+  /** x117: SHUFFLE-QUALITY AUDIT — does the x33 global shuffle actually
+    * MIX the sources? Per shard: the adjacent-document same-source rate
+    * against the rate a perfectly random permutation of that shard's own
+    * composition would produce (Σ n_s(n_s−1) / N(N−1)). Poorly shuffled
+    * training data is the classic silent loss-spike cause — long
+    * same-source runs make consecutive batches correlated — and this
+    * table is the pre-flight check that the md5 ordering really behaves
+    * like a permutation: observed ≈ expected, with a big gap flagging
+    * either a broken shuffle key or a source whose ids cluster under the
+    * hash.
+    *
+    * Exactness: both rates are integer-ppm floor-divs of exact long
+    * counts; "adjacent" is defined by x33's deterministic (shard, pos)
+    * order, so the table is reproducible at any partitioning.
+    *
+    * Scale: the adjacency self-join keys on (shard, pos)/(shard, pos+1)
+    * — a co-partitioned equi-join over one short row per document; the
+    * composition aggregate is (shard, source)-keyed. Nothing wider than
+    * (shard, two longs) shuffles. */
+  def shuffleQualityAudit(spark: SparkSession, dir: String,
+      shards: Int = 8): DataFrame = {
+    val a = shuffleShards(spark, dir, shards)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .select("shard", "pos", "source")
+    val adj = a.as("x")
+      .join(a.as("y"),
+        col("x.shard") === col("y.shard") && col("x.pos") + 1 === col("y.pos"))
+      .groupBy(col("x.shard").as("shard"))
+      .agg(count(lit(1)).as("n_adjacent"),
+        sum(when(col("x.source") === col("y.source"), 1L).otherwise(0L)).as("n_same"))
+    val comp = a.groupBy("shard", "source").agg(count(lit(1)).as("ns"))
+      .groupBy("shard")
+      .agg(sum("ns").as("n_docs"), sum(col("ns") * (col("ns") - 1)).as("coll_num"))
+    comp.join(adj, "shard")
+      .select(col("shard"), col("n_docs"), col("n_adjacent"), col("n_same"),
+        expr("(n_same * 1000000L) div n_adjacent").as("same_ppm"),
+        expr("(coll_num * 1000000L) div (n_docs * (n_docs - 1))").as("expected_same_ppm"))
+      .orderBy("shard")
+  }
+
   /** x81: SHARD MANIFEST — the publishing artifact of a dataset release
     * (every released corpus ships one: per shard, how many documents,
     * how many tokens, and a CONTENT CHECKSUM a consumer can re-verify

@@ -359,6 +359,22 @@ class Round11Spec extends SparkSpec {
     f.unpersist()
   }
 
+  test("x117: shuffle audit covers every shard; observed tracks expected") {
+    val q = Curation.shuffleQualityAudit(spark, sfDir).persist()
+    assert(q.count() == 8)
+    assert(q.agg(sum("n_docs")).head().getLong(0) == nDocs)
+    // a shard of n docs has exactly n-1 adjacent pairs
+    assert(q.filter(col("n_adjacent") =!= col("n_docs") - 1).count() == 0)
+    assert(q.filter(col("n_same") > col("n_adjacent")).count() == 0)
+    assert(q.filter(col("same_ppm") < 0 || col("same_ppm") > 1000000 ||
+      col("expected_same_ppm") < 0 || col("expected_same_ppm") > 1000000).count() == 0)
+    // md5 order is a credible permutation: observed within 3x of expected
+    // on every shard (few-source fixture, expected ~ 1/#sources)
+    assert(q.filter(col("same_ppm") > col("expected_same_ppm") * 3 + 100000).count() == 0,
+      "a shard shows a same-source run far above the random-permutation rate")
+    q.unpersist()
+  }
+
   test("x100: survivorship totals reconcile with the applied dedup (x30)") {
     val r = DocDedup.dedupSurvivorship(spark, sfDir).persist()
     assert(r.filter(col("n_survivors") > col("n_docs")).count() == 0)
