@@ -796,6 +796,18 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** The session-lifetime KNN-graph artifact: x55's production output
+    * materialized ONCE per (corpus, k) — the same refresh contract as
+    * the x15 pair artifact and the x17 labels. The KNN graph is the most
+    * expensive embedding-side intermediate, and every consumer (x102's
+    * eval, x114's vote, downstream retrieval joins) reads the persisted
+    * table instead of re-running the LSH→rescore→top-k pipeline; the
+    * `x55_auto_knn` gate itself still runs the live build so its cost
+    * stays measured. Longs/ints/doubles round-trip parquet bit-exactly,
+    * so consumer hashes are unchanged vs recomputation. */
+  def knnGraphArtifact(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    graft.Tables.materializeOnce(spark, s"x55_knn:$k:$dir")(knnJoinAuto(spark, dir, k))
+
   /** x102: ANN INDEX QUALITY EVAL — recall@k and reciprocal rank of the
     * production LSH index (x55's derived-parameter KNN graph) against
     * LABEL ground truth: a returned neighbor is relevant iff it shares the
@@ -818,7 +830,7 @@ object Similarity {
   def annQualityEval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
     val clsSizes = labels.groupBy("label").agg(count(lit(1)).as("cls_n"))
-    val knn = knnJoinAuto(spark, dir, k)
+    val knn = knnGraphArtifact(spark, dir, k)
       .join(labels.select(col("vec_id"), col("label").as("q_label")), Seq("vec_id"))
       .join(labels.select(col("vec_id").as("neighbor_id"),
         col("label").as("n_label")), Seq("neighbor_id"))
@@ -1084,7 +1096,7 @@ object Similarity {
     * integer-ppm `div`. */
   def knnLabelAgreement(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
-    val votes = knnJoinAuto(spark, dir, k)
+    val votes = knnGraphArtifact(spark, dir, k)
       .join(labels.select(col("vec_id"), col("label").as("q_label")), Seq("vec_id"))
       .join(labels.select(col("vec_id").as("neighbor_id"),
         col("label").as("n_label")), Seq("neighbor_id"))
