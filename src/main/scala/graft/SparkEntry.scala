@@ -393,6 +393,8 @@ object SparkEntry {
     "x115_jl_distortion" -> ((s: SparkSession, d: String) => Similarity.jlDistortionAudit(s, d)),
     "x116_tokenizer_fertility" -> ((s: SparkSession, d: String) => TextStats.tokenizerFertility(s, d)),
     "x117_shuffle_quality" -> ((s: SparkSession, d: String) => Curation.shuffleQualityAudit(s, d)),
+    "x118_filter_disagreement" -> ((s: SparkSession, d: String) => TextStats.filterDisagreement(s, d)),
+    "x119_knn_reciprocity" -> ((s: SparkSession, d: String) => Similarity.knnReciprocity(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -2440,6 +2442,42 @@ object SparkEntry {
        "CAST(sum(n_bpe) AS BIGINT) * 1000000 // CAST(sum(n_ws) AS BIGINT) AS bpe_per_ws_ppm, " +
        "CAST(sum(n_chars) AS BIGINT) * 1000000 // CAST(sum(n_bpe) AS BIGINT) AS chars_per_bpe_ppm " +
        "FROM l GROUP BY 1 ORDER BY 1"),
+    "x118_filter_disagreement" ->
+      // x59's three exact votes cross-tabbed per source; shares are
+      // integer-ppm floor-divs; unanimous = all three bits equal
+      (s"WITH q AS ($x8QualitySql), lmv AS ($x56LmSql), clf AS ($x57ClfSql), " +
+       "ens AS (SELECT q.doc_id, q.v_q, COALESCE(l.v_lm, 0) AS v_lm, c.v_clf " +
+       "FROM (SELECT doc_id, CASE WHEN quality_score >= 0.6 THEN 1 ELSE 0 END AS v_q FROM q) q " +
+       "LEFT JOIN (SELECT doc_id, CASE WHEN lm_score_ppm >= 200000 THEN 1 ELSE 0 END AS v_lm FROM lmv) l " +
+       "ON l.doc_id = q.doc_id " +
+       "JOIN (SELECT doc_id, CASE WHEN w_sum >= 0 THEN 1 ELSE 0 END AS v_clf FROM clf) c " +
+       "ON c.doc_id = q.doc_id), " +
+       "cells AS (SELECT d.source, e.v_q, e.v_lm, e.v_clf, CAST(count(*) AS BIGINT) AS n_docs " +
+       "FROM ens e JOIN documents d ON d.doc_id = e.doc_id GROUP BY 1, 2, 3, 4), " +
+       "t AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_total FROM cells GROUP BY 1) " +
+       "SELECT c.source, c.v_q, c.v_lm, c.v_clf, c.n_docs, " +
+       "(c.n_docs * 1000000) // t.n_total AS share_ppm, " +
+       "CAST(c.v_q = c.v_lm AND c.v_lm = c.v_clf AS INT) AS unanimous " +
+       "FROM cells c JOIN t ON t.source = c.source ORDER BY 1, 2, 3, 4"),
+    "x119_knn_reciprocity" ->
+      // per-rank mutual-edge share over the same auto-LSH KNN graph the
+      // x102/x114 oracles rebuild; (vec_id, neighbor_id) is unique per
+      // edge so the reverse LEFT JOIN matches at most once
+      (s"WITH ${autoLshCtes(8)}, " +
+       "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM coded a " +
+       "JOIN coded b ON a.t = b.t AND a.code = b.code AND a.vec_id <> b.vec_id), " +
+       "s AS (SELECT c.id_a, c.id_b, " +
+       s"${dotSql("x.vec", "y.vec")}/(x.norm*y.norm) AS sim FROM cand c " +
+       "JOIN nrm x ON x.vec_id = c.id_a JOIN nrm y ON y.vec_id = c.id_b), " +
+       "knn AS (SELECT id_a AS vec_id, id_b AS neighbor_id, rank FROM " +
+       "(SELECT id_a, id_b, CAST(row_number() OVER (PARTITION BY id_a " +
+       "ORDER BY sim DESC, id_b) AS INT) AS rank FROM s) WHERE rank <= 5), " +
+       "agg AS (SELECT k.rank, CAST(count(*) AS BIGINT) AS n_edges, " +
+       "CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual " +
+       "FROM knn k LEFT JOIN knn r ON r.vec_id = k.neighbor_id AND r.neighbor_id = k.vec_id " +
+       "GROUP BY 1) " +
+       "SELECT rank, n_edges, n_mutual, (n_mutual * 1000000) // n_edges AS mutual_ppm " +
+       "FROM agg ORDER BY rank"),
     "x117_shuffle_quality" ->
       // observed adjacent same-source rate vs the random-permutation
       // expectation from the shard's own composition; both integer-ppm

@@ -1113,6 +1113,33 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** x119: KNN RECIPROCITY PROFILE — per rank position, the fraction of
+    * directed KNN edges whose reverse edge is also in the graph. Mutual
+    * edges are the classic neighborhood-quality signal (mutual-kNN is
+    * what clustering and label-propagation actually run on): a rank-1
+    * reciprocity collapse after an encoder change means the space has
+    * hubs (a few vectors appear in everyone's list but reciprocate
+    * nothing), which silently degrades both x102's recall and x114's
+    * votes. Rides the session KNN-graph artifact — the third consumer of
+    * one build.
+    *
+    * Scale: the mutual check is a self semi-join of the k·n edge list on
+    * the reversed (vec_id, neighbor_id) long pair — co-partitioned,
+    * nothing wider than two longs and a rank; per-rank counts collapse
+    * map-side. */
+  def knnReciprocity(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val g = knnGraphArtifact(spark, dir, k).select("vec_id", "neighbor_id", "rank")
+    val rev = g.select(col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id"))
+    val mutual = g.join(rev, Seq("vec_id", "neighbor_id"), "left_semi")
+      .groupBy("rank").agg(count(lit(1)).as("n_mutual"))
+    g.groupBy("rank").agg(count(lit(1)).as("n_edges"))
+      .join(mutual, Seq("rank"), "left")
+      .select(col("rank"), col("n_edges"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
+      .withColumn("mutual_ppm", expr("(n_mutual * 1000000L) div n_edges"))
+      .orderBy("rank")
+  }
+
   /** x112: LABEL-CENTROID CONFUSION MATRIX — pairwise cosine similarity
     * between label centroids: the label-space collision check run before
     * trusting the labels for eval or hard-negative mining (x67). Two

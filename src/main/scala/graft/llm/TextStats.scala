@@ -841,6 +841,46 @@ object TextStats {
   def classifierCalibration(spark: SparkSession, dir: String): DataFrame =
     classifierCalibrationOf(docsWide(spark, dir))
 
+  /** The session-lifetime ensemble-votes artifact: x59's per-document
+    * vote table materialized ONCE per corpus refresh (the pair-artifact /
+    * KNN-graph contract) — the ensemble's LM-training scan is the
+    * text-side cost every votes consumer would otherwise repeat. The
+    * `x59_filter_ensemble` gate itself still runs the live fused
+    * pipeline, so its cost stays measured; ints round-trip parquet
+    * bit-exactly. */
+  def ensembleVotesArtifact(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.materializeOnce(spark, s"x59_votes:$dir")(filterEnsemble(spark, dir))
+
+  /** x118: FILTER DISAGREEMENT MATRIX — where do the three quality
+    * signals (x8 heuristic, x56 bigram LM, x57 hashed classifier) vote
+    * differently, and in which sources? The x59 ensemble publishes the
+    * majority verdict; THIS table is what its owner reads when tuning it:
+    * each (source, vote-pattern) cell with its count and within-source
+    * share. A source where the LM and the classifier systematically
+    * disagree is where a threshold is mis-set for that domain — and
+    * unanimous cells are the safe mass no tuning will move.
+    *
+    * Exactness: the votes are x59's (all exact cross-engine); shares are
+    * integer-ppm floor-divs of exact counts.
+    *
+    * Scale: rides x59's fused one-read scan; the cell aggregate is keyed
+    * by (source, 3 bits) — at most 8·|sources| rows — and the totals
+    * join broadcasts. */
+  def filterDisagreement(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ensembleVotesArtifact(spark, dir)
+      .select("doc_id", "v_q", "v_lm", "v_clf")
+      .join(graft.Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .groupBy("source", "v_q", "v_lm", "v_clf")
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy("source").agg(sum("n_docs").as("n_total"))
+    cells.join(broadcast(totals), "source")
+      .select(col("source"), col("v_q"), col("v_lm"), col("v_clf"), col("n_docs"),
+        expr("(n_docs * 1000000L) div n_total").as("share_ppm"),
+        (col("v_q") === col("v_lm") && col("v_lm") === col("v_clf"))
+          .cast("int").as("unanimous"))
+      .orderBy("source", "v_q", "v_lm", "v_clf")
+  }
+
   /** x116: TOKENIZER FERTILITY BY LANGUAGE — per detected language, how
     * many BPE-ish tokens each whitespace word costs and how many
     * characters each BPE-ish token carries. Fertility is THE

@@ -375,6 +375,35 @@ class Round11Spec extends SparkSpec {
     q.unpersist()
   }
 
+  test("x118: disagreement cells partition the corpus and tie to x59's keeps") {
+    val m = TextStats.filterDisagreement(spark, sfDir).persist()
+    assert(m.agg(sum("n_docs")).head().getLong(0) == nDocs)
+    assert(m.filter(col("share_ppm") < 0 || col("share_ppm") > 1000000).count() == 0)
+    // unanimous flag is exactly the all-equal predicate
+    assert(m.filter((col("v_q") === col("v_lm") && col("v_lm") === col("v_clf"))
+      .cast("int") =!= col("unanimous")).count() == 0)
+    // majority-keep mass re-aggregates to the x59 verdicts
+    val kept = m.filter(col("v_q") + col("v_lm") + col("v_clf") >= 2)
+      .agg(sum("n_docs")).head().getLong(0)
+    val x59 = TextStats.filterEnsemble(spark, sfDir)
+      .filter(col("verdict") === "keep").count()
+    assert(kept == x59)
+    m.unpersist()
+  }
+
+  test("x119: reciprocity covers rank 1..5 and edge counts tie to the graph") {
+    val r = Similarity.knnReciprocity(spark, sfDir).persist()
+    assert(r.select("rank").collect().map(_.getInt(0)).sorted.sameElements(1 to 5))
+    assert(r.filter(col("n_mutual") > col("n_edges")).count() == 0)
+    assert(r.filter(col("mutual_ppm") < 0 || col("mutual_ppm") > 1000000).count() == 0)
+    val g = Similarity.knnGraphArtifact(spark, sfDir)
+    assert(r.agg(sum("n_edges")).head().getLong(0) == g.count())
+    // rank r can only exist for vectors that also have rank r-1
+    val byRank = r.orderBy("rank").collect().map(_.getAs[Long]("n_edges"))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    r.unpersist()
+  }
+
   test("x100: survivorship totals reconcile with the applied dedup (x30)") {
     val r = DocDedup.dedupSurvivorship(spark, sfDir).persist()
     assert(r.filter(col("n_survivors") > col("n_docs")).count() == 0)
