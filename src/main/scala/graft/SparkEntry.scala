@@ -395,6 +395,7 @@ object SparkEntry {
     "x117_shuffle_quality" -> ((s: SparkSession, d: String) => Curation.shuffleQualityAudit(s, d)),
     "x118_filter_disagreement" -> ((s: SparkSession, d: String) => TextStats.filterDisagreement(s, d)),
     "x119_knn_reciprocity" -> ((s: SparkSession, d: String) => Similarity.knnReciprocity(s, d)),
+    "x120_template_prefixes" -> ((s: SparkSession, d: String) => TextStats.templatePrefixes(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -2442,6 +2443,21 @@ object SparkEntry {
        "CAST(sum(n_bpe) AS BIGINT) * 1000000 // CAST(sum(n_ws) AS BIGINT) AS bpe_per_ws_ppm, " +
        "CAST(sum(n_chars) AS BIGINT) * 1000000 // CAST(sum(n_bpe) AS BIGINT) AS chars_per_bpe_ppm " +
        "FROM l GROUP BY 1 ORDER BY 1"),
+    "x120_template_prefixes" ->
+      // first-8-token prefix per doc; (source, prefix) exact counts,
+      // deterministic top-3 window, integer-ppm shares. DuckDB list
+      // slicing is 1-based inclusive: l[1:8] == Spark slice(l, 1, 8)
+      ("WITH p AS (SELECT source, " +
+       "array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix FROM documents), " +
+       "c AS (SELECT source, prefix, CAST(count(*) AS BIGINT) AS n_docs " +
+       "FROM p GROUP BY 1, 2), " +
+       "t AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_total FROM c GROUP BY 1), " +
+       "r AS (SELECT source, prefix, n_docs, CAST(row_number() OVER " +
+       "(PARTITION BY source ORDER BY n_docs DESC, prefix) AS INT) AS rnk FROM c) " +
+       "SELECT r.source, r.rnk, r.prefix, r.n_docs, " +
+       "(r.n_docs * 1000000) // t.n_total AS share_ppm " +
+       "FROM r JOIN t ON t.source = r.source WHERE r.rnk <= 3 " +
+       "ORDER BY r.source, r.rnk"),
     "x118_filter_disagreement" ->
       // x59's three exact votes cross-tabbed per source; shares are
       // integer-ppm floor-divs; unanimous = all three bits equal

@@ -851,6 +851,41 @@ object TextStats {
   def ensembleVotesArtifact(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.materializeOnce(spark, s"x59_votes:$dir")(filterEnsemble(spark, dir))
 
+  /** x120: TEMPLATE-PREFIX DETECTOR — per source, the most repeated
+    * document OPENINGS (first-w-token prefixes) with their within-source
+    * share: the decision table for header-stripping rules. x93 flags
+    * boilerplate n-grams anywhere in a document; this table localizes
+    * the template to the document START, which is what a strip rule can
+    * actually act on — a prefix carried by a quarter of a crawl's
+    * documents is a site template, not content, and it poisons both
+    * near-dup banding (shared leading shingles) and the LM-based quality
+    * scores.
+    *
+    * Exactness: prefixes are exact strings; shares integer-ppm
+    * floor-divs; top-k by (count desc, prefix asc) is deterministic.
+    *
+    * Scale: one corpus scan projects (source, 8-token prefix); the
+    * (source, prefix)-keyed count collapses map-side; the top-3 window
+    * is the bounded per-key-heap shape, keyed by |sources| groups. */
+  def templatePrefixes(spark: SparkSession, dir: String, width: Int = 8,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docsWide(spark, dir)
+      .select(col("source"),
+        array_join(slice(split(col("text"), " "), 1, width), " ").as("prefix"))
+      .groupBy("source", "prefix")
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = counts.groupBy("source").agg(sum("n_docs").as("n_total"))
+    counts
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("source").orderBy(desc("n_docs"), asc("prefix"))))
+      .filter(col("rnk") <= k)
+      .join(broadcast(totals), "source")
+      .select(col("source"), col("rnk"), col("prefix"), col("n_docs"),
+        expr("(n_docs * 1000000L) div n_total").as("share_ppm"))
+      .orderBy("source", "rnk")
+  }
+
   /** x118: FILTER DISAGREEMENT MATRIX — where do the three quality
     * signals (x8 heuristic, x56 bigram LM, x57 hashed classifier) vote
     * differently, and in which sources? The x59 ensemble publishes the

@@ -404,6 +404,21 @@ class Round11Spec extends SparkSpec {
     r.unpersist()
   }
 
+  test("x120: top prefixes are ranked, bounded, and share-coherent") {
+    val p = TextStats.templatePrefixes(spark, sfDir).persist()
+    val nSources = Tables.documents(spark, sfDir).select("source").distinct().count()
+    // <= 3 per source, ranks dense from 1, counts non-increasing in rank
+    val g = p.groupBy("source").agg(count(lit(1)).as("n"), min("rnk").as("mn"),
+      max("rnk").as("mx"))
+    assert(g.count() == nSources)
+    assert(g.filter(col("n") > 3 || col("mn") =!= 1 || col("mx") =!= col("n")).count() == 0)
+    val lagged = p.withColumn("prev", lag("n_docs", 1).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("rnk")))
+    assert(lagged.filter(col("prev").isNotNull && col("prev") < col("n_docs")).count() == 0)
+    assert(p.filter(col("share_ppm") < 0 || col("share_ppm") > 1000000).count() == 0)
+    p.unpersist()
+  }
+
   test("x100: survivorship totals reconcile with the applied dedup (x30)") {
     val r = DocDedup.dedupSurvivorship(spark, sfDir).persist()
     assert(r.filter(col("n_survivors") > col("n_docs")).count() == 0)
