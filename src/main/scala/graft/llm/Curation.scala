@@ -407,10 +407,16 @@ object Curation {
     * composition aggregate is (shard, source)-keyed. Nothing wider than
     * (shard, two longs) shuffles. */
   def shuffleQualityAudit(spark: SparkSession, dir: String,
-      shards: Int = 8): DataFrame = {
-    val a = shuffleShards(spark, dir, shards)
-      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
-      .select("shard", "pos", "source")
+      shards: Int = 8): DataFrame =
+    shuffleQualityAuditOf(
+      shuffleShards(spark, dir, shards)
+        .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id"))
+
+  /** The audit over an arbitrary (shard, pos, source) assignment frame —
+    * any sharder whose output carries a within-shard order can be
+    * audited with the same construction. */
+  def shuffleQualityAuditOf(assignment: DataFrame): DataFrame = {
+    val a = assignment.select("shard", "pos", "source")
     val adj = a.as("x")
       .join(a.as("y"),
         col("x.shard") === col("y.shard") && col("x.pos") + 1 === col("y.pos"))

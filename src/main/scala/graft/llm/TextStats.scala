@@ -868,9 +868,14 @@ object TextStats {
     * (source, prefix)-keyed count collapses map-side; the top-3 window
     * is the bounded per-key-heap shape, keyed by |sources| groups. */
   def templatePrefixes(spark: SparkSession, dir: String, width: Int = 8,
+      k: Int = 3): DataFrame =
+    templatePrefixesOf(docsWide(spark, dir), width, k)
+
+  /** Library form over any (source, text) frame. */
+  def templatePrefixesOf(docs: DataFrame, width: Int = 8,
       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = docsWide(spark, dir)
+    val counts = docs
       .select(col("source"),
         array_join(slice(split(col("text"), " "), 1, width), " ").as("prefix"))
       .groupBy("source", "prefix")

@@ -419,6 +419,34 @@ class Round11Spec extends SparkSpec {
     p.unpersist()
   }
 
+  test("x117: a single-source assignment reports observed == expected == 1") {
+    import spark.implicits._
+    val assign = (1 to 40).map(i => (i % 4, i / 4 + 1, "web"))
+      .toDF("shard", "pos", "source")
+    val q = Curation.shuffleQualityAuditOf(assign).persist()
+    assert(q.filter(col("same_ppm") =!= 1000000L ||
+      col("expected_same_ppm") =!= 1000000L).count() == 0)
+    // and a perfectly alternating two-source shard reports observed 0
+    val alt = (1 to 20).map(i => (0, i, if (i % 2 == 0) "a" else "b"))
+      .toDF("shard", "pos", "source")
+    val q2 = Curation.shuffleQualityAuditOf(alt)
+    assert(q2.head().getAs[Long]("same_ppm") == 0L)
+    q.unpersist()
+  }
+
+  test("x120: a planted shared opening dominates its source at rank 1") {
+    import spark.implicits._
+    val tpl = "terms of service apply to this web page"
+    val a = (1L to 5L).map(i => (i, "siteA", s"$tpl unique tail $i"))
+    val b = (6L to 9L).map(i => (i, "siteA", s"organic doc $i body text here now ok"))
+    val docs = (a ++ b).toDF("doc_id", "source", "text")
+    val top = TextStats.templatePrefixesOf(docs)
+      .filter(col("source") === "siteA" && col("rnk") === 1).head()
+    assert(top.getAs[String]("prefix") == tpl)
+    assert(top.getAs[Long]("n_docs") == 5L)
+    assert(top.getAs[Long]("share_ppm") == 5000000L / 9L)
+  }
+
   test("x100: survivorship totals reconcile with the applied dedup (x30)") {
     val r = DocDedup.dedupSurvivorship(spark, sfDir).persist()
     assert(r.filter(col("n_survivors") > col("n_docs")).count() == 0)
