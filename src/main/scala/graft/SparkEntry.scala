@@ -2331,8 +2331,9 @@ object SparkEntry {
        "GROUP BY 1 ORDER BY 1"),
     "x111_embedding_outliers" ->
       // x109's integer pattern: milli-quantized components, exact
-      // cross-multiplied distance numerators; "far" compares 50*num vs
-      // 51*n^2*1e6 in exact longs; dist2 is one IEEE division
+      // cross-multiplied distance numerators; "far" is num > D + D/50
+      // (D = n^2*1e6, 50 | D so exact; the big side stays unscaled);
+      // dist2 is one IEEE division
       ("WITH m AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, " +
        "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS m " +
        "FROM embeddings), " +
@@ -2342,7 +2343,7 @@ object SparkEntry {
        "CAST(sum((m.m * s.n - s.sd) * (m.m * s.n - s.sd)) AS BIGINT) AS d2num " +
        "FROM m JOIN s ON s.label = m.label AND s.dim = m.dim GROUP BY 1, 2, 3), " +
        "far AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, " +
-       "CAST(sum(CASE WHEN d2num * 50 > 51 * n * n * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_far " +
+       "CAST(sum(CASE WHEN d2num > n * n * 1000000 + n * n * 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_far " +
        "FROM num GROUP BY 1), " +
        "topk AS (SELECT label, vec_id, n, d2num, " +
        "row_number() OVER (PARTITION BY label ORDER BY d2num DESC, vec_id) AS rnk FROM num) " +
@@ -2382,15 +2383,7 @@ object SparkEntry {
       // majority label vote over the x55 auto-LSH KNN graph, ties to the
       // smallest label via the deterministic row_number; accuracy is an
       // integer-ppm floor-div. Bucket-less queries absent (x102's caveat)
-      (s"WITH ${autoLshCtes(8)}, " +
-       "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM coded a " +
-       "JOIN coded b ON a.t = b.t AND a.code = b.code AND a.vec_id <> b.vec_id), " +
-       "s AS (SELECT c.id_a, c.id_b, " +
-       s"${dotSql("x.vec", "y.vec")}/(x.norm*y.norm) AS sim FROM cand c " +
-       "JOIN nrm x ON x.vec_id = c.id_a JOIN nrm y ON y.vec_id = c.id_b), " +
-       "knn AS (SELECT id_a AS vec_id, id_b AS neighbor_id FROM " +
-       "(SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a " +
-       "ORDER BY sim DESC, id_b) AS rank FROM s) WHERE rank <= 5), " +
+      (s"WITH ${knnGraphCtes()}, " +
        "lab AS (SELECT vec_id, label FROM embeddings), " +
        "vote AS (SELECT k.vec_id, q.label AS q_label, n.label AS n_label, " +
        "count(*) AS cnt FROM knn k JOIN lab q ON q.vec_id = k.vec_id " +
@@ -2479,15 +2472,7 @@ object SparkEntry {
       // per-rank mutual-edge share over the same auto-LSH KNN graph the
       // x102/x114 oracles rebuild; (vec_id, neighbor_id) is unique per
       // edge so the reverse LEFT JOIN matches at most once
-      (s"WITH ${autoLshCtes(8)}, " +
-       "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM coded a " +
-       "JOIN coded b ON a.t = b.t AND a.code = b.code AND a.vec_id <> b.vec_id), " +
-       "s AS (SELECT c.id_a, c.id_b, " +
-       s"${dotSql("x.vec", "y.vec")}/(x.norm*y.norm) AS sim FROM cand c " +
-       "JOIN nrm x ON x.vec_id = c.id_a JOIN nrm y ON y.vec_id = c.id_b), " +
-       "knn AS (SELECT id_a AS vec_id, id_b AS neighbor_id, rank FROM " +
-       "(SELECT id_a, id_b, CAST(row_number() OVER (PARTITION BY id_a " +
-       "ORDER BY sim DESC, id_b) AS INT) AS rank FROM s) WHERE rank <= 5), " +
+      (s"WITH ${knnGraphCtes()}, " +
        "agg AS (SELECT k.rank, CAST(count(*) AS BIGINT) AS n_edges, " +
        "CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual " +
        "FROM knn k LEFT JOIN knn r ON r.vec_id = k.neighbor_id AND r.neighbor_id = k.vec_id " +
@@ -2547,15 +2532,7 @@ object SparkEntry {
       // x55's auto-LSH KNN graph scored against label ground truth:
       // hits/ideal/RR in exact longs + single divisions; singleton-class
       // queries get NULL recall, bucket-less queries are absent
-      (s"WITH ${autoLshCtes(8)}, " +
-       "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM coded a " +
-       "JOIN coded b ON a.t = b.t AND a.code = b.code AND a.vec_id <> b.vec_id), " +
-       "s AS (SELECT c.id_a, c.id_b, " +
-       s"${dotSql("x.vec", "y.vec")}/(x.norm*y.norm) AS sim FROM cand c " +
-       "JOIN nrm x ON x.vec_id = c.id_a JOIN nrm y ON y.vec_id = c.id_b), " +
-       "knn AS (SELECT id_a AS vec_id, id_b AS neighbor_id, rank FROM " +
-       "(SELECT id_a, id_b, CAST(row_number() OVER (PARTITION BY id_a " +
-       "ORDER BY sim DESC, id_b) AS INT) AS rank FROM s) WHERE rank <= 5), " +
+      (s"WITH ${knnGraphCtes()}, " +
        "lab AS (SELECT vec_id, label FROM embeddings), " +
        "cls AS (SELECT label, count(*) AS cls_n FROM lab GROUP BY label), " +
        "agg AS (SELECT k.vec_id, q.label, count(*) AS n_returned, " +
@@ -2849,6 +2826,21 @@ object SparkEntry {
       "coded AS (SELECT n.vec_id, p.t, CAST(sum(CASE WHEN " +
       s"${dotSql("n.vec", "p.pv")} >= 0 THEN CAST(1 AS BIGINT) << p.j ELSE 0 END) " +
       "AS BIGINT) AS code FROM nrm n, pl p GROUP BY n.vec_id, p.t)"
+
+  /** The auto-LSH KNN-graph CTE chain (coded → cand → rescored sim →
+    * top-k `knn(vec_id, neighbor_id, rank)`), shared by every oracle that
+    * consumes the graph (x102/x114/x119) so the tie-break and k can never
+    * drift between copies — the SQL mirror of `Similarity.knnGraphArtifact`. */
+  private def knnGraphCtes(nTables: Int = 8, k: Int = 5): String =
+    s"${autoLshCtes(nTables)}, " +
+      "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM coded a " +
+      "JOIN coded b ON a.t = b.t AND a.code = b.code AND a.vec_id <> b.vec_id), " +
+      "s AS (SELECT c.id_a, c.id_b, " +
+      s"${dotSql("x.vec", "y.vec")}/(x.norm*y.norm) AS sim FROM cand c " +
+      "JOIN nrm x ON x.vec_id = c.id_a JOIN nrm y ON y.vec_id = c.id_b), " +
+      "knn AS (SELECT id_a AS vec_id, id_b AS neighbor_id, rank FROM " +
+      "(SELECT id_a, id_b, CAST(row_number() OVER (PARTITION BY id_a " +
+      s"ORDER BY sim DESC, id_b) AS INT) AS rank FROM s) WHERE rank <= $k)"
 
   /** marker-word hit count per language (mirror of TextStats.langScore). */
   private def markerSql(lang: String): String = {

@@ -963,7 +963,8 @@ object Similarity {
     * m and per-(label,dim) sums S over n vectors, the squared distance
     * to the centroid cross-multiplies to the EXACT long
     * Σ_d (m·n − S_d)²; ranking, the top-k window, and the "far"
-    * comparison (dist² > 1.02, i.e. 50·num > 51·n²·10⁶ in integers) all
+    * comparison (dist² > 1.02, i.e. num > D + D/50 with D = n²·10⁶ —
+    * exact because 50 | D, and the big side stays unscaled) all
     * happen on exact longs, and dist² surfaces as ONE IEEE division of
     * two identically-converted doubles. Long bounds: |m·n − S_d| ≤
     * 2·10³·|v|·n, so the 64-dim squared sum overflows only past ~10⁵
@@ -995,10 +996,15 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("n"), (t * t).as("t2"))
       .groupBy("vec_id", "label", "n")
       .agg(sum("t2").as("d2num"))
+    // 50·num > 51·D rewritten as num > D + D/50 (D = n²·10⁶ is always
+    // divisible by 50, so the division is exact and the comparison is the
+    // same integer predicate) — this keeps the big side UNSCALED, so the
+    // overflow bound stays the d2num bound the scaladoc documents instead
+    // of arriving 50× early
     val far = num.groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
-        sum(when(col("d2num") * 50 > lit(51L) * col("n") * col("n") * lit(1000000L),
-          1L).otherwise(0L)).as("n_far"))
+        sum(when(col("d2num") > col("n") * col("n") * lit(1000000L) +
+          col("n") * col("n") * lit(20000L), 1L).otherwise(0L)).as("n_far"))
     val topk = num
       .withColumn("rnk", row_number().over(
         Window.partitionBy("label").orderBy(desc("d2num"), asc("vec_id"))))

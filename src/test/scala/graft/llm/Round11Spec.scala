@@ -236,7 +236,8 @@ class Round11Spec extends SparkSpec {
     // two-row bands find a j>=0.9 pair w.p. >= 1-(1-0.81)^4 ~ 0.9987; on
     // the witness-sized sample that should be no more than one miss
     val hi = a.filter(col("j_bucket") >= 9)
-      .agg(sum("n_true_pairs"), sum("n_missed")).head()
+      .agg(coalesce(sum("n_true_pairs"), lit(0L)),
+        coalesce(sum("n_missed"), lit(0L))).head()
     assert(hi.getLong(0) == 0 || hi.getLong(1) <= 1 + hi.getLong(0) / 100,
       s"banding missed ${hi.getLong(1)} of ${hi.getLong(0)} j>=0.9 pairs")
     a.unpersist()
