@@ -396,6 +396,7 @@ object SparkEntry {
     "x118_filter_disagreement" -> ((s: SparkSession, d: String) => TextStats.filterDisagreement(s, d)),
     "x119_knn_reciprocity" -> ((s: SparkSession, d: String) => Similarity.knnReciprocity(s, d)),
     "x120_template_prefixes" -> ((s: SparkSession, d: String) => TextStats.templatePrefixes(s, d)),
+    "x121_norm_robustness" -> ((s: SparkSession, d: String) => DocDedup.normalizationRobustness(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -2436,6 +2437,28 @@ object SparkEntry {
        "CAST(sum(n_bpe) AS BIGINT) * 1000000 // CAST(sum(n_ws) AS BIGINT) AS bpe_per_ws_ppm, " +
        "CAST(sum(n_chars) AS BIGINT) * 1000000 // CAST(sum(n_bpe) AS BIGINT) AS chars_per_bpe_ppm " +
        "FROM l GROUP BY 1 ORDER BY 1"),
+    "x121_norm_robustness" ->
+      // verified pairs rescored over x34-cleaned tokens; per raw decile:
+      // still-dup count at the 0.5 cut and mean cleaned similarity from
+      // micro-quantized exact longs
+      (s"WITH pairs AS ($x15PairsSql), " +
+       "cd AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS ct " +
+       "FROM documents), " +
+       "ctok AS (SELECT doc_id, list_filter(string_split(ct, ' '), x -> len(x) >= 3 " +
+       "AND x NOT IN ('the', 'a', 'of', 'and', 'to', 'in')) AS t FROM cd), " +
+       "csh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 THEN " +
+       "list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
+       "ELSE [array_to_string(t, ' ')] END) AS s FROM ctok), " +
+       "r AS (SELECT p.id_a, p.id_b, p.jaccard AS j_raw, " +
+       "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS j_clean " +
+       "FROM pairs p JOIN csh a ON a.doc_id = p.id_a JOIN csh b ON b.doc_id = p.id_b) " +
+       "SELECT CAST(floor(j_raw * 10.0) AS BIGINT) AS raw_bucket, " +
+       "CAST(count(*) AS BIGINT) AS n_pairs, " +
+       "CAST(sum(CASE WHEN j_clean >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_still_dup, " +
+       "CAST(sum(CAST(floor(j_clean * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_jclean_micro, " +
+       "CAST(sum(CAST(floor(j_clean * 1000000.0) AS BIGINT)) AS BIGINT) * 1.0 " +
+       "/ (count(*) * 1000000) AS mean_jclean " +
+       "FROM r GROUP BY 1 ORDER BY 1"),
     "x120_template_prefixes" ->
       // first-8-token prefix per doc; (source, prefix) exact counts,
       // deterministic top-3 window, integer-ppm shares. DuckDB list

@@ -1360,6 +1360,44 @@ object DocDedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** x121: NORMALIZATION ROBUSTNESS — does text cleaning CHANGE the
+    * dedup verdicts? Every verified near-dup pair is rescored with exact
+    * 3-gram Jaccard over the CLEANED token stream (x34's normalization:
+    * lowercase, punctuation stripped, stopwords and short tokens
+    * dropped), and the table reports, per raw-Jaccard decile, how many
+    * pairs still clear the 0.5 dedup threshold and the mean cleaned
+    * similarity. A dedup owner reads this before reordering the
+    * pipeline (clean-then-dedup vs dedup-then-clean): a bucket whose
+    * still-dup rate collapses means the raw pairs were held together by
+    * punctuation/boilerplate tokens the cleaner removes — those are the
+    * verdicts that flip if the pipeline order changes.
+    *
+    * Scale: pairs come from the persisted x15 artifact (never
+    * recomputed); the corpus is semi-join-pruned to the paired ids
+    * BEFORE cleaning and shingling (x110's pattern), so the rescore
+    * touches only paired documents; mean similarity sums micro-quantized
+    * exact longs. */
+  def normalizationRobustness(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = pairArtifact(spark, dir)
+    val ids = pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    val cleaned = Tables.documents(spark, dir)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_join(Curation.cleanedTokens(col("text")), " ").as("text"))
+    val re = ngramJaccard(cleaned, pairs.select("id_a", "id_b"))
+    pairs.select(col("id_a"), col("id_b"), col("jaccard").as("j_raw"))
+      .join(re.select(col("id_a"), col("id_b"), col("jaccard").as("j_clean")),
+        Seq("id_a", "id_b"))
+      .select(floor(col("j_raw") * 10.0).cast("long").as("raw_bucket"), col("j_clean"))
+      .groupBy("raw_bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("j_clean") >= 0.5, 1L).otherwise(0L)).as("n_still_dup"),
+        sum(floor(col("j_clean") * 1000000.0).cast("long")).as("sum_jclean_micro"))
+      .withColumn("mean_jclean", col("sum_jclean_micro").cast("double") /
+        (col("n_pairs") * lit(1000000L)).cast("double"))
+      .orderBy("raw_bucket")
+  }
+
   /** x110: BAND RECALL AUDIT — measure, don't guess: the minhash banding
     * scheme's EMPIRICAL recall, per Jaccard decile, against an
     * INDEPENDENT candidate generator. The simhash chunk-blocking witness

@@ -448,6 +448,17 @@ class Round11Spec extends SparkSpec {
     assert(top.getAs[Long]("share_ppm") == 5000000L / 9L)
   }
 
+  test("x121: robustness buckets cover every verified pair with sane rates") {
+    val r = DocDedup.normalizationRobustness(spark, sfDir).persist()
+    assert(r.agg(sum("n_pairs")).head().getLong(0) ==
+      DocDedup.pairArtifact(spark, sfDir).count())
+    assert(r.filter(col("n_still_dup") > col("n_pairs")).count() == 0)
+    assert(r.filter(col("mean_jclean") < 0 || col("mean_jclean") > 1).count() == 0)
+    assert(r.filter(col("raw_bucket") < 5 || col("raw_bucket") > 10).count() == 0,
+      "verified pairs start at jaccard >= 0.5")
+    r.unpersist()
+  }
+
   test("x100: survivorship totals reconcile with the applied dedup (x30)") {
     val r = DocDedup.dedupSurvivorship(spark, sfDir).persist()
     assert(r.filter(col("n_survivors") > col("n_docs")).count() == 0)
