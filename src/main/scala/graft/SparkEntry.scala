@@ -397,6 +397,7 @@ object SparkEntry {
     "x119_knn_reciprocity" -> ((s: SparkSession, d: String) => Similarity.knnReciprocity(s, d)),
     "x120_template_prefixes" -> ((s: SparkSession, d: String) => TextStats.templatePrefixes(s, d)),
     "x121_norm_robustness" -> ((s: SparkSession, d: String) => DocDedup.normalizationRobustness(s, d)),
+    "x122_index_append" -> ((s: SparkSession, d: String) => Similarity.knnIncrementalAppend(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -2437,6 +2438,24 @@ object SparkEntry {
        "CAST(sum(n_bpe) AS BIGINT) * 1000000 // CAST(sum(n_ws) AS BIGINT) AS bpe_per_ws_ppm, " +
        "CAST(sum(n_chars) AS BIGINT) * 1000000 // CAST(sum(n_bpe) AS BIGINT) AS chars_per_bpe_ppm " +
        "FROM l GROUP BY 1 ORDER BY 1"),
+    "x122_index_append" ->
+      // the ~10% md5-coin "new batch" codes itself with the SAME derived
+      // plane matrix and bucket-joins against OLD codes only; rescore +
+      // top-5 are the x55 shapes
+      (s"WITH ${autoLshCtes(8)}, " +
+       "newv AS (SELECT vec_id FROM embeddings WHERE " +
+       "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)),1,2)) AS INT) < 26), " +
+       "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM coded a " +
+       "JOIN coded b ON a.t = b.t AND a.code = b.code " +
+       "WHERE a.vec_id IN (SELECT vec_id FROM newv) " +
+       "AND b.vec_id NOT IN (SELECT vec_id FROM newv)), " +
+       "s AS (SELECT c.id_a, c.id_b, " +
+       s"${dotSql("x.vec", "y.vec")}/(x.norm*y.norm) AS sim FROM cand c " +
+       "JOIN nrm x ON x.vec_id = c.id_a JOIN nrm y ON y.vec_id = c.id_b) " +
+       "SELECT id_a AS vec_id, rank, id_b AS neighbor_id, sim FROM " +
+       "(SELECT id_a, id_b, sim, CAST(row_number() OVER (PARTITION BY id_a " +
+       "ORDER BY sim DESC, id_b) AS INT) AS rank FROM s) WHERE rank <= 5 " +
+       "ORDER BY vec_id, rank"),
     "x121_norm_robustness" ->
       // verified pairs rescored over x34-cleaned tokens; per raw decile:
       // still-dup count at the 0.5 cut and mean cleaned similarity from

@@ -1119,6 +1119,42 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** x122: INCREMENTAL INDEX APPEND — a new batch of vectors (the md5
+    * coin carves ~10% as the stand-in for "today's embeddings") is
+    * queried against the EXISTING index without any rebuild: the planes
+    * are md5-derived constants, so new vectors code themselves with the
+    * same matrix and bucket-join against the OLD side's codes only. This
+    * is the daily production motion for an ANN index — x55 builds, x83
+    * appends to the dedup graph, THIS appends to the index — and the
+    * output is each new vector's top-k among existing vectors, ready to
+    * union into the KNN-graph artifact.
+    *
+    * Scale: candidates are (new × old-in-bucket) — the new batch is the
+    * small side by construction, and nothing over the old corpus
+    * recomputes beyond its (persisted, in production) code table. The
+    * rescore and k-bounded window are x55's shapes. */
+  def knnIncrementalAppend(spark: SparkSession, dir: String, k: Int = 5,
+      nTables: Int = 8, dim: Int = 64): DataFrame = {
+    val (e, _) = codedEmbeddings(spark, dir, nTables, dim)
+    val isNew = conv(substring(md5(col("vec_id").cast("string").cast("binary")),
+      1, 2), 16, 10).cast("int") < 26
+    val coded = e.select(col("vec_id"), isNew.as("is_new"),
+      posexplode(col("codes")).as(Seq("tbl", "code")))
+    val cand = coded.filter(col("is_new"))
+      .select(col("tbl"), col("code"), col("vec_id").as("id_a"))
+      .join(coded.filter(!col("is_new")).select(col("tbl").as("tb"),
+        col("code").as("cb"), col("vec_id").as("id_b")),
+        col("tbl") === col("tb") && col("code") === col("cb"))
+      .select("id_a", "id_b").distinct()
+    val w = Window.partitionBy("id_a").orderBy(desc("sim"), asc("id_b"))
+    rescored(e, cand)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a").as("vec_id"), col("rank"),
+        col("id_b").as("neighbor_id"), col("sim"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** x119: KNN RECIPROCITY PROFILE — per rank position, the fraction of
     * directed KNN edges whose reverse edge is also in the graph. Mutual
     * edges are the classic neighborhood-quality signal (mutual-kNN is

@@ -459,6 +459,27 @@ class Round11Spec extends SparkSpec {
     r.unpersist()
   }
 
+  test("x122: append queries only new vectors against only old neighbors") {
+    val a = Similarity.knnIncrementalAppend(spark, sfDir).persist()
+    val coin = Tables.widen(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"),
+        (conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 2),
+          16, 10).cast("int") < 26).as("is_new"))
+    val joined = a.join(coin, "vec_id")
+    assert(joined.filter(!col("is_new")).count() == 0, "queries are new vectors")
+    val nbr = a.select(col("neighbor_id").as("vec_id")).distinct().join(coin, "vec_id")
+    assert(nbr.filter(col("is_new")).count() == 0, "neighbors are old vectors")
+    // ranks dense from 1, sim within bounds and non-increasing per query
+    assert(a.groupBy("vec_id").agg(count(lit(1)).as("n"), max("rank").as("mx"),
+      min("rank").as("mn")).filter(col("mx") =!= col("n") || col("mn") =!= 1)
+      .count() == 0)
+    val lagged = a.withColumn("prev", lag("sim", 1).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("vec_id").orderBy("rank")))
+    assert(lagged.filter(col("prev").isNotNull && col("prev") < col("sim")).count() == 0)
+    assert(a.filter(col("sim") < -1.0000001 || col("sim") > 1.0000001).count() == 0)
+    a.unpersist()
+  }
+
   test("x100: survivorship totals reconcile with the applied dedup (x30)") {
     val r = DocDedup.dedupSurvivorship(spark, sfDir).persist()
     assert(r.filter(col("n_survivors") > col("n_docs")).count() == 0)
