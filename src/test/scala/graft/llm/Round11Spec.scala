@@ -5,10 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Round-11 operator properties: boilerplate ratio (x93), priority
   * sampling (x94), source-overlap matrix (x95), embedding dimension
-  * profile (x96), curriculum ordering (x97), PMI collocations (x99) and
-  * the dedup survivorship report (x100). Each test pins an algebraic
-  * invariant of the operator, not fixture values — the value-level gate is
-  * the DuckDB oracle. */
+  * profile (x96), curriculum ordering (x97), PMI collocations (x99), the
+  * dedup survivorship report (x100), mixed-language flag (x101), ANN
+  * quality eval (x102), seq-len budget (x103), threshold sweep (x104),
+  * source data card (x105), the x110 band recall audit, the embedding
+  * outlier/confusion monitors (x111/x112), classifier calibration (x113),
+  * kNN label agreement (x114), JL distortion (x115), tokenizer fertility
+  * (x116), shuffle quality (x117), filter disagreement (x118), kNN
+  * reciprocity (x119), template prefixes (x120), normalization
+  * robustness (x121) and incremental index append (x122). Each test pins
+  * an algebraic invariant of the operator, not fixture values — the
+  * value-level gate is the DuckDB oracle. */
 class Round11Spec extends SparkSpec {
 
   private lazy val nDocs = Tables.documents(spark, sfDir).count()
