@@ -398,6 +398,7 @@ object SparkEntry {
     "x120_template_prefixes" -> ((s: SparkSession, d: String) => TextStats.templatePrefixes(s, d)),
     "x121_norm_robustness" -> ((s: SparkSession, d: String) => DocDedup.normalizationRobustness(s, d)),
     "x122_index_append" -> ((s: SparkSession, d: String) => Similarity.knnIncrementalAppend(s, d)),
+    "x123_release_diff" -> ((s: SparkSession, d: String) => Curation.releaseDiff(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -2438,6 +2439,31 @@ object SparkEntry {
        "CAST(sum(n_bpe) AS BIGINT) * 1000000 // CAST(sum(n_ws) AS BIGINT) AS bpe_per_ws_ppm, " +
        "CAST(sum(n_chars) AS BIGINT) * 1000000 // CAST(sum(n_bpe) AS BIGINT) AS chars_per_bpe_ppm " +
        "FROM l GROUP BY 1 ORDER BY 1"),
+    "x123_release_diff" ->
+      // two x81-shaped manifests (prev = coin >= 26, i.e. the corpus
+      // minus x122's new batch; curr = full), diffed per shard; digests
+      // via string_agg ORDER BY pos exactly as x81's oracle
+      ("WITH base AS (SELECT doc_id, text, " +
+       "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) AS coin, " +
+       "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h " +
+       "FROM documents), " +
+       "pa AS (SELECT *, CAST(h % 8 AS INT) AS shard, " +
+       "CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos " +
+       "FROM base WHERE coin >= 26), " +
+       "ma AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs_prev, " +
+       "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_prev, " +
+       "md5(string_agg(md5(text), '' ORDER BY pos)) AS digest_prev FROM pa GROUP BY 1), " +
+       "pb AS (SELECT *, CAST(h % 8 AS INT) AS shard, " +
+       "CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos " +
+       "FROM base), " +
+       "mb AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs_curr, " +
+       "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_curr, " +
+       "md5(string_agg(md5(text), '' ORDER BY pos)) AS digest_curr FROM pb GROUP BY 1) " +
+       "SELECT b.shard, b.n_docs_curr, " +
+       "b.n_docs_curr - a.n_docs_prev AS doc_delta, " +
+       "b.n_tokens_curr - a.n_tokens_prev AS token_delta, " +
+       "CAST(a.digest_prev <> b.digest_curr AS INT) AS changed " +
+       "FROM mb b JOIN ma a ON a.shard = b.shard ORDER BY b.shard"),
     "x122_index_append" ->
       // the ~10% md5-coin "new batch" codes itself with the SAME derived
       // plane matrix and bucket-joins against OLD codes only; rescore +

@@ -466,6 +466,58 @@ object Curation {
       .orderBy("shard")
   }
 
+  /** The x81 manifest over an arbitrary (doc_id, text, n_chars) frame —
+    * the release-engineering library form x123 diffs snapshots with. */
+  def shardManifestOf(docs: DataFrame, shards: Int = 8): DataFrame = {
+    val a = docs
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        md5Long(col("doc_id").cast("string")).as("h"))
+      .withColumn("shard", (col("h") % shards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))))
+    a.select(col("shard"), col("pos"), md5(col("text").cast("binary")).as("dmd5"),
+        size(split(col("text"), " ")).cast("long").as("ntok"), col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("dmd5")))),
+          s => s.getField("dmd5")), "").cast("binary")).as("content_digest"))
+      .orderBy("shard")
+  }
+
+  /** x123: RELEASE DIFF — what changed between two dataset releases, at
+    * the shard-manifest level a consumer actually verifies: "yesterday"
+    * is the corpus minus the x122 new-batch coin (~90%), "today" is the
+    * full corpus, and the table reports per shard the document/token
+    * deltas and whether the content digest moved. This is the release
+    * note a dataset publisher ships with every refresh — shards whose
+    * digest is UNCHANGED need no re-download, and a digest change with a
+    * zero doc delta flags an in-place edit rather than an append.
+    *
+    * Scale: two manifest aggregates over one corpus scan each (the same
+    * bounded per-shard digest shape as x81); the diff itself is a
+    * |shards|-row equi-join. In production the "prev" side is the stored
+    * manifest table — one scan total. */
+  def releaseDiff(spark: SparkSession, dir: String, shards: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text", "n_chars")
+    val coin = conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+      1, 2), 16, 10).cast("int")
+    val prev = shardManifestOf(docs.filter(coin >= 26), shards)
+      .select(col("shard"), col("n_docs").as("n_docs_prev"),
+        col("n_tokens").as("n_tokens_prev"), col("content_digest").as("digest_prev"))
+    val curr = shardManifestOf(docs, shards)
+      .select(col("shard"), col("n_docs").as("n_docs_curr"),
+        col("n_tokens").as("n_tokens_curr"), col("content_digest").as("digest_curr"))
+    curr.join(prev, "shard")
+      .select(col("shard"), col("n_docs_curr"),
+        (col("n_docs_curr") - col("n_docs_prev")).as("doc_delta"),
+        (col("n_tokens_curr") - col("n_tokens_prev")).as("token_delta"),
+        (col("digest_prev") =!= col("digest_curr")).cast("int").as("changed"))
+      .orderBy("shard")
+  }
+
   /** Shard count derived from corpus size — the `autoPlanes`/`autoMBits`
     * idiom applied to the release layout: shards = ⌈n_docs / target⌉,
     * integer-exact so the SQL oracle re-derives the identical value from

@@ -487,6 +487,32 @@ class Round11Spec extends SparkSpec {
     a.unpersist()
   }
 
+  test("x123: release diff reconciles deltas with the x122 new batch") {
+    val d = Curation.releaseDiff(spark, sfDir).persist()
+    assert(d.count() == 8)
+    assert(d.agg(sum("n_docs_curr")).head().getLong(0) == nDocs)
+    // the total doc delta is exactly the x122 new-batch size
+    val newCount = Tables.documents(spark, sfDir)
+      .filter(conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+        1, 2), 16, 10).cast("int") < 26).count()
+    assert(d.agg(sum("doc_delta")).head().getLong(0) == newCount)
+    // an appended shard's digest must move; deltas are non-negative
+    assert(d.filter(col("doc_delta") < 0 || col("token_delta") < 0).count() == 0)
+    assert(d.filter(col("doc_delta") > 0 && col("changed") === 0).count() == 0)
+    d.unpersist()
+  }
+
+  test("x123: identical snapshots diff to zero deltas and unchanged digests") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i => (i, s"doc $i body words here", 20L))
+      .toDF("doc_id", "text", "n_chars")
+    val m = Curation.shardManifestOf(docs, 4)
+    val self = m.as("a").join(m.as("b"), "shard")
+      .filter(col("a.content_digest") =!= col("b.content_digest") ||
+        col("a.n_docs") =!= col("b.n_docs"))
+    assert(self.count() == 0)
+  }
+
   test("x100: survivorship totals reconcile with the applied dedup (x30)") {
     val r = DocDedup.dedupSurvivorship(spark, sfDir).persist()
     assert(r.filter(col("n_survivors") > col("n_docs")).count() == 0)
