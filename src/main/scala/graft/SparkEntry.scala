@@ -399,6 +399,7 @@ object SparkEntry {
     "x121_norm_robustness" -> ((s: SparkSession, d: String) => DocDedup.normalizationRobustness(s, d)),
     "x122_index_append" -> ((s: SparkSession, d: String) => Similarity.knnIncrementalAppend(s, d)),
     "x123_release_diff" -> ((s: SparkSession, d: String) => Curation.releaseDiff(s, d)),
+    "x124_token_funnel" -> ((s: SparkSession, d: String) => Curation.tokenFunnel(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -1843,31 +1844,7 @@ object SparkEntry {
     "x65_filter_funnel" ->
       // the x38 cascade's rules in fixed order with per-stage attrition;
       // stage-3 survivors must equal x38's training set (spec-reconciled)
-      ("WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), " +
-       "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-       "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
-       "list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
-       "ELSE [array_to_string(t, ' ')] END AS s FROM tok), " +
-       "flat AS (SELECT DISTINCT doc_id, " +
-       "CAST(concat('0x', substr(md5(sx), 1, 15)) AS BIGINT) AS h " +
-       "FROM (SELECT doc_id, unnest(s) AS sx FROM sh)), " +
-       "bench AS (SELECT DISTINCT h FROM flat WHERE doc_id % 17 = 0), " +
-       "clean AS (SELECT c.doc_id FROM (SELECT doc_id, h FROM flat WHERE doc_id % 17 <> 0) c " +
-       "LEFT JOIN bench b USING (h) GROUP BY c.doc_id HAVING count(b.h) * 5 < count(*)), " +
-       "hist AS (SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1), " +
-       "cm AS (SELECT n_chars, sum(cnt) OVER (ORDER BY n_chars) AS cum, " +
-       "sum(cnt) OVER () AS total FROM hist), " +
-       "th AS (SELECT min(CASE WHEN cum*100 >= total*5 THEN n_chars END) AS lo, " +
-       "min(CASE WHEN cum*100 >= total*95 THEN n_chars END) AS hi FROM cm), " +
-       s"q AS ($x8QualitySql), " +
-       "flags AS (SELECT d.doc_id, " +
-       "CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f1, " +
-       "CASE WHEN cl.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f2, " +
-       "CASE WHEN d.n_chars BETWEEN th.lo AND th.hi THEN 1 ELSE 0 END AS f3, " +
-       "CASE WHEN qq.quality_score >= 0.6 THEN 1 ELSE 0 END AS f4 " +
-       "FROM documents d LEFT JOIN keepers k ON k.doc_id = d.doc_id " +
-       "LEFT JOIN clean cl ON cl.doc_id = d.doc_id " +
-       "LEFT JOIN q qq ON qq.doc_id = d.doc_id, th), " +
+      (s"WITH $x65FlagsCtes, " +
        "cnt AS (SELECT count(*) AS n0, sum(f1) AS n1, sum(f1*f2) AS n2, " +
        "sum(f1*f2*f3) AS n3, sum(f1*f2*f3*f4) AS n4 FROM flags) " +
        "SELECT * FROM (" +
@@ -2439,6 +2416,27 @@ object SparkEntry {
        "CAST(sum(n_bpe) AS BIGINT) * 1000000 // CAST(sum(n_ws) AS BIGINT) AS bpe_per_ws_ppm, " +
        "CAST(sum(n_chars) AS BIGINT) * 1000000 // CAST(sum(n_bpe) AS BIGINT) AS chars_per_bpe_ppm " +
        "FROM l GROUP BY 1 ORDER BY 1"),
+    "x124_token_funnel" ->
+      // the x65 flags re-denominated in tokens, per source; shares are
+      // integer-ppm floor-divs against the source's raw token total
+      (s"WITH $x65FlagsCtes, " +
+       "dd AS (SELECT doc_id, source, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok FROM documents), " +
+       "staged AS (SELECT dd.source, " +
+       "CAST(count(*) AS BIGINT) AS n0, CAST(sum(ntok) AS BIGINT) AS t0, " +
+       "CAST(sum(f1) AS BIGINT) AS n1, CAST(sum(f1*ntok) AS BIGINT) AS t1, " +
+       "CAST(sum(f1*f2) AS BIGINT) AS n2, CAST(sum(f1*f2*ntok) AS BIGINT) AS t2, " +
+       "CAST(sum(f1*f2*f3) AS BIGINT) AS n3, CAST(sum(f1*f2*f3*ntok) AS BIGINT) AS t3, " +
+       "CAST(sum(f1*f2*f3*f4) AS BIGINT) AS n4, CAST(sum(f1*f2*f3*f4*ntok) AS BIGINT) AS t4 " +
+       "FROM flags f JOIN dd ON dd.doc_id = f.doc_id GROUP BY 1) " +
+       "SELECT * FROM (" +
+       "SELECT source, 0 AS stage, n0 AS n_docs, t0 AS n_tokens, " +
+       "(t0 * 1000000) // t0 AS tokens_kept_ppm FROM staged " +
+       "UNION ALL SELECT source, 1, n1, t1, (t1 * 1000000) // t0 FROM staged " +
+       "UNION ALL SELECT source, 2, n2, t2, (t2 * 1000000) // t0 FROM staged " +
+       "UNION ALL SELECT source, 3, n3, t3, (t3 * 1000000) // t0 FROM staged " +
+       "UNION ALL SELECT source, 4, n4, t4, (t4 * 1000000) // t0 FROM staged" +
+       ") ORDER BY source, stage"),
     "x123_release_diff" ->
       // two x81-shaped manifests (prev = coin >= 26, i.e. the corpus
       // minus x122's new batch; curr = full), diffed per shard; digests
@@ -2894,6 +2892,38 @@ object SparkEntry {
       "coded AS (SELECT n.vec_id, p.t, CAST(sum(CASE WHEN " +
       s"${dotSql("n.vec", "p.pv")} >= 0 THEN CAST(1 AS BIGINT) << p.j ELSE 0 END) " +
       "AS BIGINT) AS code FROM nrm n, pl p GROUP BY n.vec_id, p.t)"
+
+  /** The x65 cascade's per-document keep-flag CTE chain (keepers →
+    * decontamination → length thresholds → quality → `flags(doc_id,
+    * f1..f4)`), shared by the x65 doc funnel and the x124 token ledger so
+    * the two oracles cannot drift — the SQL mirror of
+    * `Curation.funnelFlags`. */
+  private lazy val x65FlagsCtes: String =
+    "keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), " +
+      "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
+      "list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
+      "ELSE [array_to_string(t, ' ')] END AS s FROM tok), " +
+      "flat AS (SELECT DISTINCT doc_id, " +
+      "CAST(concat('0x', substr(md5(sx), 1, 15)) AS BIGINT) AS h " +
+      "FROM (SELECT doc_id, unnest(s) AS sx FROM sh)), " +
+      "bench AS (SELECT DISTINCT h FROM flat WHERE doc_id % 17 = 0), " +
+      "clean AS (SELECT c.doc_id FROM (SELECT doc_id, h FROM flat WHERE doc_id % 17 <> 0) c " +
+      "LEFT JOIN bench b USING (h) GROUP BY c.doc_id HAVING count(b.h) * 5 < count(*)), " +
+      "hist AS (SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1), " +
+      "cm AS (SELECT n_chars, sum(cnt) OVER (ORDER BY n_chars) AS cum, " +
+      "sum(cnt) OVER () AS total FROM hist), " +
+      "th AS (SELECT min(CASE WHEN cum*100 >= total*5 THEN n_chars END) AS lo, " +
+      "min(CASE WHEN cum*100 >= total*95 THEN n_chars END) AS hi FROM cm), " +
+      s"q AS ($x8QualitySql), " +
+      "flags AS (SELECT d.doc_id, " +
+      "CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f1, " +
+      "CASE WHEN cl.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f2, " +
+      "CASE WHEN d.n_chars BETWEEN th.lo AND th.hi THEN 1 ELSE 0 END AS f3, " +
+      "CASE WHEN qq.quality_score >= 0.6 THEN 1 ELSE 0 END AS f4 " +
+      "FROM documents d LEFT JOIN keepers k ON k.doc_id = d.doc_id " +
+      "LEFT JOIN clean cl ON cl.doc_id = d.doc_id " +
+      "LEFT JOIN q qq ON qq.doc_id = d.doc_id, th)"
 
   /** The auto-LSH KNN-graph CTE chain (coded → cand → rescored sim →
     * top-k `knn(vec_id, neighbor_id, rank)`), shared by every oracle that

@@ -646,28 +646,7 @@ object Curation {
     * per-stage counts cost no extra corpus passes. */
   def filterFunnel(spark: SparkSession, dir: String,
       minQuality: Double = 0.6): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val keepers = docs
-      .groupBy(md5(col("text").cast("binary")).as("ch"))
-      .agg(min("doc_id").as("doc_id"))
-      .select(col("doc_id"), lit(1L).as("f1"))
-    // decontaminate() emits only non-bench docs (doc_id % 17 ≠ 0): bench
-    // docs fall out of the left join as f2 = 0 — the same "eval docs never
-    // train" semantics trainingSet's semi-join has
-    val clean = decontaminationVerdicts(spark, dir)
-      .filter(col("contaminated") === 0)
-      .select(col("doc_id"), lit(1L).as("f2"))
-    val lenOk = lengthFilter(spark, dir)
-      .select(col("doc_id"), lit(1L).as("f3"))
-    val qOk = TextStats.qualityScore(spark, dir)
-      .filter(col("quality_score") >= minQuality)
-      .select(col("doc_id"), lit(1L).as("f4"))
-    val flags = docs.select("doc_id")
-      .join(keepers, Seq("doc_id"), "left")
-      .join(clean, Seq("doc_id"), "left")
-      .join(lenOk, Seq("doc_id"), "left")
-      .join(qOk, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("f1", "f2", "f3", "f4"))
+    val flags = funnelFlags(spark, dir, minQuality)
     // one aggregate row, checkpointed: it feeds four literal stage rows
     // and must not re-run the decontamination pipeline per stage
     val c = flags.agg(
@@ -685,6 +664,79 @@ object Curation {
       }
       .reduce(_ unionByName _)
       .orderBy("stage")
+  }
+
+  /** The x65 cascade's per-document keep flags — shared by the doc-count
+    * funnel (x65) and the token-denominated per-source ledger (x124) so
+    * the two reports can never disagree about a rule. */
+  private[llm] def funnelFlags(spark: SparkSession, dir: String,
+      minQuality: Double = 0.6): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keepers = docs
+      .groupBy(md5(col("text").cast("binary")).as("ch"))
+      .agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("f1"))
+    // decontaminate() emits only non-bench docs (doc_id % 17 ≠ 0): bench
+    // docs fall out of the left join as f2 = 0 — the same "eval docs never
+    // train" semantics trainingSet's semi-join has
+    val clean = decontaminationVerdicts(spark, dir)
+      .filter(col("contaminated") === 0)
+      .select(col("doc_id"), lit(1L).as("f2"))
+    val lenOk = lengthFilter(spark, dir)
+      .select(col("doc_id"), lit(1L).as("f3"))
+    val qOk = TextStats.qualityScore(spark, dir)
+      .filter(col("quality_score") >= minQuality)
+      .select(col("doc_id"), lit(1L).as("f4"))
+    docs.select("doc_id")
+      .join(keepers, Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"), "left")
+      .join(lenOk, Seq("doc_id"), "left")
+      .join(qOk, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("f1", "f2", "f3", "f4"))
+  }
+
+  /** x124: TOKEN BURN-DOWN LEDGER — the x65 funnel re-denominated in the
+    * unit budgets are written in (tokens) and broken out per source: for
+    * each source and cascade stage, the documents and tokens still alive
+    * and the surviving-token share. x65 answers "how many documents does
+    * each rule drop"; THIS answers "whose token budget is the cascade
+    * spending" — a source whose token survival is far below its document
+    * survival is losing its LONG documents, which shifts the x92 budget
+    * and the x103 seq-len decision even when doc counts look fine.
+    *
+    * Stage semantics are IDENTICAL to x65 (shared `funnelFlags`), so the
+    * two reports cannot drift; shares are integer-ppm floor-divs of
+    * exact long token sums.
+    *
+    * Scale: one staged aggregate per source over the flag frame joined
+    * with a (doc_id, source, ntok) projection — map-side combined, ten
+    * longs per (task, source); the stage fan-out is a literal 5-row
+    * Generator over the aggregated row. */
+  def tokenFunnel(spark: SparkSession, dir: String,
+      minQuality: Double = 0.6): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+    val staged = funnelFlags(spark, dir, minQuality).join(d, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n0"), sum("ntok").as("t0"),
+        sum("f1").as("n1"), sum(col("f1") * col("ntok")).as("t1"),
+        sum(col("f1") * col("f2")).as("n2"),
+        sum(col("f1") * col("f2") * col("ntok")).as("t2"),
+        sum(col("f1") * col("f2") * col("f3")).as("n3"),
+        sum(col("f1") * col("f2") * col("f3") * col("ntok")).as("t3"),
+        sum(col("f1") * col("f2") * col("f3") * col("f4")).as("n4"),
+        sum(col("f1") * col("f2") * col("f3") * col("f4") * col("ntok")).as("t4"))
+    staged
+      .select(col("source"), expr(
+        "stack(5, " +
+          "0, n0, t0, (t0 * 1000000L) div t0, " +
+          "1, n1, t1, (t1 * 1000000L) div t0, " +
+          "2, n2, t2, (t2 * 1000000L) div t0, " +
+          "3, n3, t3, (t3 * 1000000L) div t0, " +
+          "4, n4, t4, (t4 * 1000000L) div t0) " +
+        "AS (stage, n_docs, n_tokens, tokens_kept_ppm)"))
+      .orderBy("source", "stage")
   }
 
   /** PII patterns shared by `redactPii` and its spec: RE2-compatible (no

@@ -513,6 +513,26 @@ class Round11Spec extends SparkSpec {
     assert(self.count() == 0)
   }
 
+  test("x124: token ledger is monotone per source and re-aggregates to x65") {
+    val t = Curation.tokenFunnel(spark, sfDir).persist()
+    assert(t.filter(col("stage") === 0).agg(sum("n_docs")).head().getLong(0) == nDocs)
+    assert(t.filter(col("stage") === 0 && col("tokens_kept_ppm") =!= 1000000L)
+      .count() == 0)
+    // docs and tokens never grow along the cascade
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("stage")
+    val lagged = t.withColumn("pd", lag("n_docs", 1).over(w))
+      .withColumn("pt", lag("n_tokens", 1).over(w))
+    assert(lagged.filter(col("pd").isNotNull &&
+      (col("pd") < col("n_docs") || col("pt") < col("n_tokens"))).count() == 0)
+    // summing sources per stage reproduces the x65 doc funnel exactly
+    val mine = t.groupBy("stage").agg(sum("n_docs").as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Curation.filterFunnel(spark, sfDir).collect().foreach { r =>
+      assert(mine(r.getAs[Int]("stage")) == r.getAs[Long]("n_out"))
+    }
+    t.unpersist()
+  }
+
   test("x100: survivorship totals reconcile with the applied dedup (x30)") {
     val r = DocDedup.dedupSurvivorship(spark, sfDir).persist()
     assert(r.filter(col("n_survivors") > col("n_docs")).count() == 0)
