@@ -64,10 +64,13 @@ class PlanAuditSpec extends SparkSpec {
     // budget table — the same shape
     // x99: the two 1-row totals frames (Σ unigrams, Σ bigrams) crossed
     // onto the vocabulary-sized PMI pair table — the same shape
+    // x124: composes x36's length filter like x38 does, so the same
+    // sanctioned 1-row threshold probe appears in its lineage (x65 hides
+    // the identical subplan behind its localCheckpoint barrier)
     val allowed = allPairsByDesign + "j8_range_bin_join" + "x36_length_filter" +
       "x38_training_set" + "x47_bm25_rank" + "x48_hybrid_rrf" + "x66_dedup_stats" +
       "x70_oov_rate" + "x91_vocab_coverage" + "x92_source_budget" +
-      "x99_pmi_collocations"
+      "x99_pmi_collocations" + "x124_token_funnel"
     val offenders = plans.collect {
       case (n, p) if !allowed(n) && p.contains("BroadcastNestedLoopJoin") => n
     }
