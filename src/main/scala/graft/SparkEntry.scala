@@ -51,8 +51,11 @@ object SparkEntry {
   private val paymentCase: String =
     "CASE WHEN l_returnflag='R' THEN 'Retour' WHEN l_returnflag='A' THEN 'Accepté' END"
 
+  // time_pk is ARITHMETIC (epoch micros — StarSchema.timeKey), not a
+  // row_number window: at second-grain timestamps dim_time is ~O(fact
+  // rows) and a global window would serialize it through one task
   private val dimTimeCte: String =
-    "dtime AS (SELECT datetime, CAST(row_number() OVER (ORDER BY datetime) AS INT) AS time_pk " +
+    "dtime AS (SELECT datetime, epoch_us(datetime) AS time_pk " +
     "FROM (SELECT DISTINCT l_shipdate AS datetime FROM lineitem))"
 
   private val dimLocCte: String =
@@ -132,6 +135,7 @@ object SparkEntry {
     "a21_sketch_kpis" -> (Aggs.sketchKpis _),
     "win_decile_by_group" -> (Funcs.decileByGroup _),
     "x15_ngram_jaccard" -> ((s: SparkSession, d: String) => DocDedup.ngramJaccardPairs(s, d)),
+    "x15b_auto_bands" -> ((s: SparkSession, d: String) => DocDedup.ngramJaccardPairsAuto(s, d)),
     "x17_dedup_clusters" -> ((s: SparkSession, d: String) => DocDedup.dedupClustersGate(s, d)),
     "x75_leak_safe_split" -> (DocDedup.leakSafeSplit _),
     "x82_frozen_split" -> ((s: SparkSession, d: String) => DocDedup.frozenSplitGate(s, d)),
@@ -627,6 +631,7 @@ object SparkEntry {
        "SELECT d, s, sum(s) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
        "FROM daily ORDER BY d"),
     "x15_ngram_jaccard" -> (x15PairsSql + " ORDER BY id_a, id_b"),
+    "x15b_auto_bands" -> x15bAutoSql,
     // connected components over the x15 pairs: DuckDB side = recursive-CTE
     // reachability (min reachable id per node == min-label-propagation
     // fixpoint on an undirected graph)
@@ -1011,7 +1016,7 @@ object SparkEntry {
       (s"WITH $dimLocCte SELECT location_id, location_pk FROM dloc ORDER BY location_id"),
     "w1_dim_time" ->
       (s"WITH d AS (SELECT DISTINCT l_shipdate AS datetime FROM lineitem) " +
-       "SELECT CAST(row_number() OVER (ORDER BY datetime) AS INT) AS time_pk, datetime, " +
+       "SELECT epoch_us(datetime) AS time_pk, datetime, " +
        s"CAST(hour(datetime) AS INT) AS hour, dayname(datetime) AS day_of_week, " +
        s"${periodCase("hour(datetime)")} AS time_period FROM d ORDER BY time_pk"),
     // zone mirror of StarSchema.zoneLookup: ids ≡ 6 (mod 7) absent → the
@@ -2457,11 +2462,13 @@ object SparkEntry {
        "mb AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs_curr, " +
        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_curr, " +
        "md5(string_agg(md5(text), '' ORDER BY pos)) AS digest_curr FROM pb GROUP BY 1) " +
+       // LEFT join + COALESCE: a fully-new shard (no prev row) must
+       // surface with deltas-from-zero and changed=1, not vanish
        "SELECT b.shard, b.n_docs_curr, " +
-       "b.n_docs_curr - a.n_docs_prev AS doc_delta, " +
-       "b.n_tokens_curr - a.n_tokens_prev AS token_delta, " +
-       "CAST(a.digest_prev <> b.digest_curr AS INT) AS changed " +
-       "FROM mb b JOIN ma a ON a.shard = b.shard ORDER BY b.shard"),
+       "b.n_docs_curr - COALESCE(a.n_docs_prev, 0) AS doc_delta, " +
+       "b.n_tokens_curr - COALESCE(a.n_tokens_prev, 0) AS token_delta, " +
+       "CAST(a.digest_prev IS NULL OR a.digest_prev <> b.digest_curr AS INT) AS changed " +
+       "FROM mb b LEFT JOIN ma a ON a.shard = b.shard ORDER BY b.shard"),
     "x122_index_append" ->
       // the ~10% md5-coin "new batch" codes itself with the SAME derived
       // plane matrix and bucket-joins against OLD codes only; rescore +
@@ -2684,8 +2691,10 @@ object SparkEntry {
     * x15 gate and the x17 cluster-resolution recursive CTE. */
   // shared by x15/x17/x30 (undirected) and x58 (directed): shingles →
   // md5 minhash → 2-row bands
-  private val shingleBandsCte: String =
-    "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+  /** tok/sh/hs/mh CTE chain (md5-witness minhash, k=8) — shared by the
+    * fixed-band x15 prefix below and x15b's derived-geometry banding. */
+  private val minhashMd5Cte: String =
+    "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
     "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
     "list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
     "ELSE [array_to_string(t, ' ')] END AS s FROM tok), " +
@@ -2694,7 +2703,10 @@ object SparkEntry {
     s"mh AS (SELECT doc_id, i, list_min(list_transform(hl, h -> (h * " +
     s"([${DocDedup.mixA.mkString(",")}][CAST(i AS INT)+1]) + " +
     s"[${DocDedup.mixB.mkString(",")}][CAST(i AS INT)+1]) % ${DocDedup.mixP})) AS comp " +
-    "FROM hs, range(0, 8) AS r(i)), " +
+    "FROM hs, range(0, 8) AS r(i))"
+
+  private val shingleBandsCte: String =
+    s"WITH $minhashMd5Cte, " +
     "band AS (SELECT m0.doc_id, m0.i // 2 AS j, m0.comp AS c0, m1.comp AS c1 FROM mh m0 " +
     "JOIN mh m1 ON m0.doc_id = m1.doc_id AND m1.i = m0.i + 1 WHERE m0.i % 2 = 0), "
 
@@ -2710,6 +2722,45 @@ object SparkEntry {
     "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard " +
     "FROM cand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b) " +
     "WHERE jaccard >= 0.5"
+
+  /** ppm power as the CHAINED floor product `x·base div 10⁶` repeated —
+    * the exact op sequence of `DocDedup.bandRecallPpm`, written out for
+    * DuckDB to evaluate (never a float pow). */
+  private def ppmPowChainSql(baseExpr: String, times: Int): String =
+    (1 to times).foldLeft("CAST(1000000 AS BIGINT)")((acc, _) =>
+      s"(($acc * $baseExpr) // 1000000)")
+  private def bandRecallPpmSql(r: Int, b: Int): String =
+    s"(1000000 - ${ppmPowChainSql(s"(1000000 - ${ppmPowChainSql("500000", r)})", b)})"
+
+  /** x15b: the x15 pipeline with band geometry RE-DERIVED by DuckDB from
+    * its own count(*) — threshold-count log₂, the ⌈(l+1…)/4⌉ ladder, and
+    * the same ppm floor-chain recall guard as `DocDedup.autoBandRows` —
+    * then parametric r-row banding (string_agg band keys) and the exact
+    * Jaccard verify. The derived (rows, bands) ride every output row, so
+    * a derivation mismatch is a hash mismatch, not a silent plan change. */
+  private val x15bAutoSql: String = {
+    val logTerms = (0 until 48)
+      .map(i => s"(CASE WHEN n > ${1L << i} THEN 1 ELSE 0 END)").mkString(" + ")
+    s"WITH $minhashMd5Cte, " +
+    s"prm AS (SELECT CASE WHEN r_raw <= 1 THEN 1 WHEN r_raw <= 2 THEN 2 ELSE 4 END AS r0 " +
+    s"FROM (SELECT (l + 3) // 4 AS r_raw FROM (SELECT ($logTerms) AS l " +
+    "FROM (SELECT count(*) AS n FROM documents)))), " +
+    s"rsel AS (SELECT CASE WHEN r0 >= 4 AND ${bandRecallPpmSql(4, 2)} >= 600000 THEN 4 " +
+    s"WHEN r0 >= 2 AND ${bandRecallPpmSql(2, 4)} >= 600000 THEN 2 " +
+    "ELSE 1 END AS r FROM prm), " +
+    "aband AS (SELECT m.doc_id, m.i // s.r AS j, " +
+    "string_agg(CAST(m.comp AS VARCHAR), ':' ORDER BY m.i) AS key " +
+    "FROM mh m, rsel s GROUP BY 1, 2), " +
+    "acand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM aband a " +
+    "JOIN aband b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id), " +
+    "shd AS (SELECT doc_id, list_distinct(s) AS s FROM sh) " +
+    "SELECT id_a, id_b, jaccard, CAST(s.r AS INT) AS rows_per_band, " +
+    "CAST(8 // s.r AS INT) AS n_bands " +
+    "FROM (SELECT c.id_a, c.id_b, " +
+    "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard " +
+    "FROM acand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b), rsel s " +
+    "WHERE jaccard >= 0.5 ORDER BY id_a, id_b"
+  }
 
   // x72b's all-pairs perceptual-hash mirror, shared with x72c's clusters
   private lazy val x72bPairsSql: String =
@@ -2826,18 +2877,24 @@ object SparkEntry {
     * min squared-L2 distance to the i−1 chosen (the same list fold shape
     * as the k-means oracle, bit-exact vs Clustering.dist2) and picks the
     * max, ties to the smaller vec_id. */
-  /** Chained peel rounds for the x106 oracle: rm_r = nodes of degree < k
-    * in the round-(r−1) edge set, e_r = edges with both endpoints alive.
-    * The chain is IDEMPOTENT once converged (an empty rm_r leaves e_r =
-    * e_{r−1}), so chaining exactly `rounds` steps matches the Spark side's
-    * converge-or-fail bound of the same length. */
+  /** Chained peel rounds for the x106 oracle: a_r = the alive node set,
+    * rm_r = alive nodes WITHOUT degree ≥ k in the round-(r−1) edge set
+    * (covering nodes with zero remaining edges — the star-hub case, which
+    * a degree HAVING alone would silently drop), e_r = edges with both
+    * endpoints alive. The chain is IDEMPOTENT once converged (an empty
+    * rm_r leaves a_r = a_{r−1} and e_r = e_{r−1}), so chaining exactly
+    * `rounds` steps matches the Spark side's converge-or-fail bound of
+    * the same length. */
   private def kcoreSql(k: Int, rounds: Int): String = {
     val ctes = new StringBuilder(
       "e0 AS MATERIALIZED (SELECT id_a AS s, id_b AS t FROM pairs " +
-        "UNION ALL SELECT id_b, id_a FROM pairs)")
+        "UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "a0 AS MATERIALIZED (SELECT DISTINCT s FROM e0)")
     for (r <- 1 to rounds) {
-      ctes ++= (s", rm$r AS MATERIALIZED " +
-        s"(SELECT s FROM e${r - 1} GROUP BY s HAVING count(*) < $k)")
+      ctes ++= (s", rm$r AS MATERIALIZED (SELECT s FROM a${r - 1} WHERE s NOT IN " +
+        s"(SELECT s FROM e${r - 1} GROUP BY s HAVING count(*) >= $k))")
+      ctes ++= (s", a$r AS MATERIALIZED (SELECT s FROM a${r - 1} " +
+        s"WHERE s NOT IN (SELECT s FROM rm$r))")
       ctes ++= (s", e$r AS MATERIALIZED (SELECT e.s, e.t FROM e${r - 1} e " +
         s"WHERE e.s NOT IN (SELECT s FROM rm$r) AND e.t NOT IN (SELECT s FROM rm$r))")
     }

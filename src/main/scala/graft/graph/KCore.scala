@@ -15,13 +15,16 @@ import org.apache.spark.sql.functions._
   *
   * Algorithm: synchronous parallel peel (Matula & Beck's sequential core
   * decomposition lifted to rounds — the standard Pregel/GraphFrames
-  * formulation). Each round is ONE degree aggregation plus two anti-joins
-  * on long node ids — no text, no cartesian; lineage is flattened per
-  * round with a lazy localCheckpoint exactly like the x17 star loop.
-  * Rounds are bounded by the peel DEPTH of the graph (the longest chain
-  * of cascading removals), not its size: near-dup graphs are
-  * shallow-and-wide (mostly leaves hanging off dense cores — both
-  * fixtures converge in one round), and the converge-or-fail guard makes
+  * formulation), over an explicitly tracked alive-node set so that nodes
+  * whose incident edges ALL vanish in a round (a star hub after its
+  * leaves peel) are still peeled — at the layer where their degree hits
+  * 0 — instead of silently disappearing from the output. Each round is
+  * ONE degree aggregation plus three anti-joins on long node ids — no
+  * text, no cartesian; lineage is flattened per round with a lazy
+  * localCheckpoint exactly like the x17 star loop. Rounds are bounded by
+  * the peel DEPTH of the graph (the longest chain of cascading
+  * removals), not its size: near-dup graphs are shallow-and-wide (mostly
+  * leaves hanging off dense cores), and the converge-or-fail guard makes
   * a depth blow-up a loud error, never a silent wrong answer. 100 TB: the
   * per-round shuffle carries only the alive edge list, which shrinks
   * monotonically; the removed-set side of each anti-join is the round's
@@ -45,16 +48,23 @@ object KCore {
     var e = edges.select(col("id_a").as("s"), col("id_b").as("t"))
       .unionByName(edges.select(col("id_b").as("s"), col("id_a").as("t")))
       .localCheckpoint(eager = false)
+    // the alive node set is tracked EXPLICITLY: a node whose incident
+    // edges all vanish mid-peel (the hub of a star whose leaves peel
+    // first) has no row left in `e`, so a degree aggregation alone can
+    // never see it — yet onion decomposition owes it a layer (degree 0
+    // < k the round after its last edge dies). `alive` starts as the
+    // node domain and shrinks with every peel; low = alive ∖ {deg ≥ k}.
+    var alive = e.select(col("s").as("node")).distinct().localCheckpoint()
     var peeled: Option[DataFrame] = None
     var round = 0
     var converged = false
     while (!converged) {
-      // eager checkpoint: `low` is consumed three times (emptiness probe,
-      // layer union, anti-join filter) and must not recompute the degree
-      // aggregation it derives from
-      val low = e.groupBy("s").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") < k).select(col("s").as("node"))
-        .localCheckpoint()
+      // eager checkpoint: `low` is consumed four times (emptiness probe,
+      // layer union, alive update, anti-join filter) and must not
+      // recompute the degree aggregation it derives from
+      val keep = e.groupBy("s").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("s").as("node"))
+      val low = alive.join(keep, Seq("node"), "left_anti").localCheckpoint()
       if (low.isEmpty) converged = true
       else {
         round += 1
@@ -63,6 +73,7 @@ object KCore {
             "maxRounds (and the oracle chain) or switch to approximate coreness")
         val lay = low.select(col("node"), lit(round).cast("int").as("peel_layer"))
         peeled = Some(peeled.fold(lay)(_.unionByName(lay)))
+        alive = alive.join(low, Seq("node"), "left_anti").localCheckpoint()
         e = e.join(low, e("s") === low("node"), "left_anti")
           .join(low, col("t") === low("node"), "left_anti")
           .localCheckpoint(eager = false)

@@ -504,17 +504,27 @@ object Curation {
     val docs = Tables.documents(spark, dir).select("doc_id", "text", "n_chars")
     val coin = conv(substring(md5(col("doc_id").cast("string").cast("binary")),
       1, 2), 16, 10).cast("int")
-    val prev = shardManifestOf(docs.filter(coin >= 26), shards)
+    releaseDiffOf(docs, docs.filter(coin >= 26), shards)
+  }
+
+  /** Library form of x123 over two (doc_id, text, n_chars) snapshots. */
+  def releaseDiffOf(currDocs: DataFrame, prevDocs: DataFrame,
+      shards: Int = 8): DataFrame = {
+    val prev = shardManifestOf(prevDocs, shards)
       .select(col("shard"), col("n_docs").as("n_docs_prev"),
         col("n_tokens").as("n_tokens_prev"), col("content_digest").as("digest_prev"))
-    val curr = shardManifestOf(docs, shards)
+    val curr = shardManifestOf(currDocs, shards)
       .select(col("shard"), col("n_docs").as("n_docs_curr"),
         col("n_tokens").as("n_tokens_curr"), col("content_digest").as("digest_curr"))
-    curr.join(prev, "shard")
+    // LEFT join: a shard whose docs are ALL in the new batch has no prev
+    // row — the fully-new-shard case is the one a release note most needs
+    // to surface (deltas from zero, changed=1), not to drop
+    curr.join(prev, Seq("shard"), "left")
       .select(col("shard"), col("n_docs_curr"),
-        (col("n_docs_curr") - col("n_docs_prev")).as("doc_delta"),
-        (col("n_tokens_curr") - col("n_tokens_prev")).as("token_delta"),
-        (col("digest_prev") =!= col("digest_curr")).cast("int").as("changed"))
+        (col("n_docs_curr") - coalesce(col("n_docs_prev"), lit(0L))).as("doc_delta"),
+        (col("n_tokens_curr") - coalesce(col("n_tokens_prev"), lit(0L))).as("token_delta"),
+        (col("digest_prev").isNull ||
+          col("digest_prev") =!= col("digest_curr")).cast("int").as("changed"))
       .orderBy("shard")
   }
 

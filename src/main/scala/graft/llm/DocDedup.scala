@@ -434,20 +434,91 @@ object DocDedup {
     * both orientations of each colliding pair (for asymmetric scores
     * like containment, where (A→B) and (B→A) differ). */
   def bandCandidates(spark: SparkSession, dir: String, k: Int = 8,
+      directed: Boolean = false): DataFrame =
+    bandCandidatesWith(spark, dir, k, rowsPer = 2, directed = directed)
+
+  /** Parametric-geometry band candidates: k signature components grouped
+    * into k/rowsPer bands of rowsPer rows; the band key is the ':'-joined
+    * component string (injective — components are plain longs), so the
+    * same construction serves every geometry the x15b auto-dispatch can
+    * select. Scale shape is unchanged from the 2-row special case: the
+    * self-join shuffles only (band index, short key) pairs. */
+  def bandCandidatesWith(spark: SparkSession, dir: String, k: Int, rowsPer: Int,
       directed: Boolean = false): DataFrame = {
-    require(k % 2 == 0, s"k=$k must be even for 2-row bands")
+    require(rowsPer >= 1 && k % rowsPer == 0,
+      s"k=$k must divide evenly into rowsPer=$rowsPer bands")
     // barrier: stop the k md5-minhash expressions collapsing into both
     // self-join sides (2× recompute of the per-shingle md5 pass)
     val mhWide = minhashMd5(spark, dir, k).localCheckpoint(eager = false)
     val bands = mhWide.select(col("doc_id"),
-      posexplode(array((0 until k / 2).map(j =>
-        struct(col(s"mh${2 * j}").as("c0"), col(s"mh${2 * j + 1}").as("c1"))): _*))
+      posexplode(array((0 until k / rowsPer).map(j =>
+        concat_ws(":", (0 until rowsPer).map(i =>
+          col(s"mh${rowsPer * j + i}").cast("string")): _*)): _*))
         .as(Seq("j", "band")))
     val a = bands.select(col("j"), col("band"), col("doc_id").as("id_a"))
     val b = bands.select(col("j").as("bj"), col("band").as("bb"), col("doc_id").as("id_b"))
     val cond = if (directed) col("id_a") =!= col("id_b") else col("id_a") < col("id_b")
     a.join(b, col("j") === col("bj") && col("band") === col("bb") && cond)
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Predicted recall (ppm) of `b` bands of `r` rows at the 0.5-Jaccard
+    * dedup threshold: 1 − (1 − j^r)^b, with every power evaluated as a
+    * CHAINED INTEGER FLOOR PRODUCT in ppm (x · base div 10⁶ repeated) —
+    * the identical op sequence the oracle SQL runs, so the geometry
+    * selection below is cross-engine bit-exact, never a float pow. */
+  private[graft] def bandRecallPpm(r: Int, b: Int): Long =
+    bandRecallPpmAt(500000L, r, b)
+
+  /** The same chained-ppm curve at an arbitrary similarity j (ppm) —
+    * Round12Spec evaluates it at x110's bucket edges to check the theory
+    * the dispatch trusts against the measured witness recall. */
+  private[graft] def bandRecallPpmAt(jPpm: Long, r: Int, b: Int): Long = {
+    def powChain(base: Long, times: Int): Long =
+      (1 to times).foldLeft(1000000L)((x, _) => x * base / 1000000L)
+    1000000L - powChain(1000000L - powChain(jPpm, r), b)
+  }
+
+  /** x15b: rows-per-band derived from corpus size AND a recall target —
+    * the `autoPlanes`/`autoChunkBits` dispatch applied to banding, closing
+    * the loop the x110 audit opened (x110 MEASURES the deployed curve
+    * against an independent witness; this derives the geometry from the
+    * same theoretical curve, which Round12Spec pins against x110's
+    * measurement). Two forces: (1) candidate-volume economics want MORE
+    * rows per band as the corpus grows — expected false candidates scale
+    * like b·Σj^r over sub-threshold pairs, so r must grow ~log n to keep
+    * the band stage linear; the size-driven start is ⌈(⌊log₂n⌋+1)/4⌉
+    * rounded UP to k's power-of-two divisor ladder {1,2,4}. (2) The recall
+    * target is a floor: starting from r₀ the dispatch steps DOWN (more,
+    * shorter bands) until the predicted 0.5-threshold recall clears
+    * `targetRecallPpm`. All arithmetic is integer-exact (threshold-count
+    * log₂, ppm floor-chains), so the oracle re-derives the identical
+    * geometry from its own count(*). The witness k is 8 (the md5 minhash
+    * the oracle can express); the xxhash64 production path scales the
+    * same dispatch to k = 64. */
+  private[graft] def autoBandRows(nDocs: Long, targetRecallPpm: Long = 600000L): Int = {
+    val l = (0 until 48).count(i => nDocs > (1L << i)) // = ⌊log₂ n⌋ + 1
+    val rRaw = (l + 3) / 4
+    val r0 = if (rRaw <= 1) 1 else if (rRaw <= 2) 2 else 4
+    Iterator.iterate(r0)(_ / 2).takeWhile(_ >= 1)
+      .find(r => bandRecallPpm(r, 8 / r) >= targetRecallPpm)
+      .getOrElse(1)
+  }
+
+  /** x15b gate: the x15 pipeline with DERIVED band geometry — one
+    * metadata-cheap count(*) picks (rows, bands), then the md5-witness
+    * banding and exact-Jaccard verification run exactly as x15. The
+    * derived geometry is emitted on every row so the oracle's own
+    * derivation is part of the hash check, not just the pair set. */
+  def ngramJaccardPairsAuto(spark: SparkSession, dir: String,
+      targetRecallPpm: Long = 600000L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val r = autoBandRows(docs.count(), targetRecallPpm)
+    ngramJaccard(docs, bandCandidatesWith(spark, dir, k = 8, rowsPer = r))
+      .filter(col("jaccard") >= 0.5)
+      .withColumn("rows_per_band", lit(r).cast("int"))
+      .withColumn("n_bands", lit(8 / r).cast("int"))
+      .orderBy("id_a", "id_b")
   }
 
   /** x58: asymmetric shingle CONTAINMENT — detects when one document's

@@ -1044,15 +1044,22 @@ object Similarity {
     jlDistortionAuditOf(Tables.widen(Tables.embeddings(spark, dir)), kOut)
 
   /** Library form over any (vec_id: long, embedding: array<float>)
-    * frame. */
+    * frame. The source dimensionality d is probed from the frame itself
+    * (one-row size(embedding) peek — metadata-cheap), so frames with
+    * d ≠ 64 project over ALL their coordinates instead of silently
+    * truncating the sign matrix to the first 64. */
   def jlDistortionAuditOf(emb: DataFrame, kOut: Int = 16): DataFrame = {
     val spark = emb.sparkSession
+    val probe = emb.select(size(col("embedding")).as("d")).limit(1).collect()
+    require(probe.nonEmpty, "jlDistortionAuditOf needs a non-empty embedding frame")
+    val d = probe(0).getInt(0)
+    require(d > 0 && d <= 4096, s"implausible embedding dimensionality $d")
     // md5-derived ±1 entry for (t, d): any engine regenerates it exactly.
     // One flat range, (t, dim) unpacked arithmetically — no join at all
     val signs = broadcast(
-      spark.range(kOut * 64L)
-        .select(expr("CAST(id div 64 AS INT)").as("t"),
-          (col("id") % 64).cast("int").as("dim"))
+      spark.range(kOut * d.toLong)
+        .select(expr(s"CAST(id div $d AS INT)").as("t"),
+          (col("id") % d).cast("int").as("dim"))
         .select(col("t"), col("dim"),
           (conv(substring(md5(concat(col("t").cast("string"), lit(":"),
             col("dim").cast("string")).cast("binary")), 1, 2), 16, 10)

@@ -799,8 +799,10 @@ object TextStats {
     docsWide(spark, dir)
       .select(col("doc_id") +: scores: _*)
       .withColumn("predicted_lang", pickLang)
-      .withColumn("best_score", element_at(arr, 4))
-      .withColumn("second_score", element_at(arr, 3))
+      // index relative to the marker-list size, not a hardcoded 4: adding
+      // a language to langMarkers must not silently demote best_score
+      .withColumn("best_score", element_at(arr, langMarkers.size))
+      .withColumn("second_score", element_at(arr, langMarkers.size - 1))
       .withColumn("is_mixed",
         when(col("second_score") > 0 &&
           col("second_score") * 2 >= col("best_score"), lit(1)).otherwise(lit(0)))

@@ -18,11 +18,13 @@ object Joins {
 
   /** J1: timestamp-keyed surrogate lookup (load.py:155-159) — build a time
     * dimension keyed by distinct datetime with a generated pk, then join the
-    * fact on the timestamp value. */
+    * fact on the timestamp value. The pk is arithmetic (epoch micros, see
+    * StarSchema.timeKey) — no global window over a dim that grows with
+    * distinct timestamps. */
   def timeSurrogateJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val dimTime = li.select(col("l_shipdate").as("datetime")).distinct()
-      .withColumn("time_pk", row_number().over(Window.orderBy("datetime")))
+      .withColumn("time_pk", graft.warehouse.StarSchema.timeKey(col("datetime")))
     li.join(broadcast(dimTime), li("l_shipdate") === dimTime("datetime"), "inner")
       .select(col("l_orderkey"), col("l_linenumber"), col("time_pk"))
       .orderBy("l_orderkey", "l_linenumber")

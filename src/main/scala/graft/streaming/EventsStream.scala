@@ -223,7 +223,7 @@ object EventsStream {
       max(unix_micros(col("ts"))).as("mx")).head()
     val cutUs = (mm.getLong(0) + mm.getLong(1)) / 2
     val stage = java.nio.file.Files.createTempDirectory("graft_stream_sess_")
-    def dump(df: DataFrame, name: String, mtime: Long): Unit = {
+    def dump(df: DataFrame, name: String, mtime: Long): java.io.File = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_sess_part_")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = tmp.toFile.listFiles()
@@ -231,17 +231,28 @@ object EventsStream {
         .getOrElse(sys.error(s"no part file under $tmp"))
       val dst = stage.resolve(name)
       java.nio.file.Files.move(part.toPath, dst)
-      dst.toFile.setLastModified(mtime)
+      // the distinct mtimes ARE the batch-order contract — fail loudly if
+      // the filesystem refuses the set, rather than degrade to
+      // listing-order nondeterminism (half-1 events landing after the
+      // half-2 watermark and silently dropping)
+      require(dst.toFile.setLastModified(mtime),
+        s"could not pin mtime=$mtime on $dst — batch order would be undefined")
       // the writer dir only held _SUCCESS/.crc litter once the part file
       // moved out — remove it now rather than leaking one pair per run
       tmp.toFile.listFiles().foreach(_.delete())
       java.nio.file.Files.deleteIfExists(tmp)
+      dst.toFile
     }
     // distinct mod-times pin the FileStreamSource batch order: half 1
     // (older) is batch 1, half 2 is batch 2
     val t0 = System.currentTimeMillis() - 120000L
-    dump(ev.filter(unix_micros(col("ts")) <= cutUs), "events_1.parquet", t0)
-    dump(ev.filter(unix_micros(col("ts")) > cutUs), "events_2.parquet", t0 + 60000L)
+    val f1 = dump(ev.filter(unix_micros(col("ts")) <= cutUs), "events_1.parquet", t0)
+    val f2 = dump(ev.filter(unix_micros(col("ts")) > cutUs), "events_2.parquet", t0 + 60000L)
+    // re-read: the effective (possibly granularity-truncated) mtimes must
+    // still order strictly, or the FileStreamSource batch split is undefined
+    require(f1.lastModified() < f2.lastModified(),
+      s"staged mtimes not strictly ordered (${f1.lastModified()} vs " +
+        s"${f2.lastModified()}) — filesystem mtime granularity broke batch order")
     // recursive shutdown-hook cleanup (deleteOnExit skips non-empty dirs);
     // losers of a duplicate concurrent build register their dir too
     graft.Tables.registerArtifactCleanup(stage)

@@ -14,13 +14,15 @@ import org.apache.spark.sql.functions._
 object TaxiWarehouse {
 
   /** dim_time (load.py:19-26 + 114-117): distinct pickup datetimes with
-    * time features. */
+    * time features. Keyed arithmetically (epoch micros) — pickup
+    * timestamps are second-grain, so this dim is ~O(fact rows) and a
+    * global row_number window would serialize it through one task. */
   def dimTime(valid: DataFrame): DataFrame =
     valid.select(col("tpep_pickup_datetime").as("datetime"), col("day_of_week"),
         col("time_period"))
       .distinct()
       .withColumn("hour", hour(col("datetime")).cast("smallint"))
-      .withColumn("time_pk", row_number().over(Window.orderBy("datetime")))
+      .withColumn("time_pk", graft.warehouse.StarSchema.timeKey(col("datetime")))
       .select("time_pk", "datetime", "hour", "day_of_week", "time_period")
 
   /** dim_location (load.py:28-33 + 127-130): PU ∪ DO ids, borough default. */

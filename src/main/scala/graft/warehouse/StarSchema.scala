@@ -17,10 +17,25 @@ import org.apache.spark.sql.functions._
   * (load.py:155-172) with inner-join row-loss preserved, NUMERIC(8,2)
   * casts at the sink contract (load.py:209-220) expressed as round().
   *
-  * Scale: every dim is tiny → broadcast joins; the fact build is one scan
-  * of lineitem with zero shuffles (windows run on the already-small dims).
+  * Scale: location/payment dims are tiny by domain (≤265 zones, a handful
+  * of labels) → row_number surrogate keys over them are safe and broadcast
+  * joins apply. dim_time is NOT bounded by domain — at the reference's
+  * second-grain pickup timestamps it is ~O(fact rows) — so its key is
+  * derived ARITHMETICALLY from the timestamp (`unix_micros`, unique per
+  * distinct datetime by construction) instead of a global row_number
+  * window that would serialize the whole dim through one task. The fact
+  * build is one scan of lineitem with zero fact-side shuffles.
   */
 object StarSchema {
+
+  /** dim_time surrogate key: epoch micros of the timestamp — deterministic,
+    * unique per distinct datetime, computed per-row with NO window (a
+    * global row_number would single-task the dim, which dies at the
+    * reference's real second grain). The cast lifts TIMESTAMP_NTZ parquet
+    * columns to TIMESTAMP in the session zone (pinned UTC), so the value
+    * equals DuckDB's naive `epoch_us(datetime)` bit-for-bit. */
+  private[graft] def timeKey(datetime: org.apache.spark.sql.Column) =
+    unix_micros(datetime.cast("timestamp"))
 
   def dimTime(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -28,7 +43,7 @@ object StarSchema {
       .withColumn("hour", hour(col("datetime")))
       .withColumn("day_of_week", date_format(col("datetime"), "EEEE"))
       .withColumn("time_period", Funcs.timePeriod(col("hour")))
-      .withColumn("time_pk", row_number().over(Window.orderBy("datetime")))
+      .withColumn("time_pk", timeKey(col("datetime")))
       .select("time_pk", "datetime", "hour", "day_of_week", "time_period")
 
   /** Synthetic TLC-style zone lookup (reference `README.md:41` joins a
@@ -115,7 +130,7 @@ object StarSchema {
       .withColumn("hour", hour(col("datetime")))
       .withColumn("day_of_week", date_format(col("datetime"), "EEEE"))
       .withColumn("time_period", Funcs.timePeriod(col("hour")))
-      .withColumn("time_pk", row_number().over(Window.orderBy("datetime")))
+      .withColumn("time_pk", timeKey(col("datetime")))
       .select("time_pk", "datetime", "hour", "day_of_week", "time_period")
     val locIds = g.filter(col("gid") === 11).select(col("l_partkey").as("location_id"))
       .unionByName(g.filter(col("gid") === 13).select(col("l_suppkey").as("location_id")))

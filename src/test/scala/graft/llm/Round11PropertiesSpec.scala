@@ -175,15 +175,20 @@ class Round11PropertiesSpec extends SparkSpec {
     import spark.implicits._
     def scalarPeel(edges: Seq[(Long, Long)], k: Int): Map[Long, (Int, Long)] = {
       var adj = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      // alive set tracked like the Spark side: a node whose edges all
+      // vanish still peels (degree 0 < k) the round after, never vanishes
+      var alive = adj.map(_._1).toSet
       var res = Map.empty[Long, (Int, Long)]
       var round = 0
       var done = false
       while (!done) {
-        val low = adj.groupBy(_._1).collect { case (n, es) if es.size < k => n }.toSet
+        val deg = adj.groupBy(_._1).map { case (n, es) => n -> es.size }
+        val low = alive.filter(n => deg.getOrElse(n, 0) < k)
         if (low.isEmpty) done = true
         else {
           round += 1
           low.foreach(n => res += n -> ((round, 0L)))
+          alive --= low
           adj = adj.filterNot { case (s, t) => low(s) || low(t) }
         }
       }

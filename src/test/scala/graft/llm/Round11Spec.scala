@@ -176,9 +176,9 @@ class Round11Spec extends SparkSpec {
     // K4 clique (1-4): whole 2-core, in-core degree 3. Path 10-11-12-13:
     // endpoints die round 1, the stranded middle edge dies round 2 —
     // exercises a real cascade. Star 20-(21,22,23): leaves die round 1;
-    // the hub is never low-degree but loses every edge, so it VANISHES
-    // (matches the oracle: no e_r row, no rm row) — that absence is part
-    // of the contract.
+    // the hub is never low-degree while it has edges, but its degree hits
+    // 0 once the leaves peel, so the alive-set tracking peels it at layer
+    // 2 — one row per node of the domain, no silent vanishing.
     val edges = ((for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)) ++
       Seq((10L, 11L), (11L, 12L), (12L, 13L)) ++
       Seq((20L, 21L), (20L, 22L), (20L, 23L))).toDF("id_a", "id_b")
@@ -188,7 +188,9 @@ class Round11Spec extends SparkSpec {
     assert(got(10L) == ((1, 0L)) && got(13L) == ((1, 0L)))
     assert(got(11L) == ((2, 0L)) && got(12L) == ((2, 0L)))
     assert(Seq(21L, 22L, 23L).forall(got(_) == ((1, 0L))))
-    assert(!got.contains(20L), "isolated hub must vanish, not get a layer")
+    assert(got(20L) == ((2, 0L)), "edge-orphaned hub peels at layer 2")
+    assert(got.keySet == ((1L to 4L) ++ (10L to 13L) ++ (20L to 23L)).toSet,
+      "one row per node of the pair-graph domain")
     // corpus gate: layers within the oracle-chained bound; core nodes have
     // in-core degree >= k; peeled nodes report degree 0
     val corpus = graft.graph.KCore.neardupKCore(spark, sfDir).persist()

@@ -134,6 +134,22 @@ class PlanAuditSpec extends SparkSpec {
       s"global windows over unaggregated (unbounded) input in: $offenders")
   }
 
+  test("dim_time never plans a window — its key is arithmetic (scale-safe at second grain)") {
+    // dim_time is the ONE dim not bounded by domain cardinality: at the
+    // reference's second-grain pickup timestamps it is ~O(fact rows), so
+    // even an Aggregate-fronted global row_number (structurally sanctioned
+    // above) would serialize it through one task. The surrogate key must
+    // therefore be derived arithmetically (unix_micros) — no Window
+    // operator anywhere in the dim build or the fact's dim_time subtree.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (name <- Seq("w1_dim_time", "j1_time_surrogate_join")) {
+      val lp = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+      spark.catalog.clearCache()
+      assert(lp.collectFirst { case w: LWindow => w }.isEmpty,
+        s"$name must key dim_time arithmetically, not via a window")
+    }
+  }
+
   test("no gate query pins CacheManager state (library code never persist()s)") {
     // building every query (plans above ran with clearCache between) must
     // leave the catalog cache empty WITHOUT any cleanup: barriers are lazy
