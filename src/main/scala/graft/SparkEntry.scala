@@ -404,6 +404,8 @@ object SparkEntry {
     "x122_index_append" -> ((s: SparkSession, d: String) => Similarity.knnIncrementalAppend(s, d)),
     "x123_release_diff" -> ((s: SparkSession, d: String) => Curation.releaseDiff(s, d)),
     "x124_token_funnel" -> ((s: SparkSession, d: String) => Curation.tokenFunnel(s, d)),
+    "x125_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
+    "x122b_stored_append" -> ((s: SparkSession, d: String) => Similarity.knnIncrementalAppendStored(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -2442,6 +2444,7 @@ object SparkEntry {
        "UNION ALL SELECT source, 3, n3, t3, (t3 * 1000000) // t0 FROM staged " +
        "UNION ALL SELECT source, 4, n4, t4, (t4 * 1000000) // t0 FROM staged" +
        ") ORDER BY source, stage"),
+    "x125_curation_pipeline" -> x125Sql,
     "x123_release_diff" ->
       // two x81-shaped manifests (prev = coin >= 26, i.e. the corpus
       // minus x122's new batch; curr = full), diffed per shard; digests
@@ -2469,24 +2472,10 @@ object SparkEntry {
        "b.n_tokens_curr - COALESCE(a.n_tokens_prev, 0) AS token_delta, " +
        "CAST(a.digest_prev IS NULL OR a.digest_prev <> b.digest_curr AS INT) AS changed " +
        "FROM mb b LEFT JOIN ma a ON a.shard = b.shard ORDER BY b.shard"),
-    "x122_index_append" ->
-      // the ~10% md5-coin "new batch" codes itself with the SAME derived
-      // plane matrix and bucket-joins against OLD codes only; rescore +
-      // top-5 are the x55 shapes
-      (s"WITH ${autoLshCtes(8)}, " +
-       "newv AS (SELECT vec_id FROM embeddings WHERE " +
-       "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)),1,2)) AS INT) < 26), " +
-       "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM coded a " +
-       "JOIN coded b ON a.t = b.t AND a.code = b.code " +
-       "WHERE a.vec_id IN (SELECT vec_id FROM newv) " +
-       "AND b.vec_id NOT IN (SELECT vec_id FROM newv)), " +
-       "s AS (SELECT c.id_a, c.id_b, " +
-       s"${dotSql("x.vec", "y.vec")}/(x.norm*y.norm) AS sim FROM cand c " +
-       "JOIN nrm x ON x.vec_id = c.id_a JOIN nrm y ON y.vec_id = c.id_b) " +
-       "SELECT id_a AS vec_id, rank, id_b AS neighbor_id, sim FROM " +
-       "(SELECT id_a, id_b, sim, CAST(row_number() OVER (PARTITION BY id_a " +
-       "ORDER BY sim DESC, id_b) AS INT) AS rank FROM s) WHERE rank <= 5 " +
-       "ORDER BY vec_id, rank"),
+    "x122_index_append" -> x122AppendSql,
+    // same motion, the STORED-index production form: identical result,
+    // identical oracle — the gates differ only in what is measured
+    "x122b_stored_append" -> x122AppendSql,
     "x121_norm_robustness" ->
       // verified pairs rescored over x34-cleaned tokens; per raw decile:
       // still-dup count at the 0.5 cut and mean cleaned similarity from
@@ -2722,6 +2711,120 @@ object SparkEntry {
     "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard " +
     "FROM cand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b) " +
     "WHERE jaccard >= 0.5"
+
+  /** x122 + x122b: the ~10% md5-coin "new batch" codes itself with the
+    * SAME derived plane matrix and bucket-joins against OLD codes only;
+    * rescore + top-5 are the x55 shapes. One oracle serves both gates —
+    * the live-build form and the stored-index form return identical rows. */
+  private lazy val x122AppendSql: String =
+    s"WITH ${autoLshCtes(8)}, " +
+    "newv AS (SELECT vec_id FROM embeddings WHERE " +
+    "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)),1,2)) AS INT) < 26), " +
+    "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM coded a " +
+    "JOIN coded b ON a.t = b.t AND a.code = b.code " +
+    "WHERE a.vec_id IN (SELECT vec_id FROM newv) " +
+    "AND b.vec_id NOT IN (SELECT vec_id FROM newv)), " +
+    "s AS (SELECT c.id_a, c.id_b, " +
+    s"${dotSql("x.vec", "y.vec")}/(x.norm*y.norm) AS sim FROM cand c " +
+    "JOIN nrm x ON x.vec_id = c.id_a JOIN nrm y ON y.vec_id = c.id_b) " +
+    "SELECT id_a AS vec_id, rank, id_b AS neighbor_id, sim FROM " +
+    "(SELECT id_a, id_b, sim, CAST(row_number() OVER (PARTITION BY id_a " +
+    "ORDER BY sim DESC, id_b) AS INT) AS rank FROM s) WHERE rank <= 5 " +
+    "ORDER BY vec_id, rank"
+
+  /** x125: the end-to-end curation pipeline as ONE composed query — each
+    * CTE block is the corresponding standalone gate's oracle (x30 CC
+    * losers, x31 decontamination, x36 length thresholds, x8 quality, x82
+    * frozen split, x63 budget shape, x34 cleaning, x81 manifest), renamed
+    * where names would collide, chained by doc_id membership. */
+  private lazy val x125Sql: String =
+    s"WITH RECURSIVE pairs AS MATERIALIZED ($x15PairsSql), " +
+    // x30: connected-component losers over the verified pair graph
+    "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+    "UNION ALL SELECT id_b, id_a FROM pairs), " +
+    "reach(node, lab) AS (SELECT src, src FROM (SELECT DISTINCT src FROM e) " +
+    "UNION SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node), " +
+    "losers AS (SELECT node FROM (SELECT node, min(lab) AS cluster_id FROM reach " +
+    "GROUP BY node) WHERE cluster_id <> node), " +
+    // x31: shingle decontamination (bench docs have no cleanok row)
+    "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+    "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
+    "list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
+    "ELSE [array_to_string(t, ' ')] END AS s FROM tok), " +
+    "flat AS (SELECT DISTINCT doc_id, " +
+    "CAST(concat('0x', substr(md5(sx), 1, 15)) AS BIGINT) AS h " +
+    "FROM (SELECT doc_id, unnest(s) AS sx FROM sh)), " +
+    "bench AS (SELECT DISTINCT h FROM flat WHERE doc_id % 17 = 0), " +
+    "corpus AS (SELECT doc_id, h FROM flat WHERE doc_id % 17 <> 0), " +
+    "cleanok AS (SELECT c.doc_id FROM corpus c LEFT JOIN bench b USING (h) " +
+    "GROUP BY c.doc_id HAVING count(b.h) * 5 < count(*)), " +
+    // x36: exact-quantile length thresholds over the full corpus
+    "hist AS (SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1), " +
+    "cm AS (SELECT n_chars, sum(cnt) OVER (ORDER BY n_chars) AS cum, " +
+    "sum(cnt) OVER () AS total FROM hist), " +
+    "th AS (SELECT min(CASE WHEN cum*100 >= total*5 THEN n_chars END) AS lo, " +
+    "min(CASE WHEN cum*100 >= total*95 THEN n_chars END) AS hi FROM cm), " +
+    // x8: quality score (the x65 stage-4 floor AND the x63 qi source)
+    s"q AS ($x8QualitySql), " +
+    // x82: frozen-refresh split, train tier only
+    "sdocs AS (SELECT doc_id FROM documents), " +
+    "spd AS (SELECT doc_id FROM sdocs WHERE doc_id % 5 <> 0), " +
+    "spc AS (SELECT doc_id, doc_id - doc_id % 2 AS cluster_id FROM spd WHERE doc_id % 20 < 8), " +
+    "spg AS (SELECT d.doc_id, COALESCE(spc.cluster_id, d.doc_id) AS group_id " +
+    "FROM spd d LEFT JOIN spc ON spc.doc_id = d.doc_id), " +
+    "sprior AS (SELECT doc_id, CASE WHEN coin < 204 THEN 'train' " +
+    "WHEN coin < 230 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, " +
+    "CAST(concat('0x', substr(md5(CAST(group_id AS VARCHAR)), 1, 2)) AS INT) AS coin FROM spg)), " +
+    "snc AS (SELECT doc_id, doc_id - doc_id % 4 AS cluster_id FROM sdocs WHERE doc_id % 20 < 8), " +
+    "sg AS (SELECT d.doc_id, COALESCE(snc.cluster_id, d.doc_id) AS group_id " +
+    "FROM sdocs d LEFT JOIN snc ON snc.doc_id = d.doc_id), " +
+    "swp AS (SELECT sg.doc_id, sg.group_id, sprior.split AS prior_split " +
+    "FROM sg LEFT JOIN sprior ON sprior.doc_id = sg.doc_id), " +
+    "sgs AS (SELECT group_id, arg_min(prior_split, doc_id) AS inherit_split " +
+    "FROM swp WHERE prior_split IS NOT NULL GROUP BY group_id), " +
+    "snd AS (SELECT doc_id, group_id FROM swp WHERE prior_split IS NULL), " +
+    "trainok AS (SELECT doc_id FROM swp WHERE prior_split = 'train' " +
+    "UNION ALL SELECT snd.doc_id FROM snd JOIN sgs ON sgs.group_id = snd.group_id " +
+    "WHERE sgs.inherit_split = 'train' " +
+    "UNION ALL SELECT doc_id FROM (SELECT snd.doc_id, " +
+    "CAST(concat('0x', substr(md5(CAST(snd.group_id AS VARCHAR)), 1, 2)) AS INT) AS coin " +
+    "FROM snd LEFT JOIN sgs ON sgs.group_id = snd.group_id WHERE sgs.group_id IS NULL) " +
+    "WHERE coin < 204), " +
+    // the cascade survivors, carrying what the budget needs
+    "surv AS (SELECT d.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens, " +
+    "CAST(floor(q.quality_score * 1000000) AS BIGINT) AS qi " +
+    "FROM documents d JOIN q ON q.doc_id = d.doc_id, th " +
+    "WHERE d.n_chars BETWEEN th.lo AND th.hi AND q.quality_score >= 0.6 " +
+    "AND d.doc_id NOT IN (SELECT node FROM losers) " +
+    "AND d.doc_id IN (SELECT doc_id FROM cleanok) " +
+    "AND d.doc_id IN (SELECT doc_id FROM trainok)), " +
+    // x63: greedy quality-descending token budget over the survivors
+    "bhist AS (SELECT qi, CAST(sum(n_tokens) AS BIGINT) AS btoks FROM surv GROUP BY 1), " +
+    "bm AS (SELECT qi, btoks, CAST(sum(btoks) OVER (ORDER BY qi DESC) AS BIGINT) AS cum_incl, " +
+    "CAST(sum(btoks) OVER (ORDER BY qi DESC) - btoks AS BIGINT) AS cum_excl FROM bhist), " +
+    "bfull AS (SELECT qi FROM bm WHERE cum_incl <= 12000), " +
+    "bb AS (SELECT qi AS bqi, 12000 - cum_excl AS remaining FROM bm " +
+    "WHERE cum_excl < 12000 AND cum_incl > 12000), " +
+    "bbr AS (SELECT doc_id FROM (SELECT surv.doc_id, bb.remaining, " +
+    "CAST(sum(surv.n_tokens) OVER (PARTITION BY surv.qi ORDER BY surv.doc_id) AS BIGINT) AS run " +
+    "FROM surv JOIN bb ON surv.qi = bb.bqi) WHERE run <= remaining), " +
+    "bsel AS (SELECT doc_id FROM surv WHERE qi IN (SELECT qi FROM bfull) " +
+    "UNION ALL SELECT doc_id FROM bbr), " +
+    // x34: clean the SELECTED docs' text (this is what trains)
+    "ct AS (SELECT s2.doc_id, array_to_string(list_filter(" +
+    "string_split(regexp_replace(lower(d.text), '[^a-z0-9 ]', '', 'g'), ' '), " +
+    "x -> len(x) >= 3 AND x NOT IN ('the', 'a', 'of', 'and', 'to', 'in')), ' ') AS text " +
+    "FROM bsel s2 JOIN documents d ON d.doc_id = s2.doc_id), " +
+    // x81: shard manifest of the final training set
+    "hh AS (SELECT doc_id, text, " +
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM ct), " +
+    "pa AS (SELECT *, CAST(h % 8 AS INT) AS shard, " +
+    "CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos FROM hh) " +
+    "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, " +
+    "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, " +
+    "CAST(sum(length(text)) AS BIGINT) AS n_chars, " +
+    "md5(string_agg(md5(text), '' ORDER BY pos)) AS content_digest " +
+    "FROM pa GROUP BY 1 ORDER BY shard"
 
   /** ppm power as the CHAINED floor product `x·base div 10⁶` repeated —
     * the exact op sequence of `DocDedup.bandRecallPpm`, written out for

@@ -319,10 +319,16 @@ object Curation {
     val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
     val stopRatio =
       TextStats.langScore(Seq(" the ", " a ", " of ", " and ")).cast("double") / nTok
-    val perDoc = docsWide(spark, dir)
+    tokenBudgetOf(docsWide(spark, dir)
       .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
-        floor(TextStats.qualityExpr(nTok, avgTokLen, stopRatio) * 1e6).cast("long").as("qi"))
-      .localCheckpoint(eager = false)
+        floor(TextStats.qualityExpr(nTok, avgTokLen, stopRatio) * 1e6).cast("long").as("qi")),
+      budgetTokens)
+  }
+
+  /** x63's greedy quality-descending selection over ANY (doc_id,
+    * n_tokens, qi) frame — x125 applies it to the cascade survivors. */
+  def tokenBudgetOf(perDocIn: DataFrame, budgetTokens: Long): DataFrame = {
+    val perDoc = perDocIn.localCheckpoint(eager = false)
     val hist = perDoc.groupBy("qi").agg(sum("n_tokens").as("btoks"))
     val marks = hist
       .withColumn("cum_incl", sum("btoks").over(
@@ -634,6 +640,50 @@ object Curation {
       .join(clean, Seq("doc_id"), "left_semi")
       .select("doc_id")
       .orderBy("doc_id")
+  }
+
+  /** x125: END-TO-END CURATION PIPELINE — the capstone gate that RUNS the
+    * funnel the x65/x124 ledgers only report: length filter (x36) ∧
+    * quality floor (x65's stage 4) ∧ near-dup apply (x30) ∧ shingle
+    * decontamination (x31) ∧ frozen-split train tier (x82), then the x63
+    * token budget over the SURVIVORS, x34 cleaning of the selected text,
+    * and the x81 shard manifest of the final training set — the artifact
+    * a dataset release actually ships. Every stage is the SAME library
+    * call its standalone gate runs (no parallel re-implementation to
+    * drift), and the DuckDB oracle is the composition of the standalone
+    * oracles' CTEs, so the whole cascade is hash-checked end to end.
+    *
+    * Stage order note: filters compose by intersection (each semi-join
+    * keys on doc_id), so their order is immaterial; the budget MUST run
+    * after all filters (it allocates tokens among what survived) and the
+    * manifest last. Cleaning happens after selection — x34 is a per-row
+    * projection, so cleaning only the selected docs is the cheap order.
+    *
+    * Scale: each stage is its gate's audited plan (short-key semi-joins
+    * against the corpus scan); the budget histogram runs over
+    * #distinct-quality rows; the manifest is x81's bounded per-shard
+    * digest. One corpus-sized frame flows through; nothing quadratic. */
+  def curationPipeline(spark: SparkSession, dir: String,
+      budgetTokens: Long = 12000L, shards: Int = 8): DataFrame = {
+    val q = TextStats.qualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        floor(col("quality_score") * 1e6).cast("long").as("qi"),
+        col("quality_score"))
+    val survivors = q
+      .join(lengthFilter(spark, dir).select("doc_id"), Seq("doc_id"), "left_semi")
+      .filter(col("quality_score") >= 0.6)
+      .join(graft.llm.DocDedup.dedupApply(spark, dir), Seq("doc_id"), "left_semi")
+      .join(decontaminationVerdicts(spark, dir)
+        .filter(col("contaminated") === 0).select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(graft.llm.DocDedup.frozenSplitGate(spark, dir)
+        .filter(col("split") === "train").select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "n_tokens", "qi")
+    val selected = tokenBudgetOf(survivors, budgetTokens).select("doc_id")
+    val cleanedSel = cleanText(spark, dir)
+      .join(selected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("clean_text").as("text"),
+        length(col("clean_text")).cast("long").as("n_chars"))
+    shardManifestOf(cleanedSel, shards)
   }
 
   /** x65: curation-funnel ATTRITION report — the observability artifact

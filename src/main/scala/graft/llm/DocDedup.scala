@@ -538,9 +538,16 @@ object DocDedup {
   def containmentPairs(spark: SparkSession, dir: String, k: Int = 8,
       minContainment: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = Tables.widen(docs)
+    // same semi-join prune as ngramJaccard: shingle arrays only for docs
+    // that appear in a directed candidate — the rescore stays
+    // candidate-sized as the corpus grows
+    val cand = bandCandidates(spark, dir, k, directed = true)
+      .localCheckpoint(eager = false)
+    val ids = cand.select(col("id_a").as("doc_id"))
+      .unionByName(cand.select(col("id_b").as("doc_id"))).distinct()
+    val sh = Tables.widen(docs.join(ids, Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), array_distinct(shingles(tokensCol)).as("sh"))
-    bandCandidates(spark, dir, k, directed = true)
+    cand
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("containment",
@@ -1175,13 +1182,26 @@ object DocDedup {
   }
 
   /** Exact token-3-gram Jaccard for given candidate pairs (id_a, id_b):
-    * |A∩B| / |A∪B| via array_intersect/array_union on distinct shingles. */
+    * |A∩B| / |A∪B| via array_intersect/array_union on distinct shingles.
+    *
+    * The shingle-array side is SEMI-JOIN PRUNED to the candidate ids
+    * before the arrays are built (x110's rescore pattern): candidates are
+    * ≪ corpus, so the rescore joins shuffle a candidate-sized set of
+    * (KB-wide) shingle arrays instead of a corpus-sized one — the
+    * difference between a linear and a corpus-dominated rescore at 10×
+    * (measured: the unpruned form shuffled 600k array rows for 2.5k
+    * pairs at the rehearsal's 10× point). */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    // barrier: the candidate plan (a whole banding pipeline for x15-family
+    // callers) feeds the id prune AND the final join — run it once
+    val p = pairs.localCheckpoint(eager = false)
+    val ids = p.select(col("id_a").as("doc_id"))
+      .unionByName(p.select(col("id_b").as("doc_id"))).distinct()
     // shingling is the same CPU-bound per-row shape as the signatures:
     // spread a narrow caller frame across cores (no-op when already wide)
-    val sh = Tables.widen(docs)
+    val sh = Tables.widen(docs.join(ids, Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), array_distinct(shingles(tokensCol)).as("sh"))
-    pairs
+    p
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",

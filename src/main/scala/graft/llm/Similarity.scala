@@ -1162,6 +1162,49 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** x122b: the STORED-INDEX append — x122's steady-state production
+    * form. The corpus's coded index (vec_id, vec, norm, codes) is a
+    * materialize-once ARTIFACT (the index table a lake persists after
+    * each build); the daily batch codes itself LIVE with the index's
+    * derived plane parameters and bucket-joins against the STORED codes
+    * only. The measured cost is therefore batch coding + short-key join
+    * + rescore — the honest daily increment, linear in the batch — while
+    * the x122 twin keeps measuring the full live rebuild. Same result
+    * row-for-row, same oracle. */
+  def knnIncrementalAppendStored(spark: SparkSession, dir: String, k: Int = 5,
+      nTables: Int = 8, dim: Int = 64): DataFrame = {
+    val idx = graft.Tables.materializeOnce(spark, s"x122_index:$dir")(
+      codedEmbeddings(spark, dir, nTables, dim)._1
+        .select("vec_id", "vec", "norm", "codes"))
+    val isNew = conv(substring(md5(col("vec_id").cast("string").cast("binary")),
+      1, 2), 16, 10).cast("int") < 26
+    // the batch codes live with the STORED index's parameters (plane count
+    // derived from the full-corpus count the index was built at)
+    val nP = autoPlanes(Tables.embeddings(spark, dir).count())
+    val fresh = withNorm(Tables.embeddings(spark, dir).filter(isNew))
+      .withColumn("codes", codesMd5(nP, nTables, dim))
+      .localCheckpoint(eager = false)
+    val codedNew = fresh
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("tbl", "code")))
+    val codedOld = idx.filter(!isNew)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("tbl", "code")))
+    val cand = codedNew.select(col("tbl"), col("code"), col("vec_id").as("id_a"))
+      .join(codedOld.select(col("tbl").as("tb"), col("code").as("cb"),
+        col("vec_id").as("id_b")),
+        col("tbl") === col("tb") && col("code") === col("cb"))
+      .select("id_a", "id_b").distinct()
+    // rescore vectors: new side live, old side read from the stored index
+    val both = fresh.select("vec_id", "vec", "norm")
+      .unionByName(idx.filter(!isNew).select("vec_id", "vec", "norm"))
+    val w = Window.partitionBy("id_a").orderBy(desc("sim"), asc("id_b"))
+    rescored(both, cand)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a").as("vec_id"), col("rank"),
+        col("id_b").as("neighbor_id"), col("sim"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** x119: KNN RECIPROCITY PROFILE — per rank position, the fraction of
     * directed KNN edges whose reverse edge is also in the graph. Mutual
     * edges are the classic neighborhood-quality signal (mutual-kNN is

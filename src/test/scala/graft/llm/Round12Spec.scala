@@ -72,6 +72,108 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("x125: the capstone reconciles with the standalone funnel gates") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // rebuild the cascade from the STANDALONE gates the capstone composes
+    val surv = TextStats.qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        floor(col("quality_score") * 1e6).cast("long").as("qi"), col("quality_score"))
+      .join(Curation.lengthFilter(spark, sfDir).select("doc_id"), Seq("doc_id"), "left_semi")
+      .filter(col("quality_score") >= 0.6)
+      .join(DocDedup.dedupApply(spark, sfDir), Seq("doc_id"), "left_semi")
+      .join(Curation.decontaminationVerdicts(spark, sfDir)
+        .filter(col("contaminated") === 0).select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(DocDedup.frozenSplitGate(spark, sfDir)
+        .filter(col("split") === "train").select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "n_tokens", "qi").persist()
+    val survToks = surv.agg(sum("n_tokens")).head().getLong(0)
+    assert(survToks > 12000L, "the 12k budget must BIND — otherwise the boundary logic is dead code")
+    // near-dup survivors are a subset of x38's exact-dedup training set
+    // (an exact duplicate is a jaccard-1 near-dup, so every exact loser is
+    // a CC loser), and the other x38 rules are in the cascade
+    val x38 = Curation.trainingSet(spark, sfDir).select("doc_id")
+    assert(surv.join(x38, Seq("doc_id"), "left_anti").count() == 0,
+      "cascade survivors must all be x38 training-set members")
+    // the budget selection the manifest summarizes: counts and the cap
+    val sel = Curation.tokenBudgetOf(surv, 12000L).persist()
+    assert(sel.agg(sum("n_tokens")).head().getLong(0) <= 12000L)
+    assert(sel.count() < surv.count(), "binding budget must drop someone")
+    val manifest = Curation.curationPipeline(spark, sfDir).persist()
+    assert(manifest.agg(sum("n_docs")).head().getLong(0) == sel.count(),
+      "manifest docs must equal the budget selection")
+    // manifest token/char totals equal the cleaned text of the selection
+    val cleanSel = Curation.cleanText(spark, sfDir)
+      .join(sel.select("doc_id"), Seq("doc_id"), "left_semi")
+      .agg(sum(size(split(col("clean_text"), " "))).as("t"),
+        sum(length(col("clean_text"))).as("c")).head()
+    assert(manifest.agg(sum("n_tokens")).head().getLong(0) == cleanSel.getLong(0))
+    assert(manifest.agg(sum("n_chars")).head().getLong(0) == cleanSel.getLong(1))
+    surv.unpersist(); sel.unpersist(); manifest.unpersist()
+  }
+
+  test("x122b: the stored-index append equals the live-build append row-for-row") {
+    // same candidates (stored codes are the artifact roundtrip of the live
+    // coding), same rescore expression over exact-roundtripped doubles —
+    // the two forms must be bit-identical, not merely approximately equal
+    val live = Similarity.knnIncrementalAppend(spark, sfDir).collect().toSeq
+    val stored = Similarity.knnIncrementalAppendStored(spark, sfDir).collect().toSeq
+    assert(live.nonEmpty && live == stored)
+  }
+
+  test("x82: frozen split stays frozen across THREE chained snapshots") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the two-snapshot gate covers one refresh; the production risk is the
+    // CHAIN — an assignment must survive any number of refreshes, and a
+    // doc inherited at refresh k must be frozen (same split) at k+1, with
+    // inheritance staying consistent with a scalar model of the rules
+    def md5Coin(groupId: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(groupId.toString.getBytes("UTF-8"))
+      val coin = d(0) & 0xff // first two hex chars of the md5 as an int
+      if (coin < 204) "train" else if (coin < 230) "val" else "test"
+    }
+    val rnd = new scala.util.Random(42L)
+    for (round <- 1 to 5) {
+      val all = (1L to 40L)
+      val d1 = all.filter(_ => rnd.nextDouble() < 0.5)
+      val d2 = (d1 ++ all.filter(_ => rnd.nextDouble() < 0.3)).distinct.sorted
+      val d3 = all
+      // arbitrary re-clustering per snapshot (merges AND splits allowed —
+      // the freeze must hold under any relabeling)
+      def clusters(docs: Seq[Long], span: Int): Seq[(Long, Long)] =
+        docs.filter(_ % 3 != 0).map(d => (d, d - d % span))
+      val c1 = clusters(d1, 2); val c2 = clusters(d2, 4); val c3 = clusters(d3, 8)
+      val a1 = DocDedup.leakSafeSplitOf(d1.toDF("doc_id"), c1.toDF("doc_id", "cluster_id"))
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      val a2df = DocDedup.leakSafeSplitFrozen(d2.toDF("doc_id"),
+        c2.toDF("doc_id", "cluster_id"),
+        a1.toSeq.toDF("doc_id", "split"))
+      val a2 = a2df.collect().map(r => r.getLong(0) -> ((r.getString(2), r.getString(3)))).toMap
+      val a3df = DocDedup.leakSafeSplitFrozen(d3.toDF("doc_id"),
+        c3.toDF("doc_id", "cluster_id"),
+        a2df.select("doc_id", "split"))
+      val a3 = a3df.collect().map(r => r.getLong(0) -> ((r.getString(2), r.getString(3)))).toMap
+      // (a) no assigned doc EVER moves, transitively through the chain
+      a1.foreach { case (d, s) =>
+        assert(a2(d)._1 == s && a3(d)._1 == s, s"round $round: doc $d moved from $s") }
+      a2.foreach { case (d, (s, _)) => assert(a3(d)._1 == s) }
+      // (b) every snapshot-2 doc — whatever its tier then — is frozen in 3
+      d2.foreach(d => assert(a3(d)._2 == "frozen"))
+      // (c) scalar model of the refresh-3 rules over the a2 artifact
+      val g3 = d3.map(d => d -> c3.toMap.getOrElse(d, d)).toMap
+      d3.filterNot(a2.contains).foreach { d =>
+        val members = d3.filter(x => g3(x) == g3(d) && a2.contains(x))
+        val expected =
+          if (members.nonEmpty) a2(members.min)._1 else md5Coin(g3(d))
+        assert(a3(d)._1 == expected, s"round $round: new doc $d in group ${g3(d)}")
+        assert(a3(d)._2 == (if (members.nonEmpty) "inherited" else "coined"))
+      }
+    }
+  }
+
   test("x123: a fully-new shard surfaces with deltas-from-zero and changed=1") {
     import spark.implicits._
     val docs = (1L to 40L).map(i => (i, s"doc $i words here", 15L))
