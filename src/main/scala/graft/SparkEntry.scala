@@ -218,6 +218,8 @@ object SparkEntry {
       graft.streaming.EventsStream.enrichStreamGate(s, d)),
     "e10_stream_sessions" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.sessionStreamGate(s, d)),
+    "e11_stream_join" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventsStream.joinStreamGate(s, d)),
     "e2_sessionize" -> ((s: SparkSession, d: String) => Funcs.sessionizeEvents(s, d)),
     "e6_trending_topk" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.trendingTopK(
@@ -406,6 +408,10 @@ object SparkEntry {
     "x124_token_funnel" -> ((s: SparkSession, d: String) => Curation.tokenFunnel(s, d)),
     "x125_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
     "x122b_stored_append" -> ((s: SparkSession, d: String) => Similarity.knnIncrementalAppendStored(s, d)),
+    "x126_cell_balanced_sample" -> ((s: SparkSession, d: String) =>
+      graft.llm.Clustering.cellBalancedSample(s, d)),
+    "x127_cell_quality" -> ((s: SparkSession, d: String) =>
+      graft.llm.Clustering.cellQualityAudit(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -1147,13 +1153,11 @@ object SparkEntry {
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g) " +
        "SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end " +
        "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
-    "e5_click_view_join" ->
-      ("SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts, " +
-       "v.event_id AS view_id, v.ts AS view_ts " +
-       "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c " +
-       "JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v " +
-       "ON c.user_id = v.user_id AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR " +
-       "ORDER BY click_id, view_id"),
+    "e5_click_view_join" -> clickViewSql,
+    // e11 runs the SAME interval join on the STREAMING planner
+    // (StreamingSymmetricHashJoinExec across a real micro-batch
+    // boundary) — one shared oracle, so the two gates cannot drift
+    "e11_stream_join" -> clickViewSql,
     "d6_distinct_agg" ->
       ("SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers, " +
        "count(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
@@ -1620,6 +1624,42 @@ object SparkEntry {
        "FROM asg, range(1, 65) r(i) GROUP BY 1, 2 ORDER BY cluster_id, dim_idx"),
     "x26b_kmeans_assign" ->
       (s"WITH $kmeansAssignCte SELECT vec_id, cell_id AS cluster_id FROM asg ORDER BY vec_id"),
+    "x126_cell_balanced_sample" ->
+      // x54's smallest-k md5 draw with the stratum moved to semantic
+      // space: the cells re-derived from the same literal-seed argmin
+      // ('bal:' salt decorrelates from every other coin)
+      (s"WITH $kmeansAssignCte, " +
+       "dd AS (SELECT cell_id AS cluster_id, vec_id, " +
+       "CAST(concat('0x', substr(md5(concat('bal:', CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h " +
+       "FROM asg), " +
+       "r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY h, vec_id) AS rn FROM dd) " +
+       "SELECT cluster_id, vec_id, h FROM r WHERE rn <= 25 ORDER BY cluster_id, vec_id"),
+    "x127_cell_quality" ->
+      // x109/x112's exact-integer pattern over k-means cells: milli sums
+      // S and squared-norm sums as HUGEINTs, cohesion = (n·Σ‖m‖² − Σ S²)
+      // / n²·10⁶, separation = Σ(S_a·n_b − S_b·n_a)² / (n_a n_b)²·10⁶ —
+      // ONE IEEE division each, bit-identical cross-engine
+      (s"WITH $kmeansAssignCte, " +
+       "mm AS (SELECT cell_id, unnest(range(len(vec))) AS dim, " +
+       "CAST(floor(unnest(vec) * 1000.0) AS BIGINT) AS m FROM asg), " +
+       "cnt AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n FROM asg GROUP BY 1), " +
+       "q AS (SELECT cell_id, CAST(sum(m * m) AS BIGINT) AS qq FROM mm GROUP BY 1), " +
+       "s AS (SELECT cell_id, dim, CAST(sum(m) AS BIGINT) AS sd FROM mm GROUP BY 1, 2), " +
+       "s2 AS (SELECT cell_id, sum(CAST(sd AS HUGEINT) * sd) AS ss FROM s GROUP BY 1), " +
+       "coh AS (SELECT c.cell_id, c.n, CAST(CAST(c.n AS HUGEINT) * q.qq - s2.ss AS DOUBLE) / " +
+       "(CAST(c.n AS DOUBLE) * c.n * 1e6) AS cohesion " +
+       "FROM cnt c JOIN q ON q.cell_id = c.cell_id JOIN s2 ON s2.cell_id = c.cell_id), " +
+       "sn AS (SELECT s.cell_id, s.dim, s.sd, c.n FROM s JOIN cnt c ON c.cell_id = s.cell_id), " +
+       "tt AS (SELECT a.cell_id AS ca, b.cell_id AS cb, a.n AS na, b.n AS nb, " +
+       "CAST(a.sd AS HUGEINT) * b.n - CAST(b.sd AS HUGEINT) * a.n AS t " +
+       "FROM sn a JOIN sn b ON a.dim = b.dim AND a.cell_id <> b.cell_id), " +
+       "sep AS (SELECT ca, cb, CAST(sum(t * t) AS DOUBLE) / " +
+       "(CAST(na AS DOUBLE) * na * nb * nb * 1e6) AS separation FROM tt GROUP BY ca, cb, na, nb), " +
+       "nr AS (SELECT ca, cb, separation, " +
+       "row_number() OVER (PARTITION BY ca ORDER BY separation, cb) AS rn FROM sep) " +
+       "SELECT coh.cell_id AS cluster_id, coh.n AS n_members, coh.cohesion, " +
+       "nr.cb AS nearest_cell, nr.separation AS centroid_sep " +
+       "FROM coh JOIN nr ON nr.ca = coh.cell_id WHERE nr.rn = 1 ORDER BY cluster_id"),
     "x84_kcenter_coreset" -> (s"${kcenterSql(8)} ORDER BY rank"),
     "x27_source_quota" ->
       ("WITH r AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source " +
@@ -2954,6 +2994,16 @@ object SparkEntry {
     "CAST(concat('0x', substr(md5(concat(t, '#h2')),1,15)) AS BIGINT)) AS h2 FROM tk), " +
     s"sh2 AS (SELECT doc_id, (${fp("h1")}) AS sh_lo16, (${fp("h2")}) AS sh_hi16 FROM hh)"
   }
+
+  /** The click×view interval join (e5 batch twin / e11 streaming gate —
+    * one text so the two planners are graded against the same rows). */
+  private val clickViewSql: String =
+    "SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts, " +
+      "v.event_id AS view_id, v.ts AS view_ts " +
+      "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c " +
+      "JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v " +
+      "ON c.user_id = v.user_id AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR " +
+      "ORDER BY click_id, view_id"
 
   /** k-means assignment CTE (x26/x26b): nearest of the k=8 seed centroids
     * by squared L2, ties to the smaller cell_id — the DuckDB mirror of

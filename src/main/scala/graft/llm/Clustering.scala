@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding-space clustering for training-data pipelines: k-means (the
@@ -80,6 +81,113 @@ object Clustering {
     assigned(spark, dir, k)
       .select(col("vec_id"), col("cell_id").as("cluster_id"))
       .orderBy("vec_id")
+
+  /** md5-derived 60-bit non-negative long — the cross-engine coin every
+    * oracle-checked sampling stage uses (DuckDB mirror:
+    * `CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)`). */
+  private def md5Long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** x126: CLUSTER-BALANCED SAMPLING — a fixed per-cell budget drawn from
+    * every k-means cell: x54's stratified draw with the stratum moved
+    * from a metadata column (`lang`) to SEMANTIC space. This is the
+    * "topic-balanced eval slice" primitive: a uniform sample oversamples
+    * the corpus's densest mode, a cell-balanced one covers the embedding
+    * space — the cheap streaming cousin of the x84 k-center coreset
+    * (which maximizes spread but pays k passes; this pays ONE assignment
+    * pass + one bounded top-k).
+    *
+    * Deterministic end to end: cells come from the literal-seed argmin
+    * (`assigned`, ties to the smaller cell), the draw is the smallest
+    * md5("bal:" ‖ vec_id) keys per cell — a uniform without-replacement
+    * sample any engine reproduces bit-for-bit, stable under appends
+    * (a new vector displaces at most the largest key of its cell).
+    * Phrased as the row_number top-k idiom so RewriteRowNumberTopK plans
+    * the bounded-heap TopKPerKey: each task retains ≤ k×perCell rows.
+    *
+    * 100 TB: assignment is a pure map against k×dim literal doubles; the
+    * only shuffle is the k-key hash partition for the top-k heaps. */
+  def cellBalancedSample(spark: SparkSession, dir: String,
+      k: Int = 8, perCell: Int = 25): DataFrame =
+    cellBalancedSampleOf(assigned(spark, dir, k), perCell)
+
+  /** Library form over any (vec_id, cell_id, …) assignment frame. */
+  def cellBalancedSampleOf(asg: DataFrame, perCell: Int): DataFrame = {
+    require(perCell > 0, s"cell-balanced sample needs perCell > 0, got $perCell")
+    val w = Window.partitionBy("cluster_id").orderBy("h", "vec_id")
+    asg
+      .select(col("cell_id").as("cluster_id"), col("vec_id"),
+        md5Long(concat(lit("bal:"), col("vec_id").cast("string"))).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perCell)
+      .drop("rn")
+      .orderBy("cluster_id", "vec_id")
+  }
+
+  /** x127: CELL-QUALITY AUDIT — per k-means cell, the cohesion (mean
+    * squared L2 distance of members to their centroid) and the
+    * separation to the nearest OTHER centroid: the Davies–Bouldin-style
+    * table a clustering owner reads before trusting the cells for IVF
+    * probing (x12/x71b), SemDeDup pruning (x42), or the x126 balanced
+    * draw — a cell whose cohesion rivals its separation is two topics
+    * glued together; a near-zero separation pair is one topic split.
+    *
+    * Exactness (the x109/x112 integer pattern): with milli-quantized
+    * components m = ⌊1000·v⌋ and per-(cell, dim) sums S over n members,
+    *
+    *   Σ‖x − c‖² · n² = n·Σ‖m‖² − Σ_d S_d²         (cohesion numerator)
+    *   ‖c_a − c_b‖² · (n_a n_b)² = Σ_d (S_d^a n_b − S_d^b n_a)²  (separation)
+    *
+    * — both EXACT integers (decimal(38,0) / HUGEINT for the squared
+    * cross terms, which clear int64 once n·S reaches ~3·10⁹), quantized
+    * back by 10⁶. Each surfaced metric is ONE IEEE division of
+    * identically-converted doubles, so values are bit-identical
+    * cross-engine and the nearest-cell argmin (separation asc, cell id
+    * asc) is deterministic. Aggregate widths: #cells × dim sum rows and
+    * a k²-row pair table — driver-sized at ANY corpus size. */
+  def cellQualityAudit(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    cellQualityAuditOf(assigned(spark, dir, k))
+
+  /** Library form over any (vec_id, cell_id, vec: array<double>) frame. */
+  def cellQualityAuditOf(asg: DataFrame): DataFrame = {
+    val m = asg
+      .select(col("cell_id"), posexplode(col("vec")).as(Seq("dim", "v")))
+      .select(col("cell_id"), col("dim"),
+        floor(col("v") * 1000.0).cast("long").as("m"))
+    val cnt = asg.groupBy("cell_id").agg(count(lit(1)).as("n"))
+    val q = m.groupBy("cell_id").agg(sum(col("m") * col("m")).as("qq"))
+    val sums = m.groupBy("cell_id", "dim").agg(sum("m").as("sd"))
+    val s2 = sums.groupBy("cell_id")
+      .agg(sum(expr("cast(sd as decimal(38,0)) * sd")).as("ss"))
+    val coh = cnt
+      .join(q, "cell_id").join(s2, "cell_id")
+      .select(col("cell_id"), col("n"),
+        ((expr("cast(n as decimal(38,0)) * qq") - col("ss")).cast("double") /
+          (col("n").cast("double") * col("n") * lit(1e6))).as("cohesion"))
+    val sn = sums.join(cnt, "cell_id")
+    val sep = sn.as("a")
+      .join(sn.as("b"),
+        col("a.dim") === col("b.dim") && col("a.cell_id") =!= col("b.cell_id"))
+      .select(col("a.cell_id").as("ca"), col("b.cell_id").as("cb"),
+        col("a.n").as("na"), col("b.n").as("nb"),
+        expr("cast(a.sd as decimal(38,0)) * b.n - cast(b.sd as decimal(38,0)) * a.n").as("t"))
+      .groupBy("ca", "cb", "na", "nb")
+      .agg(sum(col("t") * col("t")).as("sep_num"))
+      .select(col("ca"), col("cb"),
+        (col("sep_num").cast("double") /
+          (col("na").cast("double") * col("na") * col("nb") * col("nb") * lit(1e6)))
+          .as("separation"))
+    val wNear = Window.partitionBy("ca").orderBy(col("separation"), col("cb"))
+    val nearest = sep
+      .withColumn("rn", row_number().over(wNear))
+      .filter(col("rn") === 1)
+      .select(col("ca").as("cell_id"), col("cb").as("nearest_cell"),
+        col("separation").as("centroid_sep"))
+    coh.join(nearest, "cell_id")
+      .select(col("cell_id").as("cluster_id"), col("n").as("n_members"),
+        col("cohesion"), col("nearest_cell"), col("centroid_sep"))
+      .orderBy("cluster_id")
+  }
 
   /** x84: k-CENTER GREEDY coreset selection (farthest-point traversal,
     * Gonzalez 1985 — the classic 2-approximation to the k-center

@@ -210,6 +210,39 @@ object EventsStream {
       .orderBy("user_id", "session_start_us")
   }
 
+  /** e11 DRIVER GATE: STREAM–STREAM interval join by the streaming engine —
+    * the last stateful-planner shape left after aggregation (e1b/e7),
+    * dedup (e8), enrichment (e9), and arbitrary state (e10):
+    * StreamingSymmetricHashJoinExec, where BOTH inputs are unbounded and
+    * each side's unmatched rows wait in a watermark-bounded state store
+    * for the other side to arrive. Promotes the e5 batch-twin evidence to
+    * the streaming planner itself.
+    *
+    * The staged directory is e10's two-file time split with
+    * `maxFilesPerTrigger=1`, and clicks/views are two INDEPENDENT
+    * file-source streams over it, so batch 1 loads the older half into
+    * both join state stores and batch 2's clicks genuinely match batch-1
+    * views ACROSS a micro-batch boundary out of state. Eviction cannot
+    * drop a needed row: the staging is time-ordered (no late data), and a
+    * batch-1 view is evicted only once the click watermark passes
+    * view_ts + 1h — past which no future click can match it by the join
+    * condition. Inner stream-stream joins emit eagerly on match (the
+    * watermark bounds STATE, not emission), so the drained sink holds
+    * exactly the batch join — e5's oracle SQL verbatim. */
+  def joinStreamGate(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val stageDir = stagedSessionDir(spark, dir, ev)
+    def src(): DataFrame = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val joined = clickViewJoin(
+      src().filter(col("event_type") === "click"),
+      src().filter(col("event_type") === "view"))
+    runToMemory(spark, joined, "e11_stream_join_result", OutputMode.Append())
+      .orderBy("click_id", "view_id")
+  }
+
   /** Build (once per session+dir) the two-file time-split staging
     * directory for the e10 gate: events with ts ≤ / > the range midpoint,
     * as two single-part parquet files whose distinct mod-times pin the

@@ -192,4 +192,78 @@ class Round12Spec extends SparkSpec {
     val same = Curation.releaseDiffOf(docs, docs, shards = 4).collect()
     assert(same.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L && r.getInt(4) == 0))
   }
+
+  /** 60-bit md5 long exactly as the engines derive it (first 15 hex). */
+  private def md5Long60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  test("e11: the streaming interval join drains to EXACTLY the batch join") {
+    import graft.streaming.EventsStream
+    val ev = graft.Tables.events(spark, sfDir)
+    val batch = EventsStream.clickViewJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"))
+      .collect().map(_.toSeq).toSet
+    val stream = EventsStream.joinStreamGate(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "fixture produced no click-view matches")
+    assert(stream == batch,
+      s"stream-stream join diverged: ${stream.size} vs ${batch.size} rows; " +
+        s"only-stream=${(stream -- batch).take(3)}, only-batch=${(batch -- stream).take(3)}")
+  }
+
+  test("x126: per-cell budget, pick-set = scalar smallest-k recompute, bounded heap") {
+    graft.functions.GraftFunctions.register(spark) // strategy + rewrite rule
+    val asg = Clustering.assign(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val sample = Clustering.cellBalancedSample(spark, sfDir, perCell = 5)
+    // the row_number idiom must hit the TopKPerKey rewrite (bounded heap)
+    assert(sample.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val got = sample.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent scalar witness: per cell, the 5 smallest md5 coins
+    val expect = asg.groupBy(_._2).toSeq.flatMap { case (cell, vs) =>
+      vs.toSeq.map { case (vid, _) => (md5Long60(s"bal:$vid"), vid) }
+        .sorted.take(5).map { case (_, vid) => (cell, vid) }
+    }.toSet
+    assert(got == expect,
+      s"pick set != scalar recompute: only-got=${(got -- expect).take(3)}, " +
+        s"only-expect=${(expect -- got).take(3)}")
+  }
+
+  test("x127: planted two-cell frame — exact cohesion/separation by hand") {
+    import spark.implicits._
+    // cell 0: (±0.5, 0) → milli ±500, S₀ = (0,0), ΣQ = 2·500² = 500000;
+    //   cohesion = (n·ΣQ − ΣS²)/(n²·10⁶) = (2·500000 − 0)/(4·10⁶) = 0.25
+    //   (mean squared distance to the (0,0) centroid: 0.5² = 0.25 ✓)
+    // cell 1: one vector at (2, 0) → cohesion 0
+    // separation both ways: S₁ = (2000,0), t = S₀d·n₁ − S₁d·n₀ = ∓4000 →
+    //   16·10⁶ / ((n₀·n₁)²·10⁶) = 4.0 = ‖(0,0) − (2,0)‖² ✓
+    val asg = Seq(
+      (10L, 0L, Seq(0.5, 0.0)), (11L, 0L, Seq(-0.5, 0.0)),
+      (12L, 1L, Seq(2.0, 0.0)))
+      .toDF("vec_id", "cell_id", "vec")
+    val rows = Clustering.cellQualityAuditOf(asg).collect()
+    assert(rows.length == 2)
+    val c0 = rows.find(_.getLong(0) == 0L).get
+    assert(c0.getLong(1) == 2L && c0.getDouble(2) == 0.25 &&
+      c0.getLong(3) == 1L && c0.getDouble(4) == 4.0, s"cell 0: $c0")
+    val c1 = rows.find(_.getLong(0) == 1L).get
+    assert(c1.getLong(1) == 1L && c1.getDouble(2) == 0.0 &&
+      c1.getLong(3) == 0L && c1.getDouble(4) == 4.0, s"cell 1: $c1")
+  }
+
+  test("x127: corpus audit partitions the vectors; metrics well-formed") {
+    val audit = Clustering.cellQualityAudit(spark, sfDir).collect()
+    val total = graft.Tables.embeddings(spark, sfDir).count()
+    assert(audit.map(_.getLong(1)).sum == total, "n_members must partition the corpus")
+    audit.foreach { r =>
+      assert(r.getDouble(2) >= 0.0, s"negative cohesion: $r")
+      assert(r.getLong(3) != r.getLong(0), s"nearest cell is itself: $r")
+      assert(r.getDouble(4) > 0.0, s"non-positive separation: $r")
+    }
+  }
 }
