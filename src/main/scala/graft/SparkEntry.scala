@@ -220,6 +220,8 @@ object SparkEntry {
       graft.streaming.EventsStream.sessionStreamGate(s, d)),
     "e11_stream_join" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.joinStreamGate(s, d)),
+    "e12_stream_outer_join" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventsStream.leftJoinStreamGate(s, d)),
     "e2_sessionize" -> ((s: SparkSession, d: String) => Funcs.sessionizeEvents(s, d)),
     "e6_trending_topk" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.trendingTopK(
@@ -1158,6 +1160,29 @@ object SparkEntry {
     // (StreamingSymmetricHashJoinExec across a real micro-batch
     // boundary) — one shared oracle, so the two gates cannot drift
     "e11_stream_join" -> clickViewSql,
+    // e12's Append-mode LEFT-OUTER emission contract: matched rows
+    // (eager, = the inner join) plus NULL-padded unmatched clicks whose
+    // state PROVABLY expired — click_ts < W, W = min(max click_ts − 1h,
+    // max view_ts − 2h), the final min-policy global watermark; strict,
+    // matching StreamingJoinHelper's left state-value watermark (W − 0
+    // from `view_ts <= click_ts`). Tail clicks at/past W stay unsent.
+    "e12_stream_outer_join" ->
+      ("WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts " +
+       "FROM events WHERE event_type = 'click'), " +
+       "v AS (SELECT event_id AS view_id, user_id AS v_user, ts AS view_ts " +
+       "FROM events WHERE event_type = 'view'), " +
+       "wm AS (SELECT least(" +
+       "(SELECT max(epoch_us(ts)) - 3600000000 FROM events WHERE event_type = 'click'), " +
+       "(SELECT max(epoch_us(ts)) - 7200000000 FROM events WHERE event_type = 'view')) AS w), " +
+       "m AS (SELECT c.click_id, c.user_id, c.click_ts, v.view_id, v.view_ts " +
+       "FROM c JOIN v ON c.user_id = v.v_user AND v.view_ts <= c.click_ts " +
+       "AND v.view_ts >= c.click_ts - INTERVAL 1 HOUR) " +
+       "SELECT click_id, user_id, click_ts, view_id, view_ts FROM m " +
+       "UNION ALL SELECT c.click_id, c.user_id, c.click_ts, " +
+       "CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS TIMESTAMP) AS view_ts " +
+       "FROM c, wm WHERE c.click_id NOT IN (SELECT click_id FROM m) " +
+       "AND epoch_us(c.click_ts) < wm.w " +
+       "ORDER BY click_id, view_id"),
     "d6_distinct_agg" ->
       ("SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers, " +
        "count(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),

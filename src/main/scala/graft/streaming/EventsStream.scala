@@ -243,6 +243,47 @@ object EventsStream {
       .orderBy("click_id", "view_id")
   }
 
+  /** e12 DRIVER GATE: LEFT-OUTER stream-stream join — the one Append-mode
+    * behavior e11's inner join cannot show: an UNMATCHED left row is
+    * emitted (NULL-padded) only when state eviction PROVES no future
+    * match can arrive, so the sink's null rows are direct evidence of
+    * the watermark/state-lifecycle machinery, not of any per-batch
+    * computation. Same two-file staging and two independent sources as
+    * e11; matched rows still emit eagerly.
+    *
+    * The emission contract, SQL-mirrorable like e10's: with final global
+    * watermark W = min(max click_ts − 1h, max view_ts − 2h) (Spark's
+    * multipleWatermarkPolicy=min over both withWatermark nodes), a click
+    * is in the sink iff it has a match (inner-join row), OR it is
+    * unmatched and click_ts < W — StreamingJoinHelper derives the left
+    * state-value watermark from `view_ts <= click_ts` as W − 0, and
+    * StreamingSymmetricHashJoinExec emits the null row when the click
+    * leaves state. Unmatched clicks at or past W correctly remain unsent
+    * (the Append contract; the oracle enforces it, as with e10's open
+    * sessions). */
+  def leftJoinStreamGate(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val stageDir = stagedSessionDir(spark, dir, ev)
+    def src(): DataFrame = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val c = src().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts")).withWatermark("click_ts", "1 hour")
+    val v = src().filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts")).withWatermark("view_ts", "2 hours")
+    val joined = c.join(v,
+        col("user_id") === col("v_user") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select("click_id", "user_id", "click_ts", "view_id", "view_ts")
+    runToMemory(spark, joined, "e12_stream_outer_join_result", OutputMode.Append())
+      .orderBy("click_id", "view_id")
+  }
+
   /** Build (once per session+dir) the two-file time-split staging
     * directory for the e10 gate: events with ts ≤ / > the range midpoint,
     * as two single-part parquet files whose distinct mod-times pin the

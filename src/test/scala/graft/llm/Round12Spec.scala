@@ -215,6 +215,37 @@ class Round12Spec extends SparkSpec {
         s"only-stream=${(stream -- batch).take(3)}, only-batch=${(batch -- stream).take(3)}")
   }
 
+  test("e12: outer-join emission = matches + clicks provably expired at the final watermark") {
+    import graft.streaming.EventsStream
+    val ev = graft.Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxClick = clicks.values.max
+    val maxView = ev.filter(col("event_type") === "view")
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    // final min-policy global watermark: each side's max event time minus
+    // its own delay (click 1h, view 2h)
+    val w = math.min(maxClick - 3600000000L, maxView - 7200000000L)
+    val matched = EventsStream.clickViewJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"))
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = EventsStream.leftJoinStreamGate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val expect = matched ++ clicks.collect {
+      case (id, us) if !matched.exists(_._1 == id) && us < w => (id, -1L)
+    }
+    assert(got.exists(_._2 == -1L), "no null-padded row — the eviction path was not exercised")
+    assert(clicks.exists { case (id, us) =>
+      !matched.exists(_._1 == id) && us >= w },
+      "fixture has no tail click — the withheld-row side of the contract is untested")
+    assert(got == expect,
+      s"outer-join emission diverged: only-got=${(got -- expect).take(3)}, " +
+        s"only-expect=${(expect -- got).take(3)}")
+  }
+
   test("x126: per-cell budget, pick-set = scalar smallest-k recompute, bounded heap") {
     graft.functions.GraftFunctions.register(spark) // strategy + rewrite rule
     val asg = Clustering.assign(spark, sfDir).collect()
