@@ -414,6 +414,8 @@ object SparkEntry {
       graft.llm.Clustering.cellBalancedSample(s, d)),
     "x127_cell_quality" -> ((s: SparkSession, d: String) =>
       graft.llm.Clustering.cellQualityAudit(s, d)),
+    "x128_ivf_cell_profile" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfCellProfile(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -1439,6 +1441,19 @@ object SparkEntry {
        s"SELECT p.query_id, a.vec_id AS neighbor_id, ${dotSql("p.qv", "a.vec")}/(p.qn*a.norm) AS sim " +
        "FROM probes p JOIN assigned a ON p.cell_id = a.cell_id AND p.query_id <> a.vec_id)) " +
        "WHERE rank <= 5 ORDER BY query_id, rank"),
+    "x128_ivf_cell_profile" ->
+      // x12's assignment collapsed to per-cell occupancy; empty cells
+      // surface with zeros via the LEFT join from the centroid table;
+      // corpus total via a window over the ≤ nCells count rows
+      (s"WITH $normCte, cents AS (SELECT vec_id AS cell_id, vec AS cvec, norm AS cnorm FROM nrm WHERE vec_id < 16), " +
+       "assigned AS (SELECT vec_id, cell_id FROM (" +
+       s"SELECT n.vec_id, c.cell_id, row_number() OVER (PARTITION BY n.vec_id ORDER BY ${dotSql("n.vec", "c.cvec")}/(n.norm*c.cnorm) DESC, c.cell_id) AS rn " +
+       "FROM nrm n, cents c) WHERE rn = 1), " +
+       "cnts AS (SELECT c.cell_id, CAST(count(a.vec_id) AS BIGINT) AS n_vecs " +
+       "FROM cents c LEFT JOIN assigned a ON a.cell_id = c.cell_id GROUP BY 1), " +
+       "w AS (SELECT cell_id, n_vecs, CAST(sum(n_vecs) OVER () AS BIGINT) AS t FROM cnts) " +
+       "SELECT cell_id, n_vecs, CAST(n_vecs * 1000000 // t AS BIGINT) AS share_ppm, " +
+       "CAST(n_vecs * 16 * 100 // t AS BIGINT) AS load_x100 FROM w ORDER BY cell_id"),
     "x24_vector_stats" ->
       ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings) " +
        "SELECT vec_id, sqrt(list_sum(list_transform(vec, x -> x*x))) AS l2_norm, " +

@@ -414,6 +414,57 @@ object Similarity {
     * nCells vec_ids) — a k-means refinement would drop in without changing
     * the dataflow. At 100 TB the assignment table is the persisted index;
     * the probe join shuffles on cell_id only. */
+  /** The deterministic IVF centroid sample (first nCells vec_ids) over a
+    * normed frame — shared by the x12 probe path and the x128 profile. */
+  private def ivfCentroids(e: DataFrame, nCells: Int): DataFrame =
+    e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
+
+  /** Assign every corpus vector to its best cell — max_by aggregate, not
+    * a window: map-side partial combine collapses the n×k expansion
+    * before the exchange (see semanticDedup; same tiebreak semantics:
+    * highest similarity, then lowest cell_id). */
+  private def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.join(broadcast(cents), lit(true))
+      .withColumn("__csim", dot(col("vec"), col("cvec")) / (col("norm") * col("cnorm")))
+      .groupBy("vec_id")
+      .agg(first("vec").as("vec"), first("norm").as("norm"),
+        max_by(col("cell_id"), struct(col("__csim"), -col("cell_id"))).as("cell_id"))
+
+  /** x128: IVF CELL PROFILE — per-cell occupancy of the IVF assignment
+    * (the persisted index's health table): vector count, corpus share,
+    * and the load factor vs a perfectly uniform assignment. The check an
+    * index owner runs before shipping: a cell at many × uniform load
+    * makes its probes scan that multiple of the expected candidates
+    * (latency skew), and empty cells mean the centroid sample wasted
+    * capacity — both are invisible in x12's top-k output and in x102's
+    * recall eval, which is why this is its own table. Empty cells are
+    * emitted with zeros (the LEFT join from the centroid table), exactly
+    * the rows the audit exists to surface.
+    *
+    * Scale shape: the assignment is x12's map-only broadcast argmax (the
+    * nCells×dim centroid table is driver-sized at any corpus size); the
+    * profile collapses it to ≤ nCells count rows, and the corpus total
+    * comes from a window over THAT aggregate (bounded by nCells — the
+    * sanctioned aggregate-fronted global window), so nothing after the
+    * one scan is corpus-sized. Shares are integer-ppm floor-divs of
+    * exact longs. */
+  def ivfCellProfile(spark: SparkSession, dir: String, nCells: Int = 16): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir)).localCheckpoint(eager = false)
+    val cents = ivfCentroids(e, nCells)
+    val counts = ivfAssign(e, cents)
+      .groupBy("cell_id").agg(count(lit(1)).as("n_raw"))
+    val cnts = cents.select("cell_id")
+      .join(broadcast(counts), Seq("cell_id"), "left")
+      .select(col("cell_id"), coalesce(col("n_raw"), lit(0L)).as("n_vecs"))
+    cnts
+      .withColumn("t", sum("n_vecs").over(Window.partitionBy()))
+      .select(col("cell_id"), col("n_vecs"),
+        expr("n_vecs * 1000000 div t").as("share_ppm"),
+        expr(s"n_vecs * $nCells * 100 div t").as("load_x100"))
+      .orderBy("cell_id")
+  }
+
   def topKIvf(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     // lazy local checkpoint: shared by centroids/assignment/queries without
@@ -422,17 +473,8 @@ object Similarity {
     // vec_id < nCells (not orderBy.limit): identical on dense 0-based ids
     // and exactly mirrors the oracle SQL predicate — no silent coupling to
     // id-domain assumptions
-    val cents = e.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
-    // assign every corpus vector to its best cell — max_by aggregate, not
-    // a window: map-side partial combine collapses the n×k expansion
-    // before the exchange (see semanticDedup; same tiebreak semantics:
-    // highest similarity, then lowest cell_id)
-    val assigned = e.join(broadcast(cents), lit(true))
-      .withColumn("__csim", dot(col("vec"), col("cvec")) / (col("norm") * col("cnorm")))
-      .groupBy("vec_id")
-      .agg(first("vec").as("vec"), first("norm").as("norm"),
-        max_by(col("cell_id"), struct(col("__csim"), -col("cell_id"))).as("cell_id"))
+    val cents = ivfCentroids(e, nCells)
+    val assigned = ivfAssign(e, cents)
     // each query probes its nProbe closest cells
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qv"), col("norm").as("qn"))

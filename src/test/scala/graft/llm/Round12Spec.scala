@@ -287,6 +287,22 @@ class Round12Spec extends SparkSpec {
       c1.getLong(3) == 0L && c1.getDouble(4) == 4.0, s"cell 1: $c1")
   }
 
+  test("x128: cell profile partitions the corpus; load factors reconcile") {
+    val prof = Similarity.ivfCellProfile(spark, sfDir).collect()
+    val total = graft.Tables.embeddings(spark, sfDir).count()
+    assert(prof.map(_.getLong(0)).toSeq == (0L until 16L),
+      "one row per centroid cell, in order, empty cells included")
+    assert(prof.map(_.getLong(1)).sum == total, "n_vecs must partition the corpus")
+    prof.foreach { r =>
+      val (n, share, load) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(share == n * 1000000L / total, s"share_ppm drifted: $r")
+      assert(load == n * 16L * 100L / total, s"load_x100 drifted: $r")
+    }
+    // the profile must be able to SHOW imbalance: with first-16 sampled
+    // centroids the fixture is not uniform — at least one cell ≠ 100
+    assert(prof.exists(_.getLong(3) != 100L), "profile shows no deviation to audit")
+  }
+
   test("x127: corpus audit partitions the vectors; metrics well-formed") {
     val audit = Clustering.cellQualityAudit(spark, sfDir).collect()
     val total = graft.Tables.embeddings(spark, sfDir).count()

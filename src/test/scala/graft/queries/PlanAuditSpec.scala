@@ -67,7 +67,11 @@ class PlanAuditSpec extends SparkSpec {
     // x124: composes x36's length filter like x38 does, so the same
     // sanctioned 1-row threshold probe appears in its lineage (x65 hides
     // the identical subplan behind its localCheckpoint barrier)
-    val allowed = allPairsByDesign + "j8_range_bin_join" + "x36_length_filter" +
+    // x128: x12's broadcast argmax verbatim (the 16-row centroid table
+    // crossed onto the scan — the profile audits exactly the index x12
+    // probes, so it inherits x12's sanctioned shape)
+    val allowed = allPairsByDesign + "x128_ivf_cell_profile" +
+      "j8_range_bin_join" + "x36_length_filter" +
       "x38_training_set" + "x47_bm25_rank" + "x48_hybrid_rrf" + "x66_dedup_stats" +
       "x70_oov_rate" + "x91_vocab_coverage" + "x92_source_budget" +
       "x99_pmi_collocations" + "x124_token_funnel"

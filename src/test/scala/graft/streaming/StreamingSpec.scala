@@ -307,4 +307,54 @@ class StreamingSpec extends SparkSpec {
       "unmapped types must coalesce to 'other'")
     enriched.unpersist()
   }
+
+  test("checkpoint recovery: an aggregation restarted mid-input resumes state, not from zero") {
+    // The production restart motion: a stateful query dies (deploy,
+    // preemption) and a NEW query object resumes from the checkpoint's
+    // StateStore + source offsets. Half 1 is processed by query 1; half 2
+    // arrives while the query is DOWN; query 2 (same checkpoint) must
+    // produce the aggregate over BOTH halves — if recovery silently
+    // started fresh, every hour/type bucket touched by half 1 would
+    // undercount, and the offset log would not skip half 1's file.
+    val ev = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val mid = ev.agg((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / 2)
+      .head().getDouble(0).toLong
+    val srcDir = Files.createTempDirectory("graft_ckpt_src_")
+    val ckDir = Files.createTempDirectory("graft_ckpt_state_").toString
+    def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_ckpt_part_")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, srcDir.resolve(name))
+      tmp.toFile.listFiles().foreach(_.delete()); Files.deleteIfExists(tmp)
+    }
+    def runOnce(): org.apache.spark.sql.DataFrame = {
+      val agg = spark.readStream.schema(ev.schema).parquet(srcDir.toString)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      spark.catalog.dropTempView("ckpt_recovery_result") // fresh sink per run
+      val q = agg.writeStream.format("memory").queryName("ckpt_recovery_result")
+        .outputMode("complete").option("checkpointLocation", ckDir).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("ckpt_recovery_result")
+    }
+    dump(ev.filter(unix_micros(col("ts")) <= mid), "half1.parquet")
+    val partial = runOnce().collect() // query 1: half 1 only, then DOWN
+    dump(ev.filter(unix_micros(col("ts")) > mid), "half2.parquet")
+    val resumed = runOnce() // query 2: same checkpoint, resumes state
+    val batch = ev
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+    assert(partial.map(_.getLong(2)).sum < ev.count(),
+      "fixture degenerate: half 1 already holds every event")
+    val got = resumed.collect().map(r => (r.getTimestamp(0), r.getString(1),
+      r.getLong(2), math.round(r.getDouble(3) * 100))).toSet
+    val want = batch.collect().map(r => (r.getTimestamp(0), r.getString(1),
+      r.getLong(2), math.round(r.getDouble(3) * 100))).toSet
+    assert(got == want,
+      s"restart did not resume state: only-got=${(got -- want).take(3)}, " +
+        s"only-want=${(want -- got).take(3)}")
+  }
 }
