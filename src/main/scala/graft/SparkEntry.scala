@@ -222,6 +222,8 @@ object SparkEntry {
       graft.streaming.EventsStream.joinStreamGate(s, d)),
     "e12_stream_outer_join" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.leftJoinStreamGate(s, d)),
+    "e13_stream_full_outer" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventsStream.fullOuterJoinStreamGate(s, d)),
     "e2_sessionize" -> ((s: SparkSession, d: String) => Funcs.sessionizeEvents(s, d)),
     "e6_trending_topk" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.trendingTopK(
@@ -416,6 +418,10 @@ object SparkEntry {
       graft.llm.Clustering.cellQualityAudit(s, d)),
     "x128_ivf_cell_profile" -> ((s: SparkSession, d: String) =>
       Similarity.ivfCellProfile(s, d)),
+    "x129_int8_quant_audit" -> ((s: SparkSession, d: String) =>
+      Similarity.int8QuantAudit(s, d)),
+    "x130_key_skew_profile" -> ((s: SparkSession, d: String) =>
+      graft.operators.Skew.keySkewProfile(Tables.events(s, d), "user_id")),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -1185,6 +1191,32 @@ object SparkEntry {
        "FROM c, wm WHERE c.click_id NOT IN (SELECT click_id FROM m) " +
        "AND epoch_us(c.click_ts) < wm.w " +
        "ORDER BY click_id, view_id"),
+    "e13_stream_full_outer" ->
+      // e12's contract plus the right side: an unmatched VIEW null-pads
+      // once provably unmatchable — every future click has ts > W and a
+      // view matches clicks up to view_ts + 1h, so eviction needs
+      // view_ts + 1h < W (margin 1h from `view_ts >= click_ts - 1h`,
+      // vs margin 0 for clicks from `view_ts <= click_ts`)
+      ("WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts " +
+       "FROM events WHERE event_type = 'click'), " +
+       "v AS (SELECT event_id AS view_id, user_id AS v_user, ts AS view_ts " +
+       "FROM events WHERE event_type = 'view'), " +
+       "wm AS (SELECT least(" +
+       "(SELECT max(epoch_us(ts)) - 3600000000 FROM events WHERE event_type = 'click'), " +
+       "(SELECT max(epoch_us(ts)) - 7200000000 FROM events WHERE event_type = 'view')) AS w), " +
+       "m AS (SELECT c.click_id, c.user_id, c.click_ts, v.view_id, v.view_ts " +
+       "FROM c JOIN v ON c.user_id = v.v_user AND v.view_ts <= c.click_ts " +
+       "AND v.view_ts >= c.click_ts - INTERVAL 1 HOUR) " +
+       "SELECT click_id, user_id, click_ts, view_id, view_ts FROM m " +
+       "UNION ALL SELECT c.click_id, c.user_id, c.click_ts, " +
+       "CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS TIMESTAMP) AS view_ts " +
+       "FROM c, wm WHERE c.click_id NOT IN (SELECT click_id FROM m) " +
+       "AND epoch_us(c.click_ts) < wm.w " +
+       "UNION ALL SELECT CAST(NULL AS BIGINT) AS click_id, v.v_user AS user_id, " +
+       "CAST(NULL AS TIMESTAMP) AS click_ts, v.view_id, v.view_ts " +
+       "FROM v, wm WHERE v.view_id NOT IN (SELECT view_id FROM m) " +
+       "AND epoch_us(v.view_ts) + 3600000000 < wm.w " +
+       "ORDER BY click_id, view_id"),
     "d6_distinct_agg" ->
       ("SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers, " +
        "count(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
@@ -1454,6 +1486,29 @@ object SparkEntry {
        "w AS (SELECT cell_id, n_vecs, CAST(sum(n_vecs) OVER () AS BIGINT) AS t FROM cnts) " +
        "SELECT cell_id, n_vecs, CAST(n_vecs * 1000000 // t AS BIGINT) AS share_ppm, " +
        "CAST(n_vecs * 16 * 100 // t AS BIGINT) AS load_x100 FROM w ORDER BY cell_id"),
+    "x129_int8_quant_audit" ->
+      // floor quantizer + pico-quantized per-lane squared error summed as
+      // exact HUGEINT→BIGINT; ONE IEEE division for mse (the x127 pattern)
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings), " +
+       "s AS (SELECT vec_id, vec, list_max(list_transform(vec, x -> abs(x))) AS scale FROM v), " +
+       "q AS (SELECT vec_id, vec, scale, list_transform(vec, x -> " +
+       "CASE WHEN scale = 0 THEN 0 ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END) AS qv FROM s) " +
+       "SELECT vec_id, scale, " +
+       "CAST(len(list_filter(qv, qq -> abs(qq) = 127)) AS INT) AS n_sat, " +
+       "CAST(list_sum(list_transform(list_zip(vec, qv), t -> " +
+       "CAST(floor((t[1] - t[2]*scale/127.0)*(t[1] - t[2]*scale/127.0)*1e12) AS BIGINT))) AS BIGINT) AS sse_pico, " +
+       "CAST(list_sum(list_transform(list_zip(vec, qv), t -> " +
+       "CAST(floor((t[1] - t[2]*scale/127.0)*(t[1] - t[2]*scale/127.0)*1e12) AS BIGINT))) AS BIGINT) " +
+       "/ (len(vec) * 1e12) AS mse_recon " +
+       "FROM q ORDER BY vec_id"),
+    "x130_key_skew_profile" ->
+      // heaviest-20 keys with integer-ppm share and load vs uniform;
+      // ties break on the key so the cut is deterministic
+      ("WITH k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), " +
+       "st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(n) AS BIGINT) AS total FROM k) " +
+       "SELECT k.user_id, k.n, CAST(k.n * 1000000 // st.total AS BIGINT) AS share_ppm, " +
+       "CAST(k.n * st.n_keys * 100 // st.total AS BIGINT) AS load_x100 " +
+       "FROM k, st ORDER BY k.n DESC, k.user_id LIMIT 20"),
     "x24_vector_stats" ->
       ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings) " +
        "SELECT vec_id, sqrt(list_sum(list_transform(vec, x -> x*x))) AS l2_norm, " +

@@ -60,6 +60,56 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** x129: INT8 QUANTIZATION AUDIT — per-vector fidelity of symmetric
+    * int8 compression (q_j = floor(127·v_j / max|v|)), the check run
+    * before shipping a serving index that stores int8 codes instead of
+    * float32 (4× memory, SIMD distance kernels): per vector the scale,
+    * the saturated-lane count (|q| = 127 — lanes pinned to the clip
+    * rail, where a heavy-tailed coordinate eats the whole dynamic
+    * range), and the reconstruction SSE/MSE. x88 answers "how much do I
+    * lose truncating DIMENSIONS"; this answers "how much do I lose
+    * truncating PRECISION" — together they are the memory-budget
+    * decision table.
+    *
+    * Exactness contract (the x109/x127 pattern): the quantizer is
+    * floor, not round (floor of an identical IEEE double is bit-equal
+    * in Spark and DuckDB; round differs on representation ties), every
+    * per-lane error is squared then pico-quantized to an exact long
+    * BEFORE the cross-lane sum (float sums are association-order-
+    * dependent; integer sums are not), and MSE is ONE IEEE division of
+    * that exact long at the end. Scale shape: one scan, one row out per
+    * row in — embarrassingly parallel map, no shuffle at any corpus
+    * size (the ORDER BY is the gate's determinism, dropped by a real
+    * consumer). */
+  def int8QuantAudit(spark: SparkSession, dir: String): DataFrame =
+    int8QuantAuditOf(Tables.embeddings(spark, dir))
+
+  /** Library form over any (vec_id, embedding: array<float|double>) frame. */
+  def int8QuantAuditOf(emb: DataFrame): DataFrame = {
+    val vec = asDouble(col("embedding"))
+    emb
+      .select(col("vec_id"), vec.as("vec"))
+      .withColumn("scale", array_max(transform(col("vec"), x => abs(x))))
+      // all-zero vectors quantize to all-zero codes instead of NaN-ing
+      // the division; their error is exactly 0
+      .withColumn("q", transform(col("vec"), x =>
+        when(col("scale") === 0.0, lit(0L))
+          .otherwise(floor(x * lit(127.0) / col("scale")))))
+      .select(col("vec_id"), col("scale"),
+        size(filter(col("q"), qq => abs(qq) === 127L)).as("n_sat"),
+        aggregate(
+          zip_with(col("vec"), col("q"), (x, qq) => {
+            val e = x - qq.cast("double") * col("scale") / lit(127.0)
+            floor(e * e * lit(1e12)).cast("long")
+          }),
+          lit(0L), (acc, t) => acc + t).as("sse_pico"),
+        col("vec"))
+      .withColumn("mse_recon",
+        col("sse_pico") / (size(col("vec")).cast("double") * lit(1e12)))
+      .drop("vec")
+      .orderBy("vec_id")
+  }
+
   /** All pairs (i < j) with cosine ≥ threshold — embedding near-duplicate
     * detection. Quadratic BY DESIGN: this is the small-scale verifier the
     * LSH variant below (`annPairsLsh`) is recall-checked against, so its

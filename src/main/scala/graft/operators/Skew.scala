@@ -27,6 +27,33 @@ object Skew {
     salted.join(replicated, Seq(key, "__salt"), "inner").drop("__salt")
   }
 
+  /** x130: KEY-SKEW PROFILE — the top-k heaviest join/group keys of a
+    * frame with each key's corpus share and load factor vs a perfectly
+    * uniform key distribution (the x128 load_x100 convention). This is
+    * the DIAGNOSIS table the two mitigations above act on: a planner
+    * reads it to decide whether a key needs `saltedJoin`'s explicit
+    * spread (load ≫ 100), how many salts (≈ load_x100/100), or whether
+    * AQE's runtime splitting suffices — closing the same measure→tune
+    * loop x110 closes for banding (x110→x15b) at the shuffle layer.
+    *
+    * Scale shape: one hash aggregation on the key (map-side partial
+    * combine collapses each partition to its distinct keys), a 1-row
+    * global stat frame broadcast back onto it (sanctioned 1-row
+    * crossJoin), and a TakeOrderedAndProject top-k — a bounded per-
+    * partition heap, never a global sort. Shares are integer-ppm
+    * floor-divs of exact longs; ties break on the key so the top-k cut
+    * is deterministic in both engines. */
+  def keySkewProfile(df: DataFrame, key: String, topK: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"), sum("n").as("total"))
+    counts.crossJoin(broadcast(stats))
+      .select(col(key), col("n"),
+        expr("n * 1000000 div total").as("share_ppm"),
+        expr("n * n_keys * 100 div total").as("load_x100"))
+      .orderBy(col("n").desc, col(key))
+      .limit(topK)
+  }
+
   /** Two-phase (salted partial → final) aggregation for skewed group keys:
     * groupBy(key, salt).agg(partials) then groupBy(key).agg(merge). For
     * algebraic aggregates Spark's own partial aggregation already does

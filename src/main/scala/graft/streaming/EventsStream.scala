@@ -284,6 +284,49 @@ object EventsStream {
       .orderBy("click_id", "view_id")
   }
 
+  /** e13 DRIVER GATE: FULL-OUTER stream-stream join — completes the
+    * stream-stream join-mode matrix (e11 inner, e12 left-outer): BOTH
+    * sides' unmatched rows must be null-padded on state eviction, each
+    * with its OWN state-value watermark derived from the interval
+    * condition. Same two-file staging and independent sources as e11/e12.
+    *
+    * The emission contract, SQL-mirrorable like e12's: with final global
+    * watermark W = min(max click_ts − 1h, max view_ts − 2h),
+    * - a click emits null-padded iff unmatched and click_ts < W
+    *   (margin 0, from `view_ts <= click_ts` — e12's contract verbatim);
+    * - a view emits null-padded iff unmatched and view_ts + 1h < W
+    *   (margin 1h, from `view_ts >= click_ts − 1h`: a future click at
+    *   ts > W can still match any view with view_ts + 1h ≥ W, so only
+    *   strictly-older views are provably unmatchable and evicted).
+    * Unmatched rows at or past their side's eviction line correctly
+    * remain unsent — the Append contract, enforced by the oracle on BOTH
+    * sides now (e12 exercised only the left one). `user_id` is coalesced
+    * across sides so the output schema stays the e12 shape. */
+  def fullOuterJoinStreamGate(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val stageDir = stagedSessionDir(spark, dir, ev)
+    def src(): DataFrame = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val c = src().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts")).withWatermark("click_ts", "1 hour")
+    val v = src().filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts")).withWatermark("view_ts", "2 hours")
+    val joined = c.join(v,
+        col("user_id") === col("v_user") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"),
+        "full_outer")
+      .select(col("click_id"),
+        coalesce(col("user_id"), col("v_user")).as("user_id"),
+        col("click_ts"), col("view_id"), col("view_ts"))
+    runToMemory(spark, joined, "e13_stream_full_outer_result", OutputMode.Append())
+      .orderBy("click_id", "view_id")
+  }
+
   /** Build (once per session+dir) the two-file time-split staging
     * directory for the e10 gate: events with ts ≤ / > the range midpoint,
     * as two single-part parquet files whose distinct mod-times pin the

@@ -246,6 +246,107 @@ class Round12Spec extends SparkSpec {
         s"only-expect=${(expect -- got).take(3)}")
   }
 
+  test("e13: full-outer emission = matches + BOTH sides' provably-expired rows") {
+    import graft.streaming.EventsStream
+    val ev = graft.Tables.events(spark, sfDir)
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select(col("event_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (clicks, views) = (side("click"), side("view"))
+    // final min-policy global watermark, as in the e12 spec
+    val w = math.min(clicks.values.max - 3600000000L, views.values.max - 7200000000L)
+    val matched = EventsStream.clickViewJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"))
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = EventsStream.fullOuterJoinStreamGate(spark, sfDir).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // click side: margin 0 (e12's contract); view side: margin 1h — a
+    // view stays matchable until the watermark passes view_ts + 1h
+    // .toSeq first: collecting (-1L, id) pairs straight off the Map would
+    // rebuild a Map keyed by the constant -1L and collapse every expected
+    // view-null row into one
+    val expect = matched ++
+      clicks.toSeq.collect { case (id, us)
+        if !matched.exists(_._1 == id) && us < w => (id, -1L) } ++
+      views.toSeq.collect { case (id, us)
+        if !matched.exists(_._2 == id) && us + 3600000000L < w => (-1L, id) }
+    assert(got.exists(p => p._1 == -1L && p._2 != -1L),
+      "no null-padded VIEW row — the right-side eviction path was not exercised")
+    assert(got.exists(p => p._2 == -1L && p._1 != -1L),
+      "no null-padded CLICK row — the left-side eviction path was not exercised")
+    assert(views.exists { case (id, us) =>
+      !matched.exists(_._2 == id) && us + 3600000000L >= w },
+      "fixture has no tail view — the withheld right-row contract is untested")
+    assert(got == expect,
+      s"full-outer emission diverged: only-got=${(got -- expect).take(3)}, " +
+        s"only-expect=${(expect -- got).take(3)}")
+  }
+
+  test("x129: planted vectors — floor codes, saturation, exact pico SSE, zero-vector") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.5f, -1.0f, 0.0f)), // scale 1: q = 127, 63, -127, 0
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f))   // all-zero: exact zeros out
+    ).toDF("vec_id", "embedding")
+    val a = Similarity.int8QuantAuditOf(emb).collect()
+    val r0 = a.find(_.getLong(0) == 0L).get
+    assert(r0.getDouble(1) == 1.0 && r0.getInt(2) == 2, s"scale/n_sat: $r0")
+    // lanes 1·scale, −1·scale, 0 reconstruct exactly; the only error lane
+    // is 0.5 → floor(63.5) = 63 → e = 0.5 − 63/127; recompute the pico
+    // quantization with the same double ops
+    val e = 0.5 - 63.0 * 1.0 / 127.0
+    assert(r0.getLong(3) == math.floor(e * e * 1e12).toLong, s"sse_pico: $r0")
+    assert(r0.getDouble(4) == r0.getLong(3) / (4.0 * 1e12), s"mse_recon: $r0")
+    val r1 = a.find(_.getLong(0) == 1L).get
+    assert(r1.getDouble(1) == 0.0 && r1.getInt(2) == 0 &&
+      r1.getLong(3) == 0L && r1.getDouble(4) == 0.0, s"zero vector: $r1")
+  }
+
+  test("x129: corpus audit — every nonzero vector saturates its max lane; mse bounded") {
+    val a = Similarity.int8QuantAudit(spark, sfDir).collect()
+    val total = graft.Tables.embeddings(spark, sfDir).count()
+    assert(a.length == total, "one audit row per vector")
+    a.foreach { r =>
+      val (scale, nSat, mse) = (r.getDouble(1), r.getInt(2), r.getDouble(4))
+      if (scale > 0) {
+        // the max-|v| lane quantizes to exactly ±127 — always saturated
+        assert(nSat >= 1, s"max lane must saturate: $r")
+        // per-lane |error| < scale/127 (floor bias), so mse < (scale/127)²
+        assert(mse < (scale / 127.0) * (scale / 127.0) + 1e-12, s"mse bound: $r")
+      } else assert(nSat == 0 && mse == 0.0, s"zero vector: $r")
+    }
+  }
+
+  test("x130: planted skew — load factors, deterministic top-k cut") {
+    import spark.implicits._
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val prof = graft.operators.Skew.keySkewProfile(df, "k", topK = 2).collect()
+    // total 10 over 4 keys → uniform 2.5; a: 5 rows = load 200, b: 120
+    assert(prof.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq(("a", 5L, 500000L, 200L), ("b", 3L, 300000L, 120L)), prof.toSeq.toString)
+  }
+
+  test("x130: corpus profile reconciles with recomputed key stats") {
+    val ev = graft.Tables.events(spark, sfDir)
+    val prof = graft.operators.Skew.keySkewProfile(ev, "user_id").collect()
+    val byKey = ev.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (nKeys, total) = (byKey.size.toLong, byKey.values.sum)
+    assert(prof.length == math.min(20, nKeys).toInt, "top-k row count")
+    val want = byKey.toSeq.sortBy { case (k, n) => (-n, k) }.take(20)
+    assert(prof.map(r => (r.getLong(0), r.getLong(1))).toSeq == want,
+      "top-k cut must be the (n desc, key asc) prefix")
+    prof.foreach { r =>
+      val n = r.getLong(1)
+      assert(r.getLong(2) == n * 1000000L / total, s"share_ppm drifted: $r")
+      assert(r.getLong(3) == n * nKeys * 100L / total, s"load_x100 drifted: $r")
+    }
+  }
+
   test("x126: per-cell budget, pick-set = scalar smallest-k recompute, bounded heap") {
     graft.functions.GraftFunctions.register(spark) // strategy + rewrite rule
     val asg = Clustering.assign(spark, sfDir).collect()

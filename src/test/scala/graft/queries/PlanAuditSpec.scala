@@ -70,7 +70,10 @@ class PlanAuditSpec extends SparkSpec {
     // x128: x12's broadcast argmax verbatim (the 16-row centroid table
     // crossed onto the scan — the profile audits exactly the index x12
     // probes, so it inherits x12's sanctioned shape)
+    // x130: the 1-row (n_keys, total) stat frame crossed back onto the
+    // per-key count aggregate — the sanctioned 1-row-probe shape again
     val allowed = allPairsByDesign + "x128_ivf_cell_profile" +
+      "x130_key_skew_profile" +
       "j8_range_bin_join" + "x36_length_filter" +
       "x38_training_set" + "x47_bm25_rank" + "x48_hybrid_rrf" + "x66_dedup_stats" +
       "x70_oov_rate" + "x91_vocab_coverage" + "x92_source_budget" +
