@@ -422,6 +422,8 @@ object SparkEntry {
       Similarity.int8QuantAudit(s, d)),
     "x130_key_skew_profile" -> ((s: SparkSession, d: String) =>
       graft.operators.Skew.keySkewProfile(Tables.events(s, d), "user_id")),
+    "x131_int8_topk_parity" -> ((s: SparkSession, d: String) =>
+      Similarity.int8TopKParity(s, d)),
     "e4_funnel" -> (Funcs.funnel _),
     "f13_zorder_key" -> (Funcs.zorderKey _)
   )
@@ -1509,6 +1511,27 @@ object SparkEntry {
        "SELECT k.user_id, k.n, CAST(k.n * 1000000 // st.total AS BIGINT) AS share_ppm, " +
        "CAST(k.n * st.n_keys * 100 // st.total AS BIGINT) AS load_x100 " +
        "FROM k, st ORDER BY k.n DESC, k.user_id LIMIT 20"),
+    "x131_int8_topk_parity" ->
+      // x129's quantizer + x6's ranking, twice: symmetric per-vector
+      // scales cancel in cosine, so the int8 score is an exact integer
+      // dot over exact integer norms with ONE IEEE /sqrt at the end
+      (s"WITH $normCte, " +
+       "qz AS (SELECT vec_id, vec, norm, list_max(list_transform(vec, x -> abs(x))) AS scale FROM nrm), " +
+       "qc AS (SELECT vec_id, vec, norm, list_transform(vec, x -> " +
+       "CASE WHEN scale = 0 THEN 0 ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END) AS q FROM qz), " +
+       "qn AS (SELECT vec_id, vec, norm, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2 FROM qc), " +
+       "s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+       s"${dotSql("a.vec", "b.vec")}/(a.norm*b.norm) AS simf, " +
+       "CAST(list_sum(list_transform(list_zip(a.q, b.q), t -> t[1]*t[2])) AS BIGINT) AS dotq, " +
+       "a.n2 AS an2, b.n2 AS bn2 FROM qn a JOIN qn b ON a.vec_id <> b.vec_id WHERE a.vec_id < 20), " +
+       "r AS (SELECT query_id, neighbor_id, " +
+       "row_number() OVER (PARTITION BY query_id ORDER BY simf DESC, neighbor_id) AS rankf, " +
+       "row_number() OVER (PARTITION BY query_id ORDER BY dotq / sqrt(CAST(an2*bn2 AS DOUBLE)) DESC, neighbor_id) AS rankq " +
+       "FROM s) " +
+       "SELECT query_id, " +
+       "CAST(sum(CASE WHEN rankf <= 5 AND rankq <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap, " +
+       "CAST(sum(CASE WHEN rankf = 1 AND rankq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS top1_match " +
+       "FROM r WHERE rankf <= 5 OR rankq <= 5 GROUP BY 1 ORDER BY query_id"),
     "x24_vector_stats" ->
       ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings) " +
        "SELECT vec_id, sqrt(list_sum(list_transform(vec, x -> x*x))) AS l2_norm, " +

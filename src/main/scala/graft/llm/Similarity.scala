@@ -110,6 +110,60 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** x131: INT8 TOP-K PARITY — the eval that decides whether x129's
+    * compression SHIPS: per query, how many of the float-cosine top-k
+    * survive when the ranking runs on int8 codes instead (overlap@k and
+    * top-1 agreement). x129 measures reconstruction error in vector
+    * space; this measures the only thing a retrieval index actually
+    * serves — the ranking. The pair is the compression twin of
+    * x102/x110: error table + ranking-recall audit.
+    *
+    * The int8 score is EXACT cross-engine arithmetic end to end: with a
+    * symmetric per-vector scale, cosine of the reconstructed vectors
+    * equals (q_a·q_b)/(|q_a||q_b|) — the scales cancel — so the integer
+    * dot and the two integer norm-squares are exact longs (|q| ≤ 127,
+    * d = 64 ⇒ Σq² ≤ 1.04e6, products ≤ 1.1e12), and the only IEEE step
+    * is the final / sqrt(n2a·n2b), written identically in both engines.
+    * Scale shape: x6's layout verbatim — the bounded query set
+    * broadcasts, the corpus streams, the per-query ranking is a
+    * row_number ≤ k (the bounded-heap rewrite's shape); nothing but the
+    * ≤ nQueries×k winners survives the windows. */
+  def int8TopKParity(spark: SparkSession, dir: String, nQueries: Int = 20,
+      k: Int = 5): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+      .withColumn("scale", array_max(transform(col("vec"), x => abs(x))))
+      .withColumn("q", transform(col("vec"), x =>
+        when(col("scale") === 0.0, lit(0L))
+          .otherwise(floor(x * lit(127.0) / col("scale")))))
+      .withColumn("n2", aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+      .localCheckpoint(eager = false)
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"),
+        col("norm").as("qn"), col("q").as("qq"), col("n2").as("qn2"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("vec").as("cv"),
+      col("norm").as("cn"), col("q").as("cq"), col("n2").as("cn2"))
+    val scored = c.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
+      .withColumn("simf", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("dotq",
+        aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
+          lit(0L), (acc, t) => acc + t))
+      .withColumn("simq",
+        col("dotq") / sqrt((col("qn2") * col("cn2")).cast("double")))
+    val wf = Window.partitionBy("query_id").orderBy(desc("simf"), asc("neighbor_id"))
+    val wq = Window.partitionBy("query_id").orderBy(desc("simq"), asc("neighbor_id"))
+    scored
+      .withColumn("rankf", row_number().over(wf))
+      .withColumn("rankq", row_number().over(wq))
+      .filter(col("rankf") <= k || col("rankq") <= k)
+      .groupBy("query_id")
+      .agg(
+        sum(when(col("rankf") <= k && col("rankq") <= k, 1L).otherwise(0L))
+          .as("n_overlap"),
+        sum(when(col("rankf") === 1 && col("rankq") === 1, 1L).otherwise(0L))
+          .as("top1_match"))
+      .orderBy("query_id")
+  }
+
   /** All pairs (i < j) with cosine ≥ threshold — embedding near-duplicate
     * detection. Quadratic BY DESIGN: this is the small-scale verifier the
     * LSH variant below (`annPairsLsh`) is recall-checked against, so its

@@ -347,6 +347,44 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("x131: parity table = scalar recompute of BOTH rankings (third engine)") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    // the same sequential fold order as dotFast / aggregate()
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def nrm(v: Array[Double]) =
+      math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+    val codes = emb.map { case (id, v) =>
+      val scale = v.map(math.abs).max
+      val q = v.map(x => if (scale == 0) 0L else math.floor(x * 127.0 / scale).toLong)
+      id -> (q, q.foldLeft(0L)((acc, x) => acc + x * x))
+    }
+    def top5(qid: Long, score: Long => Double): Seq[Long] =
+      emb.keys.filter(_ != qid).toSeq
+        .map(id => (id, score(id)))
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    val expect = (0L until 20L).map { qid =>
+      val (qv, (qq, qn2)) = (emb(qid), codes(qid))
+      val f = top5(qid, id => dot(qv, emb(id)) / (nrm(qv) * nrm(emb(id))))
+      val q = top5(qid, { id =>
+        val (cq, cn2) = codes(id)
+        qq.indices.foldLeft(0L)((acc, i) => acc + qq(i) * cq(i)) /
+          math.sqrt((qn2 * cn2).toDouble)
+      })
+      (qid, f.toSet.intersect(q.toSet).size.toLong,
+        if (f.head == q.head) 1L else 0L)
+    }
+    val got = Similarity.int8TopKParity(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"parity diverged from scalar model:\n$got\nvs\n$expect")
+    // the audit must SHOW real divergence, or it audits nothing
+    assert(expect.exists(t => t._2 < 5 || t._3 == 0),
+      "fixture shows no float/int8 ranking divergence to audit")
+  }
+
   test("x126: per-cell budget, pick-set = scalar smallest-k recompute, bounded heap") {
     graft.functions.GraftFunctions.register(spark) // strategy + rewrite rule
     val asg = Clustering.assign(spark, sfDir).collect()

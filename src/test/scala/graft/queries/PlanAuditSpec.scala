@@ -27,9 +27,11 @@ class PlanAuditSpec extends SparkSpec {
     // expansion map-side
     // x88 is x5's capped all-pairs verifier with the truncated cosine
     // beside the full one — same hard vec_id cap, same sanction
+    // x131 is x6's bounded-query broadcast ranking run twice (float +
+    // int8 codes) — same nQueries cap, same sanction
     Set("x5_embed_neardup", "x6_ann_topk", "x12_ivf_topk", "x42_semantic_dedup",
       "x67_hard_negatives", "x71_pq_topk", "x71b_ivfpq_topk", "x78_contrastive_pairs",
-      "x80_semantic_decontaminate", "x88_matryoshka")
+      "x80_semantic_decontaminate", "x88_matryoshka", "x131_int8_topk_parity")
 
   private lazy val plans: Map[String, String] = {
     graft.functions.GraftFunctions.register(spark)
