@@ -224,6 +224,8 @@ object SparkEntry {
       graft.streaming.EventsStream.leftJoinStreamGate(s, d)),
     "e13_stream_full_outer" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.fullOuterJoinStreamGate(s, d)),
+    "e14_stream_join_agg" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventsStream.joinAggStreamGate(s, d)),
     "e2_sessionize" -> ((s: SparkSession, d: String) => Funcs.sessionizeEvents(s, d)),
     "e6_trending_topk" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.trendingTopK(
@@ -1219,6 +1221,24 @@ object SparkEntry {
        "FROM v, wm WHERE v.view_id NOT IN (SELECT view_id FROM m) " +
        "AND epoch_us(v.view_ts) + 3600000000 < wm.w " +
        "ORDER BY click_id, view_id"),
+    "e14_stream_join_agg" ->
+      // window-equality join → per-window pair count, emitted only for
+      // windows the final min-policy watermark (both delays 1h) has
+      // finalized (window end ≤ W); open tail windows stay unsent (the
+      // Append contract — the withheld side is pinned by the planted
+      // MemoryStream spec, since the harness fixtures close every window)
+      ("WITH c AS (SELECT event_id AS click_id, user_id, date_trunc('hour', ts) AS w " +
+       "FROM events WHERE event_type = 'click'), " +
+       "v AS (SELECT event_id AS view_id, user_id AS v_user, date_trunc('hour', ts) AS w " +
+       "FROM events WHERE event_type = 'view'), " +
+       "wm AS (SELECT least(" +
+       "(SELECT max(epoch_us(ts)) - 3600000000 FROM events WHERE event_type = 'click'), " +
+       "(SELECT max(epoch_us(ts)) - 3600000000 FROM events WHERE event_type = 'view')) AS w), " +
+       "p AS (SELECT c.w AS window_start, CAST(count(*) AS BIGINT) AS n_pairs " +
+       "FROM c JOIN v ON c.user_id = v.v_user AND c.w = v.w GROUP BY 1) " +
+       "SELECT p.window_start, p.n_pairs FROM p, wm " +
+       "WHERE epoch_us(p.window_start) + 3600000000 <= wm.w " +
+       "ORDER BY window_start"),
     "d6_distinct_agg" ->
       ("SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers, " +
        "count(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),

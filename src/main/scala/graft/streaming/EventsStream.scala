@@ -327,6 +327,54 @@ object EventsStream {
       .orderBy("click_id", "view_id")
   }
 
+  /** e14 DRIVER GATE: CHAINED STATEFUL OPERATORS — a stream-stream
+    * window-equality join followed by a windowed aggregation in ONE
+    * query (the multi-stateful planner path: two StateStore operators,
+    * the aggregation consuming the join's output watermark). This is the
+    * dashboard-over-a-join production shape: per hour, how many
+    * click-view co-occurrence pairs each hour window produced.
+    *
+    * The join keys on (user_id, window) — the time-window EQUALITY join,
+    * the supported head for a downstream stateful agg (interval joins
+    * emit rows whose event-time column is no longer monotone vs the
+    * watermark, so Spark only chains stateful ops after window-equality
+    * joins). Append mode: a window's count emits only once the
+    * watermark FINALIZES the window (watermark ≥ window end — late
+    * finalization is the whole point of chaining; the oracle mirrors
+    * the emission predicate on the final min-policy watermark).
+    * Windows at the stream tail stay open and unsent — the Append
+    * contract, enforced by the oracle as in e10/e12/e13. */
+  def joinAggStreamGate(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val stageDir = stagedSessionDir(spark, dir, ev)
+    def src(): DataFrame = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val agg = clickViewWindowAgg(
+      src().filter(col("event_type") === "click"),
+      src().filter(col("event_type") === "view"))
+    runToMemory(spark, agg, "e14_stream_join_agg_result", OutputMode.Append())
+      .orderBy("window_start")
+  }
+
+  /** The e14 chain as a library form (unified API — also the batch twin):
+    * window-equality stream-stream join on (user_id, hour window), then a
+    * per-window pair count. In Append mode the count emits only once the
+    * min-policy watermark (both sides delay 1h) reaches the window end. */
+  def clickViewWindowAgg(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        window(col("ts"), "1 hour").as("w"))
+    val v = views.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        window(col("ts"), "1 hour").as("w2"))
+    c.join(v, col("user_id") === col("v_user") && col("w") === col("w2"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("w.start").as("window_start"), col("n_pairs"))
+  }
+
   /** Build (once per session+dir) the two-file time-split staging
     * directory for the e10 gate: events with ts ≤ / > the range midpoint,
     * as two single-part parquet files whose distinct mod-times pin the

@@ -308,6 +308,32 @@ class StreamingSpec extends SparkSpec {
     enriched.unpersist()
   }
 
+  test("e14 chain: join→agg emits finalized windows and WITHHOLDS the open tail") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // pair in the 10:00 window (closes: watermark reaches 22:10) and a
+    // pair in the 23:00 tail window (end 24:00 > watermark — must stay
+    // in state, unsent). If the chained aggregation ignored the join's
+    // propagated watermark it would emit both; if it never finalized,
+    // neither.
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    clicks.addData(
+      Ev(1, ts("2024-01-01 10:20:00"), 7, "click", 1.0),
+      Ev(2, ts("2024-01-01 23:10:00"), 9, "click", 1.0))
+    views.addData(
+      Ev(3, ts("2024-01-01 10:05:00"), 7, "view", 1.0),
+      Ev(4, ts("2024-01-01 23:20:00"), 9, "view", 1.0))
+    val q = EventsStream.clickViewWindowAgg(clicks.toDF(), views.toDF())
+      .writeStream.format("memory").queryName("e14_tail_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("e14_tail_test").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    assert(got == Seq((ts("2024-01-01 10:00:00"), 1L)),
+      s"expected only the finalized 10:00 window, got ${got.toList}")
+  }
+
   test("checkpoint recovery: an aggregation restarted mid-input resumes state, not from zero") {
     // The production restart motion: a stateful query dies (deploy,
     // preemption) and a NEW query object resumes from the checkpoint's
