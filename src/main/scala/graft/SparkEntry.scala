@@ -248,6 +248,17 @@ object SparkEntry {
         .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
           countDistinct(col("l_partkey")).as("n_parts"))
         .orderBy("l_returnflag")),
+    // auto-salted twin: the salt count is DERIVED from x130's measured
+    // profile of the large side (the measure→act loop); oracle unchanged
+    // — salting must stay semantically invisible at any derived count
+    "w6b_auto_salted" -> ((s: SparkSession, d: String) =>
+      graft.operators.Skew.autoSaltedJoin(
+          Tables.lineitem(s, d).withColumnRenamed("l_suppkey", "s_suppkey"),
+          Tables.supplier(s, d), "s_suppkey",
+          saltBy = col("l_orderkey") * 10 + col("l_linenumber"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+        .orderBy("s_suppkey")),
     "w6_salted_join" -> ((s: SparkSession, d: String) =>
       graft.operators.Skew.saltedJoin(
           Tables.lineitem(s, d).withColumnRenamed("l_suppkey", "s_suppkey"),
@@ -1245,6 +1256,11 @@ object SparkEntry {
     // the salted join's oracle is the PLAIN join — salting must be
     // semantically invisible
     "w6_salted_join" ->
+      ("SELECT s.s_suppkey, s.s_name, count(*) AS n, round(sum(l.l_extendedprice),2) AS total " +
+       "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+       "GROUP BY 1, 2 ORDER BY s.s_suppkey"),
+    // same plain-join oracle: the derived salt count must be invisible too
+    "w6b_auto_salted" ->
       ("SELECT s.s_suppkey, s.s_name, count(*) AS n, round(sum(l.l_extendedprice),2) AS total " +
        "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
        "GROUP BY 1, 2 ORDER BY s.s_suppkey"),

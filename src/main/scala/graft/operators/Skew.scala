@@ -54,6 +54,25 @@ object Skew {
       .limit(topK)
   }
 
+  /** Derive the salt count FROM the measured profile (the x110→x15b
+    * dispatch pattern, applied at the shuffle layer): the heaviest key's
+    * load-vs-uniform, rounded up — a uniform frame (load 100) derives 1
+    * salt (salting becomes a no-op), a key carrying 8× the uniform share
+    * derives 8. The profile read is a driver-side single-row peek of an
+    * aggregate (planner metadata, not a data path). */
+  def autoSalts(df: DataFrame, key: String): Int = {
+    val top = keySkewProfile(df, key, topK = 1)
+      .select("load_x100").head().getLong(0)
+    math.max(1, math.ceil(top / 100.0).toInt)
+  }
+
+  /** `saltedJoin` with the salt count derived from the large side's own
+    * measured skew — the measure→act loop closed in one call. Row-level
+    * semantics identical to the plain inner join (the w6 oracle). */
+  def autoSaltedJoin(large: DataFrame, small: DataFrame, key: String,
+      saltBy: Column): DataFrame =
+    saltedJoin(large, small, key, saltBy, autoSalts(large, key))
+
   /** Two-phase (salted partial → final) aggregation for skewed group keys:
     * groupBy(key, salt).agg(partials) then groupBy(key).agg(merge). For
     * algebraic aggregates Spark's own partial aggregation already does

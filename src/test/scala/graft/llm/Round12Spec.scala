@@ -330,6 +330,16 @@ class Round12Spec extends SparkSpec {
       Seq(("a", 5L, 500000L, 200L), ("b", 3L, 300000L, 120L)), prof.toSeq.toString)
   }
 
+  test("w6b: autoSalts derives ceil(max load/100); uniform frame derives 1") {
+    import spark.implicits._
+    // a: 5 of 10 rows over 4 keys → load 200 → 2 salts
+    val skewed = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d")).toDF("k")
+    assert(graft.operators.Skew.autoSalts(skewed, "k") == 2)
+    // perfectly uniform → load exactly 100 → 1 salt (salting a no-op)
+    val uniform = Seq("a", "a", "b", "b", "c", "c").toDF("k")
+    assert(graft.operators.Skew.autoSalts(uniform, "k") == 1)
+  }
+
   test("x130: corpus profile reconciles with recomputed key stats") {
     val ev = graft.Tables.events(spark, sfDir)
     val prof = graft.operators.Skew.keySkewProfile(ev, "user_id").collect()
