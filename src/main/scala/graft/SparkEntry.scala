@@ -1231,7 +1231,9 @@ object SparkEntry {
        "CAST(NULL AS TIMESTAMP) AS click_ts, v.view_id, v.view_ts " +
        "FROM v, wm WHERE v.view_id NOT IN (SELECT view_id FROM m) " +
        "AND epoch_us(v.view_ts) + 3600000000 < wm.w " +
-       "ORDER BY click_id, view_id"),
+       // NULLS FIRST: the view-null branch has a NULL FIRST sort key
+       // (Spark's asc default); DuckDB defaults NULLS LAST
+       "ORDER BY click_id NULLS FIRST, view_id NULLS FIRST"),
     "e14_stream_join_agg" ->
       // window-equality join → per-window pair count, emitted only for
       // windows the final min-policy watermark (both delays 1h) has
@@ -1529,8 +1531,7 @@ object SparkEntry {
       // exact HUGEINT→BIGINT; ONE IEEE division for mse (the x127 pattern)
       ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings), " +
        "s AS (SELECT vec_id, vec, list_max(list_transform(vec, x -> abs(x))) AS scale FROM v), " +
-       "q AS (SELECT vec_id, vec, scale, list_transform(vec, x -> " +
-       "CASE WHEN scale = 0 THEN 0 ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END) AS qv FROM s) " +
+       s"q AS (SELECT vec_id, vec, scale, $int8CodesSql AS qv FROM s) " +
        "SELECT vec_id, scale, " +
        "CAST(len(list_filter(qv, qq -> abs(qq) = 127)) AS INT) AS n_sat, " +
        "CAST(list_sum(list_transform(list_zip(vec, qv), t -> " +
@@ -1544,8 +1545,8 @@ object SparkEntry {
       // ties break on the key so the cut is deterministic
       ("WITH k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), " +
        "st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(n) AS BIGINT) AS total FROM k) " +
-       "SELECT k.user_id, k.n, CAST(k.n * 1000000 // st.total AS BIGINT) AS share_ppm, " +
-       "CAST(k.n * st.n_keys * 100 // st.total AS BIGINT) AS load_x100 " +
+       "SELECT k.user_id, k.n, CAST(CAST(k.n AS HUGEINT) * 1000000 // st.total AS BIGINT) AS share_ppm, " +
+       "CAST(CAST(k.n AS HUGEINT) * st.n_keys * 100 // st.total AS BIGINT) AS load_x100 " +
        "FROM k, st ORDER BY k.n DESC, k.user_id LIMIT 20"),
     "x131_int8_topk_parity" ->
       // x129's quantizer + x6's ranking, twice: symmetric per-vector
@@ -1553,8 +1554,7 @@ object SparkEntry {
       // dot over exact integer norms with ONE IEEE /sqrt at the end
       (s"WITH $normCte, " +
        "qz AS (SELECT vec_id, vec, norm, list_max(list_transform(vec, x -> abs(x))) AS scale FROM nrm), " +
-       "qc AS (SELECT vec_id, vec, norm, list_transform(vec, x -> " +
-       "CASE WHEN scale = 0 THEN 0 ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END) AS q FROM qz), " +
+       s"qc AS (SELECT vec_id, vec, norm, $int8CodesSql AS q FROM qz), " +
        "qn AS (SELECT vec_id, vec, norm, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2 FROM qc), " +
        "s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
        s"${dotSql("a.vec", "b.vec")}/(a.norm*b.norm) AS simf, " +
@@ -3178,6 +3178,14 @@ object SparkEntry {
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), t -> t[1]*t[2]))"
+
+  /** THE int8 quantizer lambda, shared by the x129 and x131 oracles —
+    * mirrors Similarity.withInt8Codes (floor codes, zero-scale guard):
+    * one definition on each engine side, so the parity eval can never
+    * audit a different quantizer than the error table reports on. */
+  private val int8CodesSql: String =
+    "list_transform(vec, x -> " +
+    "CASE WHEN scale = 0 THEN 0 ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END)"
 
   /** k-center greedy CTE chain (x84): the k-round farthest-point traversal
     * unrolled as chained CTEs — step i computes every remaining vector's

@@ -84,17 +84,24 @@ object Similarity {
   def int8QuantAudit(spark: SparkSession, dir: String): DataFrame =
     int8QuantAuditOf(Tables.embeddings(spark, dir))
 
-  /** Library form over any (vec_id, embedding: array<float|double>) frame. */
-  def int8QuantAuditOf(emb: DataFrame): DataFrame = {
-    val vec = asDouble(col("embedding"))
-    emb
-      .select(col("vec_id"), vec.as("vec"))
+  /** THE int8 quantizer — one definition shared by the x129 error audit
+    * and the x131 ranking-parity eval, so the eval can never silently
+    * audit a different quantizer than the one the error table reports
+    * on. Adds `scale` (max |v|) and `q` (floor(127·v/scale) codes;
+    * all-zero vectors quantize to all-zero codes instead of NaN-ing the
+    * division — their error is exactly 0) to a frame with a `vec`
+    * double-array column. */
+  private def withInt8Codes(framed: DataFrame): DataFrame =
+    framed
       .withColumn("scale", array_max(transform(col("vec"), x => abs(x))))
-      // all-zero vectors quantize to all-zero codes instead of NaN-ing
-      // the division; their error is exactly 0
       .withColumn("q", transform(col("vec"), x =>
         when(col("scale") === 0.0, lit(0L))
           .otherwise(floor(x * lit(127.0) / col("scale")))))
+
+  /** Library form over any (vec_id, embedding: array<float|double>) frame. */
+  def int8QuantAuditOf(emb: DataFrame): DataFrame = {
+    val vec = asDouble(col("embedding"))
+    withInt8Codes(emb.select(col("vec_id"), vec.as("vec")))
       .select(col("vec_id"), col("scale"),
         size(filter(col("q"), qq => abs(qq) === 127L)).as("n_sat"),
         aggregate(
@@ -130,11 +137,7 @@ object Similarity {
     * ≤ nQueries×k winners survives the windows. */
   def int8TopKParity(spark: SparkSession, dir: String, nQueries: Int = 20,
       k: Int = 5): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, dir))
-      .withColumn("scale", array_max(transform(col("vec"), x => abs(x))))
-      .withColumn("q", transform(col("vec"), x =>
-        when(col("scale") === 0.0, lit(0L))
-          .otherwise(floor(x * lit(127.0) / col("scale")))))
+    val e = withInt8Codes(withNorm(Tables.embeddings(spark, dir)))
       .withColumn("n2", aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
       .localCheckpoint(eager = false)
     val qs = e.filter(col("vec_id") < nQueries)
@@ -512,12 +515,6 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** IVF (inverted-file) top-k: corpus vectors are assigned to their
-    * most-similar centroid cell; a query probes only its `nProbe` nearest
-    * cells. Centroids here are a deterministic corpus sample (first
-    * nCells vec_ids) — a k-means refinement would drop in without changing
-    * the dataflow. At 100 TB the assignment table is the persisted index;
-    * the probe join shuffles on cell_id only. */
   /** The deterministic IVF centroid sample (first nCells vec_ids) over a
     * normed frame — shared by the x12 probe path and the x128 profile. */
   private def ivfCentroids(e: DataFrame, nCells: Int): DataFrame =
@@ -569,6 +566,12 @@ object Similarity {
       .orderBy("cell_id")
   }
 
+  /** IVF (inverted-file) top-k: corpus vectors are assigned to their
+    * most-similar centroid cell; a query probes only its `nProbe` nearest
+    * cells. Centroids here are a deterministic corpus sample (first
+    * nCells vec_ids) — a k-means refinement would drop in without changing
+    * the dataflow. At 100 TB the assignment table is the persisted index;
+    * the probe join shuffles on cell_id only. */
   def topKIvf(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     // lazy local checkpoint: shared by centroids/assignment/queries without

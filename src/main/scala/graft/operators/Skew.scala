@@ -44,12 +44,24 @@ object Skew {
     * floor-divs of exact longs; ties break on the key so the top-k cut
     * is deterministic in both engines. */
   def keySkewProfile(df: DataFrame, key: String, topK: Int = 20): DataFrame = {
-    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
-    val stats = counts.agg(count(lit(1)).as("n_keys"), sum("n").as("total"))
+    // internal names __-prefixed (the __salt convention) so a key column
+    // named n/n_keys/total cannot alias-collide mid-plan; the OUTPUT
+    // names are the table's contract, so a key colliding with them is a
+    // caller error surfaced loudly
+    require(!Set("n", "share_ppm", "load_x100").contains(key),
+      s"key column '$key' collides with a profile output column")
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+    val stats = counts.agg(count(lit(1)).as("__n_keys"), sum("__n").as("__total"))
+    // decimal(38,0) intermediates: at 100 TB scale n×n_keys×100 can pass
+    // Long.MaxValue (1e9-row key × 1e8 keys × 100 = 1e19) and a LONG
+    // multiply would wrap silently negative — exactly where salting
+    // matters most. `div` (IntegralDivide) on decimals is the EXACT
+    // integral quotient (a decimal `/` would round at the result scale
+    // before any cast could floor it), matching DuckDB's HUGEINT `//`.
     counts.crossJoin(broadcast(stats))
-      .select(col(key), col("n"),
-        expr("n * 1000000 div total").as("share_ppm"),
-        expr("n * n_keys * 100 div total").as("load_x100"))
+      .select(col(key), col("__n").as("n"),
+        expr("CAST(__n AS DECIMAL(38,0)) * 1000000 div __total").as("share_ppm"),
+        expr("CAST(__n AS DECIMAL(38,0)) * __n_keys * 100 div __total").as("load_x100"))
       .orderBy(col("n").desc, col(key))
       .limit(topK)
   }
@@ -61,8 +73,12 @@ object Skew {
     * derives 8. The profile read is a driver-side single-row peek of an
     * aggregate (planner metadata, not a data path). */
   def autoSalts(df: DataFrame, key: String): Int = {
+    // headOption: an empty frame has no profile rows; the plain join it
+    // parameterizes returns empty for the same input, so degrade to the
+    // no-op 1 salt rather than throw
     val top = keySkewProfile(df, key, topK = 1)
-      .select("load_x100").head().getLong(0)
+      .select("load_x100").limit(1).collect()
+      .headOption.map(_.getLong(0)).getOrElse(100L)
     math.max(1, math.ceil(top / 100.0).toInt)
   }
 

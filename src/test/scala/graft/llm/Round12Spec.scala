@@ -338,6 +338,17 @@ class Round12Spec extends SparkSpec {
     // perfectly uniform → load exactly 100 → 1 salt (salting a no-op)
     val uniform = Seq("a", "a", "b", "b", "c", "c").toDF("k")
     assert(graft.operators.Skew.autoSalts(uniform, "k") == 1)
+    // empty frame degrades to the no-op 1 salt (the plain join it
+    // parameterizes returns empty too) instead of throwing on head()
+    assert(graft.operators.Skew.autoSalts(uniform.filter(col("k") === "z"), "k") == 1)
+    // a key colliding with a profile OUTPUT column fails loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Skew.keySkewProfile(uniform.withColumnRenamed("k", "n"), "n")
+    }
+    // a key named like a former INTERNAL column must NOT collide
+    val renamed = graft.operators.Skew.keySkewProfile(
+      skewed.withColumnRenamed("k", "total"), "total").collect()
+    assert(renamed.head.getString(0) == "a" && renamed.head.getLong(3) == 200L)
   }
 
   test("x130: corpus profile reconciles with recomputed key stats") {
