@@ -2659,13 +2659,16 @@ object SparkEntry {
        "mb AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs_curr, " +
        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_curr, " +
        "md5(string_agg(md5(text), '' ORDER BY pos)) AS digest_curr FROM pb GROUP BY 1) " +
-       // LEFT join + COALESCE: a fully-new shard (no prev row) must
-       // surface with deltas-from-zero and changed=1, not vanish
-       "SELECT b.shard, b.n_docs_curr, " +
-       "b.n_docs_curr - COALESCE(a.n_docs_prev, 0) AS doc_delta, " +
-       "b.n_tokens_curr - COALESCE(a.n_tokens_prev, 0) AS token_delta, " +
-       "CAST(a.digest_prev IS NULL OR a.digest_prev <> b.digest_curr AS INT) AS changed " +
-       "FROM mb b LEFT JOIN ma a ON a.shard = b.shard ORDER BY b.shard"),
+       // FULL JOIN + COALESCE both ways: fully-new shards (no prev row)
+       // surface with deltas-from-zero, fully-DELETED shards (no curr
+       // row) with negative deltas — neither may vanish; changed=1 on
+       // any one-sided shard (on the gate's prev ⊆ curr data this
+       // reduces to the left join, so results are unchanged)
+       "SELECT COALESCE(b.shard, a.shard) AS shard, COALESCE(b.n_docs_curr, 0) AS n_docs_curr, " +
+       "COALESCE(b.n_docs_curr, 0) - COALESCE(a.n_docs_prev, 0) AS doc_delta, " +
+       "COALESCE(b.n_tokens_curr, 0) - COALESCE(a.n_tokens_prev, 0) AS token_delta, " +
+       "CAST(a.digest_prev IS NULL OR b.digest_curr IS NULL OR a.digest_prev <> b.digest_curr AS INT) AS changed " +
+       "FROM mb b FULL JOIN ma a ON a.shard = b.shard ORDER BY shard"),
     "x122_index_append" -> x122AppendSql,
     // same motion, the STORED-index production form: identical result,
     // identical oracle — the gates differ only in what is measured

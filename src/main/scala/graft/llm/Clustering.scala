@@ -82,11 +82,10 @@ object Clustering {
       .select(col("vec_id"), col("cell_id").as("cluster_id"))
       .orderBy("vec_id")
 
-  /** md5-derived 60-bit non-negative long — the cross-engine coin every
-    * oracle-checked sampling stage uses (DuckDB mirror:
-    * `CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)`). */
+  /** The shared md5 coin (ONE definition of the cross-engine contract —
+    * see Curation.md5Long for the DuckDB mirror). */
   private def md5Long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    Curation.md5Long(c)
 
   /** x126: CLUSTER-BALANCED SAMPLING — a fixed per-cell budget drawn from
     * every k-means cell: x54's stratified draw with the stratum moved
@@ -183,7 +182,11 @@ object Clustering {
       .filter(col("rn") === 1)
       .select(col("ca").as("cell_id"), col("cb").as("nearest_cell"),
         col("separation").as("centroid_sep"))
-    coh.join(nearest, "cell_id")
+    // LEFT join: with a single non-empty cell the separation pair table
+    // is empty (no a.cell_id <> b.cell_id rows) and an inner join would
+    // silently drop the lone cell's cohesion row — 'no cells' instead of
+    // 'one cohesive cell, no neighbor'. Null separation IS the answer.
+    coh.join(nearest, Seq("cell_id"), "left")
       .select(col("cell_id").as("cluster_id"), col("n").as("n_members"),
         col("cohesion"), col("nearest_cell"), col("centroid_sep"))
       .orderBy("cluster_id")

@@ -26,8 +26,10 @@ object Curation {
 
   /** md5-derived 60-bit non-negative long: the cross-engine hash used by
     * every oracle-checked curation stage (DuckDB mirror:
-    * `CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)`). */
-  private def md5Long(c: Column): Column =
+    * `CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)`).
+    * private[llm]: ONE definition of the coin contract — Clustering's
+    * x126 draw shares it rather than redefining it. */
+  private[llm] def md5Long(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** Per-doc DISTINCT shingle hashes (3-token shingles, DocDedup's
@@ -522,14 +524,18 @@ object Curation {
     val curr = shardManifestOf(currDocs, shards)
       .select(col("shard"), col("n_docs").as("n_docs_curr"),
         col("n_tokens").as("n_tokens_curr"), col("content_digest").as("digest_curr"))
-    // LEFT join: a shard whose docs are ALL in the new batch has no prev
-    // row — the fully-new-shard case is the one a release note most needs
-    // to surface (deltas from zero, changed=1), not to drop
-    curr.join(prev, Seq("shard"), "left")
-      .select(col("shard"), col("n_docs_curr"),
-        (col("n_docs_curr") - coalesce(col("n_docs_prev"), lit(0L))).as("doc_delta"),
-        (col("n_tokens_curr") - coalesce(col("n_tokens_prev"), lit(0L))).as("token_delta"),
-        (col("digest_prev").isNull ||
+    // FULL OUTER join: a shard whose docs are ALL new has no prev row
+    // (deltas from zero, changed=1), and a shard whose docs were ALL
+    // REMOVED has no curr row (negative deltas, changed=1) — deletion is
+    // exactly what a release note must surface, so neither side may drop
+    curr.join(prev, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("n_docs_curr"), lit(0L)).as("n_docs_curr"),
+        (coalesce(col("n_docs_curr"), lit(0L)) -
+          coalesce(col("n_docs_prev"), lit(0L))).as("doc_delta"),
+        (coalesce(col("n_tokens_curr"), lit(0L)) -
+          coalesce(col("n_tokens_prev"), lit(0L))).as("token_delta"),
+        (col("digest_prev").isNull || col("digest_curr").isNull ||
           col("digest_prev") =!= col("digest_curr")).cast("int").as("changed"))
       .orderBy("shard")
   }

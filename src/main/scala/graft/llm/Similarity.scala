@@ -1199,9 +1199,18 @@ object Similarity {
     * truncating the sign matrix to the first 64. */
   def jlDistortionAuditOf(emb: DataFrame, kOut: Int = 16): DataFrame = {
     val spark = emb.sparkSession
-    val probe = emb.select(size(col("embedding")).as("d")).limit(1).collect()
-    require(probe.nonEmpty, "jlDistortionAuditOf needs a non-empty embedding frame")
+    // min==max over ALL rows (one metadata-cheap agg), not one arbitrary
+    // row: a heterogeneous-dim frame would otherwise silently project
+    // only the probed row's first d coordinates through the inner join
+    // below — wrong ratios, no error. NULL embeddings surface here too
+    // (min/max skip them; a frame of only NULLs fails the require).
+    val probe = emb.agg(min(size(col("embedding"))).as("dmin"),
+      max(size(col("embedding"))).as("dmax")).collect()
+    require(probe.nonEmpty && !probe(0).isNullAt(0),
+      "jlDistortionAuditOf needs a non-empty embedding frame")
     val d = probe(0).getInt(0)
+    require(d == probe(0).getInt(1),
+      s"mixed embedding dimensionalities: $d vs ${probe(0).getInt(1)}")
     require(d > 0 && d <= 4096, s"implausible embedding dimensionality $d")
     // md5-derived ±1 entry for (t, d): any engine regenerates it exactly.
     // One flat range, (t, dim) unpacked arithmetically — no join at all
@@ -1296,14 +1305,22 @@ object Similarity {
       1, 2), 16, 10).cast("int") < 26
     val coded = e.select(col("vec_id"), isNew.as("is_new"),
       posexplode(col("codes")).as(Seq("tbl", "code")))
-    val cand = coded.filter(col("is_new"))
-      .select(col("tbl"), col("code"), col("vec_id").as("id_a"))
-      .join(coded.filter(!col("is_new")).select(col("tbl").as("tb"),
-        col("code").as("cb"), col("vec_id").as("id_b")),
+    appendTopK(e, coded.filter(col("is_new")), coded.filter(!col("is_new")), k)
+  }
+
+  /** The shared x122/x122b tail — batch codes bucket-join against index
+    * codes, exact rescore, per-new-vector top-k. ONE definition so the
+    * live and stored forms (which share one oracle and must return
+    * identical rows) cannot drift. */
+  private def appendTopK(vecs: DataFrame, codedNew: DataFrame,
+      codedOld: DataFrame, k: Int): DataFrame = {
+    val cand = codedNew.select(col("tbl"), col("code"), col("vec_id").as("id_a"))
+      .join(codedOld.select(col("tbl").as("tb"), col("code").as("cb"),
+        col("vec_id").as("id_b")),
         col("tbl") === col("tb") && col("code") === col("cb"))
       .select("id_a", "id_b").distinct()
     val w = Window.partitionBy("id_a").orderBy(desc("sim"), asc("id_b"))
-    rescored(e, cand)
+    rescored(vecs, cand)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id_a").as("vec_id"), col("rank"),
@@ -1322,7 +1339,11 @@ object Similarity {
     * row-for-row, same oracle. */
   def knnIncrementalAppendStored(spark: SparkSession, dir: String, k: Int = 5,
       nTables: Int = 8, dim: Int = 64): DataFrame = {
-    val idx = graft.Tables.materializeOnce(spark, s"x122_index:$dir")(
+    // the key carries every parameter baked into the stored codes —
+    // a same-session call with different nTables/dim must NOT silently
+    // reuse an incompatible artifact (its buckets would only partially
+    // match and the top-k would be quietly wrong)
+    val idx = graft.Tables.materializeOnce(spark, s"x122_index:$nTables:$dim:$dir")(
       codedEmbeddings(spark, dir, nTables, dim)._1
         .select("vec_id", "vec", "norm", "codes"))
     val isNew = conv(substring(md5(col("vec_id").cast("string").cast("binary")),
@@ -1337,21 +1358,10 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("tbl", "code")))
     val codedOld = idx.filter(!isNew)
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("tbl", "code")))
-    val cand = codedNew.select(col("tbl"), col("code"), col("vec_id").as("id_a"))
-      .join(codedOld.select(col("tbl").as("tb"), col("code").as("cb"),
-        col("vec_id").as("id_b")),
-        col("tbl") === col("tb") && col("code") === col("cb"))
-      .select("id_a", "id_b").distinct()
     // rescore vectors: new side live, old side read from the stored index
     val both = fresh.select("vec_id", "vec", "norm")
       .unionByName(idx.filter(!isNew).select("vec_id", "vec", "norm"))
-    val w = Window.partitionBy("id_a").orderBy(desc("sim"), asc("id_b"))
-    rescored(both, cand)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("id_a").as("vec_id"), col("rank"),
-        col("id_b").as("neighbor_id"), col("sim"))
-      .orderBy("vec_id", "rank")
+    appendTopK(both, codedNew, codedOld, k)
   }
 
   /** x119: KNN RECIPROCITY PROFILE — per rank position, the fraction of

@@ -52,7 +52,8 @@ object EventsStream {
     * the join state and EVICT rows the watermark has passed — the
     * unbounded-state trap of a naive stream-stream join. Works unchanged
     * on batch frames (the unified-API property the specs assert). */
-  def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.select(col("event_id").as("click_id"), col("user_id"),
       col("ts").as("click_ts")).withWatermark("click_ts", "1 hour")
     val v = views.select(col("event_id").as("view_id"), col("user_id").as("v_user"),
@@ -60,8 +61,15 @@ object EventsStream {
     c.join(v,
       col("user_id") === col("v_user") &&
         col("view_ts") <= col("click_ts") &&
-        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
-      .select("click_id", "user_id", "click_ts", "view_id", "view_ts")
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"),
+      joinType)
+      // coalesce is the identity for inner/left rows (matched sides are
+      // equal; an unmatched left row has user_id) and supplies the view
+      // side's user for full-outer null-click rows — ONE definition for
+      // every join mode, so e5/e11/e12/e13 cannot drift
+      .select(col("click_id"),
+        coalesce(col("user_id"), col("v_user")).as("user_id"),
+        col("click_ts"), col("view_id"), col("view_ts"))
   }
 
   /** e6: windowed TRENDING top-k — per hour, the k most frequent event
@@ -268,18 +276,9 @@ object EventsStream {
     val stageDir = stagedSessionDir(spark, dir, ev)
     def src(): DataFrame = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(stageDir)
-    val c = src().filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("ts").as("click_ts")).withWatermark("click_ts", "1 hour")
-    val v = src().filter(col("event_type") === "view")
-      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
-        col("ts").as("view_ts")).withWatermark("view_ts", "2 hours")
-    val joined = c.join(v,
-        col("user_id") === col("v_user") &&
-          col("view_ts") <= col("click_ts") &&
-          col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"),
-        "left_outer")
-      .select("click_id", "user_id", "click_ts", "view_id", "view_ts")
+    val joined = clickViewJoin(
+      src().filter(col("event_type") === "click"),
+      src().filter(col("event_type") === "view"), "left_outer")
     runToMemory(spark, joined, "e12_stream_outer_join_result", OutputMode.Append())
       .orderBy("click_id", "view_id")
   }
@@ -309,20 +308,9 @@ object EventsStream {
     val stageDir = stagedSessionDir(spark, dir, ev)
     def src(): DataFrame = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(stageDir)
-    val c = src().filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("ts").as("click_ts")).withWatermark("click_ts", "1 hour")
-    val v = src().filter(col("event_type") === "view")
-      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
-        col("ts").as("view_ts")).withWatermark("view_ts", "2 hours")
-    val joined = c.join(v,
-        col("user_id") === col("v_user") &&
-          col("view_ts") <= col("click_ts") &&
-          col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"),
-        "full_outer")
-      .select(col("click_id"),
-        coalesce(col("user_id"), col("v_user")).as("user_id"),
-        col("click_ts"), col("view_id"), col("view_ts"))
+    val joined = clickViewJoin(
+      src().filter(col("event_type") === "click"),
+      src().filter(col("event_type") === "view"), "full_outer")
     runToMemory(spark, joined, "e13_stream_full_outer_result", OutputMode.Append())
       .orderBy("click_id", "view_id")
   }

@@ -36,6 +36,17 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("x115: mixed dimensionalities fail loudly instead of truncating to one row's d") {
+    import spark.implicits._
+    // a single-row probe would read d=4 or d=8 by scan luck and the inner
+    // join on dim would silently drop the longer vectors' tail coordinates
+    val mixed = Seq((0L, Array.fill(4)(1.0f)), (1L, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.jlDistortionAuditOf(mixed)
+    }
+  }
+
   test("x15b: band geometry derivation — size ladder, recall guard, exact ppm chain") {
     // exact values of the integer ppm recall chain (the guard constants
     // the oracle re-evaluates symbolically — these pin the op sequence)
@@ -191,6 +202,15 @@ class Round12Spec extends SparkSpec {
     // and the diff against an identical snapshot still reports no change
     val same = Curation.releaseDiffOf(docs, docs, shards = 4).collect()
     assert(same.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L && r.getInt(4) == 0))
+    // the MIRROR case: a shard whose docs were ALL removed (curr empty)
+    // must surface with negative deltas and changed=1, not vanish —
+    // deletion is what a release note most needs to show
+    val del = Curation.releaseDiffOf(prev, docs, shards = 4).collect()
+    assert(del.length == 4)
+    del.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) < 0L && r.getInt(4) == 1,
+        s"fully-deleted shard not surfaced: $r")
+    }
   }
 
   /** 60-bit md5 long exactly as the engines derive it (first 15 hex). */
@@ -445,6 +465,15 @@ class Round12Spec extends SparkSpec {
     val c1 = rows.find(_.getLong(0) == 1L).get
     assert(c1.getLong(1) == 1L && c1.getDouble(2) == 0.0 &&
       c1.getLong(3) == 0L && c1.getDouble(4) == 4.0, s"cell 1: $c1")
+    // degenerate single-cell assignment: the separation pair table is
+    // empty, but the lone cell's cohesion row must SURVIVE (null
+    // nearest/separation is the answer, not an empty frame)
+    val lone = Clustering.cellQualityAuditOf(
+      Seq((10L, 0L, Seq(0.5, 0.0)), (11L, 0L, Seq(-0.5, 0.0)))
+        .toDF("vec_id", "cell_id", "vec")).collect()
+    assert(lone.length == 1 && lone(0).getLong(1) == 2L &&
+      lone(0).getDouble(2) == 0.25 && lone(0).isNullAt(3) && lone(0).isNullAt(4),
+      s"single-cell audit wrong: ${lone.toSeq}")
   }
 
   test("x128: cell profile partitions the corpus; load factors reconcile") {
