@@ -334,6 +334,84 @@ class StreamingSpec extends SparkSpec {
       s"expected only the finalized 10:00 window, got ${got.toList}")
   }
 
+  test("checkpoint recovery: a stream-stream JOIN restarted mid-input resumes its join state") {
+    // The join-state twin of the aggregation-recovery test below: query 1
+    // loads half-1 views into the symmetric-hash-join state stores and
+    // dies; half 2 (whose clicks match HALF-1 views) lands while the
+    // query is down; query 2 on the same checkpoint must match new
+    // clicks against the RESTORED view state. The offset log skips
+    // half 1 on restart, so a cross-half match in query 2's sink can
+    // come ONLY from recovered state — re-reading can't produce it and
+    // a fresh store would lose it.
+    val ev = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // the time range's midpoint lands inside no match interval (matches
+    // span ≤ 1h of a months-long range), so CHOOSE the cut inside a real
+    // matched pair's [view_ts, click_ts] gap — the view lands in half 1,
+    // its click in half 2, and the cut ≤ view_ts+30min keeps the view
+    // unevicted at query-1 end (the half-1 click watermark cannot pass
+    // view_ts+1h when every half-1 event is ≤ the cut)
+    val gapPair = EventsStream.clickViewJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"))
+      .select(unix_micros(col("click_ts")).as("cus"), unix_micros(col("view_ts")).as("vus"))
+      .filter(col("vus") < col("cus"))
+      .orderBy((col("cus") - col("vus")).desc).limit(1).head()
+    val mid = (gapPair.getLong(0) + gapPair.getLong(1)) / 2
+    val srcDir = Files.createTempDirectory("graft_ckptj_src_")
+    val ckDir = Files.createTempDirectory("graft_ckptj_state_").toString
+    def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_ckptj_part_")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, srcDir.resolve(name))
+      tmp.toFile.listFiles().foreach(_.delete()); Files.deleteIfExists(tmp)
+    }
+    // Append-mode MEMORY sinks refuse checkpoint recovery (the sink is
+    // per-query); the FILE sink is the recovery-capable production sink,
+    // and its output dir accumulates across query lifetimes — reading it
+    // after each phase gives exactly the rows emitted so far.
+    val outDir = Files.createTempDirectory("graft_ckptj_out_").toString
+    def runOnce(): Seq[(Long, Long)] = {
+      val joined = EventsStream.clickViewJoin(
+        spark.readStream.schema(ev.schema).parquet(srcDir.toString)
+          .filter(col("event_type") === "click"),
+        spark.readStream.schema(ev.schema).parquet(srcDir.toString)
+          .filter(col("event_type") === "view"))
+      val q = joined.writeStream.format("parquet")
+        .option("path", outDir)
+        .outputMode("append").option("checkpointLocation", ckDir).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(r.fieldIndex("click_id")),
+          r.getLong(r.fieldIndex("view_id")))).toSeq
+    }
+    dump(ev.filter(unix_micros(col("ts")) <= mid), "half1.parquet")
+    val phase1 = runOnce() // half-1 views now live in checkpointed join state
+    dump(ev.filter(unix_micros(col("ts")) > mid), "half2.parquet")
+    val phase2 = runOnce() // restart: new clicks vs RESTORED view state
+    val batch = EventsStream.clickViewJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"))
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = (phase1 ++ phase2).toSet
+    val want = batch.toSet
+    val half1Views = ev.filter(col("event_type") === "view")
+      .filter(unix_micros(col("ts")) <= mid)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val half2Clicks = ev.filter(col("event_type") === "click")
+      .filter(unix_micros(col("ts")) > mid)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val crossHalf = phase2.filter(p => half2Clicks(p._1) && half1Views(p._2))
+    assert(crossHalf.nonEmpty,
+      "no cross-restart match — the restored-join-state path was not exercised")
+    assert(got == want,
+      s"join recovery diverged: only-got=${(got -- want).take(3)}, " +
+        s"only-want=${(want -- got).take(3)}")
+  }
+
   test("checkpoint recovery: an aggregation restarted mid-input resumes state, not from zero") {
     // The production restart motion: a stateful query dies (deploy,
     // preemption) and a NEW query object resumes from the checkpoint's
