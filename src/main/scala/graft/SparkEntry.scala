@@ -1553,7 +1553,7 @@ object SparkEntry {
       // scales cancel in cosine, so the int8 score is an exact integer
       // dot over exact integer norms with ONE IEEE /sqrt at the end
       (s"WITH $normCte, " +
-       "qz AS (SELECT vec_id, vec, norm, list_max(list_transform(vec, x -> abs(x))) AS scale FROM nrm), " +
+       "qz AS (SELECT vec_id, vec, norm, list_max(list_transform(vec, x -> abs(x))) AS scale FROM nrm WHERE norm > 0), " +
        s"qc AS (SELECT vec_id, vec, norm, $int8CodesSql AS q FROM qz), " +
        "qn AS (SELECT vec_id, vec, norm, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2 FROM qc), " +
        "s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +

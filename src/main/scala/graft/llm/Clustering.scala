@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -143,7 +143,16 @@ object Clustering {
     * identically-converted doubles, so values are bit-identical
     * cross-engine and the nearest-cell argmin (separation asc, cell id
     * asc) is deterministic. Aggregate widths: #cells × dim sum rows and
-    * a k²-row pair table — driver-sized at ANY corpus size. */
+    * a k²-row pair table — driver-sized at ANY corpus size.
+    *
+    * Valid range: decimal(38,0) holds the separation cross term
+    * (S_a·n_b − S_b·n_a)² ≲ 4·n⁴·max(m)², i.e. for unit-normalized
+    * embeddings (|m| ≤ 1000) cells up to ~2×10⁷ members; DuckDB's
+    * HUGEINT is 128-bit so overflow would otherwise be a SILENT
+    * cross-engine divergence (Spark non-ANSI decimal overflow → NULL,
+    * which `sum` then skips). Every squared cross term is therefore
+    * null-guarded with raise_error: past the range the audit FAILS
+    * LOUDLY instead of under-reporting. */
   def cellQualityAudit(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
     cellQualityAuditOf(assigned(spark, dir, k))
 
@@ -153,15 +162,25 @@ object Clustering {
       .select(col("cell_id"), posexplode(col("vec")).as(Seq("dim", "v")))
       .select(col("cell_id"), col("dim"),
         floor(col("v") * 1000.0).cast("long").as("m"))
+    // non-ANSI decimal overflow yields NULL, and `sum` SKIPS nulls — an
+    // over-range cell would silently under-report instead of diverging
+    // visibly; guard each squared cross term so overflow fails loudly
+    // (see the valid-range note in the scaladoc)
+    def guarded(c: Column, what: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"x127 $what overflowed decimal(38,0) — cell exceeds the exact-" +
+          "arithmetic range (see cellQualityAudit scaladoc)")).cast("decimal(38,0)"))
+        .otherwise(c)
     val cnt = asg.groupBy("cell_id").agg(count(lit(1)).as("n"))
     val q = m.groupBy("cell_id").agg(sum(col("m") * col("m")).as("qq"))
     val sums = m.groupBy("cell_id", "dim").agg(sum("m").as("sd"))
     val s2 = sums.groupBy("cell_id")
-      .agg(sum(expr("cast(sd as decimal(38,0)) * sd")).as("ss"))
+      .agg(sum(guarded(expr("cast(sd as decimal(38,0)) * sd"), "sum-square term")).as("ss"))
     val coh = cnt
       .join(q, "cell_id").join(s2, "cell_id")
       .select(col("cell_id"), col("n"),
-        ((expr("cast(n as decimal(38,0)) * qq") - col("ss")).cast("double") /
+        (guarded(expr("cast(n as decimal(38,0)) * qq") - col("ss"), "cohesion numerator")
+          .cast("double") /
           (col("n").cast("double") * col("n") * lit(1e6))).as("cohesion"))
     val sn = sums.join(cnt, "cell_id")
     val sep = sn.as("a")
@@ -171,7 +190,7 @@ object Clustering {
         col("a.n").as("na"), col("b.n").as("nb"),
         expr("cast(a.sd as decimal(38,0)) * b.n - cast(b.sd as decimal(38,0)) * a.n").as("t"))
       .groupBy("ca", "cb", "na", "nb")
-      .agg(sum(col("t") * col("t")).as("sep_num"))
+      .agg(sum(guarded(col("t") * col("t"), "separation cross term")).as("sep_num"))
       .select(col("ca"), col("cb"),
         (col("sep_num").cast("double") /
           (col("na").cast("double") * col("na") * col("nb") * col("nb") * lit(1e6)))

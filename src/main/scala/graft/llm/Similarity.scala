@@ -138,6 +138,11 @@ object Similarity {
   def int8TopKParity(spark: SparkSession, dir: String, nQueries: Int = 20,
       k: Int = 5): DataFrame = {
     val e = withInt8Codes(withNorm(Tables.embeddings(spark, dir)))
+      // an all-zero embedding has norm 0 AND n2 0 → both scores 0/0 = NaN,
+      // and NaN enters the rankings with engine-specific ordering; exclude
+      // zero vectors outright (they carry no direction to rank on), the
+      // ranking-side twin of withInt8Codes' scale=0 guard
+      .filter(col("norm") > 0)
       .withColumn("n2", aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
       .localCheckpoint(eager = false)
     val qs = e.filter(col("vec_id") < nQueries)

@@ -47,9 +47,12 @@ object Skew {
     // internal names __-prefixed (the __salt convention) so a key column
     // named n/n_keys/total cannot alias-collide mid-plan; the OUTPUT
     // names are the table's contract, so a key colliding with them is a
-    // caller error surfaced loudly
-    require(!Set("n", "share_ppm", "load_x100").contains(key),
-      s"key column '$key' collides with a profile output column")
+    // caller error surfaced loudly. The internal names are rejected too:
+    // a key literally named __n would duplicate-collide with the count
+    // alias and surface as an opaque ambiguous-reference error instead.
+    require(!Set("n", "share_ppm", "load_x100", "__n", "__n_keys", "__total")
+      .contains(key),
+      s"key column '$key' collides with a profile output/internal column")
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
     val stats = counts.agg(count(lit(1)).as("__n_keys"), sum("__n").as("__total"))
     // decimal(38,0) intermediates: at 100 TB scale n×n_keys×100 can pass
@@ -79,7 +82,16 @@ object Skew {
     val top = keySkewProfile(df, key, topK = 1)
       .select("load_x100").limit(1).collect()
       .headOption.map(_.getLong(0)).getOrElse(100L)
-    math.max(1, math.ceil(top / 100.0).toInt)
+    val derived = math.max(1, math.ceil(top / 100.0).toInt)
+    // clamp at the shuffle-partition count: a hot key can spread over at
+    // most one reducer per partition, so salts beyond that only replicate
+    // the small side for nothing — and an EXTREME load (one key owning a
+    // high-cardinality frame → load ~n_keys×100) would otherwise derive
+    // millions of salts and explode() the small side into an OOM in
+    // exactly the scenario this operator defends against
+    val cap = math.max(1,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    math.min(derived, cap)
   }
 
   /** `saltedJoin` with the salt count derived from the large side's own
