@@ -448,10 +448,32 @@ object EventsStream {
     }
   }
 
+  /** The production state-store backend. Spark's default
+    * (HDFSBackedStateStoreProvider) keeps every state row on the executor
+    * HEAP and rewrites a full snapshot per maintenance interval — the
+    * known backend limit at 100-TB/high-key-cardinality streaming, where
+    * join/dedup state is millions of keys per partition. RocksDB keeps
+    * state off-heap on local disk with changelog checkpointing (per-batch
+    * uploads are the delta, not the snapshot), which is the documented
+    * production configuration for large stateful queries. Pinned here for
+    * EVERY gate and spec stream (StreamingSpec asserts the provider is
+    * actually active in the executed query's progress metrics). */
+  val rocksDBProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Pin RocksDB (+ changelog checkpointing) on the session. Idempotent;
+    * a no-op for stateless streams and all batch queries. */
+  def pinRocksDBStateStore(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", rocksDBProvider)
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+  }
+
   /** Run a streaming frame to completion into a memory sink and return
     * the drained result table. */
   private def runToMemory(spark: org.apache.spark.sql.SparkSession,
       df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    pinRocksDBStateStore(spark)
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
     try q.processAllAvailable() finally q.stop()

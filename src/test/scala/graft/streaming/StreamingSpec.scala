@@ -21,6 +21,32 @@ class StreamingSpec extends SparkSpec {
     Ev(4, ts("2024-01-01 11:40:00"), 8, "error", -1.0),
     Ev(5, ts("2024-01-01 11:55:00"), 7, "view", 0.0))
 
+  test("RocksDB state-store provider is ACTIVE in executed stateful queries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the conf alone could be set yet silently ignored (typo'd key, a
+    // query-start override) — assert on the EXECUTED query's progress:
+    // only RocksDBStateStoreProvider publishes rocksdb* custom metrics
+    EventsStream.pinRocksDBStateStore(spark)
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val q = EventsStream.hourlyAgg(mem.toDF())
+      .writeStream.format("memory").queryName("rocksdb_probe")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val ops = (q.recentProgress ++ Option(q.lastProgress))
+        .flatMap(_.stateOperators)
+      assert(ops.nonEmpty, "stateful query reported no state operators")
+      val keys = ops.flatMap(_.customMetrics.keySet().asScala)
+      assert(keys.exists(_.toLowerCase.contains("rocksdb")),
+        s"state metrics carry no rocksdb entries — provider not active: ${keys.toSet}")
+    } finally q.stop()
+  }
+
   test("hourlyAgg over a MemoryStream matches the batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
