@@ -218,6 +218,8 @@ object SparkEntry {
       graft.streaming.EventsStream.enrichStreamGate(s, d)),
     "e10_stream_sessions" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.sessionStreamGate(s, d)),
+    "e10b_session_window" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventsStream.sessionWindowStreamGate(s, d)),
     "e11_stream_join" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.joinStreamGate(s, d)),
     "e12_stream_outer_join" -> ((s: SparkSession, d: String) =>
@@ -1163,6 +1165,24 @@ object SparkEntry {
        "FROM sess JOIN lasts ON lasts.user_id = sess.user_id, mx " +
        "WHERE sess.session_id < lasts.last_sid " +
        "OR (sess.session_end_us // 1000 + 1800000) < (mx.mx_us // 1000 - 1800000) " +
+       "ORDER BY sess.user_id, sess.session_start_us"),
+    "e10b_session_window" ->
+      // native session_window twin (SessionWindowStateStoreSaveExec): same
+      // session assembly, but Append mode emits ONLY watermark-finalized
+      // windows — no closed-by-data disjunct (tail sessions a later event
+      // proves closed still wait in state for the watermark)
+      ("WITH g AS (SELECT user_id, event_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+       "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess " +
+       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+       "s AS (SELECT user_id, ts, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g), " +
+       "sess AS (SELECT user_id, session_id, count(*) AS n_events, " +
+       "epoch_us(min(ts)) AS session_start_us, epoch_us(max(ts)) AS session_end_us " +
+       "FROM s GROUP BY user_id, session_id), " +
+       "mx AS (SELECT epoch_us(max(ts)) AS mx_us FROM events) " +
+       "SELECT sess.user_id, sess.session_start_us, sess.session_end_us, sess.n_events " +
+       "FROM sess, mx " +
+       "WHERE (sess.session_end_us // 1000 + 1800000) < (mx.mx_us // 1000 - 1800000) " +
        "ORDER BY sess.user_id, sess.session_start_us"),
     "e6_trending_topk" ->
       ("WITH h AS (SELECT date_trunc('hour', ts) AS window_start, event_type, " +

@@ -218,6 +218,51 @@ object EventsStream {
       .orderBy("user_id", "session_start_us")
   }
 
+  /** e10b DRIVER GATE: the e10 sessionization on Spark's NATIVE
+    * `session_window` operator (SessionWindowStateStoreSaveExec) instead of
+    * the hand-rolled flatMapGroupsWithState — same staged two-file input,
+    * same gap rule, a SECOND independent implementation of the state
+    * semantics against the same session oracle, pinning that the custom
+    * state function matches the engine's own operator.
+    *
+    * Two deliberate bridges between the operators' contracts:
+    * - merge rule: the batch/e10 rule keeps events ≤ gap apart in ONE
+    *   session; native windows [ts, ts+g) merge only on strict overlap
+    *   (next − prev < g), so g = gap + 1 µs encodes the ≤ rule exactly at
+    *   the data's microsecond resolution.
+    * - emission: Append-mode session windows emit ONLY when the watermark
+    *   finalizes the window — there is no closed-by-data early emission,
+    *   so tail sessions that e10 emits (a later event proves them closed)
+    *   stay in state here. The oracle is e10's minus that disjunct. */
+  def sessionWindowStreamGate(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val stageDir = stagedSessionDir(spark, dir, ev)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val sessions = nativeGapSessions(stream, gapSec = 1800)
+    runToMemory(spark, sessions, "e10b_session_window_result", OutputMode.Append())
+      .orderBy("user_id", "session_start_us")
+  }
+
+  /** The e10 gap rule on the native operator (unified API — also runs on
+    * batch frames, where it emits EVERY session; the specs assert the
+    * batch twin equals `Funcs.sessionizeEvents`' assembly). Output schema
+    * = GapSession's: start/end are the first/last EVENT timestamps, so
+    * the native window end (last event + gap) is shifted back. */
+  def nativeGapSessions(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val gapUs = gapSec * 1000000L + 1
+    events
+      .withWatermark("ts", s"$gapSec seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapUs microseconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        (unix_micros(col("session_window.end")) - gapUs).as("session_end_us"),
+        col("n_events"))
+  }
+
   /** e11 DRIVER GATE: STREAM–STREAM interval join by the streaming engine —
     * the last stateful-planner shape left after aggregation (e1b/e7),
     * dedup (e8), enrichment (e9), and arbitrary state (e10):

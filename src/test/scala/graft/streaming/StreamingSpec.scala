@@ -360,6 +360,46 @@ class StreamingSpec extends SparkSpec {
       s"expected only the finalized 10:00 window, got ${got.toList}")
   }
 
+  test("e10b: native session_window batch twin equals the hand session assembly") {
+    // unified API: on a batch frame the native operator emits EVERY
+    // session; compare against the e2 lag/sum assembly (the oracle's CTE
+    // chain) including first/last EVENT timestamps — this pins both the
+    // +1µs merge-rule bridge and the window-end shift
+    val ev = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val native = EventsStream.nativeGapSessions(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val hand = ev.withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_s", when(coalesce(col("us") - lag("us", 1).over(w),
+        lit(Long.MaxValue)) > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(w))
+      .groupBy("user_id", "sid")
+      .agg(min("us").as("st"), max("us").as("en"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(native == hand,
+      s"native≠hand: onlyNative=${(native -- hand).take(3)}, onlyHand=${(hand -- native).take(3)}")
+  }
+
+  test("e10b: an exact-1800s gap stays ONE session (the ≤-gap rule via gap+1µs)") {
+    import spark.implicits._
+    val base = ts("2024-01-01 10:00:00")
+    def plusUs(us: Long) = new Timestamp(base.getTime + us / 1000) // ms precision here
+    val evs = Seq(
+      Ev(1, base, 7, "view", 1.0),
+      Ev(2, plusUs(1800000000L), 7, "view", 1.0),        // exactly gap → SAME session
+      Ev(3, plusUs(2 * 1800000000L + 1000L), 7, "view", 1.0)) // gap + 1ms → NEW session
+      .toDF()
+    val got = EventsStream.nativeGapSessions(evs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val us0 = base.getTime * 1000L
+    assert(got == Set(
+      (us0, us0 + 1800000000L, 2L),
+      (us0 + 1800000000L + 1800001000L, us0 + 1800000000L + 1800001000L, 1L)),
+      s"boundary rule diverged: $got")
+  }
+
   test("checkpoint recovery: a stream-stream JOIN restarted mid-input resumes its join state") {
     // The join-state twin of the aggregation-recovery test below: query 1
     // loads half-1 views into the symmetric-hash-join state stores and
