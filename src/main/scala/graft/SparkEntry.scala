@@ -228,6 +228,8 @@ object SparkEntry {
       graft.streaming.EventsStream.fullOuterJoinStreamGate(s, d)),
     "e14_stream_join_agg" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.joinAggStreamGate(s, d)),
+    "e15_stream_ingest_dedup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventsStream.incrementalDedupStreamGate(s, d)),
     "e2_sessionize" -> ((s: SparkSession, d: String) => Funcs.sessionizeEvents(s, d)),
     "e6_trending_topk" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.trendingTopK(
@@ -2022,17 +2024,11 @@ object SparkEntry {
        "CAST(sum(d.n_chars) AS BIGINT) AS n_chars, " +
        "md5(string_agg(d.dmd5, '' ORDER BY a.pos)) AS content_digest " +
        "FROM a JOIN d ON a.doc_id = d.doc_id GROUP BY a.shard ORDER BY a.shard"),
-    "x35_incremental_dedup" ->
-      (s"WITH $simhash16Cte, " +
-       "sig AS (SELECT d.doc_id, md5(d.text) AS ch, s.simhash16 " +
-       "FROM documents d JOIN sh16 s ON d.doc_id = s.doc_id), " +
-       "exc AS (SELECT DISTINCT ch FROM sig WHERE doc_id % 2 = 0), " +
-       "exs AS (SELECT DISTINCT simhash16 FROM sig WHERE doc_id % 2 = 0) " +
-       "SELECT s.doc_id, CASE WHEN e.ch IS NOT NULL THEN 'dup_exact' " +
-       "WHEN x.simhash16 IS NOT NULL THEN 'dup_near' ELSE 'kept' END AS status " +
-       "FROM sig s LEFT JOIN exc e ON s.ch = e.ch " +
-       "LEFT JOIN exs x ON s.simhash16 = x.simhash16 " +
-       "WHERE s.doc_id % 2 = 1 ORDER BY s.doc_id"),
+    "x35_incremental_dedup" -> x35IncrementalSql,
+    // e15 streams the SAME odd half against the PERSISTED even-half
+    // signature index via foreachBatch — statuses are per-doc pure, so
+    // the streamed form shares x35's oracle verbatim (the e5/e11 pattern)
+    "e15_stream_ingest_dedup" -> x35IncrementalSql,
     "x36_length_filter" ->
       ("WITH hist AS (SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1), " +
        "c AS (SELECT n_chars, sum(cnt) OVER (ORDER BY n_chars) AS cum, " +
@@ -2928,6 +2924,23 @@ object SparkEntry {
     "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard " +
     "FROM cand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b) " +
     "WHERE jaccard >= 0.5"
+
+  /** x35 + e15: incoming (odd) docs probed against the historical (even)
+    * half's signature index — dup_exact on content-hash membership, else
+    * dup_near on simhash16 collision, else kept. One oracle serves both
+    * gates: the batch form and the foreachBatch-streamed form return
+    * identical rows (statuses are per-doc pure, no cross-batch state). */
+  private lazy val x35IncrementalSql: String =
+    s"WITH $simhash16Cte, " +
+    "sig AS (SELECT d.doc_id, md5(d.text) AS ch, s.simhash16 " +
+    "FROM documents d JOIN sh16 s ON d.doc_id = s.doc_id), " +
+    "exc AS (SELECT DISTINCT ch FROM sig WHERE doc_id % 2 = 0), " +
+    "exs AS (SELECT DISTINCT simhash16 FROM sig WHERE doc_id % 2 = 0) " +
+    "SELECT s.doc_id, CASE WHEN e.ch IS NOT NULL THEN 'dup_exact' " +
+    "WHEN x.simhash16 IS NOT NULL THEN 'dup_near' ELSE 'kept' END AS status " +
+    "FROM sig s LEFT JOIN exc e ON s.ch = e.ch " +
+    "LEFT JOIN exs x ON s.simhash16 = x.simhash16 " +
+    "WHERE s.doc_id % 2 = 1 ORDER BY s.doc_id"
 
   /** x122 + x122b: the ~10% md5-coin "new batch" codes itself with the
     * SAME derived plane matrix and bucket-joins against OLD codes only;

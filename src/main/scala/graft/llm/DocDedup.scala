@@ -982,6 +982,42 @@ object DocDedup {
       .orderBy("doc_id")
   }
 
+  /** The x35 signature index as a PERSISTABLE artifact: each historical
+    * doc's (content hash, 16-bit md5 simhash) row — what a daily ingest
+    * stores after each corpus refresh and probes on arrival (the e15
+    * streaming bridge reads it back from parquet via
+    * `Tables.materializeOnce`, the x122b stored-index motion). Kept
+    * per-doc rather than pre-distinct'd: the probe's left-semi shape
+    * doesn't need distinctness, and the per-doc form also serves
+    * survivorship/audit consumers. */
+  def signatureIndexOf(existing: DataFrame): DataFrame =
+    existing
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("ch"))
+      .join(simhashMd5Of(existing), Seq("doc_id"))
+      .select("ch", "simhash16")
+
+  /** Probe an incoming (doc_id, text) frame — e.g. one micro-batch of the
+    * e15 ingest stream — against a stored signature index: `dup_exact` on
+    * content-hash membership, else `dup_near` on simhash collision, else
+    * `kept`. Per-doc pure (no cross-batch state), so ANY batching of the
+    * incoming set yields the same statuses — the property that lets the
+    * streamed form share x35's oracle. The index reduces to two DISTINCT
+    * short-key sets and both probes are hash equi-joins; at 100 TB the
+    * incoming batch is the small side by construction. */
+  def probeSignatureIndexAny(batch: DataFrame, index: DataFrame): DataFrame = {
+    val sig = batch
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("ch"))
+      .join(simhashMd5Of(batch), Seq("doc_id"))
+    val exCh = index.select("ch").distinct().withColumn("ex_ch", lit(1))
+    val exSh = index.select("simhash16").distinct().withColumn("ex_sh", lit(1))
+    sig.join(exCh, Seq("ch"), "left")
+      .join(exSh, Seq("simhash16"), "left")
+      .select(col("doc_id"),
+        when(col("ex_ch") === 1, "dup_exact")
+          .when(col("ex_sh") === 1, "dup_near")
+          .otherwise("kept").as("status"))
+  }
+
   /** x73: Bloom-filter membership PRE-FILTER for incremental dedup — the
     * compact-index answer to "is this incoming doc already in 100 TB of
     * history?" when even the distinct content-hash set (x35's index) is

@@ -391,6 +391,56 @@ object EventsStream {
       .orderBy("window_start")
   }
 
+  /** e15 DRIVER GATE: STREAMING→CURATION BRIDGE — new documents arriving
+    * as a stream, deduped per micro-batch against the PERSISTED signature
+    * index: the motion a live corpus actually runs, composing the
+    * foreachBatch twin-sink machinery with the stored-artifact path
+    * (x122b's materialize-once parquet index; here x35's signature index).
+    *
+    * Shape: the historical (even doc_id) half's (content-hash, simhash16)
+    * index is built ONCE and read back from parquet; the incoming (odd)
+    * half is staged as two mtime-ordered files with maxFilesPerTrigger=1,
+    * so the probe genuinely runs across micro-batch boundaries; each
+    * batch left-joins the index's two distinct short-key sets and appends
+    * its statuses to a parquet sink. Statuses are per-doc pure (no
+    * cross-batch state), so the drained sink holds exactly the batch
+    * answer — x35's oracle SQL verbatim, the same shared-oracle pattern
+    * as e5/e11.
+    *
+    * 100 TB: the index is the ONLY historical state touched (two distinct
+    * signature sets — the persisted artifact a daily ingest maintains);
+    * each micro-batch's cost is its own signatures + two hash equi-joins,
+    * linear in the batch, independent of corpus size. */
+  def incrementalDedupStreamGate(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.Tables.widen(graft.Tables.documents(spark, dir))
+      .select("doc_id", "text")
+    val index = graft.Tables.materializeOnce(spark, s"e15_sig_index:$dir")(
+      graft.llm.DocDedup.signatureIndexOf(docs.filter(col("doc_id") % 2 === 0)))
+    val stageDir = stagedTwoFileDir(spark, s"docs_odd:$dir") {
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+      val mm = incoming.agg(min("doc_id").as("mn"), max("doc_id").as("mx")).head()
+      val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+      (incoming.filter(col("doc_id") <= cut), incoming.filter(col("doc_id") > cut))
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    // fresh sink + checkpoint per run (the parquet sink accumulates across
+    // query lifetimes; staging and index are memoized, the run is not)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_e15_out_")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_e15_ck_")
+    graft.Tables.registerArtifactCleanup(outDir)
+    graft.Tables.registerArtifactCleanup(ckDir)
+    pinRocksDBStateStore(spark)
+    val probe: (DataFrame, Long) => Unit = (batch, _) =>
+      graft.llm.DocDedup.probeSignatureIndexAny(batch, index)
+        .write.mode("append").parquet(outDir.toString)
+    val q = stream.writeStream.foreachBatch(probe)
+      .option("checkpointLocation", ckDir.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir.toString).orderBy("doc_id")
+  }
+
   /** The e14 chain as a library form (unified API — also the batch twin):
     * window-equality stream-stream join on (user_id, hour window), then a
     * per-window pair count. In Append mode the count emits only once the
@@ -413,16 +463,29 @@ object EventsStream {
     * as two single-part parquet files whose distinct mod-times pin the
     * FileStreamSource batch order (half 1, older, is batch 1). */
   private def stagedSessionDir(spark: org.apache.spark.sql.SparkSession,
-      dir: String, ev: DataFrame): String = {
-    val k = (spark, dir)
-    val cached = sessionStageCache.get(k)
+      dir: String, ev: DataFrame): String =
+    stagedTwoFileDir(spark, s"events:$dir") {
+      val mm = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx")).head()
+      val cutUs = (mm.getLong(0) + mm.getLong(1)) / 2
+      (ev.filter(unix_micros(col("ts")) <= cutUs),
+        ev.filter(unix_micros(col("ts")) > cutUs))
+    }
+
+  /** Generic two-micro-batch staging (memoized per session+key): the two
+    * halves land as single-part parquet files whose distinct mod-times pin
+    * the FileStreamSource batch order — half 1 is batch 1. The staged
+    * directory is a pure function of its inputs, so reuse across runs is
+    * safe: each run opens a fresh streaming query over immutable files. */
+  private def stagedTwoFileDir(spark: org.apache.spark.sql.SparkSession,
+      cacheKey: String)(build: => (DataFrame, DataFrame)): String = {
+    val k = (spark, cacheKey)
+    val cached = twoFileStageCache.get(k)
     if (cached != null) return cached
-    val mm = ev.agg(min(unix_micros(col("ts"))).as("mn"),
-      max(unix_micros(col("ts"))).as("mx")).head()
-    val cutUs = (mm.getLong(0) + mm.getLong(1)) / 2
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream_sess_")
+    val (h1, h2) = build
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_stage_")
     def dump(df: DataFrame, name: String, mtime: Long): java.io.File = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sess_part_")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stage_part_")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = tmp.toFile.listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
@@ -431,7 +494,7 @@ object EventsStream {
       java.nio.file.Files.move(part.toPath, dst)
       // the distinct mtimes ARE the batch-order contract — fail loudly if
       // the filesystem refuses the set, rather than degrade to
-      // listing-order nondeterminism (half-1 events landing after the
+      // listing-order nondeterminism (half-1 rows landing after the
       // half-2 watermark and silently dropping)
       require(dst.toFile.setLastModified(mtime),
         s"could not pin mtime=$mtime on $dst — batch order would be undefined")
@@ -441,11 +504,9 @@ object EventsStream {
       java.nio.file.Files.deleteIfExists(tmp)
       dst.toFile
     }
-    // distinct mod-times pin the FileStreamSource batch order: half 1
-    // (older) is batch 1, half 2 is batch 2
     val t0 = System.currentTimeMillis() - 120000L
-    val f1 = dump(ev.filter(unix_micros(col("ts")) <= cutUs), "events_1.parquet", t0)
-    val f2 = dump(ev.filter(unix_micros(col("ts")) > cutUs), "events_2.parquet", t0 + 60000L)
+    val f1 = dump(h1, "half_1.parquet", t0)
+    val f2 = dump(h2, "half_2.parquet", t0 + 60000L)
     // re-read: the effective (possibly granularity-truncated) mtimes must
     // still order strictly, or the FileStreamSource batch split is undefined
     require(f1.lastModified() < f2.lastModified(),
@@ -454,10 +515,10 @@ object EventsStream {
     // recursive shutdown-hook cleanup (deleteOnExit skips non-empty dirs);
     // losers of a duplicate concurrent build register their dir too
     graft.Tables.registerArtifactCleanup(stage)
-    val prior = sessionStageCache.putIfAbsent(k, stage.toString)
+    val prior = twoFileStageCache.putIfAbsent(k, stage.toString)
     if (prior != null) prior else stage.toString
   }
-  private val sessionStageCache =
+  private val twoFileStageCache =
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String), String]()
 

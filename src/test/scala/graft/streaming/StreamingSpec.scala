@@ -360,6 +360,27 @@ class StreamingSpec extends SparkSpec {
       s"expected only the finalized 10:00 window, got ${got.toList}")
   }
 
+  test("e15: signature-index probe is batching-invariant and equals the batch x35 statuses") {
+    val docs = graft.Tables.widen(graft.Tables.documents(spark, sfDir))
+      .select("doc_id", "text")
+    val index = graft.llm.DocDedup.signatureIndexOf(docs.filter(col("doc_id") % 2 === 0))
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    def probe(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.DocDedup.probeSignatureIndexAny(df, index).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val whole = probe(incoming)
+    // any split of the incoming set must give the same statuses — the
+    // property that lets the foreachBatch stream share x35's oracle
+    val cut = incoming.agg((min("doc_id") + max("doc_id")) / 2).head().getDouble(0)
+    val batched = probe(incoming.filter(col("doc_id") <= cut)) ++
+      probe(incoming.filter(col("doc_id") > cut))
+    assert(whole == batched, "probe statuses changed under batching")
+    val x35 = graft.llm.DocDedup.incrementalDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(whole == x35,
+      s"probe≠x35: onlyProbe=${(whole -- x35).take(3)}, onlyX35=${(x35 -- whole).take(3)}")
+  }
+
   test("e10b: native session_window batch twin equals the hand session assembly") {
     // unified API: on a batch frame the native operator emits EVERY
     // session; compare against the e2 lag/sum assembly (the oracle's CTE
