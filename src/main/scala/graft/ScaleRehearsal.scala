@@ -113,8 +113,13 @@ object ScaleRehearsal {
     synthesize(spark, baseDir, outDir, factor)
     println(s"synthesized ${factor}x corpus at $outDir")
 
+    // e-family (streaming drains) joins the selection since e15: the
+    // streaming-ingest dedup reads documents, so it has a genuine 10× row
+    // (the events-backed e-gates stay measurable too — their events input
+    // is the fixed-size control table, so their rows isolate the
+    // per-trigger machinery cost from data cost)
     val xFamily = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => n.startsWith("x") || n.startsWith("m"))
+      .filter(n => n.startsWith("x") || n.startsWith("m") || n.startsWith("e"))
     // derived-planes variants: the gates pin nPlanes=6 to match the
     // oracle's literal plane matrix; the production path derives
     // nPlanes ≈ log2(n/32) (Similarity.autoPlanes), which must keep

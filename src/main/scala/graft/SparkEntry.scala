@@ -136,6 +136,9 @@ object SparkEntry {
     "win_decile_by_group" -> (Funcs.decileByGroup _),
     "x15_ngram_jaccard" -> ((s: SparkSession, d: String) => DocDedup.ngramJaccardPairs(s, d)),
     "x15b_auto_bands" -> ((s: SparkSession, d: String) => DocDedup.ngramJaccardPairsAuto(s, d)),
+    "x15c_calibrated_bands" -> ((s: SparkSession, d: String) => DocDedup.ngramJaccardPairsCalibrated(s, d)),
+    "x133_dup_weighting" -> ((s: SparkSession, d: String) => DocDedup.dupWeighting(s, d)),
+    "x134_ngram_novelty" -> ((s: SparkSession, d: String) => DocDedup.ngramNovelty(s, d)),
     "x17_dedup_clusters" -> ((s: SparkSession, d: String) => DocDedup.dedupClustersGate(s, d)),
     "x75_leak_safe_split" -> (DocDedup.leakSafeSplit _),
     "x82_frozen_split" -> ((s: SparkSession, d: String) => DocDedup.frozenSplitGate(s, d)),
@@ -322,6 +325,7 @@ object SparkEntry {
     "x78_contrastive_pairs" -> ((s: SparkSession, d: String) => Similarity.contrastivePairs(s, d)),
     "x71_pq_topk" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     "x71b_ivfpq_topk" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
+    "x132_pq_rerank" -> ((s: SparkSession, d: String) => Similarity.pqRerankTopK(s, d)),
     "x12_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.topKIvf(s, d)),
     "x24_vector_stats" -> ((s: SparkSession, d: String) => Similarity.vectorStats(s, d)),
     "x29_quantize_int8" -> ((s: SparkSession, d: String) => Similarity.quantizeInt8(s, d)),
@@ -669,6 +673,7 @@ object SparkEntry {
        "FROM daily ORDER BY d"),
     "x15_ngram_jaccard" -> (x15PairsSql + " ORDER BY id_a, id_b"),
     "x15b_auto_bands" -> x15bAutoSql,
+    "x15c_calibrated_bands" -> x15cCalibratedSql,
     // connected components over the x15 pairs: DuckDB side = recursive-CTE
     // reachability (min reachable id per node == min-label-propagation
     // fixpoint on an undirected graph)
@@ -699,6 +704,35 @@ object SparkEntry {
        "UNION ALL SELECT id_a FROM pairs UNION ALL SELECT id_b FROM pairs)) " +
        "SELECT n.doc_id, COALESCE(cl.cluster_id, n.doc_id) AS cluster_id " +
        "FROM nodes n LEFT JOIN cl ON cl.node = n.doc_id ORDER BY doc_id"),
+    "x133_dup_weighting" ->
+      // x17's recursive-CTE labels + one count per cluster; singletons
+      // (docs in no verified pair) weigh 10⁶. `//` mirrors the integer
+      // floor the Spark side casts to
+      (s"WITH RECURSIVE pairs AS ($x15PairsSql), " +
+       "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+       "UNION ALL SELECT id_b, id_a FROM pairs), " +
+       "reach(node, lab) AS (SELECT src, src FROM (SELECT DISTINCT src FROM e) " +
+       "UNION SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node), " +
+       "cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node), " +
+       "sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM cl GROUP BY 1) " +
+       "SELECT d.doc_id, COALESCE(sz.cluster_size, 1) AS cluster_size, " +
+       "1000000 // COALESCE(sz.cluster_size, 1) AS weight_ppm " +
+       "FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id " +
+       "LEFT JOIN sz ON sz.cluster_id = cl.cluster_id ORDER BY d.doc_id"),
+    "x134_ngram_novelty" ->
+      // distinct 3-shingles per doc (the sh construction), global first
+      // occurrence by min doc_id, integer-floor novelty share
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "shn AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
+       "list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
+       "ELSE [array_to_string(t, ' ')] END AS s FROM tok), " +
+       "ds AS (SELECT doc_id, unnest(list_distinct(s)) AS sg FROM shn), " +
+       "fst AS (SELECT sg, min(doc_id) AS first_doc FROM ds GROUP BY 1) " +
+       "SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
+       "CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+       "(CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) * 1000000) " +
+       "// CAST(count(*) AS BIGINT) AS novelty_ppm " +
+       "FROM ds d JOIN fst f ON f.sg = d.sg GROUP BY 1 ORDER BY 1"),
     "x92_source_budget" ->
       // x32's sqrt-scaled weights allocate the 100k global budget; each
       // source fills highest-quality-first (greedy prefix by running
@@ -1484,6 +1518,45 @@ object SparkEntry {
         "SELECT query_id, neighbor_id, dist_est, " +
         "CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist_est, neighbor_id) AS INT) AS rank " +
         "FROM s) WHERE rank <= 5 ORDER BY query_id, rank"
+    },
+    "x132_pq_rerank" -> {
+      // stage 1 = x71's ADC oracle verbatim with the pool widened to 25;
+      // stage 2 = exact single-fold Σ(x−y)² over the ORIGINAL doubles for
+      // candidates only, re-ranked per query (same reassociation caution
+      // as the codebook distances)
+      val m = 8; val subDim = 8
+      def sl(e: String, i: Int) = s"$e[${i * subDim + 1}:${(i + 1) * subDim}]"
+      val dCols = (0 until m).map { i =>
+        s"list_sum(list_transform(list_zip(${sl("v.vec", i)}, ${sl("c.cvec", i)}), " +
+          s"t -> (t[1]-t[2])*(t[1]-t[2]))) AS d$i"
+      }.mkString(", ")
+      val dlCols = (0 until m).map(i => s"list(d$i ORDER BY cid) AS dl$i").mkString(", ")
+      val codeCols = (0 until m)
+        .map(i => s"CAST(list_position(dl$i, list_min(dl$i)) AS INT) AS code$i").mkString(", ")
+      val distEst = (0 until m).map(i => s"q.dl$i[e.code$i]").mkString(" + ")
+      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings), " +
+        "cb AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < 16), " +
+        s"pairs AS (SELECT v.vec_id, c.cid, $dCols FROM v, cb c), " +
+        s"dlv AS (SELECT vec_id, $dlCols FROM pairs GROUP BY vec_id), " +
+        s"enc AS (SELECT *, $codeCols FROM dlv), " +
+        "q AS (SELECT vec_id AS query_id, " +
+        (0 until m).map(i => s"dl$i").mkString(", ") +
+        " FROM dlv WHERE vec_id < 20), " +
+        "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, " +
+        s"$distEst AS dist_est FROM q JOIN enc e ON e.vec_id <> q.query_id), " +
+        "cand AS (SELECT query_id, neighbor_id FROM (" +
+        "SELECT query_id, neighbor_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY dist_est, neighbor_id) AS rn " +
+        "FROM s) WHERE rn <= 25), " +
+        "ex AS (SELECT c.query_id, c.neighbor_id, " +
+        "list_sum(list_transform(list_zip(qv.vec, nv.vec), " +
+        "t -> (t[1]-t[2])*(t[1]-t[2]))) AS dist_exact " +
+        "FROM cand c JOIN v qv ON qv.vec_id = c.query_id " +
+        "JOIN v nv ON nv.vec_id = c.neighbor_id) " +
+        "SELECT query_id, rank, neighbor_id, dist_exact FROM (" +
+        "SELECT query_id, neighbor_id, dist_exact, " +
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist_exact, neighbor_id) AS INT) AS rank " +
+        "FROM ex) WHERE rank <= 5 ORDER BY query_id, rank"
     },
     "x71b_ivfpq_topk" -> {
       // x12's cells/probes verbatim + x71's rebuilt codebooks/codes/ADC,
@@ -3089,6 +3162,58 @@ object SparkEntry {
     "shd AS (SELECT doc_id, list_distinct(s) AS s FROM sh) " +
     "SELECT id_a, id_b, jaccard, CAST(s.r AS INT) AS rows_per_band, " +
     "CAST(8 // s.r AS INT) AS n_bands " +
+    "FROM (SELECT c.id_a, c.id_b, " +
+    "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard " +
+    "FROM acand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b), rsel s " +
+    "WHERE jaccard >= 0.5 ORDER BY id_a, id_b"
+  }
+
+  /** x15c: x15b's derived-geometry dispatch with the x110 MEASURED recall
+    * folded in as an integer correction factor — the oracle re-runs the
+    * whole loop itself: the simhash-witness truth sample, the deployed
+    * r=2,b=4 banding's found/expected counts (expected = Σ theory floor
+    * at each truth pair's bucket low edge — the same ppm floor-chain
+    * constants the Scala dispatch interpolates), the capped correction,
+    * and the corrected ladder selection. A divergence in ANY stage —
+    * audit, correction arithmetic, or geometry pick — is a hash mismatch
+    * because corr and (rows, bands) ride every output row. */
+  private lazy val x15cCalibratedSql: String = {
+    val logTerms = (0 until 48)
+      .map(i => s"(CASE WHEN n > ${1L << i} THEN 1 ELSE 0 END)").mkString(" + ")
+    val tCase = (5 to 10).map(b =>
+      s"WHEN $b THEN ${DocDedup.bandRecallPpmAt(b * 100000L, 2, 4)}").mkString(" ")
+    def corrected(r: Int, b: Int): String =
+      s"((${bandRecallPpmSql(r, b)} * c.corr) // 1000000)"
+    shingleBandsCte + bandCandShdCte(directed = false) +
+    s", $simhash16Cte, " +
+    "sh16c AS (SELECT * FROM sh16 WHERE doc_id < 10000), " +
+    "chs AS (SELECT doc_id, simhash16, i, CASE WHEN i = 0 THEN simhash16 & 255 " +
+    "ELSE (simhash16 >> 8) & 255 END AS chunk FROM sh16c, range(0, 2) r(i)), " +
+    "scand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM chs a " +
+    "JOIN chs b ON a.i = b.i AND a.chunk = b.chunk AND a.doc_id < b.doc_id " +
+    "AND bit_count(xor(a.simhash16, b.simhash16)) <= 1), " +
+    "truth AS (SELECT id_a, id_b, jaccard FROM (SELECT c.id_a, c.id_b, " +
+    "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard " +
+    "FROM scand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b) " +
+    "WHERE jaccard >= 0.5), " +
+    "fe AS (SELECT CAST(sum(CASE WHEN cand.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS f, " +
+    s"CAST(sum(CASE CAST(floor(t.jaccard * 10.0) AS BIGINT) $tCase END) AS BIGINT) AS e " +
+    "FROM truth t LEFT JOIN cand ON cand.id_a = t.id_a AND cand.id_b = t.id_b), " +
+    "cor AS (SELECT CASE WHEN e IS NULL OR e = 0 THEN 1000000 " +
+    "ELSE least(1000000, (f * 1000000 * 1000000) // e) END AS corr FROM fe), " +
+    s"prm AS (SELECT CASE WHEN r_raw <= 1 THEN 1 WHEN r_raw <= 2 THEN 2 ELSE 4 END AS r0 " +
+    s"FROM (SELECT (l + 3) // 4 AS r_raw FROM (SELECT ($logTerms) AS l " +
+    "FROM (SELECT count(*) AS n FROM documents)))), " +
+    s"rsel AS (SELECT CASE WHEN p.r0 >= 4 AND ${corrected(4, 2)} >= 600000 THEN 4 " +
+    s"WHEN p.r0 >= 2 AND ${corrected(2, 4)} >= 600000 THEN 2 " +
+    "ELSE 1 END AS r, c.corr AS corr FROM prm p, cor c), " +
+    "aband AS (SELECT m.doc_id, m.i // s.r AS j, " +
+    "string_agg(CAST(m.comp AS VARCHAR), ':' ORDER BY m.i) AS key " +
+    "FROM mh m, rsel s GROUP BY 1, 2), " +
+    "acand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM aband a " +
+    "JOIN aband b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id) " +
+    "SELECT id_a, id_b, jaccard, CAST(s.r AS INT) AS rows_per_band, " +
+    "CAST(8 // s.r AS INT) AS n_bands, CAST(s.corr AS BIGINT) AS calib_ppm " +
     "FROM (SELECT c.id_a, c.id_b, " +
     "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard " +
     "FROM acand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b), rsel s " +

@@ -505,6 +505,66 @@ object DocDedup {
       .getOrElse(1)
   }
 
+  /** x15c: the x110→x15b feedback loop CLOSED with a MEASURED correction.
+    * x110 measures the deployed (r=2, b=4) banding's recall against an
+    * independent simhash witness; this folds that measurement into one
+    * integer calibration factor: corr_ppm = found_pairs · 10¹² / Σ_pair
+    * theory_ppm(pair's bucket low edge), capped at 10⁶ so a witness that
+    * OVERPERFORMS theory can never loosen geometry — the correction only
+    * tightens. The audit is ≤7 bucket rows at ANY corpus size (Jaccard
+    * deciles ≥ 0.5), so the driver read is corpus-size-independent — the
+    * Skew.keySkewProfile peek pattern. The truth sample rides the
+    * hard-capped 16-bit witness, so found_pairs is bounded and the 10¹²
+    * scaling can't overflow a long (require below documents the bound). */
+  private[graft] def bandCalibrationPpm(spark: SparkSession, dir: String): Long = {
+    val audit = bandRecallAudit(spark, dir)
+      .select("j_bucket", "n_true_pairs", "n_found").collect()
+    val found = audit.map(_.getLong(2)).sum
+    require(found < 9000000L,
+      s"witness found-pair count $found exceeds the capped-witness bound; " +
+      "calibration arithmetic assumes the hard-capped 16-bit truth sample")
+    // expected found under the deployed r=2,b=4 theory, each pair bounded
+    // below by its bucket's LOW edge (the curve is monotone in j)
+    val expected = audit.map(r =>
+      r.getLong(1) * bandRecallPpmAt(r.getLong(0) * 100000L, 2, 4)).sum
+    if (expected == 0L) 1000000L
+    else math.min(1000000L, found * 1000000L * 1000000L / expected)
+  }
+
+  /** The x15b size/target ladder with the measured correction applied:
+    * predicted recall at each candidate geometry is DERATED by corr_ppm
+    * before the target comparison, so a witness that underperforms theory
+    * forces more, shorter bands (higher recall) than theory alone would.
+    * corr_ppm = 10⁶ (theory confirmed or overconfirmed) reduces exactly
+    * to autoBandRows. */
+  private[graft] def autoBandRowsCalibrated(nDocs: Long, corrPpm: Long,
+      targetRecallPpm: Long = 600000L): Int = {
+    val l = (0 until 48).count(i => nDocs > (1L << i))
+    val rRaw = (l + 3) / 4
+    val r0 = if (rRaw <= 1) 1 else if (rRaw <= 2) 2 else 4
+    Iterator.iterate(r0)(_ / 2).takeWhile(_ >= 1)
+      .find(r => bandRecallPpm(r, 8 / r) * corrPpm / 1000000L >= targetRecallPpm)
+      .getOrElse(1)
+  }
+
+  /** x15c gate: x15b's derived-geometry pipeline with the measured recall
+    * correction in the dispatch. The calibration factor and the geometry
+    * it selected ride every output row, so the oracle's independent
+    * re-derivation of BOTH (from its own x110-equivalent audit and its
+    * own count(*)) is part of the hash check. */
+  def ngramJaccardPairsCalibrated(spark: SparkSession, dir: String,
+      targetRecallPpm: Long = 600000L): DataFrame = {
+    val corr = bandCalibrationPpm(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val r = autoBandRowsCalibrated(docs.count(), corr, targetRecallPpm)
+    ngramJaccard(docs, bandCandidatesWith(spark, dir, k = 8, rowsPer = r))
+      .filter(col("jaccard") >= 0.5)
+      .withColumn("rows_per_band", lit(r).cast("int"))
+      .withColumn("n_bands", lit(8 / r).cast("int"))
+      .withColumn("calib_ppm", lit(corr).cast("long"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** x15b gate: the x15 pipeline with DERIVED band geometry — one
     * metadata-cheap count(*) picks (rows, bands), then the md5-witness
     * banding and exact-Jaccard verification run exactly as x15. The
@@ -1458,6 +1518,57 @@ object DocDedup {
       .select(col("cluster_size"), col("n_clusters"),
         (col("cluster_size") * col("n_clusters")).as("n_docs"))
       .orderBy("cluster_size")
+  }
+
+  /** x133: duplicate-count SOFT WEIGHTING — the alternative to hard
+    * dedup several training pipelines prefer: keep every document, but
+    * weight each near-dup cluster member by 1/cluster_size, so one unit
+    * of distinct content contributes one unit of training mass whether
+    * it was crawled once or fifty times. Hard dedup (x30) is the
+    * cluster_size→∞ limit; soft weighting preserves benign repetition
+    * signal (templates, canonical texts) that survivorship would erase.
+    *
+    * weight_ppm = 10⁶ // cluster_size — integer-exact, never a float
+    * share. Scale: rides the materialized CC labels (the x107 contract);
+    * sizes is one count per cluster label and both joins are doc_id /
+    * cluster_id equi-joins — no new shuffle family. */
+  def dupWeighting(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(spark, dir)
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .join(sizes, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        floor(lit(1000000L) / coalesce(col("cluster_size"), lit(1L)))
+          .cast("long").as("weight_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** x134: N-GRAM NOVELTY — per document, the share of its distinct
+    * 3-shingles whose global FIRST occurrence (min doc_id — in a lake,
+    * ingestion order) is this document. High-novelty docs introduce new
+    * content; near-zero novelty marks late near-copies and template
+    * assemblies even when no single pair crosses the dedup threshold —
+    * the curriculum/memorization signal between x28 (within-doc
+    * repetition) and x15 (cross-doc pairs).
+    *
+    * Scale: the shuffle carries distinct (shingle, doc) pairs exactly
+    * like x93's boilerplate family; first-occurrence is a shingle-keyed
+    * min; the re-join stays on the same key so one exchange serves both
+    * sides. novelty_ppm is an integer floor. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val ds = Tables.documents(spark, dir).select(col("doc_id"),
+      explode(array_distinct(shingles(split(col("text"), " ")))).as("s"))
+    val first = ds.groupBy("s").agg(min("doc_id").as("first_doc"))
+    ds.join(first, Seq("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm",
+        floor(col("n_novel") * lit(1000000L) / col("n_shingles")).cast("long"))
+      .orderBy("doc_id")
   }
 
   /** x108: CROSS-SOURCE DUPLICATION MATRIX — which source pairs share

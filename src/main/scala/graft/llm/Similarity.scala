@@ -456,6 +456,41 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** x132: retrieve-then-rerank — THE production ANN serving motion: the
+    * compressed index (x71's PQ/ADC estimate) retrieves a candidate pool
+    * of `nCand` per query, then the ORIGINAL floats rescore only that
+    * pool exactly and the final top-k ranks by exact squared L2. ADC
+    * distances are estimates (codebook quantization error), so a rerank
+    * over ~5× the wanted k recovers near-exact quality while the exact
+    * arithmetic touches nQueries·nCand rows instead of the corpus.
+    *
+    * Scale shape: stage 1 is x71's audited plan (broadcast distance
+    * tables over the 8-byte codes scan, bounded top-nCand heap); stage 2
+    * semi-prunes the float table to candidate ids with an equi-join on
+    * vec_id before any exact distance is computed — the expensive
+    * full-width vectors are read for candidates only, never joined
+    * all-pairs. At lake scale stage 1 composes with IVF cells (x71b)
+    * unchanged. */
+  def pqRerankTopK(spark: SparkSession, dir: String, nQueries: Int = 20,
+      k: Int = 5, nCand: Int = 25): DataFrame = {
+    val cand = pqTopK(spark, dir, nQueries, nCand)
+      .select("query_id", "neighbor_id")
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val qv = vecs.select(col("vec_id").as("query_id"), col("vec").as("qv"))
+    val nv = vecs.select(col("vec_id").as("neighbor_id"), col("vec").as("nv"))
+    val w = Window.partitionBy("query_id").orderBy(asc("dist_exact"), asc("neighbor_id"))
+    cand.join(broadcast(qv.filter(col("query_id") < nQueries)), Seq("query_id"))
+      .join(nv, Seq("neighbor_id"))
+      // single fold Σ(x−y)² — the x71 codebook caution: the expanded
+      // s2 − 2·dot + n2 form reassociates differently across engines
+      .withColumn("dist_exact", normSq(zip_with(col("qv"), col("nv"), (x, y) => x - y)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dist_exact")
+      .orderBy("query_id", "rank")
+  }
+
   /** The PQ codes table alone (the 32×-compressed index a production
     * deployment persists): vec_id + 8 small-int codes. */
   def pqEncode(spark: SparkSession, dir: String): DataFrame = {

@@ -575,6 +575,12 @@ object EventsStream {
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
   }
 
+  /** Diagnostic only: the progress events of the most recent gate run,
+    * read by `StateMetricsProbe` to report MEASURED RocksDB state sizes
+    * for SCALE.md. Never consulted by any data path. */
+  @volatile private[graft] var lastGateProgress:
+      Array[org.apache.spark.sql.streaming.StreamingQueryProgress] = Array.empty
+
   /** Run a streaming frame to completion into a memory sink and return
     * the drained result table. */
   private def runToMemory(spark: org.apache.spark.sql.SparkSession,
@@ -582,7 +588,10 @@ object EventsStream {
     pinRocksDBStateStore(spark)
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      lastGateProgress = q.recentProgress
+    } finally q.stop()
     spark.table(name)
   }
 

@@ -3,52 +3,122 @@ package graft.llm
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Round-13 regression pins for the advisor findings: autoSalts clamps at
-  * the shuffle-partition count (no small-side explosion under extreme
-  * skew), keySkewProfile rejects keys colliding with its INTERNAL names
-  * too, and the int8 parity ranking excludes zero-norm vectors instead of
-  * feeding NaN scores into row_number. */
+/** Round-13 pins: the x110→geometry feedback loop closed (x15c) — the
+  * measured witness recall becomes an integer correction factor in the
+  * band-geometry dispatch, and the calibrated gate's output carries both
+  * the factor and the geometry it selected. */
 class Round13Spec extends SparkSpec {
 
-  test("autoSalts: extreme skew clamps at spark.sql.shuffle.partitions") {
-    import spark.implicits._
-    // one key owns 91/100 rows over 10 keys: load_x100 = 91·10·100/100 =
-    // 9100 → derived 91 salts, clamped to the session's 4 shuffle
-    // partitions (more salts than reducers only replicates the small side)
-    val skewed = ((1 to 91).map(_ => "hot") ++ (1 to 9).map(i => s"k$i"))
-      .toDF("k").withColumn("rid", monotonically_increasing_id())
-    assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
-    assert(graft.operators.Skew.autoSalts(skewed, "k") == 4)
-    // the clamped salted join still matches the plain inner join row-for-row
-    val dim = Seq(("hot", 1L), ("k1", 2L), ("k9", 3L)).toDF("k", "lbl")
-    val got = graft.operators.Skew
-      .autoSaltedJoin(skewed, dim, "k", col("rid"))
-      .groupBy("k").agg(count(lit(1)).as("n"), sum("lbl").as("s"))
-      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val want = skewed.join(dim, "k")
-      .groupBy("k").agg(count(lit(1)).as("n"), sum("lbl").as("s"))
-      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    assert(got.sameElements(want), s"salted≠plain: ${got.toSeq} vs ${want.toSeq}")
+  test("x15c: calibrated ladder — corr=1e6 reduces exactly to autoBandRows") {
+    for (n <- Seq(16L, 500L, 60000L, 1L << 40))
+      assert(DocDedup.autoBandRowsCalibrated(n, 1000000L) ==
+        DocDedup.autoBandRows(n),
+        s"n=$n: full-confidence correction must not change the geometry")
   }
 
-  test("keySkewProfile: internal __-names are rejected as loudly as output names") {
-    import spark.implicits._
-    val df = Seq("a", "b").toDF("__n")
-    intercept[IllegalArgumentException] {
-      graft.operators.Skew.keySkewProfile(df, "__n")
-    }
-    intercept[IllegalArgumentException] {
-      graft.operators.Skew.keySkewProfile(df.withColumnRenamed("__n", "__total"), "__total")
-    }
+  test("x15c: an underperforming witness forces more, shorter bands") {
+    // at n=60000 theory picks r=2 (683594 ppm clears 600k); a measured
+    // correction of 0.8 derates it to 546875 — below target, so the
+    // dispatch must step to r=1 (recall 996094·0.8 = 796875, clears)
+    assert(DocDedup.autoBandRowsCalibrated(60000L, 1000000L) == 2)
+    assert(DocDedup.autoBandRowsCalibrated(60000L, 800000L) == 1)
+    // a catastrophic witness exhausts the ladder and lands on r=1
+    assert(DocDedup.autoBandRowsCalibrated(60000L, 100000L) == 1)
   }
 
-  test("x131: zero-norm vectors are excluded from both rankings (no NaN ordering)") {
-    // the sf0.001 fixture has no zero vectors, so the guard must be a
-    // no-op there: parity output is identical with and without the filter
-    // — this pins that the filter exists AND that it is semantically
-    // the NaN guard, not a result change
-    val out = Similarity.int8TopKParity(spark, sfDir, nQueries = 5, k = 3).collect()
-    assert(out.length == 5)
-    assert(out.forall(r => r.getLong(1) >= 0L && r.getLong(1) <= 3L))
+  test("x15c: the measured correction is integer-exact, positive, capped at 1e6") {
+    val corr = DocDedup.bandCalibrationPpm(spark, sfDir)
+    assert(corr > 0L && corr <= 1000000L, s"corr=$corr out of range")
+    // the fixture's witness sample is non-vacuous (Round12Spec pins the
+    // audit non-empty), so the cap-or-measured branch actually ran:
+    // re-derive the factor from the audit components by hand
+    val audit = DocDedup.bandRecallAudit(spark, sfDir)
+      .select("j_bucket", "n_true_pairs", "n_found").collect()
+    val found = audit.map(_.getLong(2)).sum
+    val expected = audit.map(r =>
+      r.getLong(1) * DocDedup.bandRecallPpmAt(r.getLong(0) * 100000L, 2, 4)).sum
+    val byHand =
+      if (expected == 0L) 1000000L
+      else math.min(1000000L, found * 1000000L * 1000000L / expected)
+    assert(corr == byHand, s"corr=$corr != recomputed $byHand")
+  }
+
+  test("x15c: gate output carries the geometry the calibrated dispatch selected") {
+    val out = DocDedup.ngramJaccardPairsCalibrated(spark, sfDir).persist()
+    val n = graft.Tables.documents(spark, sfDir).count()
+    val corr = DocDedup.bandCalibrationPpm(spark, sfDir)
+    val rExpect = DocDedup.autoBandRowsCalibrated(n, corr)
+    val rows = out.select("rows_per_band", "n_bands", "calib_ppm").distinct().collect()
+    assert(rows.length == 1, s"one geometry row expected, got ${rows.toSeq}")
+    assert(rows(0).getInt(0) == rExpect && rows(0).getInt(1) == 8 / rExpect &&
+      rows(0).getLong(2) == corr,
+      s"geometry ${rows(0)} != derived (r=$rExpect, b=${8 / rExpect}, corr=$corr)")
+    // when the measurement confirms theory (corr at cap), the calibrated
+    // pair set is exactly x15b's — the correction changes nothing it
+    // shouldn't
+    if (corr == 1000000L) {
+      val base = DocDedup.ngramJaccardPairsAuto(spark, sfDir)
+        .select("id_a", "id_b", "jaccard")
+      assert(out.select("id_a", "id_b", "jaccard").except(base).isEmpty &&
+        base.except(out.select("id_a", "id_b", "jaccard")).isEmpty,
+        "capped correction must reproduce x15b's pair set")
+    }
+    out.unpersist()
+  }
+
+  test("x132: rerank returns exact-distance top-k drawn from the ADC candidate pool") {
+    val rr = Similarity.pqRerankTopK(spark, sfDir).persist()
+    val pool = Similarity.pqTopK(spark, sfDir, k = 25)
+      .select("query_id", "neighbor_id")
+    // subset of the stage-1 pool, k rows per query, ranks dense from 1
+    assert(rr.join(pool, Seq("query_id", "neighbor_id"), "left_anti").isEmpty,
+      "reranked rows must come from the ADC candidate pool")
+    val perQ = rr.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
+      .collect()
+    assert(perQ.length == 20 &&
+      perQ.forall(r => r.getLong(1) == 5L && r.getInt(2) == 1 && r.getInt(3) == 5),
+      s"20 queries × dense ranks 1..5 expected: ${perQ.toSeq}")
+    // the ranking IS by exact distance: rank order == dist_exact order
+    val bad = rr.as("a").join(rr.as("b"),
+      col("a.query_id") === col("b.query_id") && col("a.rank") < col("b.rank") &&
+        col("a.dist_exact") > col("b.dist_exact")).count()
+    assert(bad == 0L, "rank must be non-decreasing in exact distance")
+    rr.unpersist()
+  }
+
+  test("x133: cluster mass is conserved — member weights sum to ~1e6 per cluster") {
+    val w = DocDedup.dupWeighting(spark, sfDir).persist()
+    assert(w.count() == graft.Tables.documents(spark, sfDir).count(),
+      "soft weighting keeps every document")
+    // singletons weigh exactly 1e6; members exactly 1e6 // size
+    assert(w.filter(col("cluster_size") === 1 && col("weight_ppm") =!= 1000000L).isEmpty)
+    assert(w.filter(col("weight_ppm") =!=
+      floor(lit(1000000L) / col("cluster_size")).cast("long")).isEmpty)
+    // per cluster the total mass is 1e6 up to the integer-floor remainder
+    val labels = DocDedup.clusterLabels(spark, sfDir)
+    val mass = w.join(labels, Seq("doc_id"))
+      .groupBy("cluster_id").agg(sum("weight_ppm").as("m"), count(lit(1)).as("n"))
+      .filter(col("m") > 1000000L || col("m") <= lit(1000000L) - col("n"))
+    assert(mass.isEmpty, "cluster mass must be within the floor remainder of 1e6")
+    w.unpersist()
+  }
+
+  test("x134: first document is fully novel; counts reconcile globally") {
+    val nv = DocDedup.ngramNovelty(spark, sfDir).persist()
+    val firstDoc = nv.agg(min("doc_id")).head().getLong(0)
+    assert(nv.filter(col("doc_id") === firstDoc)
+      .head().getAs[Long]("novelty_ppm") == 1000000L,
+      "the earliest doc's shingles are all first occurrences")
+    assert(nv.filter(col("novelty_ppm") < 0 || col("novelty_ppm") > 1000000L).isEmpty)
+    // every distinct shingle has exactly one first occurrence
+    val totNovel = nv.agg(sum("n_novel")).head().getLong(0)
+    val distinctShingles = graft.Tables.documents(spark, sfDir)
+      .select(explode(array_distinct(
+        DocDedup.shingles(split(col("text"), " ")))).as("s"))
+      .select("s").distinct().count()
+    assert(totNovel == distinctShingles,
+      s"sum(n_novel)=$totNovel != global distinct shingles $distinctShingles")
+    nv.unpersist()
   }
 }

@@ -29,9 +29,13 @@ class PlanAuditSpec extends SparkSpec {
     // beside the full one — same hard vec_id cap, same sanction
     // x131 is x6's bounded-query broadcast ranking run twice (float +
     // int8 codes) — same nQueries cap, same sanction
+    // x132's stage 1 is x71's ADC probe verbatim (20 broadcast distance
+    // tables over the codes scan); its stage-2 exact rescore is pure
+    // equi-joins on candidate ids — the NLJ it inherits is x71's
     Set("x5_embed_neardup", "x6_ann_topk", "x12_ivf_topk", "x42_semantic_dedup",
       "x67_hard_negatives", "x71_pq_topk", "x71b_ivfpq_topk", "x78_contrastive_pairs",
-      "x80_semantic_decontaminate", "x88_matryoshka", "x131_int8_topk_parity")
+      "x80_semantic_decontaminate", "x88_matryoshka", "x131_int8_topk_parity",
+      "x132_pq_rerank")
 
   private lazy val plans: Map[String, String] = {
     graft.functions.GraftFunctions.register(spark)
