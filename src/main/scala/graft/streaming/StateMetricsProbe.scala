@@ -30,22 +30,24 @@ object StateMetricsProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
-    println("| gate | operator | rows in state (max) | state mem (max) | rocksdb sst (max) | rocksdb mem (max) |")
-    println("|---|---|---|---|---|---|")
     for (g <- gates) {
       val n = graft.SparkEntry.queries(g)(spark, dir).count()
       val ops = EventsStream.lastGateProgress.flatMap(_.stateOperators)
         .groupBy(_.operatorName)
-      if (ops.isEmpty) println(s"| $g | (stateless) | — | — | — | — |")
+      if (ops.isEmpty) println(s"$g: (stateless), drained $n rows")
       for ((name, ps) <- ops.toSeq.sortBy(_._1)) {
-        def maxCustom(k: String): Long =
-          ps.map(p => Option(p.customMetrics.get(k)).map(_.longValue).getOrElse(0L)).max
-        println(s"| $g | $name | ${ps.map(_.numRowsTotal).max} " +
-          s"| ${ps.map(_.memoryUsedBytes).max} B " +
-          s"| ${maxCustom("rocksdbSstFileSize")} B " +
-          s"| ${maxCustom("rocksdbTotalMemoryUsage")} B |")
+        // max across batches of every reported metric; nonzero only — the
+        // RocksDB provider's metric names are whatever this Spark build
+        // publishes, so print them all instead of guessing keys
+        val customMax = ps.flatMap { p =>
+          import scala.jdk.CollectionConverters._
+          p.customMetrics.asScala.map { case (k, v) => k -> v.longValue }
+        }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+          .filter(_._2 != 0L).toSeq.sortBy(_._1)
+        println(s"$g / $name: rowsInState=${ps.map(_.numRowsTotal).max} " +
+          s"memoryUsedBytes=${ps.map(_.memoryUsedBytes).max} drained=$n")
+        customMax.foreach { case (k, v) => println(s"  $k = $v") }
       }
-      println(s"<!-- $g drained $n rows -->")
     }
     spark.stop()
   }
