@@ -1555,14 +1555,17 @@ object DocDedup {
     * repetition) and x15 (cross-doc pairs).
     *
     * Scale: the shuffle carries distinct (shingle, doc) pairs exactly
-    * like x93's boilerplate family; first-occurrence is a shingle-keyed
-    * min; the re-join stays on the same key so one exchange serves both
-    * sides. novelty_ppm is an integer floor. */
+    * like x93's boilerplate family; first-occurrence is a shingle-
+    * partitioned window min, so ONE shingle-keyed exchange serves the
+    * whole global step (a groupBy+re-join would shuffle the pair set on
+    * the same key twice), then one doc-keyed aggregate. novelty_ppm is
+    * an integer floor. */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ds = Tables.documents(spark, dir).select(col("doc_id"),
       explode(array_distinct(shingles(split(col("text"), " ")))).as("s"))
-    val first = ds.groupBy("s").agg(min("doc_id").as("first_doc"))
-    ds.join(first, Seq("s"))
+    ds.withColumn("first_doc",
+        min("doc_id").over(Window.partitionBy("s")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
