@@ -331,6 +331,7 @@ object SparkEntry {
     "x29_quantize_int8" -> ((s: SparkSession, d: String) => Similarity.quantizeInt8(s, d)),
     "x7_lang_id" -> (TextStats.langId _),
     "x8_quality_score" -> (TextStats.qualityScore _),
+    "x135_quality_drift" -> (TextStats.qualityDrift _),
     "x85_quality_quantile_norm" ->
       ((s: SparkSession, d: String) => Curation.qualityQuantileNormalize(s, d)),
     "x90_rendezvous_shards" ->
@@ -1687,6 +1688,26 @@ object SparkEntry {
        s"greatest(${markerSql("en")}, ${markerSql("de")}, ${markerSql("fr")}, ${markerSql("es")}) AS best " +
        "FROM documents) ORDER BY doc_id"),
     "x8_quality_score" -> (x8QualitySql + " ORDER BY doc_id"),
+    "x135_quality_drift" ->
+      // even/odd snapshot halves (the x35 convention), decile bins of the
+      // shared x8 score, integer-ppm shares, and the log-free chi-square
+      // surrogate (p−q)²//(p+q) — ln would be a libm cross-engine ulp
+      // hazard; this surrogate ranks drifted bins identically and is exact
+      (s"WITH q AS ($x8QualitySql), " +
+       "b AS (SELECT least(CAST(floor(quality_score * 10.0) AS BIGINT), 9) AS bin, " +
+       "doc_id % 2 = 0 AS is_prev FROM q), " +
+       "agg AS (SELECT bin, CAST(sum(CASE WHEN is_prev THEN 1 ELSE 0 END) AS BIGINT) AS n_prev, " +
+       "CAST(sum(CASE WHEN NOT is_prev THEN 1 ELSE 0 END) AS BIGINT) AS n_cur FROM b GROUP BY 1), " +
+       "t AS (SELECT bin, n_prev, n_cur, " +
+       "CAST(sum(n_prev) OVER () AS BIGINT) AS tot_prev, " +
+       "CAST(sum(n_cur) OVER () AS BIGINT) AS tot_cur FROM agg), " +
+       "s AS (SELECT bin, n_prev, n_cur, " +
+       "CASE WHEN tot_prev = 0 THEN 0 ELSE n_prev * 1000000 // tot_prev END AS p_ppm, " +
+       "CASE WHEN tot_cur = 0 THEN 0 ELSE n_cur * 1000000 // tot_cur END AS q_ppm FROM t) " +
+       "SELECT bin, n_prev, n_cur, p_ppm, q_ppm, " +
+       "CASE WHEN p_ppm + q_ppm = 0 THEN 0 " +
+       "ELSE (p_ppm - q_ppm) * (p_ppm - q_ppm) // (p_ppm + q_ppm) END AS drift_ppm " +
+       "FROM s ORDER BY bin"),
     "x85_quality_quantile_norm" ->
       // per-source percent_rank of the x8 quality score (DuckDB's
       // percent_rank = (rank-1)/(n-1), ties share min rank — identical to

@@ -78,6 +78,44 @@ object TextStats {
       .select("doc_id", "n_chars_m", "n_tokens", "avg_token_len", "stop_ratio", "quality_score")
       .orderBy("doc_id")
 
+  /** x135: QUALITY-DISTRIBUTION DRIFT between two corpus snapshots — the
+    * release-monitoring table for the TEXT-quality axis (x109 is the same
+    * motion for embeddings, x79 the per-source quality report): per score
+    * decile, the historical (even doc_id — the x35 snapshot convention)
+    * vs current (odd) share, and an integer chi-square-style divergence
+    * contribution (p−q)²/(p+q) in ppm. PSI's ln term is deliberately
+    * absent — libm ln differs by ulps across engines (the log-free-RSJ
+    * lesson from BM25), while this surrogate ranks drifted bins
+    * identically and is EXACT: shares are integer-ppm floor-divs of
+    * exact counts, the contribution a floor-div of exact longs.
+    *
+    * Scale: one x8 scan → a ≤10-row (bin, half) aggregate; the share
+    * denominators are window sums OVER THE AGGREGATE (bounded input —
+    * the PlanAuditSpec-sanctioned global-window shape). */
+  def qualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityScore(spark, dir).select(
+      least(floor(col("quality_score") * 10.0), lit(9.0)).cast("long").as("bin"),
+      (col("doc_id") % 2 === 0).as("is_prev"))
+    val w = Window.partitionBy()
+    q.groupBy("bin")
+      .agg(sum(when(col("is_prev"), 1L).otherwise(0L)).as("n_prev"),
+        sum(when(!col("is_prev"), 1L).otherwise(0L)).as("n_cur"))
+      .withColumn("tot_prev", sum("n_prev").over(w))
+      .withColumn("tot_cur", sum("n_cur").over(w))
+      // an absent half (every doc in one snapshot) is a legitimate input:
+      // its shares are 0, never a division error
+      .withColumn("p_ppm", expr(
+        "CASE WHEN tot_prev = 0 THEN 0 ELSE n_prev * 1000000 div tot_prev END"))
+      .withColumn("q_ppm", expr(
+        "CASE WHEN tot_cur = 0 THEN 0 ELSE n_cur * 1000000 div tot_cur END"))
+      .withColumn("drift_ppm", expr(
+        "CASE WHEN p_ppm + q_ppm = 0 THEN 0 " +
+        "ELSE (p_ppm - q_ppm) * (p_ppm - q_ppm) div (p_ppm + q_ppm) END"))
+      .select("bin", "n_prev", "n_cur", "p_ppm", "q_ppm", "drift_ppm")
+      .orderBy("bin")
+  }
+
   /** x9: token counting — whitespace tokens and a BPE-ish regex token count
     * (letter runs / digit runs / single punctuation, the GPT-2 pre-tokenizer
     * shape). */

@@ -121,4 +121,25 @@ class Round13Spec extends SparkSpec {
       s"sum(n_novel)=$totNovel != global distinct shingles $distinctShingles")
     nv.unpersist()
   }
+
+  test("x135: halves partition the corpus; shares and drift recompute exactly") {
+    val d = TextStats.qualityDrift(spark, sfDir).collect()
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    val (totPrev, totCur) = (d.map(_.getLong(1)).sum, d.map(_.getLong(2)).sum)
+    assert(totPrev + totCur == nDocs, "bins must partition the corpus")
+    assert(totPrev > 0 && totCur > 0, "fixture has both snapshot halves")
+    // integer-floor shares sum to 1e6 within the per-bin floor remainder
+    val pSum = d.map(_.getLong(3)).sum
+    assert(pSum <= 1000000L && pSum > 1000000L - d.length,
+      s"prev shares sum $pSum out of floor range")
+    // every row's arithmetic recomputes from its own counts
+    d.foreach { r =>
+      val (np, nc, p, q, drift) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(p == np * 1000000L / totPrev && q == nc * 1000000L / totCur,
+        s"share mismatch at bin ${r.getLong(0)}")
+      val expect = if (p + q == 0) 0L else (p - q) * (p - q) / (p + q)
+      assert(drift == expect, s"drift mismatch at bin ${r.getLong(0)}")
+    }
+  }
 }
