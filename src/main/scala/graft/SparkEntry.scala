@@ -233,6 +233,8 @@ object SparkEntry {
       graft.streaming.EventsStream.joinAggStreamGate(s, d)),
     "e15_stream_ingest_dedup" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.incrementalDedupStreamGate(s, d)),
+    "e16_stream_quality_router" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventsStream.qualityRouterStreamGate(s, d)),
     "e2_sessionize" -> ((s: SparkSession, d: String) => Funcs.sessionizeEvents(s, d)),
     "e6_trending_topk" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.trendingTopK(
@@ -2123,6 +2125,30 @@ object SparkEntry {
     // signature index via foreachBatch — statuses are per-doc pure, so
     // the streamed form shares x35's oracle verbatim (the e5/e11 pattern)
     "e15_stream_ingest_dedup" -> x35IncrementalSql,
+    "e16_stream_quality_router" ->
+      // train/score split of the x59 oracle: the LM's counts come from the
+      // even (historical) half only; quality/classifier votes and the
+      // verdict are evaluated on the odd (incoming) half. Statuses are
+      // per-doc pure given the frozen model, so streamed == batch.
+      (s"WITH q AS ($x8QualitySql), clf AS ($x57ClfSql), " +
+       "big AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bigram " +
+       "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "UNNEST(range(1, len(t))) AS u(i)), " +
+       "cb AS (SELECT w1, bigram, count(*) AS c_big FROM big WHERE doc_id % 2 = 0 GROUP BY 1, 2), " +
+       "cu AS (SELECT w1, count(*) AS c_uni FROM big WHERE doc_id % 2 = 0 GROUP BY 1), " +
+       "lm AS (SELECT bigram, (c_big * 1000000) // c_uni AS ppm FROM cb JOIN cu USING (w1)), " +
+       "sc AS (SELECT doc_id, count(*) AS n, CAST(sum(ppm) AS BIGINT) AS sp " +
+       "FROM big JOIN lm USING (bigram) WHERE doc_id % 2 = 1 GROUP BY 1) " +
+       "SELECT q.doc_id, q.v_q, COALESCE(l.v_lm, 0) AS v_lm, c.v_clf, " +
+       "q.v_q + COALESCE(l.v_lm, 0) + c.v_clf AS votes, " +
+       "CASE WHEN q.v_q + COALESCE(l.v_lm, 0) + c.v_clf >= 2 THEN 'keep' ELSE 'drop' END AS verdict " +
+       "FROM (SELECT doc_id, CASE WHEN quality_score >= 0.6 THEN 1 ELSE 0 END AS v_q " +
+       "FROM q WHERE doc_id % 2 = 1) q " +
+       "LEFT JOIN (SELECT doc_id, CASE WHEN CAST(sp AS DOUBLE) / n >= 200000 THEN 1 ELSE 0 END AS v_lm FROM sc) l " +
+       "ON l.doc_id = q.doc_id " +
+       "JOIN (SELECT doc_id, CASE WHEN w_sum >= 0 THEN 1 ELSE 0 END AS v_clf " +
+       "FROM clf WHERE doc_id % 2 = 1) c " +
+       "ON c.doc_id = q.doc_id ORDER BY q.doc_id"),
     "x36_length_filter" ->
       ("WITH hist AS (SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1), " +
        "c AS (SELECT n_chars, sum(cnt) OVER (ORDER BY n_chars) AS cum, " +

@@ -635,6 +635,65 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** e16's trained model: the bigram LM TABLE over a training frame, in
+    * oracle-expressible STRING form (bigram → conditional ppm) — the
+    * artifact a lake persists after each refresh and serves to scoring
+    * jobs. x59's in-corpus ensemble hashes the keys because its bigram
+    * stream is also its shuffle spine; a persisted, externally-consumed
+    * model keeps the readable keys. */
+  def bigramLmTableOf(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val bigrams = docs
+      .select(explode(zip_with(t, slice(t, lit(2), size(t)),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .filter(col("p.w2").isNotNull)
+      .select(col("p.w1").as("w1"),
+        concat(col("p.w1"), lit(" "), col("p.w2")).as("bigram"))
+      .localCheckpoint(eager = false)
+    val cBig = bigrams.groupBy("w1", "bigram").agg(count(lit(1)).as("c_big"))
+    val cUni = bigrams.groupBy("w1").agg(count(lit(1)).as("c_uni"))
+    cBig.join(cUni, "w1")
+      .select(col("bigram"), expr("c_big * 1000000L div c_uni").as("ppm"))
+  }
+
+  /** Score any (doc_id, text) frame against a TRAINED LM table with
+    * x59's three-vote contract — the production INFERENCE motion (train
+    * once on the corpus refresh, score every incoming batch): quality and
+    * classifier votes fold per-row; the LM vote means the doc's mean
+    * conditional ppm over bigrams the model KNOWS (unseen bigrams drop
+    * out — x56's convention) clears the threshold, with no scored bigram
+    * → a 0 vote. Scale: the scoring join is a bigram-keyed equi-join of
+    * the batch against the model table; everything else is map-side. */
+  def ensembleVerdictAgainstLm(docs: DataFrame, lm: DataFrame,
+      minLmPpm: Long = 200000L, minQuality: Double = 0.6): DataFrame = {
+    val t = split(col("text"), " ")
+    val nTok = size(t)
+    val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+    val stopRatio =
+      langScore(Seq(" the ", " a ", " of ", " and ")).cast("double") / nTok
+    val base = docs.select(col("doc_id"),
+      (qualityExpr(nTok, avgTokLen, stopRatio) >= minQuality).cast("int").as("v_q"),
+      (clfWSum(t) >= 0).cast("int").as("v_clf"))
+    val bigrams = docs
+      .select(col("doc_id"), explode(zip_with(t, slice(t, lit(2), size(t)),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .filter(col("p.w2").isNotNull)
+      .select(col("doc_id"),
+        concat(col("p.w1"), lit(" "), col("p.w2")).as("bigram"))
+    val scored = bigrams.join(lm, Seq("bigram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"), sum("ppm").as("ppm_sum"))
+    base.join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("v_q"),
+        when(col("n_scored").isNotNull &&
+            col("ppm_sum").cast("double") / col("n_scored") >= minLmPpm, 1)
+          .otherwise(0).as("v_lm"),
+        col("v_clf"))
+      .withColumn("votes", col("v_q") + col("v_lm") + col("v_clf"))
+      .withColumn("verdict", when(col("votes") >= 2, "keep").otherwise("drop"))
+      .select("doc_id", "v_q", "v_lm", "v_clf", "votes", "verdict")
+  }
+
   /** x57's in-row folded weight sum — shared by the x57 gate and the
     * fused x59 ensemble so the two can never drift. */
   private[llm] def clfWSum(toks: Column, dim: Int = 256): Column = {

@@ -417,12 +417,7 @@ object EventsStream {
       .select("doc_id", "text")
     val index = graft.Tables.materializeOnce(spark, s"e15_sig_index:$dir")(
       graft.llm.DocDedup.signatureIndexOf(docs.filter(col("doc_id") % 2 === 0)))
-    val stageDir = stagedTwoFileDir(spark, s"docs_odd:$dir") {
-      val incoming = docs.filter(col("doc_id") % 2 === 1)
-      val mm = incoming.agg(min("doc_id").as("mn"), max("doc_id").as("mx")).head()
-      val cut = (mm.getLong(0) + mm.getLong(1)) / 2
-      (incoming.filter(col("doc_id") <= cut), incoming.filter(col("doc_id") > cut))
-    }
+    val stageDir = stagedOddDocsDir(spark, dir, docs)
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(stageDir)
     // fresh sink + checkpoint per run (the parquet sink accumulates across
@@ -439,6 +434,64 @@ object EventsStream {
       .option("checkpointLocation", ckDir.toString).start()
     try q.processAllAvailable() finally q.stop()
     spark.read.parquet(outDir.toString).orderBy("doc_id")
+  }
+
+  /** The odd (incoming) half of documents staged as two micro-batch
+    * files, split at the id midpoint — shared by e15 and e16 (memoized
+    * per (dir), so the second gate rides the first's staging). */
+  private def stagedOddDocsDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String, docs: DataFrame): String =
+    stagedTwoFileDir(spark, s"docs_odd:$dir") {
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+      val mm = incoming.agg(min("doc_id").as("mn"), max("doc_id").as("mx")).head()
+      val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+      (incoming.filter(col("doc_id") <= cut), incoming.filter(col("doc_id") > cut))
+    }
+
+  /** e16: STREAMING QUALITY ROUTER — the production INFERENCE motion
+    * over a live ingest: the bigram LM trains ONCE on the historical
+    * (even) half and persists (the x122b stored-artifact contract); each
+    * incoming micro-batch is scored against the STORED model with x59's
+    * three-vote contract and ROUTED — keeps to the accept sink, drops to
+    * the reject sink (the taxi twin-sink motion applied to curation).
+    * Verdicts are per-doc pure given the frozen model, so the drained
+    * union of both sinks equals the batch answer and one oracle serves
+    * the gate. Scale: training is x56's vocab-bounded aggregate, done
+    * once per refresh; per-batch work is one bigram equi-join against
+    * the model plus map-side votes — linear in the batch. */
+  def qualityRouterStreamGate(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.Tables.widen(graft.Tables.documents(spark, dir))
+      .select("doc_id", "text")
+    val lm = graft.Tables.materializeOnce(spark, s"e16_lm:$dir")(
+      graft.llm.TextStats.bigramLmTableOf(docs.filter(col("doc_id") % 2 === 0)))
+    val stageDir = stagedOddDocsDir(spark, dir, docs)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val keepDir = java.nio.file.Files.createTempDirectory("graft_e16_keep_")
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_e16_drop_")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_e16_ck_")
+    Seq(keepDir, dropDir, ckDir).foreach(graft.Tables.registerArtifactCleanup)
+    pinRocksDBStateStore(spark)
+    var outSchema: org.apache.spark.sql.types.StructType = null
+    val route: (DataFrame, Long) => Unit = (batch, _) => {
+      // twin-sink contract: score ONCE, write twice (the cache is the
+      // twinSinkWriter pattern — without it each sink re-scores the batch)
+      val v = graft.llm.TextStats.ensembleVerdictAgainstLm(batch, lm).cache()
+      try {
+        outSchema = v.schema
+        v.filter(col("verdict") === "keep").write.mode("append").parquet(keepDir.toString)
+        v.filter(col("verdict") =!= "keep").write.mode("append").parquet(dropDir.toString)
+      } finally v.unpersist()
+    }
+    val q = stream.writeStream.foreachBatch(route)
+      .option("checkpointLocation", ckDir.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    // explicit schema: a batch with zero rows for one route leaves that
+    // sink without data files, and schema inference would refuse it
+    spark.read.schema(outSchema).parquet(keepDir.toString)
+      .unionByName(spark.read.schema(outSchema).parquet(dropDir.toString))
+      .orderBy("doc_id")
   }
 
   /** The e14 chain as a library form (unified API — also the batch twin):

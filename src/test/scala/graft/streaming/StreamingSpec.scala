@@ -381,6 +381,36 @@ class StreamingSpec extends SparkSpec {
       s"probe≠x35: onlyProbe=${(whole -- x35).take(3)}, onlyX35=${(x35 -- whole).take(3)}")
   }
 
+  test("e16: routed verdicts equal batch scoring against the frozen model; routes partition") {
+    val docs = graft.Tables.widen(graft.Tables.documents(spark, sfDir))
+      .select("doc_id", "text")
+    val lm = graft.llm.TextStats.bigramLmTableOf(docs.filter(col("doc_id") % 2 === 0))
+    val batch = graft.llm.TextStats
+      .ensembleVerdictAgainstLm(docs.filter(col("doc_id") % 2 === 1), lm)
+      .collect().map(r => (r.getLong(0), r.getString(5))).toMap
+    val drained = EventsStream.qualityRouterStreamGate(spark, sfDir).collect()
+    assert(drained.map(_.getLong(0)).toSet == batch.keySet &&
+      drained.forall(r => batch(r.getLong(0)) == r.getString(5)),
+      "streamed verdicts must equal batch scoring against the frozen model")
+    // both routes carry traffic (the router actually routes) and the
+    // verdict is exactly the majority rule
+    val (keeps, drops) = drained.partition(_.getString(5) == "keep")
+    assert(keeps.nonEmpty && drops.nonEmpty, "fixture must exercise both sinks")
+    drained.foreach { r =>
+      val votes = r.getInt(1) + r.getInt(2) + r.getInt(3)
+      assert(r.getInt(4) == votes &&
+        (r.getString(5) == "keep") == (votes >= 2), s"majority rule broken: $r")
+    }
+    // the train/score split is real: some incoming bigrams are UNSEEN by
+    // the frozen model, so the unseen-drop-out scoring path is exercised
+    // (a model trained on everything would make this an empty set)
+    val oddOnly = graft.llm.TextStats
+      .bigramLmTableOf(docs.filter(col("doc_id") % 2 === 1))
+      .select("bigram").except(lm.select("bigram"))
+    assert(oddOnly.count() > 0,
+      "fixture must contain incoming bigrams the frozen model has never seen")
+  }
+
   test("e10b: native session_window batch twin equals the hand session assembly") {
     // unified API: on a batch frame the native operator emits EVERY
     // session; compare against the e2 lag/sum assembly (the oracle's CTE
