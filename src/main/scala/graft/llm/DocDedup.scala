@@ -1574,6 +1574,41 @@ object DocDedup {
       .orderBy("doc_id")
   }
 
+  /** x136: CLUSTER COHERENCE AUDIT — the chain-collapse detector for
+    * transitive dedup: connected components glue A~B~C into one cluster
+    * even when A and C share nothing, so a dedup owner needs, per
+    * cluster, how tight the VERIFIED pair evidence actually is — pair
+    * count vs the all-pairs possible (coverage), the weakest verified
+    * link (min), and the mean similarity. Low coverage + a weak min link
+    * marks a chained cluster whose survivorship (x30/x61) may be erasing
+    * non-duplicates; x107 profiles SIZES, this profiles EVIDENCE.
+    *
+    * Exactness: the mean is the x121 micro-quantization pattern — each
+    * jaccard floors to an exact micro-long, the sum is exact, ONE IEEE
+    * division at the end; min of doubles is order-free. Scale: both
+    * inputs are materialized artifacts (pairs, labels); the joins key on
+    * long ids, the aggregate on cluster labels. */
+  def clusterCoherence(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(spark, dir)
+    val pairs = pairArtifact(spark, dir)
+    val byPair = pairs
+      .join(labels.select(col("doc_id").as("id_a"), col("cluster_id").as("ca")), Seq("id_a"))
+      .join(labels.select(col("doc_id").as("id_b"), col("cluster_id").as("cb")), Seq("id_b"))
+      // CC labels make equal endpoints structural; the filter documents it
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("cluster_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min("jaccard").as("min_jaccard"),
+        sum(floor(col("jaccard") * 1e6).cast("long")).as("jq_sum"))
+    labels.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      .join(byPair, Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_members"), col("n_pairs"), col("min_jaccard"),
+        (col("jq_sum").cast("double") / col("n_pairs")).as("mean_jaccard_micro"),
+        expr("n_pairs * 1000000 div (n_members * (n_members - 1) div 2)")
+          .as("coverage_ppm"))
+      .orderBy("cluster_id")
+  }
+
   /** x108: CROSS-SOURCE DUPLICATION MATRIX — which source pairs share
     * verified near-duplicates, with pair volume and mean similarity.
     * The x95 shingle-overlap matrix estimates vocabulary sharing; this is

@@ -122,6 +122,29 @@ class Round13Spec extends SparkSpec {
     nv.unpersist()
   }
 
+  test("x136: coherence rows reconcile with the labels and pair artifact exactly") {
+    val c = DocDedup.clusterCoherence(spark, sfDir).collect()
+    val labels = DocDedup.clusterLabels(spark, sfDir).persist()
+    val nClusters = labels.select("cluster_id").distinct().count()
+    assert(c.length.toLong == nClusters, "one row per cluster")
+    assert(c.map(_.getLong(1)).sum == labels.count(), "members partition the labeled docs")
+    // every pair in the artifact lands in exactly one cluster's count
+    val nPairs = DocDedup.pairArtifact(spark, sfDir).count()
+    assert(c.map(_.getLong(2)).sum == nPairs, "pair evidence must be fully attributed")
+    c.foreach { r =>
+      val (n, p) = (r.getLong(1), r.getLong(2))
+      val possible = n * (n - 1) / 2
+      assert(n >= 2 && p >= n - 1 && p <= possible,
+        s"cluster ${r.getLong(0)}: $p pairs outside [n-1, n(n-1)/2] for n=$n")
+      assert(r.getLong(5) == p * 1000000L / possible, "coverage arithmetic")
+      // verified pairs sit at or above the dedup threshold; the
+      // micro-mean is bounded by [min·1e6 (floored), 1e6]
+      assert(r.getDouble(3) >= 0.5 && r.getDouble(4) <= 1000000.0 &&
+        r.getDouble(4) >= math.floor(r.getDouble(3) * 1e6) - 1)
+    }
+    labels.unpersist()
+  }
+
   test("x135: halves partition the corpus; shares and drift recompute exactly") {
     val d = TextStats.qualityDrift(spark, sfDir).collect()
     val nDocs = graft.Tables.documents(spark, sfDir).count()
