@@ -236,6 +236,8 @@ object SparkEntry {
       graft.streaming.EventsStream.incrementalDedupStreamGate(s, d)),
     "e16_stream_quality_router" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.qualityRouterStreamGate(s, d)),
+    "e17_stream_cc_maintenance" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventsStream.incrementalCcStreamGate(s, d)),
     "e2_sessionize" -> ((s: SparkSession, d: String) => Funcs.sessionizeEvents(s, d)),
     "e6_trending_topk" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.trendingTopK(
@@ -723,6 +725,19 @@ object SparkEntry {
        "1000000 // COALESCE(sz.cluster_size, 1) AS weight_ppm " +
        "FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id " +
        "LEFT JOIN sz ON sz.cluster_id = cl.cluster_id ORDER BY d.doc_id"),
+    "e17_stream_cc_maintenance" ->
+      // the incremental-stream CONTRACT, not its mechanics: after the
+      // drain the versioned label store must equal a full CC recompute
+      // over the whole corpus — x17's recursive reachability with
+      // self-labels for every doc in no verified pair
+      (s"WITH RECURSIVE pairs AS ($x15PairsSql), " +
+       "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+       "UNION ALL SELECT id_b, id_a FROM pairs), " +
+       "reach(node, lab) AS (SELECT src, src FROM (SELECT DISTINCT src FROM e) " +
+       "UNION SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node), " +
+       "cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node) " +
+       "SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id " +
+       "FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id ORDER BY d.doc_id"),
     "x136_cluster_coherence" ->
       // x17's recursive labels + the x15 pair set; per-cluster pair
       // evidence: count, weakest link, micro-quantized exact mean (one

@@ -494,6 +494,71 @@ object EventsStream {
       .orderBy("doc_id")
   }
 
+  /** e17: STREAMING DEDUP-GRAPH MAINTENANCE — the live form of x83's
+    * daily refresh: the CC label table is a versioned parquet artifact;
+    * each incoming micro-batch contributes exactly the verified pairs
+    * whose LATER endpoint arrives in that batch (both ends known, at
+    * least one in the batch — so every pair enters once, when it first
+    * CAN), and `incrementalClusters` folds (prior stars ∪ new edges)
+    * into the next version. Stars preserve connectivity, so after the
+    * stream drains the store CONTRACTUALLY equals a full CC recompute
+    * over the whole corpus — which is the oracle (x17's recursive
+    * reachability + self-labels for singletons).
+    *
+    * Scale: per-batch work is the x83 refresh step — |prior docs| star
+    * edges + batch-sized new edges through large-star/small-star rounds
+    * set by the NEW entanglement only; every join is a long-keyed
+    * equi-join (the batch membership flags are left-join null-checks,
+    * never an OR-condition join). The versioned store is the
+    * read-committed swap a lake refresh uses: a version is never
+    * overwritten while a plan may still read it. */
+  def incrementalCcStreamGate(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.Tables.widen(graft.Tables.documents(spark, dir))
+      .select("doc_id", "text")
+    val pairs = graft.llm.DocDedup.pairArtifact(spark, dir).select("id_a", "id_b")
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_e17_labels_")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_e17_ck_")
+    Seq(storeDir, ckDir).foreach(graft.Tables.registerArtifactCleanup)
+    // v0: the historical (even) half — CC over even-internal pairs,
+    // singletons self-labeled (the persisted-artifact shape x83 reads)
+    val evenPairs = pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
+    docs.filter(col("doc_id") % 2 === 0).select("doc_id")
+      .join(graft.llm.DocDedup.dedupClusters(evenPairs), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .write.parquet(storeDir.resolve("v0").toString)
+    @volatile var current = storeDir.resolve("v0")
+    val stageDir = stagedOddDocsDir(spark, dir, docs)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    pinRocksDBStateStore(spark)
+    val refresh: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val prior = spark.read.parquet(current.toString)
+      val batchIds = batch.select("doc_id")
+      val known = prior.select("doc_id").unionByName(batchIds).distinct()
+      val eKnown = pairs
+        .join(known.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(known.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      val newEdges = eKnown
+        .join(batchIds.select(col("doc_id").as("id_a"), lit(1).as("fa")), Seq("id_a"), "left")
+        .join(batchIds.select(col("doc_id").as("id_b"), lit(1).as("fb")), Seq("id_b"), "left")
+        .filter(col("fa").isNotNull || col("fb").isNotNull)
+        .select("id_a", "id_b")
+      // batch docs in no pair still enter the store (self-labeled)
+      val priorPlus = prior.unionByName(
+        batchIds.join(prior.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("doc_id").as("cluster_id")))
+      val next = storeDir.resolve(s"v${batchId + 1}")
+      graft.llm.DocDedup.incrementalClusters(priorPlus, newEdges)
+        .write.parquet(next.toString)
+      current = next
+    }
+    val q = stream.writeStream.foreachBatch(refresh)
+      .option("checkpointLocation", ckDir.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(current.toString).orderBy("doc_id")
+  }
+
   /** The e14 chain as a library form (unified API — also the batch twin):
     * window-equality stream-stream join on (user_id, hour window), then a
     * per-window pair count. In Append mode the count emits only once the

@@ -411,6 +411,30 @@ class StreamingSpec extends SparkSpec {
       "fixture must contain incoming bigrams the frozen model has never seen")
   }
 
+  test("e17: drained label store equals the full CC recompute; cross-batch merges happen") {
+    val drained = EventsStream.incrementalCcStreamGate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // contract: incremental-by-stream == full recompute over everything
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id")
+    val full = docs
+      .join(graft.llm.DocDedup.clusterLabels(spark, sfDir), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(drained == full, "streamed incremental labels must equal the batch CC")
+    // the stream actually MERGED across arrival boundaries: some cluster
+    // spans the historical half and a streamed doc, and some spans a
+    // batch-2 doc (above the id-midpoint cut) — else the incremental path
+    // was never exercised beyond self-labels
+    val odd = drained.keys.filter(_ % 2 == 1)
+    val cut = (odd.min + odd.max) / 2
+    val byCluster = drained.groupBy(_._2).values
+    assert(byCluster.exists(m => m.exists(_._1 % 2 == 0) && m.exists(_._1 % 2 == 1)),
+      "no cluster spans the historical and streamed halves")
+    assert(byCluster.exists(m =>
+      m.exists(kv => kv._1 % 2 == 1 && kv._1 > cut) && m.exists(_._1 <= cut)),
+      "no batch-2 doc merged into earlier state")
+  }
+
   test("e10b: native session_window batch twin equals the hand session assembly") {
     // unified API: on a batch frame the native operator emits EVERY
     // session; compare against the e2 lag/sum assembly (the oracle's CTE
