@@ -139,6 +139,7 @@ object SparkEntry {
     "x15c_calibrated_bands" -> ((s: SparkSession, d: String) => DocDedup.ngramJaccardPairsCalibrated(s, d)),
     "x133_dup_weighting" -> ((s: SparkSession, d: String) => DocDedup.dupWeighting(s, d)),
     "x136_cluster_coherence" -> ((s: SparkSession, d: String) => DocDedup.clusterCoherence(s, d)),
+    "x137_guarded_dedup" -> ((s: SparkSession, d: String) => DocDedup.dedupApplyGuarded(s, d)),
     "x134_ngram_novelty" -> ((s: SparkSession, d: String) => DocDedup.ngramNovelty(s, d)),
     "x17_dedup_clusters" -> ((s: SparkSession, d: String) => DocDedup.dedupClustersGate(s, d)),
     "x75_leak_safe_split" -> (DocDedup.leakSafeSplit _),
@@ -759,6 +760,30 @@ object SparkEntry {
        "CAST(p.jq AS DOUBLE) / p.n_pairs AS mean_jaccard_micro, " +
        "p.n_pairs * 1000000 // (s.n_members * (s.n_members - 1) // 2) AS coverage_ppm " +
        "FROM sz s JOIN pa p USING (cluster_id) ORDER BY s.cluster_id"),
+    "x137_guarded_dedup" ->
+      // x136's evidence flag folded into x30's survivorship: chained
+      // clusters (weak coverage or weak link) keep every member
+      (s"WITH RECURSIVE pairs AS ($x15PairsSql), " +
+       "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+       "UNION ALL SELECT id_b, id_a FROM pairs), " +
+       "reach(node, lab) AS (SELECT src, src FROM (SELECT DISTINCT src FROM e) " +
+       "UNION SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node), " +
+       "cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node), " +
+       "pj AS (SELECT ca.cluster_id, p.jaccard FROM pairs p " +
+       "JOIN cl ca ON ca.doc_id = p.id_a JOIN cl cb2 ON cb2.doc_id = p.id_b " +
+       "WHERE ca.cluster_id = cb2.cluster_id), " +
+       "pa AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_pairs, " +
+       "min(jaccard) AS min_jaccard FROM pj GROUP BY 1), " +
+       "sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM cl GROUP BY 1), " +
+       "ch AS (SELECT s.cluster_id, " +
+       "(p.n_pairs * 1000000 // (s.n_members * (s.n_members - 1) // 2) < 600000) " +
+       "OR (p.min_jaccard < 0.6) AS chained " +
+       "FROM sz s JOIN pa p USING (cluster_id)) " +
+       "SELECT d.doc_id, CASE WHEN cl.cluster_id IS NULL THEN 'singleton' " +
+       "WHEN ch.chained THEN 'kept_guarded' " +
+       "WHEN d.doc_id = cl.cluster_id THEN 'keeper' ELSE 'dropped' END AS status " +
+       "FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id " +
+       "LEFT JOIN ch ON ch.cluster_id = cl.cluster_id ORDER BY d.doc_id"),
     "x134_ngram_novelty" ->
       // distinct 3-shingles per doc (the sh construction), global first
       // occurrence by min doc_id, integer-floor novelty share

@@ -1588,9 +1588,12 @@ object DocDedup {
     * division at the end; min of doubles is order-free. Scale: both
     * inputs are materialized artifacts (pairs, labels); the joins key on
     * long ids, the aggregate on cluster labels. */
-  def clusterCoherence(spark: SparkSession, dir: String): DataFrame = {
-    val labels = clusterLabels(spark, dir)
-    val pairs = pairArtifact(spark, dir)
+  def clusterCoherence(spark: SparkSession, dir: String): DataFrame =
+    clusterCoherenceOf(clusterLabels(spark, dir), pairArtifact(spark, dir))
+
+  /** Library form over arbitrary (doc_id, cluster_id) labels and
+    * (id_a, id_b, jaccard) verified pairs. */
+  def clusterCoherenceOf(labels: DataFrame, pairs: DataFrame): DataFrame = {
     val byPair = pairs
       .join(labels.select(col("doc_id").as("id_a"), col("cluster_id").as("ca")), Seq("id_a"))
       .join(labels.select(col("doc_id").as("id_b"), col("cluster_id").as("cb")), Seq("id_b"))
@@ -1607,6 +1610,43 @@ object DocDedup {
         expr("n_pairs * 1000000 div (n_members * (n_members - 1) div 2)")
           .as("coverage_ppm"))
       .orderBy("cluster_id")
+  }
+
+  /** x137: COHERENCE-GUARDED dedup apply — the x136 measure folded back
+    * into the act (the third measure→act loop after x110→x15b banding and
+    * x130→w6b salting): survivorship trusts a cluster's transitive glue
+    * only when the pair EVIDENCE is strong — coverage ≥ `minCoveragePpm`
+    * and weakest link ≥ `minLink`. Members of a chained cluster are kept
+    * wholesale (`kept_guarded`) instead of being erased by a keeper they
+    * were never directly compared to; healthy clusters keep x30's
+    * min-id keeper and drop the rest. Statuses make the decision visible
+    * and hashable per doc. Scale: both inputs are the materialized
+    * artifacts; the flag table is cluster-count-sized. */
+  def dedupApplyGuarded(spark: SparkSession, dir: String,
+      minCoveragePpm: Long = 600000L, minLink: Double = 0.6): DataFrame =
+    dedupApplyGuardedOf(Tables.documents(spark, dir).select("doc_id"),
+      clusterLabels(spark, dir), clusterCoherence(spark, dir),
+      minCoveragePpm, minLink)
+
+  /** Library form over arbitrary doc ids, labels and a coherence table
+    * (the planted-chain spec exercises the `kept_guarded` branch here —
+    * the oracle fixture's clusters are all tight pairs/triangles, so at
+    * principled thresholds the guard correctly never fires on it). */
+  def dedupApplyGuardedOf(docIds: DataFrame, labels: DataFrame,
+      coherence: DataFrame, minCoveragePpm: Long, minLink: Double): DataFrame = {
+    val flags = coherence
+      .select(col("cluster_id"),
+        (col("coverage_ppm") < minCoveragePpm ||
+          col("min_jaccard") < minLink).as("chained"))
+    docIds
+      .join(labels, Seq("doc_id"), "left")
+      .join(flags, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        when(col("cluster_id").isNull, "singleton")
+          .when(col("chained"), "kept_guarded")
+          .when(col("doc_id") === col("cluster_id"), "keeper")
+          .otherwise("dropped").as("status"))
+      .orderBy("doc_id")
   }
 
   /** x108: CROSS-SOURCE DUPLICATION MATRIX — which source pairs share

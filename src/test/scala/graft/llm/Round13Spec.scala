@@ -145,6 +145,54 @@ class Round13Spec extends SparkSpec {
     labels.unpersist()
   }
 
+  test("x137: the guard only ever rescues — dropped docs are a subset of x30's losers") {
+    val g = DocDedup.dedupApplyGuarded(spark, sfDir).persist()
+    assert(g.count() == graft.Tables.documents(spark, sfDir).count(),
+      "statuses must cover every doc")
+    val dropped = g.filter(col("status") === "dropped").select("doc_id")
+    val losers = DocDedup.clusterLabels(spark, sfDir)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    assert(dropped.join(losers, Seq("doc_id"), "left_anti").isEmpty,
+      "the guard must never drop a doc plain survivorship would keep")
+    val byStatus = g.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus.getOrElse("dropped", 0L) > 0L &&
+      byStatus.getOrElse("keeper", 0L) > 0L,
+      "healthy clusters must still drop non-keepers")
+    // the fixture's clusters are all tight pairs/triangles (coverage 1e6,
+    // links ≥ 0.9), so at principled thresholds the guard correctly never
+    // fires on it — one keeper per (healthy == every) cluster
+    assert(byStatus.getOrElse("kept_guarded", 0L) == 0L)
+    assert(byStatus.getOrElse("keeper", 0L) ==
+      DocDedup.clusterCoherence(spark, sfDir).count(),
+      "one keeper per healthy cluster")
+    g.unpersist()
+  }
+
+  test("x137: a planted 4-chain is rescued wholesale; the tight cluster still dedups") {
+    val spark2 = spark
+    import spark2.implicits._
+    // cluster 1: a CHAIN 1~2~3~4 (3 of 6 possible pairs = 500k coverage —
+    // CC glued ends 1 and 4 were never compared); cluster 10: a tight
+    // pair. Coverage flags the chain, the pair stays healthy.
+    val pairs = Seq((1L, 2L, 0.8), (2L, 3L, 0.8), (3L, 4L, 0.8),
+      (10L, 11L, 0.95)).toDF("id_a", "id_b", "jaccard")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)).toDF("doc_id", "cluster_id")
+    val docs = (1L to 4L).union(Seq(10L, 11L, 99L)).toDF("doc_id")
+    val coh = DocDedup.clusterCoherenceOf(labels, pairs)
+    val chain = coh.filter(col("cluster_id") === 1L).head()
+    assert(chain.getLong(5) == 500000L && chain.getDouble(3) == 0.8,
+      s"chain coverage/min wrong: $chain")
+    val out = DocDedup
+      .dedupApplyGuardedOf(docs, labels, coh, 600000L, 0.6)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == "kept_guarded"),
+      s"chain members must be rescued: $out")
+    assert(out(10L) == "keeper" && out(11L) == "dropped" && out(99L) == "singleton",
+      s"healthy cluster must still dedup, singletons self-keep: $out")
+  }
+
   test("x135: halves partition the corpus; shares and drift recompute exactly") {
     val d = TextStats.qualityDrift(spark, sfDir).collect()
     val nDocs = graft.Tables.documents(spark, sfDir).count()
