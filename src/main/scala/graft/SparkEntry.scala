@@ -338,6 +338,7 @@ object SparkEntry {
     "x7_lang_id" -> (TextStats.langId _),
     "x8_quality_score" -> (TextStats.qualityScore _),
     "x135_quality_drift" -> (TextStats.qualityDrift _),
+    "x138_lm_coverage" -> (TextStats.lmCoverage _),
     "x85_quality_quantile_norm" ->
       ((s: SparkSession, d: String) => Curation.qualityQuantileNormalize(s, d)),
     "x90_rendezvous_shards" ->
@@ -798,6 +799,20 @@ object SparkEntry {
        "(CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) * 1000000) " +
        "// CAST(count(*) AS BIGINT) AS novelty_ppm " +
        "FROM ds d JOIN fst f ON f.sg = d.sg GROUP BY 1 ORDER BY 1"),
+    "x138_lm_coverage" ->
+      // the frozen even-half model's bigram set, LEFT-joined by the
+      // incoming half's bigram stream, per-source integer coverage
+      ("WITH big AS (SELECT b.doc_id, b.source, t[i] || ' ' || t[i+1] AS bigram " +
+       "FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents) b, " +
+       "UNNEST(range(1, len(t))) AS u(i)), " +
+       "km AS (SELECT DISTINCT bigram FROM big WHERE doc_id % 2 = 0) " +
+       "SELECT g.source, CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_docs, " +
+       "CAST(count(*) AS BIGINT) AS n_bigrams, " +
+       "CAST(sum(CASE WHEN km.bigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_known, " +
+       "CAST(sum(CASE WHEN km.bigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000 " +
+       "// CAST(count(*) AS BIGINT) AS coverage_ppm " +
+       "FROM big g LEFT JOIN km ON km.bigram = g.bigram " +
+       "WHERE g.doc_id % 2 = 1 GROUP BY g.source ORDER BY g.source"),
     "x92_source_budget" ->
       // x32's sqrt-scaled weights allocate the 100k global budget; each
       // source fills highest-quality-first (greedy prefix by running

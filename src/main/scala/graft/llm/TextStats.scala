@@ -694,6 +694,35 @@ object TextStats {
       .select("doc_id", "v_q", "v_lm", "v_clf", "votes", "verdict")
   }
 
+  /** x138: FROZEN-MODEL COVERAGE — the staleness monitor for e16's
+    * serving loop: per source, the share of INCOMING (odd-half) bigrams
+    * the frozen even-half model knows. A source whose coverage decays is
+    * drifting away from the training snapshot — the retrain signal; x70
+    * watches token-level OOV against a corpus vocabulary, this watches
+    * bigram-level coverage against a DEPLOYED model. Scale: one bigram
+    * equi-join of the incoming scan against the model table, collapsed
+    * to a per-source aggregate. */
+  def lmCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWide(spark, dir)
+    val known = bigramLmTableOf(docs.filter(col("doc_id") % 2 === 0))
+      .select(col("bigram"), lit(1L).as("known"))
+    val t = split(col("text"), " ")
+    val bigrams = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"),
+        explode(zip_with(t, slice(t, lit(2), size(t)),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .filter(col("p.w2").isNotNull)
+      .select(col("doc_id"), col("source"),
+        concat(col("p.w1"), lit(" "), col("p.w2")).as("bigram"))
+    bigrams.join(known, Seq("bigram"), "left")
+      .groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("known"), lit(0L))).as("n_known"))
+      .withColumn("coverage_ppm", expr("n_known * 1000000 div n_bigrams"))
+      .orderBy("source")
+  }
+
   /** x57's in-row folded weight sum — shared by the x57 gate and the
     * fused x59 ensemble so the two can never drift. */
   private[llm] def clfWSum(toks: Column, dim: Int = 256): Column = {

@@ -193,6 +193,32 @@ class Round13Spec extends SparkSpec {
       s"healthy cluster must still dedup, singletons self-keep: $out")
   }
 
+  test("x138: coverage reconciles with e16's unseen-bigram set; bounds hold") {
+    val cov = TextStats.lmCoverage(spark, sfDir).collect()
+    assert(cov.nonEmpty)
+    cov.foreach { r =>
+      val (nb, nk, ppm) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nk <= nb && ppm == nk * 1000000L / nb, s"arithmetic at ${r.getString(0)}")
+      assert(ppm > 0L && ppm <= 1000000L, s"${r.getString(0)}: coverage $ppm")
+    }
+    // somewhere in the corpus the unseen path fires (a fully-covered
+    // source is legitimate — e.g. a templated one — but not all of them)
+    assert(cov.exists(_.getLong(4) < 1000000L),
+      "fixture must contain unseen incoming bigrams in at least one source")
+    // totals reconcile with a direct recompute over the model join
+    val docs = graft.Tables.widen(graft.Tables.documents(spark, sfDir))
+    val lm = TextStats.bigramLmTableOf(docs.filter(col("doc_id") % 2 === 0))
+    val t = split(col("text"), " ")
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), explode(zip_with(t, slice(t, lit(2), size(t)),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .filter(col("p.w2").isNotNull)
+      .select(concat(col("p.w1"), lit(" "), col("p.w2")).as("bigram"))
+    val totKnown = incoming.join(lm.select("bigram"), Seq("bigram"), "left_semi").count()
+    assert(cov.map(_.getLong(3)).sum == totKnown, "known totals must reconcile")
+    assert(cov.map(_.getLong(2)).sum == incoming.count(), "bigram totals must reconcile")
+  }
+
   test("x135: halves partition the corpus; shares and drift recompute exactly") {
     val d = TextStats.qualityDrift(spark, sfDir).collect()
     val nDocs = graft.Tables.documents(spark, sfDir).count()
