@@ -239,6 +239,8 @@ object SparkEntry {
       graft.streaming.EventsStream.qualityRouterStreamGate(s, d)),
     "e17_stream_cc_maintenance" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.incrementalCcStreamGate(s, d)),
+    "e18_stream_frozen_split" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventsStream.frozenSplitStreamGate(s, d)),
     "e2_sessionize" -> ((s: SparkSession, d: String) => Funcs.sessionizeEvents(s, d)),
     "e6_trending_topk" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventsStream.trendingTopK(
@@ -740,6 +742,67 @@ object SparkEntry {
        "cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node) " +
        "SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id " +
        "FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id ORDER BY d.doc_id"),
+    "e18_stream_frozen_split" -> {
+      // ARRIVAL-ORDER REPLAY: the split a doc gets depends on the cluster
+      // structure at its arrival, so the oracle re-derives per-snapshot CC
+      // (even-internal / +batch-1 / full), chains the x82 tier rules
+      // across the three snapshots, and reports under the CURRENT groups
+      val coin = (g: String) =>
+        s"CAST(concat('0x', substr(md5(CAST($g AS VARCHAR)), 1, 2)) AS INT)"
+      val coinCase = (g: String) =>
+        s"CASE WHEN ${coin(g)} < 204 THEN 'train' WHEN ${coin(g)} < 230 THEN 'val' ELSE 'test' END"
+      s"WITH RECURSIVE pairs AS ($x15PairsSql), " +
+      "odd AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1), " +
+      "cutv AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS cut FROM odd), " +
+      "p0 AS (SELECT id_a, id_b FROM pairs WHERE id_a % 2 = 0 AND id_b % 2 = 0), " +
+      "e0 AS (SELECT id_a AS src, id_b AS dst FROM p0 UNION ALL SELECT id_b, id_a FROM p0), " +
+      "r0(node, lab) AS (SELECT src, src FROM (SELECT DISTINCT src FROM e0) " +
+      "UNION SELECT e0.dst, r0.lab FROM r0 JOIN e0 ON e0.src = r0.node), " +
+      "c0 AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM r0 GROUP BY node), " +
+      "p1 AS (SELECT p.id_a, p.id_b FROM pairs p, cutv " +
+      "WHERE (p.id_a % 2 = 0 OR p.id_a <= cut) AND (p.id_b % 2 = 0 OR p.id_b <= cut)), " +
+      "e1 AS (SELECT id_a AS src, id_b AS dst FROM p1 UNION ALL SELECT id_b, id_a FROM p1), " +
+      "r1(node, lab) AS (SELECT src, src FROM (SELECT DISTINCT src FROM e1) " +
+      "UNION SELECT e1.dst, r1.lab FROM r1 JOIN e1 ON e1.src = r1.node), " +
+      "c1 AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM r1 GROUP BY node), " +
+      "e2 AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), " +
+      "r2(node, lab) AS (SELECT src, src FROM (SELECT DISTINCT src FROM e2) " +
+      "UNION SELECT e2.dst, r2.lab FROM r2 JOIN e2 ON e2.src = r2.node), " +
+      "c2 AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM r2 GROUP BY node), " +
+      "g0 AS (SELECT d.doc_id, COALESCE(c0.cluster_id, d.doc_id) AS group_id " +
+      "FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d " +
+      "LEFT JOIN c0 ON c0.doc_id = d.doc_id), " +
+      s"s0 AS (SELECT doc_id, ${coinCase("group_id")} AS split FROM g0), " +
+      "g1 AS (SELECT d.doc_id, COALESCE(c1.cluster_id, d.doc_id) AS group_id " +
+      "FROM (SELECT doc_id FROM documents, cutv WHERE doc_id % 2 = 0 OR doc_id <= cut) d " +
+      "LEFT JOIN c1 ON c1.doc_id = d.doc_id), " +
+      "wp1 AS (SELECT g1.doc_id, g1.group_id, s0.split AS prior_split " +
+      "FROM g1 LEFT JOIN s0 ON s0.doc_id = g1.doc_id), " +
+      "gs1 AS (SELECT group_id, arg_min(prior_split, doc_id) AS inherit_split " +
+      "FROM wp1 WHERE prior_split IS NOT NULL GROUP BY group_id), " +
+      "s1 AS (SELECT doc_id, prior_split AS split FROM wp1 WHERE prior_split IS NOT NULL " +
+      "UNION ALL SELECT nd.doc_id, " +
+      s"COALESCE(gs1.inherit_split, ${coinCase("nd.group_id")}) AS split " +
+      "FROM (SELECT doc_id, group_id FROM wp1 WHERE prior_split IS NULL) nd " +
+      "LEFT JOIN gs1 ON gs1.group_id = nd.group_id), " +
+      "g2 AS (SELECT d.doc_id, COALESCE(c2.cluster_id, d.doc_id) AS group_id " +
+      "FROM documents d LEFT JOIN c2 ON c2.doc_id = d.doc_id), " +
+      "wp2 AS (SELECT g2.doc_id, g2.group_id, s1.split AS prior_split " +
+      "FROM g2 LEFT JOIN s1 ON s1.doc_id = g2.doc_id), " +
+      "gs2 AS (SELECT group_id, arg_min(prior_split, doc_id) AS inherit_split " +
+      "FROM wp2 WHERE prior_split IS NOT NULL GROUP BY group_id) " +
+      "SELECT doc_id, group_id, prior_split AS split, 'frozen' AS assignment " +
+      "FROM wp2 WHERE prior_split IS NOT NULL " +
+      "UNION ALL SELECT nd.doc_id, nd.group_id, gs2.inherit_split AS split, " +
+      "'inherited' AS assignment " +
+      "FROM (SELECT doc_id, group_id FROM wp2 WHERE prior_split IS NULL) nd " +
+      "JOIN gs2 ON gs2.group_id = nd.group_id " +
+      s"UNION ALL SELECT nd.doc_id, nd.group_id, ${coinCase("nd.group_id")} AS split, " +
+      "'coined' AS assignment " +
+      "FROM (SELECT doc_id, group_id FROM wp2 WHERE prior_split IS NULL) nd " +
+      "LEFT JOIN gs2 ON gs2.group_id = nd.group_id WHERE gs2.group_id IS NULL " +
+      "ORDER BY doc_id"
+    },
     "x136_cluster_coherence" ->
       // x17's recursive labels + the x15 pair set; per-cluster pair
       // evidence: count, weakest link, micro-quantized exact mean (one

@@ -534,29 +534,92 @@ object EventsStream {
     pinRocksDBStateStore(spark)
     val refresh: (DataFrame, Long) => Unit = (batch, batchId) => {
       val prior = spark.read.parquet(current.toString)
-      val batchIds = batch.select("doc_id")
-      val known = prior.select("doc_id").unionByName(batchIds).distinct()
-      val eKnown = pairs
-        .join(known.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
-        .join(known.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
-      val newEdges = eKnown
-        .join(batchIds.select(col("doc_id").as("id_a"), lit(1).as("fa")), Seq("id_a"), "left")
-        .join(batchIds.select(col("doc_id").as("id_b"), lit(1).as("fb")), Seq("id_b"), "left")
-        .filter(col("fa").isNotNull || col("fb").isNotNull)
-        .select("id_a", "id_b")
-      // batch docs in no pair still enter the store (self-labeled)
-      val priorPlus = prior.unionByName(
-        batchIds.join(prior.select("doc_id"), Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("doc_id").as("cluster_id")))
       val next = storeDir.resolve(s"v${batchId + 1}")
-      graft.llm.DocDedup.incrementalClusters(priorPlus, newEdges)
-        .write.parquet(next.toString)
+      ccStep(pairs, prior, batch.select("doc_id")).write.parquet(next.toString)
       current = next
     }
     val q = stream.writeStream.foreachBatch(refresh)
       .option("checkpointLocation", ckDir.toString).start()
     try q.processAllAvailable() finally q.stop()
     spark.read.parquet(current.toString).orderBy("doc_id")
+  }
+
+  /** One incremental-CC refresh step (shared by e17 and e18): the batch
+    * contributes exactly the verified pairs whose LATER endpoint is in
+    * it (both ends known, ≥1 in the batch — every pair enters once);
+    * batch docs in no pair still enter the store self-labeled. All
+    * long-keyed equi-joins; membership flags via left-join null-checks. */
+  private def ccStep(pairs: DataFrame, prior: DataFrame,
+      batchIds: DataFrame): DataFrame = {
+    val known = prior.select("doc_id").unionByName(batchIds).distinct()
+    val eKnown = pairs
+      .join(known.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(known.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+    val newEdges = eKnown
+      .join(batchIds.select(col("doc_id").as("id_a"), lit(1).as("fa")), Seq("id_a"), "left")
+      .join(batchIds.select(col("doc_id").as("id_b"), lit(1).as("fb")), Seq("id_b"), "left")
+      .filter(col("fa").isNotNull || col("fb").isNotNull)
+      .select("id_a", "id_b")
+    val priorPlus = prior.unionByName(
+      batchIds.join(prior.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster_id")))
+    graft.llm.DocDedup.incrementalClusters(priorPlus, newEdges)
+  }
+
+  /** e18: STREAMING FROZEN-SPLIT MAINTENANCE — the full live curation
+    * chain: ingest (the e15/e16 staging) → dedup-graph refresh (e17's
+    * ccStep) → leak-safe FROZEN split (x82's tiers), with BOTH artifacts
+    * versioned per micro-batch. Every batch re-runs
+    * `leakSafeSplitFrozen` over the full known set: previously-assigned
+    * docs keep their split verbatim (frozen — eval sets stay
+    * append-only), new docs inherit their CURRENT group's minimum
+    * frozen member's split or throw the x75 coin on a never-seen group.
+    * The result is genuinely ARRIVAL-ORDERED (a doc's split depends on
+    * the cluster structure at its arrival, exactly like a real rolling
+    * corpus), and the oracle replays that order: per-snapshot recursive
+    * CC over the pairs internal to each arrival prefix, then the x82
+    * tier rules chained across the three snapshots. */
+  def frozenSplitStreamGate(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.Tables.widen(graft.Tables.documents(spark, dir))
+      .select("doc_id", "text")
+    val pairs = graft.llm.DocDedup.pairArtifact(spark, dir).select("id_a", "id_b")
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_e18_")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_e18_ck_")
+    Seq(storeDir, ckDir).foreach(graft.Tables.registerArtifactCleanup)
+    val evens = docs.filter(col("doc_id") % 2 === 0).select("doc_id")
+    val evenPairs = pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
+    evens
+      .join(graft.llm.DocDedup.dedupClusters(evenPairs), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .write.parquet(storeDir.resolve("labels_v0").toString)
+    graft.llm.DocDedup.leakSafeSplitOf(evens,
+        spark.read.parquet(storeDir.resolve("labels_v0").toString))
+      .write.parquet(storeDir.resolve("split_v0").toString)
+    @volatile var curL = storeDir.resolve("labels_v0")
+    @volatile var curS = storeDir.resolve("split_v0")
+    val stageDir = stagedOddDocsDir(spark, dir, docs)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    pinRocksDBStateStore(spark)
+    val refresh: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val priorL = spark.read.parquet(curL.toString)
+      val priorS = spark.read.parquet(curS.toString)
+      val batchIds = batch.select("doc_id")
+      val labels = ccStep(pairs, priorL, batchIds)
+      val knownDocs = priorS.select("doc_id").unionByName(batchIds)
+      val split = graft.llm.DocDedup.leakSafeSplitFrozen(
+        knownDocs, labels, priorS.select("doc_id", "split"))
+      val nl = storeDir.resolve(s"labels_v${batchId + 1}")
+      val ns = storeDir.resolve(s"split_v${batchId + 1}")
+      labels.write.parquet(nl.toString)
+      split.write.parquet(ns.toString)
+      curL = nl; curS = ns
+    }
+    val q = stream.writeStream.foreachBatch(refresh)
+      .option("checkpointLocation", ckDir.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(curS.toString).orderBy("doc_id")
   }
 
   /** The e14 chain as a library form (unified API — also the batch twin):

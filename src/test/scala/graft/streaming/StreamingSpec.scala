@@ -435,6 +435,45 @@ class StreamingSpec extends SparkSpec {
       "no batch-2 doc merged into earlier state")
   }
 
+  test("e18: arrival-ordered frozen split — stream equals the chained-batch replay") {
+    val drained = EventsStream.frozenSplitStreamGate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getString(2), r.getString(3)))).toMap
+    // replay the two refreshes as chained BATCH calls over the same cuts
+    val docs = graft.Tables.widen(graft.Tables.documents(spark, sfDir))
+      .select("doc_id")
+    val pairs = graft.llm.DocDedup.pairArtifact(spark, sfDir).select("id_a", "id_b")
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val mm = odd.agg(min("doc_id"), max("doc_id")).head()
+    val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+    type Pred = org.apache.spark.sql.Column => org.apache.spark.sql.Column
+    def ccOver(member: Pred) = {
+      val p = pairs.filter(member(col("id_a")) && member(col("id_b")))
+      docs.filter(member(col("doc_id")))
+        .join(graft.llm.DocDedup.dedupClusters(p), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    }
+    val even: Pred = _ % 2 === 0
+    val in1: Pred = c => even(c) || c <= cut
+    val all: Pred = _ => lit(true)
+    val s0 = graft.llm.DocDedup.leakSafeSplitOf(
+      docs.filter(even(col("doc_id"))), ccOver(even))
+    val s1 = graft.llm.DocDedup.leakSafeSplitFrozen(
+      docs.filter(in1(col("doc_id"))), ccOver(in1), s0.select("doc_id", "split"))
+    val s2 = graft.llm.DocDedup.leakSafeSplitFrozen(
+      docs, ccOver(all), s1.select("doc_id", "split")).collect()
+      .map(r => (r.getLong(0), (r.getString(2), r.getString(3)))).toMap
+    assert(drained == s2, "streamed frozen split must equal the chained-batch replay")
+    // append-only evals: snapshot-0 assignments survive verbatim, and the
+    // final tiers are exactly arrival-shaped
+    val s0m = s0.collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(s0m.forall { case (d, sp) => drained(d)._1 == sp },
+      "a frozen doc's split must never move")
+    assert(drained.forall { case (d, (_, a)) =>
+      if (d % 2 == 0 || d <= cut) a == "frozen" else a == "inherited" || a == "coined" })
+    assert(drained.exists(_._2._2 == "inherited") && drained.exists(_._2._2 == "coined"),
+      "fixture must exercise both new-doc tiers")
+  }
+
   test("e10b: native session_window batch twin equals the hand session assembly") {
     // unified API: on a batch frame the native operator emits EVERY
     // session; compare against the e2 lag/sum assembly (the oracle's CTE
