@@ -473,13 +473,15 @@ object EventsStream {
     val ckDir = java.nio.file.Files.createTempDirectory("graft_e16_ck_")
     Seq(keepDir, dropDir, ckDir).foreach(graft.Tables.registerArtifactCleanup)
     pinRocksDBStateStore(spark)
-    var outSchema: org.apache.spark.sql.types.StructType = null
+    // the verdict schema, derived WITHOUT running a batch (a zero-batch
+    // stream must still read its empty sinks with the right schema)
+    val outSchema = graft.llm.TextStats
+      .ensembleVerdictAgainstLm(docs.limit(0), lm.limit(0)).schema
     val route: (DataFrame, Long) => Unit = (batch, _) => {
       // twin-sink contract: score ONCE, write twice (the cache is the
       // twinSinkWriter pattern — without it each sink re-scores the batch)
       val v = graft.llm.TextStats.ensembleVerdictAgainstLm(batch, lm).cache()
       try {
-        outSchema = v.schema
         v.filter(col("verdict") === "keep").write.mode("append").parquet(keepDir.toString)
         v.filter(col("verdict") =!= "keep").write.mode("append").parquet(dropDir.toString)
       } finally v.unpersist()
