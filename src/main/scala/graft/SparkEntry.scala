@@ -140,6 +140,7 @@ object SparkEntry {
     "x133_dup_weighting" -> ((s: SparkSession, d: String) => DocDedup.dupWeighting(s, d)),
     "x136_cluster_coherence" -> ((s: SparkSession, d: String) => DocDedup.clusterCoherence(s, d)),
     "x137_guarded_dedup" -> ((s: SparkSession, d: String) => DocDedup.dedupApplyGuarded(s, d)),
+    "x139_split_balance" -> ((s: SparkSession, d: String) => DocDedup.splitBalance(s, d)),
     "x134_ngram_novelty" -> ((s: SparkSession, d: String) => DocDedup.ngramNovelty(s, d)),
     "x17_dedup_clusters" -> ((s: SparkSession, d: String) => DocDedup.dedupClustersGate(s, d)),
     "x75_leak_safe_split" -> (DocDedup.leakSafeSplit _),
@@ -1007,40 +1008,21 @@ object SparkEntry {
        "SELECT doc_id, group_id, CASE WHEN coin < 204 THEN 'train' " +
        "WHEN coin < 230 THEN 'val' ELSE 'test' END AS split " +
        "FROM c ORDER BY doc_id"),
-    "x82_frozen_split" ->
-      // two-snapshot frozen refresh: the oracle re-derives the prior split
-      // artifact (pair clusters over the 80% snapshot, x75 md5 coin), then
-      // mirrors the three tiers — frozen verbatim, inherited = arg_min-
-      // doc_id frozen member's split per refresh group, coined = md5 coin
-      // on never-before-seen group ids
-      ("WITH docs AS (SELECT doc_id FROM documents), " +
-       "pd AS (SELECT doc_id FROM docs WHERE doc_id % 5 <> 0), " +
-       "pc AS (SELECT doc_id, doc_id - doc_id % 2 AS cluster_id FROM pd WHERE doc_id % 20 < 8), " +
-       "pg AS (SELECT d.doc_id, COALESCE(pc.cluster_id, d.doc_id) AS group_id " +
-       "FROM pd d LEFT JOIN pc ON pc.doc_id = d.doc_id), " +
-       "prior AS (SELECT doc_id, CASE WHEN coin < 204 THEN 'train' " +
-       "WHEN coin < 230 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, " +
-       "CAST(concat('0x', substr(md5(CAST(group_id AS VARCHAR)), 1, 2)) AS INT) AS coin FROM pg)), " +
-       "nc AS (SELECT doc_id, doc_id - doc_id % 4 AS cluster_id FROM docs WHERE doc_id % 20 < 8), " +
-       "g AS (SELECT d.doc_id, COALESCE(nc.cluster_id, d.doc_id) AS group_id " +
-       "FROM docs d LEFT JOIN nc ON nc.doc_id = d.doc_id), " +
-       "wp AS (SELECT g.doc_id, g.group_id, prior.split AS prior_split " +
-       "FROM g LEFT JOIN prior ON prior.doc_id = g.doc_id), " +
-       "frozen AS (SELECT doc_id, group_id, prior_split AS split, 'frozen' AS assignment " +
-       "FROM wp WHERE prior_split IS NOT NULL), " +
-       "gs AS (SELECT group_id, arg_min(prior_split, doc_id) AS inherit_split " +
-       "FROM wp WHERE prior_split IS NOT NULL GROUP BY group_id), " +
-       "nd AS (SELECT doc_id, group_id FROM wp WHERE prior_split IS NULL), " +
-       "inh AS (SELECT nd.doc_id, nd.group_id, gs.inherit_split AS split, " +
-       "'inherited' AS assignment FROM nd JOIN gs ON gs.group_id = nd.group_id), " +
-       "cn AS (SELECT doc_id, group_id, CASE WHEN coin < 204 THEN 'train' " +
-       "WHEN coin < 230 THEN 'val' ELSE 'test' END AS split, 'coined' AS assignment " +
-       "FROM (SELECT nd.doc_id, nd.group_id, " +
-       "CAST(concat('0x', substr(md5(CAST(nd.group_id AS VARCHAR)), 1, 2)) AS INT) AS coin " +
-       "FROM nd LEFT JOIN gs ON gs.group_id = nd.group_id WHERE gs.group_id IS NULL)) " +
-       "SELECT doc_id, group_id, split, assignment FROM frozen " +
-       "UNION ALL SELECT doc_id, group_id, split, assignment FROM inh " +
-       "UNION ALL SELECT doc_id, group_id, split, assignment FROM cn ORDER BY doc_id"),
+    "x82_frozen_split" -> x82FrozenSql,
+    "x139_split_balance" ->
+      // the x82 frozen-split oracle as a CTE, collapsed to per-split
+      // counts, integer-ppm shares and absolute deviation from the
+      // 80/10/10 coin targets
+      // targets are the exact ppm floors of the coin measure: train =
+      // 204/256 = 796875, val = test = ⌊26·10⁶/256⌋ = 101562
+      (s"WITH fs AS ($x82FrozenSql), " +
+       "agg AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs FROM fs GROUP BY split), " +
+       "t AS (SELECT split, n_docs, " +
+       "n_docs * 1000000 // CAST(sum(n_docs) OVER () AS BIGINT) AS share_ppm, " +
+       "CAST(CASE split WHEN 'train' THEN 796875 ELSE 101562 END AS BIGINT) AS target_ppm " +
+       "FROM agg) " +
+       "SELECT split, n_docs, share_ppm, target_ppm, " +
+       "abs(share_ppm - target_ppm) AS deviation_ppm FROM t ORDER BY split"),
     "x66_dedup_stats" ->
       // cluster-size histogram over the x17 components + the singleton row
       // (total − clustered), so Σ n_docs = corpus and Σ n_removed = x30's
@@ -3155,6 +3137,42 @@ object SparkEntry {
   // md5 minhash → 2-row bands
   /** tok/sh/hs/mh CTE chain (md5-witness minhash, k=8) — shared by the
     * fixed-band x15 prefix below and x15b's derived-geometry banding. */
+  /** x82's two-snapshot frozen-refresh derivation, shared by the x82
+    * gate and x139's balance audit: the oracle re-derives the prior split
+    * artifact (pair clusters over the 80% snapshot, x75 md5 coin), then
+    * mirrors the three tiers — frozen verbatim, inherited = arg_min-
+    * doc_id frozen member's split per refresh group, coined = md5 coin
+    * on never-before-seen group ids. */
+  private lazy val x82FrozenSql: String =
+    "WITH docs AS (SELECT doc_id FROM documents), " +
+    "pd AS (SELECT doc_id FROM docs WHERE doc_id % 5 <> 0), " +
+    "pc AS (SELECT doc_id, doc_id - doc_id % 2 AS cluster_id FROM pd WHERE doc_id % 20 < 8), " +
+    "pg AS (SELECT d.doc_id, COALESCE(pc.cluster_id, d.doc_id) AS group_id " +
+    "FROM pd d LEFT JOIN pc ON pc.doc_id = d.doc_id), " +
+    "prior AS (SELECT doc_id, CASE WHEN coin < 204 THEN 'train' " +
+    "WHEN coin < 230 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, " +
+    "CAST(concat('0x', substr(md5(CAST(group_id AS VARCHAR)), 1, 2)) AS INT) AS coin FROM pg)), " +
+    "nc AS (SELECT doc_id, doc_id - doc_id % 4 AS cluster_id FROM docs WHERE doc_id % 20 < 8), " +
+    "g AS (SELECT d.doc_id, COALESCE(nc.cluster_id, d.doc_id) AS group_id " +
+    "FROM docs d LEFT JOIN nc ON nc.doc_id = d.doc_id), " +
+    "wp AS (SELECT g.doc_id, g.group_id, prior.split AS prior_split " +
+    "FROM g LEFT JOIN prior ON prior.doc_id = g.doc_id), " +
+    "frozen AS (SELECT doc_id, group_id, prior_split AS split, 'frozen' AS assignment " +
+    "FROM wp WHERE prior_split IS NOT NULL), " +
+    "gs AS (SELECT group_id, arg_min(prior_split, doc_id) AS inherit_split " +
+    "FROM wp WHERE prior_split IS NOT NULL GROUP BY group_id), " +
+    "nd AS (SELECT doc_id, group_id FROM wp WHERE prior_split IS NULL), " +
+    "inh AS (SELECT nd.doc_id, nd.group_id, gs.inherit_split AS split, " +
+    "'inherited' AS assignment FROM nd JOIN gs ON gs.group_id = nd.group_id), " +
+    "cn AS (SELECT doc_id, group_id, CASE WHEN coin < 204 THEN 'train' " +
+    "WHEN coin < 230 THEN 'val' ELSE 'test' END AS split, 'coined' AS assignment " +
+    "FROM (SELECT nd.doc_id, nd.group_id, " +
+    "CAST(concat('0x', substr(md5(CAST(nd.group_id AS VARCHAR)), 1, 2)) AS INT) AS coin " +
+    "FROM nd LEFT JOIN gs ON gs.group_id = nd.group_id WHERE gs.group_id IS NULL)) " +
+    "SELECT doc_id, group_id, split, assignment FROM frozen " +
+    "UNION ALL SELECT doc_id, group_id, split, assignment FROM inh " +
+    "UNION ALL SELECT doc_id, group_id, split, assignment FROM cn ORDER BY doc_id"
+
   private val minhashMd5Cte: String =
     "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
     "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +

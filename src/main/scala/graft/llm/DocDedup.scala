@@ -931,6 +931,32 @@ object DocDedup {
       leakSafeSplitOf(priorDocs, priorClusters))
   }
 
+  /** x139: SPLIT BALANCE AUDIT — the drift table a frozen split's owner
+    * watches: the freeze (x82/e18) is append-only by design, so balance
+    * error ACCUMULATES across refreshes (inherited members pile into
+    * whichever split their group froze on) and nothing re-centers it.
+    * Per split: exact count, integer-ppm share, the coin measure's exact
+    * target (train 204/256 = 796875 ppm; val/test ⌊26·10⁶/256⌋ =
+    * 101562), and the absolute deviation. Scale: one short-key count
+    * aggregate over the split artifact; the totals window rides the
+    * ≤3-row aggregate. */
+  def splitBalance(spark: SparkSession, dir: String): DataFrame =
+    splitBalanceOf(frozenSplitGate(spark, dir).select("split"))
+
+  /** Library form over any frame with a `split` column. */
+  def splitBalanceOf(split: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    split.groupBy("split").agg(count(lit(1)).as("n_docs"))
+      .withColumn("tot", sum("n_docs").over(w))
+      .withColumn("share_ppm", expr("n_docs * 1000000 div tot"))
+      .withColumn("target_ppm",
+        when(col("split") === "train", 796875L).otherwise(101562L))
+      .withColumn("deviation_ppm", abs(col("share_ppm") - col("target_ppm")))
+      .select("split", "n_docs", "share_ppm", "target_ppm", "deviation_ppm")
+      .orderBy("split")
+  }
+
   /** x61: quality-aware cluster REPRESENTATIVE selection — production
     * dedup keeps the BEST duplicate, not the first: crawls re-capture the
     * same page with different boilerplate/truncation, and keep-min-id

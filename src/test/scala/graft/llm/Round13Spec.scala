@@ -219,6 +219,26 @@ class Round13Spec extends SparkSpec {
     assert(cov.map(_.getLong(2)).sum == incoming.count(), "bigram totals must reconcile")
   }
 
+  test("x139: balance rows partition the split; shares and deviations recompute exactly") {
+    val b = DocDedup.splitBalance(spark, sfDir).collect()
+    assert(b.map(_.getString(0)).toSet == Set("train", "val", "test"))
+    val tot = b.map(_.getLong(1)).sum
+    assert(tot == graft.Tables.documents(spark, sfDir).count())
+    b.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) * 1000000L / tot, s"share at ${r.getString(0)}")
+      val target = if (r.getString(0) == "train") 796875L else 101562L
+      assert(r.getLong(3) == target &&
+        r.getLong(4) == math.abs(r.getLong(2) - target), s"target/dev at ${r.getString(0)}")
+    }
+    // the library form on a hand-built frame: exact floors
+    val spark2 = spark
+    import spark2.implicits._
+    val hand = DocDedup.splitBalanceOf(
+      (Seq.fill(3)("train") ++ Seq("val")).toDF("split")).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(hand("train") == ((750000L, 46875L)) && hand("val") == ((250000L, 148438L)))
+  }
+
   test("x135: halves partition the corpus; shares and drift recompute exactly") {
     val d = TextStats.qualityDrift(spark, sfDir).collect()
     val nDocs = graft.Tables.documents(spark, sfDir).count()
