@@ -35,6 +35,47 @@ object ScaleRehearsal {
 
   private val idOffset = 1000000L // replica id stride, far above base ids
 
+  /** r14 (VERDICT ask #7): also replicate the FACT tables — the sf1
+    * rehearsal. lineitem/orders replicate with orderkey offsets (dims
+    * stay fixed — facts grow faster than dims, the realistic shape;
+    * l_suppkey/l_partkey survive unchanged so every dim join still
+    * lands), events replicate with event_id AND user_id offsets (a
+    * same-user replica would quadratically inflate the stream-stream
+    * join fan-out for data reasons, not plan reasons — the same
+    * decorrelation requirement the documents path solves with token
+    * remapping). */
+  def synthesizeFacts(spark: SparkSession, baseDir: String, outDir: String,
+      factor: Int): Unit = {
+    // drop the control symlinks `synthesize` left FIRST: an overwrite
+    // write through a live symlink could recurse into the (read-only)
+    // base directory instead of replacing the link
+    for (t <- Seq("lineitem", "orders", "events")) {
+      val link = java.nio.file.Paths.get(s"$outDir/$t.parquet")
+      if (java.nio.file.Files.isSymbolicLink(link))
+        java.nio.file.Files.delete(link)
+    }
+    val reps = explode(sequence(lit(0), lit(factor - 1))).as("rep")
+    // fact keys range far above documents ids (orderkeys reach ~6e6 at
+    // sf1) — use a 1e9 stride so replicas can never collide
+    val factOffset = 1000000000L
+    val li = Tables.lineitem(spark, baseDir)
+      .select(col("*"), reps)
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * factOffset)
+      .drop("rep")
+    li.repartition(32).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    val ord = Tables.orders(spark, baseDir)
+      .select(col("*"), reps)
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * factOffset)
+      .drop("rep")
+    ord.repartition(32).write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    val ev = Tables.events(spark, baseDir)
+      .select(col("*"), reps)
+      .withColumn("event_id", col("event_id") + col("rep") * factOffset)
+      .withColumn("user_id", col("user_id") + col("rep") * factOffset)
+      .drop("rep")
+    ev.repartition(32).write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, factor: Int): Unit = {
     val reps = explode(sequence(lit(0), lit(factor - 1))).as("rep")
     // HEAPS-LAW decorrelation (replaces the r5–r8 per-replica token
@@ -111,6 +152,13 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     synthesize(spark, baseDir, outDir, factor)
+    // `--facts` anywhere in args (VERDICT r13 ask #7): replicate lineitem/
+    // orders/events too — a base of sf0.1 × factor 10 is the sf1-equivalent
+    // rehearsal, fact-table gates included (q/a/w/e families all see 10×)
+    if (args.contains("--facts")) {
+      synthesizeFacts(spark, baseDir, outDir, factor)
+      println(s"synthesized ${factor}x FACT tables at $outDir")
+    }
     println(s"synthesized ${factor}x corpus at $outDir")
 
     // e-family (streaming drains) joins the selection since e15: the
@@ -135,8 +183,15 @@ object ScaleRehearsal {
     // (the simhash auto path needs no variant here: x4e_simhash_auto is a
     // registered gate and rides the x-family selection directly)
     // optional 4th arg: comma-separated substrings to focus the run
-    val nameFilter = args.lift(3)
-    val selected = (xFamily.map(n => n -> SparkEntry.queries(n)) ++ autoVariants)
+    val nameFilter = args.lift(3).filter(_ != "--facts")
+    // with --facts every family has genuine 10× input, so the whole
+    // registry is selectable (the sf1 top-10 rehearsal names its gates
+    // via the filter); without it only the documents/embeddings families
+    // see scaled data
+    val baseNames =
+      if (args.contains("--facts")) SparkEntry.queries.keys.toSeq.sorted
+      else xFamily
+    val selected = (baseNames.map(n => n -> SparkEntry.queries(n)) ++ autoVariants)
       .filter { case (n, _) =>
         nameFilter.forall(_.split(",").exists(n.contains)) }
     // median-of-3: a one-shot in a fresh JVM can read 5× high on a single

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{Aggs, Dedup, Etl, Funcs, Joins, Profiling, TimeSeries}
+import graft.queries.{Aggs, Dedup, Etl, Funcs, Joins, Profiling, SqlText, TimeSeries}
 import graft.warehouse.StarSchema
 import graft.llm.{Curation, DocDedup, Multimodal, Packing, Retrieval, Similarity, TextStats}
 
@@ -133,6 +133,13 @@ object SparkEntry {
     // rows-only: sketch internals are engine-specific (HLL++/KLL);
     // AggsSpec pins estimates within tolerance of the exact aggregates
     "a21_sketch_kpis" -> (Aggs.sketchKpis _),
+    "a21b_sketch_tol" -> (Aggs.sketchKpisTol _),
+    "sql1_sum_by_category_text" ->
+      ((s: SparkSession, d: String) => SqlText.gate(s, d, SqlText.sumByCategorySql)),
+    "sql2_histogram_text" ->
+      ((s: SparkSession, d: String) => SqlText.gate(s, d, SqlText.histogramSql)),
+    "sql3_dot_pairs_text" ->
+      ((s: SparkSession, d: String) => SqlText.gate(s, d, SqlText.dotPairsSparkSql)),
     "win_decile_by_group" -> (Funcs.decileByGroup _),
     "x15_ngram_jaccard" -> ((s: SparkSession, d: String) => DocDedup.ngramJaccardPairs(s, d)),
     "x15b_auto_bands" -> ((s: SparkSession, d: String) => DocDedup.ngramJaccardPairsAuto(s, d)),
@@ -1156,9 +1163,14 @@ object SparkEntry {
     "a5_trips_per_day" ->
       ("SELECT CAST(l_shipdate AS DATE) AS pickup_date, count(*) AS n FROM lineitem " +
        "GROUP BY 1 ORDER BY pickup_date"),
-    "a6_sum_by_category" ->
-      ("SELECT l_returnflag, round(sum(l_extendedprice),2) AS total_amount FROM lineitem " +
-       "GROUP BY 1 ORDER BY l_returnflag"),
+    "a6_sum_by_category" -> SqlText.sumByCategorySql,
+    // SQL-text entry gates (r14): sql1/sql2 reuse the a6/a9 oracle text
+    // VERBATIM on the Spark side too (one string, both engines); sql3's
+    // Spark side calls the registered graft_dot from SQL, oracle via
+    // DuckDB list arithmetic over the same exact integers
+    "sql1_sum_by_category_text" -> SqlText.sumByCategorySql,
+    "sql2_histogram_text" -> SqlText.histogramSql,
+    "sql3_dot_pairs_text" -> SqlText.dotPairsOracleSql,
     "a7_share_of_total" ->
       (s"WITH g AS (SELECT ${periodCase("hour(ts)")} AS time_period, sum(value) AS s FROM events GROUP BY 1) " +
        "SELECT time_period, round(s,2) AS total_value, round(s*100/sum(s) OVER (),2) AS pct " +
@@ -1167,9 +1179,7 @@ object SparkEntry {
       ("SELECT CAST(year(l_shipdate) AS INT) AS y, CAST(quarter(l_shipdate) AS INT) AS q, " +
        "CAST(month(l_shipdate) AS INT) AS m, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue " +
        "FROM lineitem GROUP BY 1, 2, 3 ORDER BY y, q, m"),
-    "a9_histogram" ->
-      ("SELECT CAST(floor(l_quantity/10) AS INT) AS bin, count(*) AS n FROM lineitem " +
-       "GROUP BY 1 ORDER BY bin"),
+    "a9_histogram" -> SqlText.histogramSql,
     "a10_median_kpi" ->
       ("SELECT round(median(l_quantity),2) AS median_qty, round(median(l_extendedprice),2) AS median_price " +
        "FROM lineitem"),
@@ -1180,6 +1190,16 @@ object SparkEntry {
       ("SELECT round(median(l_quantity),2) AS median_qty, " +
        "round(median(l_extendedprice),2) AS median_price, " +
        "TRUE AS qty_within_tol, TRUE AS price_within_tol FROM lineitem"),
+    "a21b_sketch_tol" ->
+      // a10d's literal-TRUE pattern per group: exact distincts + median
+      // hash-matched, sketch estimates asserted within tolerance (HLL++
+      // 5% = its default rsd, percentile 1%)
+      ("SELECT l_returnflag, " +
+       "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers, " +
+       "CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts, " +
+       "round(median(l_extendedprice),2) AS median_price, " +
+       "TRUE AS suppliers_within_tol, TRUE AS parts_within_tol, " +
+       "TRUE AS price_within_tol FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
     "a11_daily_avg_revenue" ->
       ("WITH d AS (SELECT CAST(l_shipdate AS DATE) AS pickup_date, sum(l_extendedprice*(1-l_discount)) AS s " +
        "FROM lineitem GROUP BY 1) SELECT round(avg(s),2) AS daily_avg_revenue FROM d"),
@@ -3404,7 +3424,13 @@ object SparkEntry {
     "fe AS (SELECT CAST(sum(CASE WHEN cand.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS f, " +
     s"CAST(sum(CASE CAST(floor(t.jaccard * 10.0) AS BIGINT) $tCase END) AS BIGINT) AS e " +
     "FROM truth t LEFT JOIN cand ON cand.id_a = t.id_a AND cand.id_b = t.id_b), " +
-    "cor AS (SELECT CASE WHEN e IS NULL OR e = 0 THEN 1000000 " +
+    // f-bound mirrored from DocDedup.bandCalibrationPpm's require: both
+    // engines now FAIL (not silently diverge) if the capped-witness bound
+    // is ever exceeded — without this the Spark side raised while DuckDB
+    // overflowed, an asymmetric failure (r13 advisor finding)
+    "cor AS (SELECT CASE WHEN f >= 9000000 THEN " +
+    "error('witness found-pair count exceeds the capped-witness bound') " +
+    "WHEN e IS NULL OR e = 0 THEN 1000000 " +
     "ELSE least(1000000, (f * 1000000 * 1000000) // e) END AS corr FROM fe), " +
     s"prm AS (SELECT CASE WHEN r_raw <= 1 THEN 1 WHEN r_raw <= 2 THEN 2 ELSE 4 END AS r0 " +
     s"FROM (SELECT (l + 3) // 4 AS r_raw FROM (SELECT ($logTerms) AS l " +

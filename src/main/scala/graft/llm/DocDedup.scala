@@ -910,6 +910,58 @@ object DocDedup {
     frozen.unionByName(inherited).unionByName(coined).orderBy("doc_id")
   }
 
+  /** DELTA form of the frozen refresh (e18's per-batch step): emit rows
+    * for the NEW docs ONLY — frozen assignments are immutable by
+    * contract, so a rolling ingest never needs to rewrite them; the split
+    * store advances by APPEND and the per-batch cost is proportional to
+    * the batch plus the membership of the groups it touches, not the full
+    * known corpus (the r13 `weak` flag: `leakSafeSplitFrozen` re-projects
+    * O(known) rows every micro-batch).
+    *
+    * Inputs: `newDocs` (doc_id — the batch, assumed disjoint from
+    * `priorAssigned` by the each-doc-arrives-once stream contract),
+    * `labels` (doc_id, cluster_id — the CURRENT clustering over the full
+    * known set, i.e. the label store AFTER this batch's CC refresh), and
+    * `priorAssigned` (doc_id, split — every doc assigned before this
+    * batch). Output: (doc_id, group_id, split, assignment) with
+    * assignment ∈ {inherited, coined}, exactly the non-frozen tiers of
+    * `leakSafeSplitFrozen(newDocs ∪ assigned, labels, priorAssigned)`.
+    *
+    * Scale shape: `touched` (≤ |batch| group ids) is broadcast, so the
+    * members lookup is a map-side semi-join on the label table (at lake
+    * scale: partition-pruned if the label store is bucketed by
+    * cluster_id) whose OUTPUT is ∝ touched-group membership; that small
+    * side is then broadcast against the big `priorAssigned` store, so the
+    * frozen artifact is scanned (map-only) but never shuffled, and every
+    * shuffle in the plan carries only batch-proportional rows. */
+  def leakSafeSplitDelta(newDocs: DataFrame, labels: DataFrame,
+      priorAssigned: DataFrame): DataFrame = {
+    // barrier: g feeds both the inherit join and the coin anti-join, and
+    // without it the upstream batch plan would run twice
+    val g = newDocs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+      .localCheckpoint(eager = false)
+    val touched = g.select(col("group_id").as("cluster_id")).distinct()
+    // all CURRENT members of batch-touched groups (frozen + new): output
+    // rows ∝ touched membership, never ∝ corpus
+    val members = labels.join(broadcast(touched), Seq("cluster_id"), "left_semi")
+    // frozen members of those groups → per-group inheritance verdict; the
+    // members side is the bounded one, so IT is the broadcast build side
+    // and the big assigned store streams map-only
+    val groupSplit = broadcast(members)
+      .join(priorAssigned.select("doc_id", "split"), Seq("doc_id"))
+      .groupBy(col("cluster_id").as("group_id"))
+      .agg(min_by(col("split"), col("doc_id")).as("inherit_split"))
+    val inherited = g.join(groupSplit, Seq("group_id"))
+      .select(col("doc_id"), col("group_id"),
+        col("inherit_split").as("split"), lit("inherited").as("assignment"))
+    val coined = g.join(groupSplit, Seq("group_id"), "left_anti")
+      .select(col("doc_id"), col("group_id"),
+        splitCoinExpr(col("group_id")).as("split"),
+        lit("coined").as("assignment"))
+    inherited.unionByName(coined)
+  }
+
   /** x82 gate: a deterministic two-snapshot refresh over the real corpus
     * ids. Snapshot 1 = the 80% of docs with doc_id % 5 ≠ 0, clustered as
     * consecutive PAIRS (cluster = doc_id − doc_id % 2) within the

@@ -141,6 +141,36 @@ object Aggs {
           .as("approx_median_price"))
       .orderBy("l_returnflag")
 
+  /** a21b: FULL-ORACLE tolerance witness for the a21 sketches (the a10d
+    * pattern applied per group): emit the exact per-flag distinct counts
+    * and median (hash-matched against DuckDB) alongside booleans asserting
+    * each a21 sketch estimate is within tolerance of its exact
+    * counterpart — HLL++ within 5% (its default rsd), the KLL-style
+    * percentile within 1%. DuckDB emits literal TRUE, so a drifting
+    * sketch flips a boolean and hash-fails the gate: the sketch-quality
+    * contract moves from spec-only to driver-verified. The exact
+    * distincts/medians here are the WITNESS cost, paid in this audit gate
+    * only — the production path (a21) stays one-pass mergeable. */
+  def sketchKpisTol(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("exact_suppliers"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        round(median(col("l_extendedprice")), 2).as("median_price"),
+        approx_count_distinct(col("l_suppkey")).as("__as"),
+        approx_count_distinct(col("l_partkey")).as("__ap"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("__mp"),
+        median(col("l_extendedprice")).as("__em"))
+      .select(col("l_returnflag"), col("exact_suppliers"), col("exact_parts"),
+        col("median_price"),
+        (abs(col("__as") - col("exact_suppliers"))
+          <= col("exact_suppliers") * 0.05).as("suppliers_within_tol"),
+        (abs(col("__ap") - col("exact_parts"))
+          <= col("exact_parts") * 0.05).as("parts_within_tol"),
+        (abs(col("__mp") - col("__em")) <= col("__em") * 0.01).as("price_within_tol"))
+      .orderBy("l_returnflag")
+
   /** Scale path for A10: percentile_approx sketch (mergeable, one pass). */
   def medianApprox(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

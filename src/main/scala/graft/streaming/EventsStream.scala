@@ -432,7 +432,7 @@ object EventsStream {
         .write.mode("append").parquet(outDir.toString)
     val q = stream.writeStream.foreachBatch(probe)
       .option("checkpointLocation", ckDir.toString).start()
-    try q.processAllAvailable() finally q.stop()
+    drain(q)
     spark.read.parquet(outDir.toString).orderBy("doc_id")
   }
 
@@ -488,7 +488,7 @@ object EventsStream {
     }
     val q = stream.writeStream.foreachBatch(route)
       .option("checkpointLocation", ckDir.toString).start()
-    try q.processAllAvailable() finally q.stop()
+    drain(q)
     // explicit schema: a batch with zero rows for one route leaves that
     // sink without data files, and schema inference would refuse it
     spark.read.schema(outSchema).parquet(keepDir.toString)
@@ -516,34 +516,69 @@ object EventsStream {
     * overwritten while a plan may still read it. */
   def incrementalCcStreamGate(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
-    val docs = graft.Tables.widen(graft.Tables.documents(spark, dir))
-      .select("doc_id", "text")
-    val pairs = graft.llm.DocDedup.pairArtifact(spark, dir).select("id_a", "id_b")
     val storeDir = java.nio.file.Files.createTempDirectory("graft_e17_labels_")
     val ckDir = java.nio.file.Files.createTempDirectory("graft_e17_ck_")
     Seq(storeDir, ckDir).foreach(graft.Tables.registerArtifactCleanup)
-    // v0: the historical (even) half — CC over even-internal pairs,
-    // singletons self-labeled (the persisted-artifact shape x83 reads)
-    val evenPairs = pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
-    docs.filter(col("doc_id") % 2 === 0).select("doc_id")
-      .join(graft.llm.DocDedup.dedupClusters(evenPairs), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .write.parquet(storeDir.resolve("v0").toString)
-    @volatile var current = storeDir.resolve("v0")
-    val stageDir = stagedOddDocsDir(spark, dir, docs)
+    val docs = graft.Tables.widen(graft.Tables.documents(spark, dir))
+      .select("doc_id", "text")
+    runIncrementalCcStream(spark, dir, stagedOddDocsDir(spark, dir, docs),
+      storeDir, ckDir)
+  }
+
+  /** e17 core, RESTART-CAPABLE: storeDir/ckDir/srcDir are caller-owned, so
+    * a query that dies mid-stream can be resumed by calling this again on
+    * the same triple (StreamingSpec exercises exactly that). Store
+    * versions are addressed by BATCH ID, never by a mutable pointer: the
+    * prior for batch b is labels_v{b} (batches commit in order), so a
+    * foreachBatch REPLAY of an uncommitted batch re-reads the same prior
+    * and `mode(Overwrite)` on its own deterministic output dir makes the
+    * retry idempotent (r13 advisor finding: the ErrorIfExists default
+    * crashed a retried batch). A COMMITTED version is still never
+    * rewritten — only the one version no committed reader can see yet. */
+  private[graft] def runIncrementalCcStream(
+      spark: org.apache.spark.sql.SparkSession, dir: String, srcDir: String,
+      storeDir: java.nio.file.Path, ckDir: java.nio.file.Path): DataFrame = {
+    lastStoreDir = Some(storeDir)
+    val docs = graft.Tables.widen(graft.Tables.documents(spark, dir))
+      .select("doc_id", "text")
+    val pairs = graft.llm.DocDedup.pairArtifact(spark, dir).select("id_a", "id_b")
+    // v0 (only if absent — a restart resumes the existing store): the
+    // historical (even) half — CC over even-internal pairs, singletons
+    // self-labeled (the persisted-artifact shape x83 reads)
+    if (!java.nio.file.Files.exists(storeDir.resolve("labels_v0"))) {
+      val evenPairs = pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id")
+        .join(graft.llm.DocDedup.dedupClusters(evenPairs), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .write.mode("overwrite").parquet(storeDir.resolve("labels_v0").toString)
+    }
     val stream = spark.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
     pinRocksDBStateStore(spark)
     val refresh: (DataFrame, Long) => Unit = (batch, batchId) => {
-      val prior = spark.read.parquet(current.toString)
-      val next = storeDir.resolve(s"v${batchId + 1}")
-      ccStep(pairs, prior, batch.select("doc_id")).write.parquet(next.toString)
-      current = next
+      val prior = spark.read.parquet(storeDir.resolve(s"labels_v$batchId").toString)
+      ccStep(pairs, prior, batch.select("doc_id"))
+        .write.mode("overwrite")
+        .parquet(storeDir.resolve(s"labels_v${batchId + 1}").toString)
     }
     val q = stream.writeStream.foreachBatch(refresh)
       .option("checkpointLocation", ckDir.toString).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(current.toString).orderBy("doc_id")
+    drain(q)
+    spark.read.parquet(latestVersion(storeDir, "labels_v").toString)
+      .orderBy("doc_id")
+  }
+
+  /** The highest-numbered `prefix{N}` version dir under a store. After a
+    * drain every present version is complete (a batch's store write
+    * finishes before its checkpoint commit, and an uncommitted partial
+    * write is overwritten by the replay), so max IS latest-committed. */
+  private def latestVersion(storeDir: java.nio.file.Path,
+      prefix: String): java.nio.file.Path = {
+    val vs = storeDir.toFile.listFiles().toSeq
+      .map(_.getName).filter(_.startsWith(prefix))
+      .map(_.drop(prefix.length).toLong)
+    require(vs.nonEmpty, s"no $prefix* versions under $storeDir")
+    storeDir.resolve(s"$prefix${vs.max}")
   }
 
   /** One incremental-CC refresh step (shared by e17 and e18): the batch
@@ -570,58 +605,106 @@ object EventsStream {
 
   /** e18: STREAMING FROZEN-SPLIT MAINTENANCE — the full live curation
     * chain: ingest (the e15/e16 staging) → dedup-graph refresh (e17's
-    * ccStep) → leak-safe FROZEN split (x82's tiers), with BOTH artifacts
-    * versioned per micro-batch. Every batch re-runs
-    * `leakSafeSplitFrozen` over the full known set: previously-assigned
-    * docs keep their split verbatim (frozen — eval sets stay
-    * append-only), new docs inherit their CURRENT group's minimum
-    * frozen member's split or throw the x75 coin on a never-seen group.
+    * ccStep) → leak-safe FROZEN split (x82's tiers). The label store is
+    * versioned per micro-batch (e17's read-committed swap); the split
+    * store advances by APPEND (r14, closing the r13 `weak` flag): frozen
+    * assignments are immutable by contract, so a batch writes rows for
+    * its NEW docs only (`DocDedup.leakSafeSplitDelta` — inherit from the
+    * current group's minimum frozen member, or throw the x75 coin on a
+    * never-seen group) and the per-batch split cost is ∝ the batch plus
+    * the membership of the groups it touches, never the full known set.
     * The result is genuinely ARRIVAL-ORDERED (a doc's split depends on
     * the cluster structure at its arrival, exactly like a real rolling
     * corpus), and the oracle replays that order: per-snapshot recursive
     * CC over the pairs internal to each arrival prefix, then the x82
-    * tier rules chained across the three snapshots. */
+    * tier rules chained across the three snapshots. The drained gate
+    * output reports every doc under its CURRENT group (one join of the
+    * append store against the final label version — paid once at read,
+    * not per batch) with the x82 assignment tiers relative to the last
+    * refresh: anything assigned earlier is `frozen`, the last batch's
+    * rows keep their inherit/coin verdict — byte-identical to what the
+    * pre-r14 full re-derivation produced. */
   def frozenSplitStreamGate(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
-    val docs = graft.Tables.widen(graft.Tables.documents(spark, dir))
-      .select("doc_id", "text")
-    val pairs = graft.llm.DocDedup.pairArtifact(spark, dir).select("id_a", "id_b")
     val storeDir = java.nio.file.Files.createTempDirectory("graft_e18_")
     val ckDir = java.nio.file.Files.createTempDirectory("graft_e18_ck_")
     Seq(storeDir, ckDir).foreach(graft.Tables.registerArtifactCleanup)
-    val evens = docs.filter(col("doc_id") % 2 === 0).select("doc_id")
-    val evenPairs = pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
-    evens
-      .join(graft.llm.DocDedup.dedupClusters(evenPairs), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .write.parquet(storeDir.resolve("labels_v0").toString)
-    graft.llm.DocDedup.leakSafeSplitOf(evens,
-        spark.read.parquet(storeDir.resolve("labels_v0").toString))
-      .write.parquet(storeDir.resolve("split_v0").toString)
-    @volatile var curL = storeDir.resolve("labels_v0")
-    @volatile var curS = storeDir.resolve("split_v0")
-    val stageDir = stagedOddDocsDir(spark, dir, docs)
+    val docs = graft.Tables.widen(graft.Tables.documents(spark, dir))
+      .select("doc_id", "text")
+    runFrozenSplitStream(spark, dir, stagedOddDocsDir(spark, dir, docs),
+      storeDir, ckDir)
+  }
+
+  /** e18 core, RESTART-CAPABLE (same contract as `runIncrementalCcStream`:
+    * caller-owned store/checkpoint/source, batch-id-addressed versions,
+    * Overwrite-idempotent replays). Split deltas live at split_b{batchId}
+    * plus the split_init seed; a batch's prior-assigned set is the union
+    * of deltas with id < batchId — REPLAY-SAFE, because a retried batch
+    * never reads the delta it may itself have half-written. */
+  private[graft] def runFrozenSplitStream(
+      spark: org.apache.spark.sql.SparkSession, dir: String, srcDir: String,
+      storeDir: java.nio.file.Path, ckDir: java.nio.file.Path): DataFrame = {
+    lastStoreDir = Some(storeDir)
+    val docs = graft.Tables.widen(graft.Tables.documents(spark, dir))
+      .select("doc_id", "text")
+    val pairs = graft.llm.DocDedup.pairArtifact(spark, dir).select("id_a", "id_b")
+    val initPath = storeDir.resolve("split_init")
+    if (!java.nio.file.Files.exists(storeDir.resolve("labels_v0"))) {
+      val evens = docs.filter(col("doc_id") % 2 === 0).select("doc_id")
+      val evenPairs = pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
+      evens
+        .join(graft.llm.DocDedup.dedupClusters(evenPairs), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .write.mode("overwrite").parquet(storeDir.resolve("labels_v0").toString)
+      // the seed rows store only the IMMUTABLE facts (split + when
+      // assigned); group_id is derived at read time from the CURRENT
+      // labels, so frozen rows never need rewriting when clusters merge
+      graft.llm.DocDedup.leakSafeSplitOf(evens,
+          spark.read.parquet(storeDir.resolve("labels_v0").toString))
+        .select(col("doc_id"), col("split"), lit("frozen").as("assignment"),
+          lit(-1L).as("assigned_batch"))
+        .write.mode("overwrite").parquet(initPath.toString)
+    }
+    def deltaPathsBelow(b: Long): Seq[String] =
+      (initPath +: storeDir.toFile.listFiles().toSeq
+        .map(_.getName).filter(_.startsWith("split_b"))
+        .map(n => n.drop("split_b".length).toLong).filter(_ < b).sorted
+        .map(i => storeDir.resolve(s"split_b$i"))).map(_.toString)
     val stream = spark.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
     pinRocksDBStateStore(spark)
     val refresh: (DataFrame, Long) => Unit = (batch, batchId) => {
-      val priorL = spark.read.parquet(curL.toString)
-      val priorS = spark.read.parquet(curS.toString)
+      val priorL = spark.read.parquet(storeDir.resolve(s"labels_v$batchId").toString)
       val batchIds = batch.select("doc_id")
-      val labels = ccStep(pairs, priorL, batchIds)
-      val knownDocs = priorS.select("doc_id").unionByName(batchIds)
-      val split = graft.llm.DocDedup.leakSafeSplitFrozen(
-        knownDocs, labels, priorS.select("doc_id", "split"))
       val nl = storeDir.resolve(s"labels_v${batchId + 1}")
-      val ns = storeDir.resolve(s"split_v${batchId + 1}")
-      labels.write.parquet(nl.toString)
-      split.write.parquet(ns.toString)
-      curL = nl; curS = ns
+      ccStep(pairs, priorL, batchIds).write.mode("overwrite").parquet(nl.toString)
+      // re-read the stored version: the delta consumes labels twice
+      // (group lookup + touched-member semi-join) and must not re-run CC
+      val labels = spark.read.parquet(nl.toString)
+      val priorAssigned = spark.read.parquet(deltaPathsBelow(batchId): _*)
+      graft.llm.DocDedup.leakSafeSplitDelta(batchIds, labels, priorAssigned)
+        .select(col("doc_id"), col("split"), col("assignment"),
+          lit(batchId).as("assigned_batch"))
+        .write.mode("overwrite")
+        .parquet(storeDir.resolve(s"split_b$batchId").toString)
     }
     val q = stream.writeStream.foreachBatch(refresh)
       .option("checkpointLocation", ckDir.toString).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(curS.toString).orderBy("doc_id")
+    drain(q)
+    // final read: append store ⋈ final labels — current group for every
+    // doc, x82 tiers relative to the LAST refresh (everything assigned
+    // before it is frozen; the last batch keeps its inherit/coin verdict)
+    val all = spark.read.parquet(deltaPathsBelow(Long.MaxValue): _*)
+    val lastBatch = all.agg(max("assigned_batch")).head().getLong(0)
+    val finalLabels = spark.read
+      .parquet(latestVersion(storeDir, "labels_v").toString)
+    all.join(finalLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_id"),
+        col("split"),
+        when(col("assigned_batch") < lastBatch, lit("frozen"))
+          .otherwise(col("assignment")).as("assignment"))
+      .orderBy("doc_id")
   }
 
   /** The e14 chain as a library form (unified API — also the batch twin):
@@ -763,6 +846,24 @@ object EventsStream {
     * for SCALE.md. Never consulted by any data path. */
   @volatile private[graft] var lastGateProgress:
       Array[org.apache.spark.sql.streaming.StreamingQueryProgress] = Array.empty
+
+  /** Diagnostic only (StateMetricsProbe): the versioned-store directory of
+    * the most recent e17/e18 runner invocation, so the probe can report
+    * MEASURED on-disk store bytes per version alongside the RocksDB state
+    * metrics. Never consulted by any data path. */
+  @volatile private[graft] var lastStoreDir: Option[java.nio.file.Path] = None
+
+  /** Drain a started query to completion, record its progress for the
+    * state-metrics probe, and stop it. The foreachBatch gates (e15–e18)
+    * use this too, so `lastGateProgress` always reflects the gate that
+    * JUST ran — without it a stateless foreachBatch drain would leave the
+    * PREVIOUS gate's state operators attributed to the current gate name
+    * (r13 advisor finding). */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try {
+      q.processAllAvailable()
+      lastGateProgress = q.recentProgress
+    } finally q.stop()
 
   /** Run a streaming frame to completion into a memory sink and return
     * the drained result table. */

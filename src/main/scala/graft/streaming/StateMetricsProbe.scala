@@ -31,7 +31,25 @@ object StateMetricsProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     for (g <- gates) {
+      // clear BEFORE each gate: a stateless (foreachBatch) drain would
+      // otherwise leave the previous gate's state operators attributed to
+      // this gate's name (r13 advisor finding)
+      EventsStream.lastGateProgress = Array.empty
+      EventsStream.lastStoreDir = None
       val n = graft.SparkEntry.queries(g)(spark, dir).count()
+      // e17/e18 keep their cross-batch state in versioned parquet stores,
+      // not RocksDB — report the MEASURED on-disk bytes per version (the
+      // artifact a lake refresh would retain/vacuum), so SCALE.md's
+      // streaming-store sizing quotes executed numbers
+      for (store <- EventsStream.lastStoreDir) {
+        def bytes(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(bytes).sum else f.length()
+        val versions = store.toFile.listFiles().toSeq.sortBy(_.getName)
+        for (v <- versions)
+          println(f"$g / store ${v.getName}: ${bytes(v)}%d bytes")
+        println(f"$g / store TOTAL: ${bytes(store.toFile)}%d bytes over " +
+          s"${versions.size} versions")
+      }
       val ops = EventsStream.lastGateProgress.flatMap(_.stateOperators)
         .groupBy(_.operatorName)
       if (ops.isEmpty) println(s"$g: (stateless), drained $n rows")

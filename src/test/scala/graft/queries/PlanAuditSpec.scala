@@ -78,8 +78,11 @@ class PlanAuditSpec extends SparkSpec {
     // probes, so it inherits x12's sanctioned shape)
     // x130: the 1-row (n_keys, total) stat frame crossed back onto the
     // per-key count aggregate — the sanctioned 1-row-probe shape again
+    // sql3: a 16-row (vec_id < 16 pushed to the scan) inequality self-join
+    // — all-pairs BY DESIGN over a literal-bounded side, the SQL-text twin
+    // of the sanctioned all-pairs similarity shapes
     val allowed = allPairsByDesign + "x128_ivf_cell_profile" +
-      "x130_key_skew_profile" +
+      "x130_key_skew_profile" + "sql3_dot_pairs_text" +
       "j8_range_bin_join" + "x36_length_filter" +
       "x38_training_set" + "x47_bm25_rank" + "x48_hybrid_rrf" + "x66_dedup_stats" +
       "x70_oov_rate" + "x91_vocab_coverage" + "x92_source_budget" +

@@ -641,4 +641,99 @@ class StreamingSpec extends SparkSpec {
       s"restart did not resume state: only-got=${(got -- want).take(3)}, " +
         s"only-want=${(want -- got).take(3)}")
   }
+
+  // shared by the e17/e18 recovery specs: the odd (incoming) docs split at
+  // the id midpoint — the same two-batch arrival order the gates stage —
+  // dumped one half at a time so the query can die between them
+  private def oddDocHalves(): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val odd = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").filter(col("doc_id") % 2 === 1)
+    val mm = odd.agg(min("doc_id").as("mn"), max("doc_id").as("mx")).head()
+    val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+    (odd.filter(col("doc_id") <= cut), odd.filter(col("doc_id") > cut))
+  }
+
+  private def dumpPart(srcDir: java.nio.file.Path,
+      df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val tmp = Files.createTempDirectory("graft_e17r_part_")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, srcDir.resolve(name))
+    tmp.toFile.listFiles().foreach(_.delete()); Files.deleteIfExists(tmp)
+  }
+
+  test("checkpoint recovery: e17's versioned CC store resumes mid-stream, not from v0") {
+    // Query 1 processes half 1 (store advances v0→v1) and dies; half 2
+    // lands while it is down; query 2 on the SAME store+checkpoint must
+    // resume at v1 — the offset log skips half 1, so the final labels can
+    // only be right if v1 (not a fresh v0) seeded batch 1's ccStep.
+    val (h1, h2) = oddDocHalves()
+    val srcDir = Files.createTempDirectory("graft_e17r_src_")
+    val storeDir = Files.createTempDirectory("graft_e17r_store_")
+    val ckDir = Files.createTempDirectory("graft_e17r_ck_")
+    dumpPart(srcDir, h1, "half1.parquet")
+    EventsStream.runIncrementalCcStream(spark, sfDir, srcDir.toString,
+      storeDir, ckDir).count()
+    val versionsAfter1 = storeDir.toFile.listFiles().map(_.getName).toSet
+    assert(versionsAfter1 == Set("labels_v0", "labels_v1"),
+      s"phase 1 should leave exactly v0+v1: $versionsAfter1")
+    dumpPart(srcDir, h2, "half2.parquet")
+    val resumed = EventsStream.runIncrementalCcStream(spark, sfDir,
+      srcDir.toString, storeDir, ckDir)
+    // exactly one MORE version: half 1 was not reprocessed (offset log)
+    val versionsAfter2 = storeDir.toFile.listFiles().map(_.getName).toSet
+    assert(versionsAfter2 == Set("labels_v0", "labels_v1", "labels_v2"),
+      s"restart must append exactly v2: $versionsAfter2")
+    // the e17 oracle contract: incremental-with-restart ≡ full recompute
+    val pairs = graft.llm.DocDedup.pairArtifact(spark, sfDir).select("id_a", "id_b")
+    val want = graft.Tables.documents(spark, sfDir).select("doc_id")
+      .join(graft.llm.DocDedup.dedupClusters(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = resumed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"restarted CC diverged from full recompute: only-got=${(got -- want).take(3)}, " +
+        s"only-want=${(want -- got).take(3)}")
+  }
+
+  test("checkpoint recovery: e18's frozen rows survive a restart verbatim") {
+    // Same two-phase shape over the frozen-split chain: phase 1 assigns
+    // init + batch-0 docs and dies; phase 2 (same store+checkpoint)
+    // processes only batch 1. Frozen contract: every split assigned in
+    // phase 1 reappears UNCHANGED in the final output, and the whole
+    // restarted result is row-identical to the uninterrupted gate run
+    // (same arrival order → same splits, whatever the query lifetimes).
+    val (h1, h2) = oddDocHalves()
+    val srcDir = Files.createTempDirectory("graft_e18r_src_")
+    val storeDir = Files.createTempDirectory("graft_e18r_store_")
+    val ckDir = Files.createTempDirectory("graft_e18r_ck_")
+    dumpPart(srcDir, h1, "half1.parquet")
+    val phase1 = EventsStream.runFrozenSplitStream(spark, sfDir,
+      srcDir.toString, storeDir, ckDir)
+    val assigned1 = phase1.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    dumpPart(srcDir, h2, "half2.parquet")
+    val resumed = EventsStream.runFrozenSplitStream(spark, sfDir,
+      srcDir.toString, storeDir, ckDir)
+    val finalRows = resumed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    // delta store is append-only: exactly one delta dir per batch + seed
+    val deltaDirs = storeDir.toFile.listFiles().map(_.getName)
+      .filter(n => n.startsWith("split_")).toSet
+    assert(deltaDirs == Set("split_init", "split_b0", "split_b1"),
+      s"append-only delta store violated: $deltaDirs")
+    // frozen verbatim across the restart
+    val moved = finalRows.filter(r => assigned1.get(r._1).exists(_ != r._3))
+    assert(moved.isEmpty, s"frozen assignments changed across restart: ${moved.take(3).toSeq}")
+    val frozenWrong = finalRows.filter(r => assigned1.contains(r._1) && r._4 != "frozen")
+    assert(frozenWrong.isEmpty,
+      s"phase-1 docs must report tier=frozen: ${frozenWrong.take(3).toSeq}")
+    // restart ≡ uninterrupted: row-identical to the one-shot gate
+    val oneShot = EventsStream.frozenSplitStreamGate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(finalRows.toSeq == oneShot.toSeq,
+      s"restarted e18 diverged from the one-shot run: " +
+        s"got=${finalRows.take(2).toSeq} want=${oneShot.take(2).toSeq}")
+  }
 }
