@@ -427,13 +427,17 @@ object EventsStream {
     graft.Tables.registerArtifactCleanup(outDir)
     graft.Tables.registerArtifactCleanup(ckDir)
     pinRocksDBStateStore(spark)
-    val probe: (DataFrame, Long) => Unit = (batch, _) =>
+    // batch-id-addressed sink dirs + Overwrite (not a flat append sink):
+    // a foreachBatch REPLAY of an uncommitted batch rewrites its own dir
+    // instead of appending duplicate status rows — the same exactly-once
+    // discipline as the e17/e18 versioned stores
+    val probe: (DataFrame, Long) => Unit = (batch, batchId) =>
       graft.llm.DocDedup.probeSignatureIndexAny(batch, index)
-        .write.mode("append").parquet(outDir.toString)
+        .write.mode("overwrite").parquet(outDir.resolve(s"b$batchId").toString)
     val q = stream.writeStream.foreachBatch(probe)
       .option("checkpointLocation", ckDir.toString).start()
     drain(q)
-    spark.read.parquet(outDir.toString).orderBy("doc_id")
+    spark.read.parquet(s"$outDir/b*").orderBy("doc_id")
   }
 
   /** The odd (incoming) half of documents staged as two micro-batch
@@ -477,22 +481,26 @@ object EventsStream {
     // stream must still read its empty sinks with the right schema)
     val outSchema = graft.llm.TextStats
       .ensembleVerdictAgainstLm(docs.limit(0), lm.limit(0)).schema
-    val route: (DataFrame, Long) => Unit = (batch, _) => {
+    val route: (DataFrame, Long) => Unit = (batch, batchId) => {
       // twin-sink contract: score ONCE, write twice (the cache is the
-      // twinSinkWriter pattern — without it each sink re-scores the batch)
+      // twinSinkWriter pattern — without it each sink re-scores the batch);
+      // batch-id-addressed dirs + Overwrite make a replay idempotent (the
+      // e17/e18 versioned-store discipline, applied to both routes)
       val v = graft.llm.TextStats.ensembleVerdictAgainstLm(batch, lm).cache()
       try {
-        v.filter(col("verdict") === "keep").write.mode("append").parquet(keepDir.toString)
-        v.filter(col("verdict") =!= "keep").write.mode("append").parquet(dropDir.toString)
+        v.filter(col("verdict") === "keep").write.mode("overwrite")
+          .parquet(keepDir.resolve(s"b$batchId").toString)
+        v.filter(col("verdict") =!= "keep").write.mode("overwrite")
+          .parquet(dropDir.resolve(s"b$batchId").toString)
       } finally v.unpersist()
     }
     val q = stream.writeStream.foreachBatch(route)
       .option("checkpointLocation", ckDir.toString).start()
     drain(q)
     // explicit schema: a batch with zero rows for one route leaves that
-    // sink without data files, and schema inference would refuse it
-    spark.read.schema(outSchema).parquet(keepDir.toString)
-      .unionByName(spark.read.schema(outSchema).parquet(dropDir.toString))
+    // route's dir without data files, and schema inference would refuse it
+    spark.read.schema(outSchema).parquet(s"$keepDir/b*")
+      .unionByName(spark.read.schema(outSchema).parquet(s"$dropDir/b*"))
       .orderBy("doc_id")
   }
 
