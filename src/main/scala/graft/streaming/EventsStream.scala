@@ -592,23 +592,73 @@ object EventsStream {
   /** One incremental-CC refresh step (shared by e17 and e18): the batch
     * contributes exactly the verified pairs whose LATER endpoint is in
     * it (both ends known, ≥1 in the batch — every pair enters once);
-    * batch docs in no pair still enter the store self-labeled. All
-    * long-keyed equi-joins; membership flags via left-join null-checks. */
-  private def ccStep(pairs: DataFrame, prior: DataFrame,
+    * batch docs in no pair still enter the store self-labeled.
+    *
+    * r14: AFFECTED-COMPONENTS-ONLY resolution. The r13 form fed ALL prior
+    * star edges back through large-star/small-star every batch — each CC
+    * round shuffled a corpus-sized edge set even when the batch entangled
+    * three documents. New edges can only change components that contain
+    * one of their endpoints, so the rounds now run over exactly (star
+    * edges of touched components ∪ the batch's new edges); every other
+    * label row passes through verbatim. Per-batch SHUFFLE volume is
+    * therefore ∝ batch + touched-component membership; the prior label
+    * table is only ever scanned map-side (broadcast build sides: the
+    * batch, the candidate edge set, the touched-cluster set — all
+    * batch-proportional), plus the unavoidable O(known) column write of
+    * the next version. Contract unchanged — CC(stars(prior) ∪ E_new)
+    * restricted to untouched components IS the prior labels (labels are
+    * canonical component minima), so the output still equals a full
+    * recompute over the union graph (the e17 oracle). */
+  private[streaming] def ccStep(pairs: DataFrame, prior: DataFrame,
       batchIds: DataFrame): DataFrame = {
-    val known = prior.select("doc_id").unionByName(batchIds).distinct()
-    val eKnown = pairs
-      .join(known.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
-      .join(known.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
-    val newEdges = eKnown
-      .join(batchIds.select(col("doc_id").as("id_a"), lit(1).as("fa")), Seq("id_a"), "left")
-      .join(batchIds.select(col("doc_id").as("id_b"), lit(1).as("fb")), Seq("id_b"), "left")
-      .filter(col("fa").isNotNull || col("fb").isNotNull)
-      .select("id_a", "id_b")
-    val priorPlus = prior.unionByName(
-      batchIds.join(prior.select("doc_id"), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("doc_id").as("cluster_id")))
-    graft.llm.DocDedup.incrementalClusters(priorPlus, newEdges)
+    val b = broadcast(batchIds)
+    // candidate edges: ≥1 endpoint in the batch — the batch is the
+    // broadcast build side, so this is map-only over the pair artifact
+    val cand = pairs
+      .join(b.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+      .unionByName(pairs
+        .join(b.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi"))
+      .distinct()
+      // barrier: consumed by four labeling joins below — without it the
+      // two pair-artifact semi-scans would re-run per consumer
+      .localCheckpoint(eager = false)
+    // per-endpoint label under PRIOR: the prior cluster for known-old
+    // docs, self for batch docs; an endpoint in NEITHER is not yet known
+    // and drops the edge (it will enter when its later endpoint arrives).
+    // prior and batch are disjoint, so the two cases partition "known" —
+    // and both joins stream the BIG side map-only (inner with the small
+    // candidate set broadcast; semi with the batch broadcast as build).
+    val aP = broadcast(cand).join(prior
+      .select(col("doc_id").as("id_a"), col("cluster_id").as("la")), Seq("id_a"))
+    val aB = cand.join(b.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+      .withColumn("la", col("id_a"))
+    val aKnown = aP.unionByName(aB).localCheckpoint(eager = false)
+    val bP = broadcast(aKnown).join(prior
+      .select(col("doc_id").as("id_b"), col("cluster_id").as("lb")), Seq("id_b"))
+    val bB = aKnown.join(b.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      .withColumn("lb", col("id_b"))
+    val newEdges = bP.unionByName(bB).localCheckpoint(eager = false)
+    // touched components = the prior labels of the new edges' endpoints
+    // (batch endpoints carry their own id, which can never collide with a
+    // prior cluster id — cluster ids are prior doc ids and the sets are
+    // disjoint, so those rows simply select nothing from prior)
+    val touched = newEdges.select(col("la").as("cluster_id"))
+      .unionByName(newEdges.select(col("lb").as("cluster_id"))).distinct()
+    val affected = prior.join(broadcast(touched), Seq("cluster_id"), "left_semi")
+      .select("doc_id", "cluster_id").localCheckpoint(eager = false)
+    val starEdges = affected.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("id_a"), col("cluster_id").as("id_b"))
+    val merged = graft.llm.DocDedup.dedupClusters(
+      starEdges.unionByName(newEdges.select("id_a", "id_b")))
+    // untouched rows pass through VERBATIM; affected docs and every batch
+    // doc re-resolve against the merged star forest (self for isolates)
+    val unaffected = prior.join(broadcast(touched), Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id")
+    val relabeled = affected.select("doc_id").unionByName(batchIds).distinct()
+      .join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    unaffected.unionByName(relabeled)
   }
 
   /** e18: STREAMING FROZEN-SPLIT MAINTENANCE — the full live curation

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Direct pins for the r14 affected-components-only `ccStep` (the e17/e18
+  * refresh kernel): the planted graph exercises every edge class —
+  * cross-component merge through a batch doc, batch–batch edge, isolated
+  * batch doc, edge to a not-yet-known doc (must drop), and an UNTOUCHED
+  * component whose rows must pass through verbatim. */
+class CcStepSpec extends SparkSpec {
+
+  private def labels(rows: (Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "cluster_id")
+  }
+
+  test("ccStep: planted merge, pass-through, drop-unknown — equals full recompute") {
+    import spark.implicits._
+    // prior star forest: component A = {1,2,3}→1, component B = {5,6}→5,
+    // singleton 9, untouched component U = {20,21}→20
+    val prior = labels(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      9L -> 9L, 20L -> 20L, 21L -> 21L)
+      .select(col("doc_id"), when(col("doc_id") === 21L, 20L)
+        .otherwise(col("cluster_id")).as("cluster_id"))
+    // pair artifact: the verified-pair universe, arrival-agnostic
+    val pairs = Seq(
+      (3L, 100L),   // batch 100 bridges A …
+      (100L, 6L),   // … and B → A∪B∪{100} must merge to min 1
+      (101L, 102L), // batch–batch edge → component {101,102}→101
+      (9L, 300L),   // 300 is NOT known yet → edge must NOT enter
+      (20L, 21L)    // internal to U, no batch endpoint → not a new edge
+    ).toDF("id_a", "id_b")
+    val batch = Seq(100L, 101L, 102L, 103L).toDF("doc_id") // 103 isolated
+    val got = EventsStream.ccStep(pairs, prior, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 6L -> 1L, 100L -> 1L, // merged
+      101L -> 101L, 102L -> 101L,                                   // batch-batch
+      103L -> 103L,                                                 // isolated self
+      9L -> 9L,                                                     // 300 dropped
+      20L -> 20L, 21L -> 20L)                                       // untouched verbatim
+    assert(got == want, s"ccStep diverged: got=$got")
+    // every doc exactly once (unaffected ∪ relabeled must partition)
+    val n = EventsStream.ccStep(pairs, prior, batch).count()
+    assert(n == want.size, s"duplicate or missing label rows: $n")
+  }
+
+  test("ccStep: a later batch picks up the previously-unknown endpoint's edge") {
+    import spark.implicits._
+    // continue the story: 300 arrives — the (9,300) pair's LATER endpoint
+    // is now in the batch, so the edge enters exactly once, here
+    val prior = labels(9L -> 9L, 1L -> 1L, 2L -> 1L)
+    val pairs = Seq((9L, 300L)).toDF("id_a", "id_b")
+    val batch = Seq(300L).toDF("doc_id")
+    val got = EventsStream.ccStep(pairs, prior, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(9L -> 9L, 300L -> 9L, 1L -> 1L, 2L -> 1L),
+      s"deferred edge not applied: $got")
+  }
+}
