@@ -212,6 +212,15 @@ object Bench {
     // error.
     val isolatedGates = Seq("x59_filter_ensemble", "x110_band_recall_audit",
       "x15c_calibrated_bands")
+    // the same pre-flight defense as the main pass: the isolated medians
+    // exist to capture STEADY-STATE, and forking them straight into the
+    // I/O wash of the 150-gate pass just measured (page-cache writeback,
+    // D-state load) re-creates the weather they are supposed to exclude
+    // (observed: x59 5.4 s forked hot vs 1.8 s after the box settled)
+    var isoWaitSec = 0
+    while (loadAvg() > cores / 4.0 && isoWaitSec < 120) {
+      Thread.sleep(15000); isoWaitSec += 15
+    }
     def runIsolated(gate: String): Option[Double] = try {
       val runSh = new java.io.File("scripts/run.sh")
       if (!runSh.exists()) None else {
