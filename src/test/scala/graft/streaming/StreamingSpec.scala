@@ -736,4 +736,32 @@ class StreamingSpec extends SparkSpec {
       s"restarted e18 diverged from the one-shot run: " +
         s"got=${finalRows.take(2).toSeq} want=${oneShot.take(2).toSeq}")
   }
+
+  test("foreachBatch sink replay-idempotency: rewriting a batch's dir cannot duplicate rows") {
+    // The e15/e16 sinks write batch-id-addressed dirs with Overwrite; a
+    // foreachBatch retry (task failure after a partial write, before the
+    // checkpoint commit) re-executes the SAME batchId. Simulate the retry
+    // directly: run the writer body twice for one batch id — the sink must
+    // hold the batch exactly once, where the old flat append sink held it
+    // twice. (The streaming-engine recovery path itself is pinned by the
+    // e17/e18 restart specs; this pins the SINK contract they rely on.)
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_sink_idem_")
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    def writeOnce(batchId: Long): Unit =
+      batch.write.mode("overwrite").parquet(out.resolve(s"b$batchId").toString)
+    writeOnce(0L)
+    // a half-written leftover from the failed attempt must not survive
+    batch.limit(1).write.mode("overwrite")
+      .parquet(out.resolve("b0").resolve("_stale").toString)
+    writeOnce(0L) // the retry clears the dir, stale partial included
+    writeOnce(1L)
+    assert(!out.resolve("b0").resolve("_stale").toFile.exists(),
+      "the retry's Overwrite must clear the failed attempt's partial output")
+    val drained = spark.read.parquet(s"$out/b*")
+    assert(drained.count() == 4,
+      s"replayed batch duplicated rows: ${drained.count()} (want 4)")
+    assert(drained.filter(col("doc_id") === 1L).count() == 2,
+      "each batch's rows must appear once per batch dir")
+  }
 }
