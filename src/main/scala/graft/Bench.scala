@@ -210,6 +210,11 @@ object Bench {
     // prose. Forking is best-effort: a missing run.sh / classes dir (e.g.
     // running outside the repo root) degrades to null entries, never an
     // error.
+    // loadAfter samples HERE, immediately after the measured section — the
+    // isolated forks below run their own full Spark JVMs and would
+    // otherwise pollute (or, via their settle wait, decay) the bracket the
+    // contended verdict reads
+    val loadAfter = loadAvg()
     val isolatedGates = Seq("x59_filter_ensemble", "x110_band_recall_audit",
       "x15c_calibrated_bands")
     // the same pre-flight defense as the main pass: the isolated medians
@@ -228,18 +233,31 @@ object Bench {
           "graft.IsolatedBench", sfDir, gate)
         pb.redirectErrorStream(true)
         val p = pb.start()
-        val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+        // drain stdout on a daemon thread: a synchronous mkString would
+        // block until the child closes stdout, making the waitFor timeout
+        // below dead code — a hung forked JVM must degrade to a null
+        // entry, never wedge the whole bench
+        val out = new java.lang.StringBuilder
+        val reader = new Thread(() => try {
+          val src = scala.io.Source.fromInputStream(p.getInputStream)
+          try src.getLines().foreach { l => out.append(l).append('\n') }
+          finally src.close()
+        } catch { case _: Throwable => })
+        reader.setDaemon(true)
+        reader.start()
         val done = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
         if (!done) { p.destroyForcibly(); None }
-        else ("\"" + java.util.regex.Pattern.quote(gate) + "\":([0-9.]+)").r
-          .findFirstMatchIn(out).map(_.group(1).toDouble)
+        else {
+          reader.join(5000)
+          ("\"" + java.util.regex.Pattern.quote(gate) + "\":([0-9.]+)").r
+            .findFirstMatchIn(out.toString).map(_.group(1).toDouble)
+        }
       }
     } catch { case _: Throwable => None }
     val isolatedJson = isolatedGates.map { g =>
       "\"" + g + "\":" + runIsolated(g).fold("null")(v =>
         String.format(java.util.Locale.ROOT, "%.2f", v))
     }.mkString("{", ",", "}")
-    val loadAfter = loadAvg()
     // explicit machine-readable contention verdict: high load bracketing the
     // run, or >5% of non-trivial queries still spread-inflated after the
     // rerun pass, means the totals below should not be graded as regressions

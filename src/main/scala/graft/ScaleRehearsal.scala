@@ -126,11 +126,20 @@ object ScaleRehearsal {
             (((i + col("rep")) % dim) + 1).cast("int"))).as("embedding"),
         col("label"))
     emb.repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    // control tables: symlink to the base directory
+    // control tables: symlink to the base directory. A prior --facts run
+    // may have replaced lineitem/orders/events with REAL parquet
+    // directories — deleteIfExists would throw DirectoryNotEmpty there, so
+    // remove non-symlink leftovers recursively before re-linking.
     for (t <- Seq("lineitem", "orders", "customer", "supplier", "part",
         "nation", "region", "events")) {
       val link = java.nio.file.Paths.get(s"$outDir/$t.parquet")
-      java.nio.file.Files.deleteIfExists(link)
+      if (java.nio.file.Files.isSymbolicLink(link))
+        java.nio.file.Files.delete(link)
+      else if (java.nio.file.Files.exists(link)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(link).iterator().asScala.toSeq
+          .reverseIterator.foreach(java.nio.file.Files.delete)
+      }
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(s"$baseDir/$t.parquet"))
     }
@@ -182,8 +191,11 @@ object ScaleRehearsal {
         ((s: SparkSession, d: String) => graft.llm.DocDedup.bloomPrefilter(s, d, mBits = 0)))
     // (the simhash auto path needs no variant here: x4e_simhash_auto is a
     // registered gate and rides the x-family selection directly)
-    // optional 4th arg: comma-separated substrings to focus the run
-    val nameFilter = args.lift(3).filter(_ != "--facts")
+    // optional: comma-separated substrings to focus the run — the first
+    // non-flag arg after the positional three, so `--facts` can really sit
+    // anywhere (args(3)="--facts" args(4)="x59" must not drop the filter
+    // and silently run the WHOLE registry at 10×)
+    val nameFilter = args.drop(3).find(_ != "--facts")
     // with --facts every family has genuine 10× input, so the whole
     // registry is selectable (the sf1 top-10 rehearsal names its gates
     // via the filter); without it only the documents/embeddings families

@@ -550,10 +550,13 @@ object EventsStream {
     val docs = graft.Tables.widen(graft.Tables.documents(spark, dir))
       .select("doc_id", "text")
     val pairs = graft.llm.DocDedup.pairArtifact(spark, dir).select("id_a", "id_b")
-    // v0 (only if absent — a restart resumes the existing store): the
+    // v0 (only if COMMITTED — a restart resumes the existing store): the
     // historical (even) half — CC over even-internal pairs, singletons
-    // self-labeled (the persisted-artifact shape x83 reads)
-    if (!java.nio.file.Files.exists(storeDir.resolve("labels_v0"))) {
+    // self-labeled (the persisted-artifact shape x83 reads). Seed-complete
+    // is keyed on the _SUCCESS marker, not bare dir existence: a crash
+    // mid-write leaves a partial dir that a restart must overwrite, not
+    // trust.
+    if (!seedCommitted(storeDir, "labels_v0")) {
       val evenPairs = pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
       docs.filter(col("doc_id") % 2 === 0).select("doc_id")
         .join(graft.llm.DocDedup.dedupClusters(evenPairs), Seq("doc_id"), "left")
@@ -575,6 +578,11 @@ object EventsStream {
     spark.read.parquet(latestVersion(storeDir, "labels_v").toString)
       .orderBy("doc_id")
   }
+
+  /** Seed artifact committed ⟺ its parquet _SUCCESS marker exists — bare
+    * dir existence would trust a crash's partial write on restart. */
+  private def seedCommitted(storeDir: java.nio.file.Path, name: String): Boolean =
+    java.nio.file.Files.exists(storeDir.resolve(name).resolve("_SUCCESS"))
 
   /** The highest-numbered `prefix{N}` version dir under a store. After a
     * drain every present version is complete (a batch's store write
@@ -707,7 +715,12 @@ object EventsStream {
       .select("doc_id", "text")
     val pairs = graft.llm.DocDedup.pairArtifact(spark, dir).select("id_a", "id_b")
     val initPath = storeDir.resolve("split_init")
-    if (!java.nio.file.Files.exists(storeDir.resolve("labels_v0"))) {
+    // seed-complete is keyed on split_init — the LAST artifact the seed
+    // block writes — so a crash between the labels_v0 and split_init
+    // writes re-runs the whole seed (both writes Overwrite) instead of
+    // leaving a store with labels but no split seed, which no later code
+    // path could ever repair
+    if (!seedCommitted(storeDir, "split_init")) {
       val evens = docs.filter(col("doc_id") % 2 === 0).select("doc_id")
       val evenPairs = pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
       evens
