@@ -933,7 +933,16 @@ object DocDedup {
     * cluster_id) whose OUTPUT is ∝ touched-group membership; that small
     * side is then broadcast against the big `priorAssigned` store, so the
     * frozen artifact is scanned (map-only) but never shuffled, and every
-    * shuffle in the plan carries only batch-proportional rows. */
+    * shuffle in the plan carries only batch-proportional rows.
+    *
+    * Boundedness caveat: the broadcast member set is ∝ touched-group
+    * MEMBERSHIP, which a degenerate dedup graph (one chain-collapsed
+    * cluster spanning a large corpus fraction) could blow past broadcast
+    * limits. That is a data-quality pathology, not a plan choice — the
+    * x136 coherence audit exists to detect exactly those clusters and
+    * x137's guarded survivorship to defuse them upstream; a deployment
+    * seeing oversized touched sets should gate ingest on that audit
+    * rather than silently switch this join to a corpus-wide shuffle. */
   def leakSafeSplitDelta(newDocs: DataFrame, labels: DataFrame,
       priorAssigned: DataFrame): DataFrame = {
     // barrier: g feeds both the inherit join and the coin anti-join, and

@@ -616,7 +616,11 @@ object EventsStream {
     * the next version. Contract unchanged — CC(stars(prior) ∪ E_new)
     * restricted to untouched components IS the prior labels (labels are
     * canonical component minima), so the output still equals a full
-    * recompute over the union graph (the e17 oracle). */
+    * recompute over the union graph (the e17 oracle). Boundedness: the
+    * broadcast sides are ∝ batch and ∝ touched membership — a degenerate
+    * giant cluster would inflate the latter, which is the x136/x137
+    * chain-collapse pathology the coherence audit gates upstream (see
+    * `DocDedup.leakSafeSplitDelta`'s caveat — same answer). */
   private[streaming] def ccStep(pairs: DataFrame, prior: DataFrame,
       batchIds: DataFrame): DataFrame = {
     val b = broadcast(batchIds)
