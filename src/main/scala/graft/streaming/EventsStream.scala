@@ -584,6 +584,71 @@ object EventsStream {
   private def seedCommitted(storeDir: java.nio.file.Path, name: String): Boolean =
     java.nio.file.Files.exists(storeDir.resolve(name).resolve("_SUCCESS"))
 
+  /** COMMITTED fold generations under an e18 split store, ascending. A
+    * fold `split_fold_g{N}` holds, rows-verbatim, the seed plus every
+    * delta with assigned_batch < N. */
+  private def committedFolds(storeDir: java.nio.file.Path): Seq[Long] =
+    Option(storeDir.toFile.listFiles()).fold(Seq.empty[String])(_.toSeq.map(_.getName))
+      .filter(_.startsWith("split_fold_g"))
+      .map(_.drop("split_fold_g".length).toLong)
+      .filter(g => seedCommitted(storeDir, s"split_fold_g$g")).sorted
+
+  /** The read set of the e18 split store covering every assignment with
+    * batch id < `below`: the newest committed fold generation at or below
+    * the boundary (else the original seed) plus the deltas the fold does
+    * not cover. Folds are pure physical merges (rows verbatim, batch ids
+    * preserved), so every reader contract — replay-safe prior-assigned,
+    * final drain — is unchanged by compaction. */
+  private[streaming] def splitStorePaths(storeDir: java.nio.file.Path,
+      below: Long): Seq[String] = {
+    val names = Option(storeDir.toFile.listFiles())
+      .fold(Seq.empty[String])(_.toSeq.map(_.getName))
+    val (base, baseG) = committedFolds(storeDir).filter(_ <= below).lastOption
+      .map(g => (storeDir.resolve(s"split_fold_g$g"), g))
+      .getOrElse((storeDir.resolve("split_init"), 0L))
+    (base +: names.filter(_.startsWith("split_b"))
+      .map(_.drop("split_b".length).toLong)
+      .filter(i => i >= baseG && i < below).sorted
+      .map(i => storeDir.resolve(s"split_b$i"))).map(_.toString)
+  }
+
+  /** RETENTION, step 1 — compact: fold the seed and every sealed delta
+    * below `upTo` into one new generation. The append-only store grows
+    * one delta per micro-batch forever; a periodic fold (a BACKGROUND
+    * maintenance pass — never per batch, that would reintroduce the
+    * O(known)-per-trigger shuffle the delta design removed) bounds the
+    * file count the readers union. Read-committed: the generation is
+    * consulted only once its _SUCCESS lands; nothing it covers is removed
+    * here, so in-flight readers are undisturbed. */
+  private[graft] def compactSplitStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: java.nio.file.Path, upTo: Long): Unit = {
+    val paths = splitStorePaths(storeDir, upTo)
+    spark.read.parquet(paths: _*).write.mode("overwrite")
+      .parquet(storeDir.resolve(s"split_fold_g$upTo").toString)
+  }
+
+  /** RETENTION, step 2 — vacuum: delete artifacts strictly covered by the
+    * newest committed fold (the seed, older folds, deltas below the fold
+    * point). The caller owns the snapshot-retention contract: run only
+    * once no reader may still hold the old paths (the same discipline as
+    * vacuuming any lake table's superseded snapshots). */
+  private[graft] def vacuumSplitStore(storeDir: java.nio.file.Path): Unit =
+    committedFolds(storeDir).lastOption.foreach { g =>
+      val covered = Option(storeDir.toFile.listFiles())
+        .fold(Seq.empty[java.io.File])(_.toSeq).filter { f =>
+          val n = f.getName
+          n == "split_init" ||
+            (n.startsWith("split_fold_g") &&
+              n.drop("split_fold_g".length).toLong < g) ||
+            (n.startsWith("split_b") && n.drop("split_b".length).toLong < g)
+        }
+      for (f <- covered) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(f.toPath).iterator().asScala.toSeq
+          .reverseIterator.foreach(java.nio.file.Files.delete)
+      }
+    }
+
   /** The highest-numbered `prefix{N}` version dir under a store. After a
     * drain every present version is complete (a batch's store write
     * finishes before its checkpoint commit, and an uncommitted partial
@@ -724,7 +789,8 @@ object EventsStream {
     // writes re-runs the whole seed (both writes Overwrite) instead of
     // leaving a store with labels but no split seed, which no later code
     // path could ever repair
-    if (!seedCommitted(storeDir, "split_init")) {
+    if (!seedCommitted(storeDir, "split_init") &&
+        committedFolds(storeDir).isEmpty) {
       val evens = docs.filter(col("doc_id") % 2 === 0).select("doc_id")
       val evenPairs = pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
       evens
@@ -740,11 +806,7 @@ object EventsStream {
           lit(-1L).as("assigned_batch"))
         .write.mode("overwrite").parquet(initPath.toString)
     }
-    def deltaPathsBelow(b: Long): Seq[String] =
-      (initPath +: storeDir.toFile.listFiles().toSeq
-        .map(_.getName).filter(_.startsWith("split_b"))
-        .map(n => n.drop("split_b".length).toLong).filter(_ < b).sorted
-        .map(i => storeDir.resolve(s"split_b$i"))).map(_.toString)
+    def deltaPathsBelow(b: Long): Seq[String] = splitStorePaths(storeDir, b)
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     pinRocksDBStateStore(spark)

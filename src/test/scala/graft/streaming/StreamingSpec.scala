@@ -737,6 +737,37 @@ class StreamingSpec extends SparkSpec {
         s"got=${finalRows.take(2).toSeq} want=${oneShot.take(2).toSeq}")
   }
 
+  test("split-store compaction: folding sealed deltas is invisible to every reader") {
+    // The append store grows one delta per batch forever; the retention
+    // pair (compactSplitStore → vacuumSplitStore) must be a pure physical
+    // merge. Drive it mid-stream at the nastiest point: compact AFTER
+    // batch 0, vacuum away the seed and b0, then RESUME the stream — the
+    // resumed batch's prior-assigned read and the final drain both go
+    // through the fold, and the result must be row-identical to the
+    // one-shot gate that never compacted.
+    val (h1, h2) = oddDocHalves()
+    val srcDir = Files.createTempDirectory("graft_e18c_src_")
+    val storeDir = Files.createTempDirectory("graft_e18c_store_")
+    val ckDir = Files.createTempDirectory("graft_e18c_ck_")
+    dumpPart(srcDir, h1, "half1.parquet")
+    EventsStream.runFrozenSplitStream(spark, sfDir, srcDir.toString,
+      storeDir, ckDir).count()
+    EventsStream.compactSplitStore(spark, storeDir, upTo = 1L)
+    EventsStream.vacuumSplitStore(storeDir)
+    val afterVacuum = storeDir.toFile.listFiles().map(_.getName)
+      .filter(_.startsWith("split_")).toSet
+    assert(afterVacuum == Set("split_fold_g1"),
+      s"vacuum must leave exactly the fold: $afterVacuum")
+    dumpPart(srcDir, h2, "half2.parquet")
+    val resumed = EventsStream.runFrozenSplitStream(spark, sfDir,
+      srcDir.toString, storeDir, ckDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val oneShot = EventsStream.frozenSplitStreamGate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(resumed.toSeq == oneShot.toSeq,
+      "compaction+vacuum changed what a reader sees across a restart")
+  }
+
   test("foreachBatch sink replay-idempotency: rewriting a batch's dir cannot duplicate rows") {
     // The e15/e16 sinks write batch-id-addressed dirs with Overwrite; a
     // foreachBatch retry (task failure after a partial write, before the
