@@ -556,7 +556,11 @@ object EventsStream {
     // is keyed on the _SUCCESS marker, not bare dir existence: a crash
     // mid-write leaves a partial dir that a restart must overwrite, not
     // trust.
-    if (!seedCommitted(storeDir, "labels_v0")) {
+    val haveLabels = Option(storeDir.toFile.listFiles())
+      .fold(Seq.empty[String])(_.toSeq.map(_.getName))
+      .filter(_.startsWith("labels_v"))
+      .exists(n => seedCommitted(storeDir, n))
+    if (!haveLabels) {
       val evenPairs = pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
       docs.filter(col("doc_id") % 2 === 0).select("doc_id")
         .join(graft.llm.DocDedup.dedupClusters(evenPairs), Seq("doc_id"), "left")
@@ -610,6 +614,28 @@ object EventsStream {
       .map(_.drop("split_b".length).toLong)
       .filter(i => i >= baseG && i < below).sorted
       .map(i => storeDir.resolve(s"split_b$i"))).map(_.toString)
+  }
+
+  /** RETENTION for the versioned LABEL store (e17/e18): every batch writes
+    * a full labels_v{N}, so superseded versions accumulate one per
+    * micro-batch. Keep the newest `keep` committed versions and delete the
+    * rest — `keep` ≥ 2 always suffices for crash-replay (a replayed batch
+    * b reads labels_v{b}, which is at worst the second-newest committed
+    * version). Caller owns the no-in-flight-reader contract, as with
+    * `vacuumSplitStore`. */
+  private[graft] def vacuumLabelStore(storeDir: java.nio.file.Path,
+      keep: Int = 2): Unit = {
+    require(keep >= 1, "must retain at least the latest committed version")
+    val vs = Option(storeDir.toFile.listFiles())
+      .fold(Seq.empty[String])(_.toSeq.map(_.getName))
+      .filter(_.startsWith("labels_v"))
+      .map(_.drop("labels_v".length).toLong)
+      .filter(v => seedCommitted(storeDir, s"labels_v$v")).sorted
+    for (v <- vs.dropRight(keep)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(storeDir.resolve(s"labels_v$v")).iterator()
+        .asScala.toSeq.reverseIterator.foreach(java.nio.file.Files.delete)
+    }
   }
 
   /** RETENTION, step 1 — compact: fold the seed and every sealed delta

@@ -754,10 +754,15 @@ class StreamingSpec extends SparkSpec {
       storeDir, ckDir).count()
     EventsStream.compactSplitStore(spark, storeDir, upTo = 1L)
     EventsStream.vacuumSplitStore(storeDir)
+    EventsStream.vacuumLabelStore(storeDir, keep = 1)
     val afterVacuum = storeDir.toFile.listFiles().map(_.getName)
       .filter(_.startsWith("split_")).toSet
     assert(afterVacuum == Set("split_fold_g1"),
       s"vacuum must leave exactly the fold: $afterVacuum")
+    val labelsAfter = storeDir.toFile.listFiles().map(_.getName)
+      .filter(_.startsWith("labels_")).toSet
+    assert(labelsAfter == Set("labels_v1"),
+      s"label vacuum must keep exactly the newest version: $labelsAfter")
     dumpPart(srcDir, h2, "half2.parquet")
     val resumed = EventsStream.runFrozenSplitStream(spark, sfDir,
       srcDir.toString, storeDir, ckDir).collect()
