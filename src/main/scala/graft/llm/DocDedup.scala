@@ -14,7 +14,39 @@ import org.apache.spark.sql.functions._
   * only on the candidate pairs. This is the standard web-scale dedup
   * layout (shingle → minhash → band → bucket join).
   */
+/** Typed failure for the chain-collapse data pathology (r14 VERDICT ask
+  * #4): the incremental-CC/frozen-split maintenance paths broadcast
+  * touched-component MEMBERSHIP — bounded by design for healthy dedup
+  * graphs, but a chain-collapsed giant cluster (one component spanning a
+  * large corpus fraction) would previously surface as a raw broadcast OOM
+  * with no actionable message. This error names the upstream gate that
+  * exists to catch exactly that pathology. */
+final class TouchedMembershipExceeded(val observed: Long, val bound: Long,
+    site: String) extends RuntimeException(
+  s"$site: touched-component membership exceeds the broadcast bound " +
+    s"(> $bound rows observed). This is the chain-collapsed giant-cluster " +
+    "data pathology, not a plan failure: run the x136_cluster_coherence " +
+    "audit to locate the offending cluster(s) and gate ingest with " +
+    "x137_guarded_dedup upstream, or raise graft.cc.maxTouchedMembership " +
+    "if the membership is genuinely expected to fit a broadcast.")
+
 object DocDedup {
+
+  /** Broadcast-bound guard for touched-component membership frames (used
+    * by `EventsStream.ccStep` and `leakSafeSplitDelta`): counts at most
+    * bound+1 rows (LIMIT-bounded — never a full scan of a pathological
+    * set) and throws the typed error past the bound. The bound rides
+    * session conf `graft.cc.maxTouchedMembership` (default 5M rows ≈
+    * 80 MB of (doc_id, cluster_id) pairs — inside Spark's practical
+    * broadcast ceiling with headroom). */
+  private[graft] def requireBoundedMembership(members: DataFrame,
+      site: String): Unit = {
+    val bound = members.sparkSession.conf
+      .get("graft.cc.maxTouchedMembership", "5000000").toLong
+    val probe = math.min(bound + 1, Int.MaxValue.toLong).toInt
+    val seen = members.limit(probe).count()
+    if (seen > bound) throw new TouchedMembershipExceeded(seen, bound, site)
+  }
 
   /** Documents scan decoupled from the file-split count: the hash stages
     * below (md5 per shingle × k, signature construction) are CPU-bound at
@@ -942,7 +974,10 @@ object DocDedup {
     * x136 coherence audit exists to detect exactly those clusters and
     * x137's guarded survivorship to defuse them upstream; a deployment
     * seeing oversized touched sets should gate ingest on that audit
-    * rather than silently switch this join to a corpus-wide shuffle. */
+    * rather than silently switch this join to a corpus-wide shuffle.
+    * r15: the bound is now ENFORCED — `requireBoundedMembership` throws
+    * the typed `TouchedMembershipExceeded` (naming the x136/x137 gates)
+    * instead of letting the broadcast OOM. */
   def leakSafeSplitDelta(newDocs: DataFrame, labels: DataFrame,
       priorAssigned: DataFrame): DataFrame = {
     // barrier: g feeds both the inherit join and the coin anti-join, and
@@ -954,6 +989,11 @@ object DocDedup {
     // all CURRENT members of batch-touched groups (frozen + new): output
     // rows ∝ touched membership, never ∝ corpus
     val members = labels.join(broadcast(touched), Seq("cluster_id"), "left_semi")
+      .localCheckpoint(eager = false)
+    // r15 (VERDICT ask #4): `members` is the broadcast build side below —
+    // fail typed + actionable on the giant-cluster pathology instead of a
+    // raw broadcast OOM (the count also materializes the checkpoint once)
+    requireBoundedMembership(members, "leakSafeSplitDelta")
     // frozen members of those groups → per-group inheritance verdict; the
     // members side is the bounded one, so IT is the broadcast build side
     // and the big assigned store streams map-only

@@ -46,6 +46,40 @@ class CcStepSpec extends SparkSpec {
     assert(n == want.size, s"duplicate or missing label rows: $n")
   }
 
+  test("broadcast-bound guard: a chain-collapsed giant cluster fails typed, not as an OOM") {
+    import spark.implicits._
+    // planted pathology (r14 VERDICT ask #4): ONE component holds every
+    // known doc; the batch doc attaches to it, so touched membership = the
+    // whole corpus — the case that previously died as a raw broadcast OOM
+    val n = 100L
+    val prior = spark.range(0, n)
+      .select(col("id").as("doc_id"), lit(0L).as("cluster_id"))
+    val pairs = Seq((0L, 1000L)).toDF("id_a", "id_b")
+    val batch = Seq(1000L).toDF("doc_id")
+    spark.conf.set("graft.cc.maxTouchedMembership", "50")
+    try {
+      val err = intercept[graft.llm.TouchedMembershipExceeded] {
+        EventsStream.ccStep(pairs, prior, batch).count()
+      }
+      assert(err.getMessage.contains("x136_cluster_coherence") &&
+        err.getMessage.contains("x137_guarded_dedup"),
+        s"error must name the upstream audits: ${err.getMessage}")
+      // the same pathology through the frozen-split delta path
+      val labels = prior.unionByName(Seq((1000L, 0L)).toDF("doc_id", "cluster_id"))
+      val assigned = spark.range(0, n)
+        .select(col("id").as("doc_id"), lit("train").as("split"))
+      intercept[graft.llm.TouchedMembershipExceeded] {
+        graft.llm.DocDedup.leakSafeSplitDelta(batch, labels, assigned).count()
+      }
+      // a HEALTHY batch under the same bound must pass even though an
+      // untouched giant component exists — only TOUCHED membership counts
+      val prior2 = prior.unionByName(Seq((200L, 200L)).toDF("doc_id", "cluster_id"))
+      val ok = EventsStream.ccStep(Seq((200L, 201L)).toDF("id_a", "id_b"),
+        prior2, Seq(201L).toDF("doc_id")).count()
+      assert(ok == n + 2, s"healthy batch mis-sized under the guard: $ok")
+    } finally spark.conf.unset("graft.cc.maxTouchedMembership")
+  }
+
   test("ccStep: a later batch picks up the previously-unknown endpoint's edge") {
     import spark.implicits._
     // continue the story: 300 arrives — the (9,300) pair's LATER endpoint
