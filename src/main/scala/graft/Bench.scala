@@ -121,6 +121,38 @@ object Bench {
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val cores = Runtime.getRuntime.availableProcessors()
+    // r14 VERDICT ask #8: MEASURE the box's write profile at run start and
+    // embed it in the artifact, so cross-round totals normalize on a
+    // machine-readable box factor instead of SCALE.md prose. dsync = 256 ×
+    // 4 KiB O_DSYNC writes (the per-fsync latency every streaming trigger
+    // pays for offset WAL + commit log + state checkpoints; r14 measured
+    // 7–25 MB/s swings on this path with zero plan changes); bulk = 64 MiB
+    // buffered + one force (the sequential lake-write shape, ~flat across
+    // rounds). Best-effort: probe failure reports -1, never kills a bench.
+    def boxProbe(): (Double, Double) = try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_boxprobe_")
+      val f = dir.resolve("probe")
+      import java.nio.file.StandardOpenOption._
+      val block = java.nio.ByteBuffer.allocate(4096)
+      val ch = java.nio.channels.FileChannel.open(f, CREATE, WRITE, DSYNC)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 256) { block.rewind(); ch.write(block); i += 1 }
+      ch.close()
+      val dsyncMBs = 256 * 4096 / 1e6 / ((System.nanoTime() - t0) / 1e9)
+      val big = java.nio.ByteBuffer.allocate(1 << 20)
+      val ch2 = java.nio.channels.FileChannel.open(f, CREATE, WRITE, TRUNCATE_EXISTING)
+      val t1 = System.nanoTime()
+      i = 0
+      while (i < 64) { big.rewind(); ch2.write(big); i += 1 }
+      ch2.force(false)
+      ch2.close()
+      val bulkMBs = 64 * (1 << 20) / 1e6 / ((System.nanoTime() - t1) / 1e9)
+      java.nio.file.Files.deleteIfExists(f)
+      java.nio.file.Files.deleteIfExists(dir)
+      (dsyncMBs, bulkMBs)
+    } catch { case _: Throwable => (-1.0, -1.0) }
+    val (dsyncMBs, bulkMBs) = boxProbe()
     // pre-flight defense: if another process is already loading the box,
     // every timing below inflates and the round grades as a phantom
     // regression (r6: load 8.07 before a 65% "regression" with zero code
@@ -215,8 +247,14 @@ object Bench {
     // otherwise pollute (or, via their settle wait, decay) the bracket the
     // contended verdict reads
     val loadAfter = loadAvg()
+    // r14 VERDICT ask #2: the streaming ladder joins the isolated set —
+    // r14's biggest in-context outliers were exactly the fsync-weather
+    // e-gates (e13 33.8 s in-context vs 8.3 s clean, identical plans), so
+    // the artifact now carries their fresh-JVM steady-state medians too
     val isolatedGates = Seq("x59_filter_ensemble", "x110_band_recall_audit",
-      "x15c_calibrated_bands")
+      "x15c_calibrated_bands", "e11_stream_join", "e12_stream_outer_join",
+      "e13_stream_full_outer", "e14_stream_join_agg",
+      "e17_stream_cc_maintenance", "e18_stream_frozen_split")
     // the same pre-flight defense as the main pass: the isolated medians
     // exist to capture STEADY-STATE, and forking them straight into the
     // I/O wash of the 150-gate pass just measured (page-cache writeback,
@@ -277,6 +315,7 @@ object Bench {
         s""""queries_min":$queriesMin,"total_min":${f3(totalMin)},""" +
         s""""load_avg_before":${f3(loadBefore)},"load_avg_after":${f3(loadAfter)},""" +
         s""""contended":$contended,"isolated":$isolatedJson,""" +
+        s""""box_probe":{"dsync_mb_s":${f3(dsyncMBs)},"bulk_mb_s":${f3(bulkMBs)}},""" +
         s""""reruns":${rerunNames.size},""" +
         s""""rerun_detail":$rerunDetail,"wait_sec":$waitedSec,""" +
         s""""errors":[${errors.mkString(",")}],"sf":"$sfDir","pipeline_rows":$rows,""" +

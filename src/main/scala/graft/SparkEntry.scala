@@ -140,6 +140,12 @@ object SparkEntry {
       ((s: SparkSession, d: String) => SqlText.gate(s, d, SqlText.histogramSql)),
     "sql3_dot_pairs_text" ->
       ((s: SparkSession, d: String) => SqlText.gate(s, d, SqlText.dotPairsSparkSql)),
+    "sql4_minhash_text" ->
+      ((s: SparkSession, d: String) => SqlText.gate(s, d, SqlText.minhashTextSparkSql)),
+    "sql5_simhash_text" ->
+      ((s: SparkSession, d: String) => SqlText.gate(s, d, SqlText.simhashTextSparkSql)),
+    "x59b_capped_ensemble" ->
+      ((s: SparkSession, d: String) => TextStats.filterEnsembleCapped(s, d)),
     "win_decile_by_group" -> (Funcs.decileByGroup _),
     "x15_ngram_jaccard" -> ((s: SparkSession, d: String) => DocDedup.ngramJaccardPairs(s, d)),
     "x15b_auto_bands" -> ((s: SparkSession, d: String) => DocDedup.ngramJaccardPairsAuto(s, d)),
@@ -1171,6 +1177,14 @@ object SparkEntry {
     "sql1_sum_by_category_text" -> SqlText.sumByCategorySql,
     "sql2_histogram_text" -> SqlText.histogramSql,
     "sql3_dot_pairs_text" -> SqlText.dotPairsOracleSql,
+    // sql4: graft_minhash from SQL text — md5-value columns hash-matched,
+    // set-reduce invariants as literal-TRUE booleans (XXH64 mixing is not
+    // DuckDB-expressible; see SqlText.minhashTextSparkSql)
+    "sql4_minhash_text" -> SqlText.minhashTextOracleSql,
+    // sql5: graft_simhash from SQL text over md5 token hashes — the low
+    // 16 bits ARE x4b's witness construction, oracle CTE verbatim
+    "sql5_simhash_text" ->
+      (s"WITH $simhash16Cte SELECT doc_id, simhash16 FROM sh16 ORDER BY doc_id"),
     "a7_share_of_total" ->
       (s"WITH g AS (SELECT ${periodCase("hour(ts)")} AS time_period, sum(value) AS s FROM events GROUP BY 1) " +
        "SELECT time_period, round(s,2) AS total_value, round(s*100/sum(s) OVER (),2) AS pct " +
@@ -1875,6 +1889,19 @@ object SparkEntry {
       // majority vote over the three (all-exact) quality signals; docs the
       // LM can't score (<2 tokens) coalesce to a 0 LM vote
       (s"WITH q AS ($x8QualitySql), lmv AS ($x56LmSql), clf AS ($x57ClfSql) " +
+       "SELECT q.doc_id, q.v_q, COALESCE(l.v_lm, 0) AS v_lm, c.v_clf, " +
+       "q.v_q + COALESCE(l.v_lm, 0) + c.v_clf AS votes, " +
+       "CASE WHEN q.v_q + COALESCE(l.v_lm, 0) + c.v_clf >= 2 THEN 'keep' ELSE 'drop' END AS verdict " +
+       "FROM (SELECT doc_id, CASE WHEN quality_score >= 0.6 THEN 1 ELSE 0 END AS v_q FROM q) q " +
+       "LEFT JOIN (SELECT doc_id, CASE WHEN lm_score_ppm >= 200000 THEN 1 ELSE 0 END AS v_lm FROM lmv) l " +
+       "ON l.doc_id = q.doc_id " +
+       "JOIN (SELECT doc_id, CASE WHEN w_sum >= 0 THEN 1 ELSE 0 END AS v_clf FROM clf) c " +
+       "ON c.doc_id = q.doc_id ORDER BY q.doc_id"),
+    "x59b_capped_ensemble" ->
+      // x59 with the LM capped to top-500 bigrams (count desc, df desc,
+      // bigram asc — a total order); the LM vote is the mean ppm over
+      // KNOWN bigrams (inner join), docs with no known bigram → 0 vote
+      (s"WITH q AS ($x8QualitySql), lmv AS ($x59bCappedLmSql), clf AS ($x57ClfSql) " +
        "SELECT q.doc_id, q.v_q, COALESCE(l.v_lm, 0) AS v_lm, c.v_clf, " +
        "q.v_q + COALESCE(l.v_lm, 0) + c.v_clf AS votes, " +
        "CASE WHEN q.v_q + COALESCE(l.v_lm, 0) + c.v_clf >= 2 THEN 'keep' ELSE 'drop' END AS verdict " +
@@ -3492,6 +3519,23 @@ object SparkEntry {
     "cb AS (SELECT w1, bigram, count(*) AS c_big FROM big GROUP BY 1, 2), " +
     "cu AS (SELECT w1, count(*) AS c_uni FROM big GROUP BY 1), " +
     "lm AS (SELECT bigram, (c_big * 1000000) // c_uni AS ppm FROM cb JOIN cu USING (w1)), " +
+    "s AS (SELECT doc_id, count(*) AS n, CAST(sum(ppm) AS BIGINT) AS sp " +
+    "FROM big JOIN lm USING (bigram) GROUP BY 1) " +
+    "SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams, CAST(sp AS DOUBLE)/n AS lm_score_ppm FROM s"
+
+  // x59b's capped LM (mirror of TextStats.cappedBigramLm + the
+  // known-bigram scoring convention of ensembleVerdictAgainstLm): rank by
+  // (count desc, doc-frequency desc, bigram asc) — a deterministic total
+  // order — keep the top 2000, score docs over KNOWN bigrams only
+  private lazy val x59bCappedLmSql: String =
+    "WITH big AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bigram " +
+    "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+    "UNNEST(range(1, len(t))) AS u(i)), " +
+    "cb AS (SELECT w1, bigram, count(*) AS c_big, count(DISTINCT doc_id) AS df FROM big GROUP BY 1, 2), " +
+    "cu AS (SELECT w1, count(*) AS c_uni FROM big GROUP BY 1), " +
+    "lmf AS (SELECT bigram, c_big, df, (c_big * 1000000) // c_uni AS ppm FROM cb JOIN cu USING (w1)), " +
+    "lm AS (SELECT bigram, ppm FROM (SELECT bigram, ppm, " +
+    "row_number() OVER (ORDER BY c_big DESC, df DESC, bigram ASC) AS rk FROM lmf) WHERE rk <= 500), " +
     "s AS (SELECT doc_id, count(*) AS n, CAST(sum(ppm) AS BIGINT) AS sp " +
     "FROM big JOIN lm USING (bigram) GROUP BY 1) " +
     "SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams, CAST(sp AS DOUBLE)/n AS lm_score_ppm FROM s"

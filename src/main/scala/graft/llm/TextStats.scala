@@ -656,6 +656,59 @@ object TextStats {
       .select(col("bigram"), expr("c_big * 1000000L div c_uni").as("ppm"))
   }
 
+  /** x59b (r14 VERDICT ask #6): the filter ensemble with the bigram LM
+    * CAPPED to the top-V bigrams by count — the documented contract
+    * change that bounds the LM's state under vocabulary growth. x59's
+    * sf1-equivalent time ratio was 6.1× at 10× data purely because the
+    * DISTINCT-bigram vocabulary grows near-linearly (bigram Heaps
+    * exponents ≈ 0.7–1): the LM build's aggregate output, its join build
+    * side, and the scoring join's probe table all grew with it. With a
+    * fixed V the training aggregates still scan every bigram occurrence
+    * (honestly linear in the corpus — unavoidable), but the MODEL and
+    * every structure derived from it stay CONSTANT as the corpus grows,
+    * which is also what production quality LMs (KenLM-style pruned
+    * models) ship. Selection is a deterministic total order, identical
+    * cross-engine: count desc, doc-frequency desc, bigram asc (bigram is
+    * unique — a full tiebreak). The LM vote follows
+    * `ensembleVerdictAgainstLm`'s convention: mean conditional ppm over
+    * bigrams the capped model KNOWS; no known bigram → 0 vote.
+    *
+    * Plan note: the top-V is `orderBy(...).limit(V)` — Spark plans
+    * TakeOrderedAndProject (a bounded per-partition heap + one V-row
+    * merge), NOT a global window sort; the ranked table is the distinct-
+    * bigram vocabulary, already ≪ corpus. This gate pins the cap's
+    * SEMANTICS against the oracle; a production deployment would fuse the
+    * corpus scans exactly as x59 does. */
+  def filterEnsembleCapped(spark: SparkSession, dir: String,
+      topV: Int = 500): DataFrame = {
+    val docs = docsWide(spark, dir)
+    ensembleVerdictAgainstLm(docs, cappedBigramLm(docs, topV))
+      .orderBy("doc_id")
+  }
+
+  /** Top-V bigram LM table over a training frame (see
+    * `filterEnsembleCapped`): `bigramLmTableOf` plus per-bigram doc
+    * frequency, capped by (c_big desc, df desc, bigram asc). */
+  def cappedBigramLm(docs: DataFrame, topV: Int): DataFrame = {
+    val t = split(col("text"), " ")
+    val bigrams = docs
+      .select(col("doc_id"), explode(zip_with(t, slice(t, lit(2), size(t)),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .filter(col("p.w2").isNotNull)
+      .select(col("doc_id"), col("p.w1").as("w1"),
+        concat(col("p.w1"), lit(" "), col("p.w2")).as("bigram"))
+      .localCheckpoint(eager = false)
+    val cBig = bigrams.groupBy("w1", "bigram")
+      .agg(count(lit(1)).as("c_big"), countDistinct("doc_id").as("df"))
+    val cUni = bigrams.groupBy("w1").agg(count(lit(1)).as("c_uni"))
+    cBig.join(cUni, "w1")
+      .select(col("bigram"), col("c_big"), col("df"),
+        expr("c_big * 1000000L div c_uni").as("ppm"))
+      .orderBy(desc("c_big"), desc("df"), asc("bigram"))
+      .limit(topV)
+      .select("bigram", "ppm")
+  }
+
   /** Score any (doc_id, text) frame against a TRAINED LM table with
     * x59's three-vote contract — the production INFERENCE motion (train
     * once on the corpus refresh, score every incoming batch): quality and

@@ -145,8 +145,14 @@ object Aggs {
     * pattern applied per group): emit the exact per-flag distinct counts
     * and median (hash-matched against DuckDB) alongside booleans asserting
     * each a21 sketch estimate is within tolerance of its exact
-    * counterpart — HLL++ within 5% (its default rsd), the KLL-style
-    * percentile within 1%. DuckDB emits literal TRUE, so a drifting
+    * counterpart — HLL++ within 15% = 3× its default rsd (r14 ADVICE: the
+    * rsd is a standard DEVIATION, not a bound — 1×rsd would legitimately
+    * fail on a healthy sketch over a different dataset ~32% of the time;
+    * 3σ holds for any fixture with ~99.7% headroom), the KLL-style
+    * percentile within 1% of the exact median (percentile_approx's
+    * accuracy=10000 guarantees ≤0.01% RANK error; 1% VALUE tolerance is
+    * pinned to the tested fixtures' local density and documented as
+    * such). DuckDB emits literal TRUE, so a drifting
     * sketch flips a boolean and hash-fails the gate: the sketch-quality
     * contract moves from spec-only to driver-verified. The exact
     * distincts/medians here are the WITNESS cost, paid in this audit gate
@@ -165,9 +171,9 @@ object Aggs {
       .select(col("l_returnflag"), col("exact_suppliers"), col("exact_parts"),
         col("median_price"),
         (abs(col("__as") - col("exact_suppliers"))
-          <= col("exact_suppliers") * 0.05).as("suppliers_within_tol"),
+          <= col("exact_suppliers") * 0.15).as("suppliers_within_tol"),
         (abs(col("__ap") - col("exact_parts"))
-          <= col("exact_parts") * 0.05).as("parts_within_tol"),
+          <= col("exact_parts") * 0.15).as("parts_within_tol"),
         (abs(col("__mp") - col("__em")) <= col("__em") * 0.01).as("price_within_tol"))
       .orderBy("l_returnflag")
 

@@ -80,6 +80,40 @@ class CcStepSpec extends SparkSpec {
     } finally spark.conf.unset("graft.cc.maxTouchedMembership")
   }
 
+  test("labelStoreView: last-writer-wins over deltas, fold base verbatim, replay boundary honored") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_lsv_")
+    // fold g0: docs 1..4 self-labeled; d0 relabels {2,3}→2; d1 relabels
+    // {3,4,9}→3 (9 is a batch-1 newcomer) — the view must take d1 over d0
+    // over the fold, per doc
+    labels(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L)
+      .write.parquet(store.resolve("labels_fold_g0").toString)
+    labels(2L -> 2L, 3L -> 2L)
+      .write.parquet(store.resolve("labels_d0").toString)
+    labels(3L -> 3L, 4L -> 3L, 9L -> 3L)
+      .write.parquet(store.resolve("labels_d1").toString)
+    def view(below: Long): Map[Long, Long] =
+      EventsStream.labelStoreView(spark, store, below)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(view(Long.MaxValue) ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L, 9L -> 3L),
+      "full view must be fold overridden by d0 then d1")
+    // replay of batch 1 reads below=1: d1 (its own possibly-partial
+    // write) must be INVISIBLE
+    assert(view(1L) == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 4L),
+      "below=1 must see fold+d0 only")
+    assert(view(0L) == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L),
+      "below=0 must be the fold verbatim")
+    // compacting at 2 then vacuuming leaves one fold that reads the same
+    EventsStream.compactLabelStore(spark, store, upTo = 2L)
+    EventsStream.vacuumLabelStore(store)
+    val names = store.toFile.listFiles().map(_.getName).toSet
+    assert(names == Set("labels_fold_g2"), s"vacuum left $names")
+    assert(view(Long.MaxValue) ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L, 9L -> 3L),
+      "fold+vacuum changed what the reader sees")
+  }
+
   test("ccStep: a later batch picks up the previously-unknown endpoint's edge") {
     import spark.implicits._
     // continue the story: 300 arrives — the (9,300) pair's LATER endpoint
