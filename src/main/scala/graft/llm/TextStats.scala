@@ -676,13 +676,61 @@ object TextStats {
     * Plan note: the top-V is `orderBy(...).limit(V)` — Spark plans
     * TakeOrderedAndProject (a bounded per-partition heap + one V-row
     * merge), NOT a global window sort; the ranked table is the distinct-
-    * bigram vocabulary, already ≪ corpus. This gate pins the cap's
-    * SEMANTICS against the oracle; a production deployment would fuse the
-    * corpus scans exactly as x59 does. */
+    * bigram vocabulary, already ≪ corpus. FUSED to one corpus read like
+    * x59 (per-row quality/clf votes ride the bigram rows through the
+    * scoring aggregate, short docs via the null-bigram sentinel) — both
+    * for the single-scan plan and so the per-row vote work is inside the
+    * measured aggregate rather than a prunable trailing projection. */
   def filterEnsembleCapped(spark: SparkSession, dir: String,
-      topV: Int = 500): DataFrame = {
-    val docs = docsWide(spark, dir)
-    ensembleVerdictAgainstLm(docs, cappedBigramLm(docs, topV))
+      topV: Int = 500, minLmPpm: Long = 200000L,
+      minQuality: Double = 0.6): DataFrame = {
+    val t = split(col("text"), " ")
+    val nTok = size(t)
+    val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+    val stopRatio =
+      langScore(Seq(" the ", " a ", " of ", " and ")).cast("double") / nTok
+    val pairs = filter(
+      zip_with(t, slice(t, lit(2), size(t)), (a, b) => struct(a.as("w1"), b.as("w2"))),
+      p => p.getField("w2").isNotNull)
+    val nullPair = array(struct(lit(null).cast("string").as("w1"),
+      lit(null).cast("string").as("w2")))
+    // STRING keys here, unlike x59's xxhash64 spine: the cap's tiebreak is
+    // lexicographic on the bigram text, and the shuffled vocab is capped
+    val bigrams = docsWide(spark, dir)
+      .select(col("doc_id"),
+        (qualityExpr(nTok, avgTokLen, stopRatio) >= minQuality).cast("int").as("v_q"),
+        (clfWSum(t) >= 0).cast("int").as("v_clf"),
+        explode(when(size(pairs) > 0, pairs).otherwise(nullPair)).as("p"))
+      .select(col("doc_id"), col("v_q"), col("v_clf"), col("p.w1").as("w1"),
+        when(col("p.w1").isNotNull,
+          concat(col("p.w1"), lit(" "), col("p.w2"))).as("bigram"))
+      .localCheckpoint(eager = false)
+    val real = bigrams.filter(col("bigram").isNotNull)
+    val cBig = real.groupBy("w1", "bigram")
+      .agg(count(lit(1)).as("c_big"), countDistinct("doc_id").as("df"))
+    val cUni = real.groupBy("w1").agg(count(lit(1)).as("c_uni"))
+    val lm = cBig.join(cUni, "w1")
+      .select(col("bigram"), expr("c_big * 1000000L div c_uni").as("ppm"),
+        col("c_big"), col("df"))
+      .orderBy(desc("c_big"), desc("df"), asc("bigram"))
+      .limit(topV)
+      .select("bigram", "ppm")
+    // left join: sentinel (null-bigram) and outside-the-cap rows keep a
+    // null ppm; count(ppm) = KNOWN bigrams only — the capped-LM scoring
+    // convention (no known bigram → 0 vote), mirrored by the oracle's
+    // inner-join + coalesce
+    bigrams.join(lm, Seq("bigram"), "left")
+      .groupBy("doc_id")
+      .agg(first("v_q").as("v_q"), first("v_clf").as("v_clf"),
+        count(col("ppm")).as("n_scored"), sum("ppm").as("ppm_sum"))
+      .select(col("doc_id"), col("v_q"),
+        when(col("n_scored") > 0 &&
+            col("ppm_sum").cast("double") / col("n_scored") >= minLmPpm, 1)
+          .otherwise(0).as("v_lm"),
+        col("v_clf"))
+      .withColumn("votes", col("v_q") + col("v_lm") + col("v_clf"))
+      .withColumn("verdict", when(col("votes") >= 2, "keep").otherwise("drop"))
+      .select("doc_id", "v_q", "v_lm", "v_clf", "votes", "verdict")
       .orderBy("doc_id")
   }
 

@@ -852,8 +852,11 @@ object EventsStream {
     * therefore ∝ batch + touched-component membership; the prior label
     * table is only ever scanned map-side (broadcast build sides: the
     * batch, the candidate edge set, the touched-cluster set — all
-    * batch-proportional), plus the unavoidable O(known) column write of
-    * the next version. Contract unchanged — CC(stars(prior) ∪ E_new)
+    * batch-proportional). r15: the r14 text called the next version's
+    * O(known) write "unavoidable" — it wasn't; the runners now persist
+    * ONLY the relabeled half (`ccStepDelta` → `labels_d{b}`), so the
+    * per-batch WRITE is batch-proportional too, and the full table exists
+    * only as the fold+delta read view. Contract unchanged — CC(stars(prior) ∪ E_new)
     * restricted to untouched components IS the prior labels (labels are
     * canonical component minima), so the output still equals a full
     * recompute over the union graph (the e17 oracle). Boundedness: the
