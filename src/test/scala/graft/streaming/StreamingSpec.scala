@@ -755,6 +755,8 @@ class StreamingSpec extends SparkSpec {
       storeDir, ckDir).count()
     // r14 ADVICE: retention must refuse to outrun the checkpoint's commit
     // log — only batch 0 has committed, so folding at 5 must throw
+    assert(EventsStream.committedFrontier(ckDir) == 1L,
+      "frontier after one committed batch must be 1")
     intercept[IllegalArgumentException] {
       EventsStream.compactSplitStore(spark, storeDir, upTo = 5L, ckDir)
     }
