@@ -851,8 +851,13 @@ object EventsStream {
     * label row passes through verbatim. Per-batch SHUFFLE volume is
     * therefore ∝ batch + touched-component membership; the prior label
     * table is only ever scanned map-side (broadcast build sides: the
-    * batch, the candidate edge set, the touched-cluster set — all
-    * batch-proportional). r15: the r14 text called the next version's
+    * batch, the candidate edge set, the candidate ENDPOINT set, the
+    * touched-cluster set — all batch-proportional), and r15 collapses the
+    * two endpoint-label lookups into ONE prior scan (semi-join on the
+    * broadcast endpoint set, both directions resolved from its small
+    * output) — the delta path reads the corpus-sized table exactly twice
+    * per batch (endpoint labels + touched membership), writes it never.
+    * r15 also: the r14 text called the next version's
     * O(known) write "unavoidable" — it wasn't; the runners now persist
     * ONLY the relabeled half (`ccStepDelta` → `labels_d{b}`), so the
     * per-batch WRITE is batch-proportional too, and the full table exists
@@ -898,16 +903,24 @@ object EventsStream {
     // per-endpoint label under PRIOR: the prior cluster for known-old
     // docs, self for batch docs; an endpoint in NEITHER is not yet known
     // and drops the edge (it will enter when its later endpoint arrives).
-    // prior and batch are disjoint, so the two cases partition "known" —
-    // and both joins stream the BIG side map-only (inner with the small
-    // candidate set broadcast; semi with the batch broadcast as build).
-    val aP = broadcast(cand).join(prior
-      .select(col("doc_id").as("id_a"), col("cluster_id").as("la")), Seq("id_a"))
+    // prior and batch are disjoint, so the two cases partition "known".
+    // r15: ONE prior scan resolves BOTH lookup directions — the candidate
+    // endpoint set (≤ 2|cand|, batch-proportional) is the broadcast build
+    // side of a semi-join whose output `el` is the prior labels of exactly
+    // those endpoints; both id_a and id_b lookups then join against the
+    // broadcast `el`, so the corpus-sized prior streams map-only ONCE
+    // here (the r14 shape scanned it once per direction).
+    val endpoints = cand.select(col("id_a").as("doc_id"))
+      .unionByName(cand.select(col("id_b").as("doc_id"))).distinct()
+    val el = prior.join(broadcast(endpoints), Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = false)
+    val aP = cand.join(broadcast(el
+      .select(col("doc_id").as("id_a"), col("cluster_id").as("la"))), Seq("id_a"))
     val aB = cand.join(b.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
       .withColumn("la", col("id_a"))
     val aKnown = aP.unionByName(aB).localCheckpoint(eager = false)
-    val bP = broadcast(aKnown).join(prior
-      .select(col("doc_id").as("id_b"), col("cluster_id").as("lb")), Seq("id_b"))
+    val bP = aKnown.join(broadcast(el
+      .select(col("doc_id").as("id_b"), col("cluster_id").as("lb"))), Seq("id_b"))
     val bB = aKnown.join(b.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
       .withColumn("lb", col("id_b"))
     val newEdges = bP.unionByName(bB).localCheckpoint(eager = false)
