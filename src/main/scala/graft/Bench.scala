@@ -129,30 +129,36 @@ object Bench {
     // 7–25 MB/s swings on this path with zero plan changes); bulk = 64 MiB
     // buffered + one force (the sequential lake-write shape, ~flat across
     // rounds). Best-effort: probe failure reports -1, never kills a bench.
-    def boxProbe(): (Double, Double) = try {
-      val dir = java.nio.file.Files.createTempDirectory("graft_boxprobe_")
-      val f = dir.resolve("probe")
-      import java.nio.file.StandardOpenOption._
-      val block = java.nio.ByteBuffer.allocate(4096)
-      val ch = java.nio.channels.FileChannel.open(f, CREATE, WRITE, DSYNC)
-      val t0 = System.nanoTime()
-      var i = 0
-      while (i < 256) { block.rewind(); ch.write(block); i += 1 }
-      ch.close()
-      val dsyncMBs = 256 * 4096 / 1e6 / ((System.nanoTime() - t0) / 1e9)
-      val big = java.nio.ByteBuffer.allocate(1 << 20)
-      val ch2 = java.nio.channels.FileChannel.open(f, CREATE, WRITE, TRUNCATE_EXISTING)
-      val t1 = System.nanoTime()
-      i = 0
-      while (i < 64) { big.rewind(); ch2.write(big); i += 1 }
-      ch2.force(false)
-      ch2.close()
-      val bulkMBs = 64 * (1 << 20) / 1e6 / ((System.nanoTime() - t1) / 1e9)
-      java.nio.file.Files.deleteIfExists(f)
-      java.nio.file.Files.deleteIfExists(dir)
-      (dsyncMBs, bulkMBs)
-    } catch { case _: Throwable => (-1.0, -1.0) }
-    val (dsyncMBs, bulkMBs) = boxProbe()
+    def boxProbe(): (Double, Double) = {
+      var dir: java.nio.file.Path = null
+      try {
+        dir = java.nio.file.Files.createTempDirectory("graft_boxprobe_")
+        val f = dir.resolve("probe")
+        import java.nio.file.StandardOpenOption._
+        val block = java.nio.ByteBuffer.allocate(4096)
+        val ch = java.nio.channels.FileChannel.open(f, CREATE, WRITE, DSYNC)
+        val dsyncMBs = try {
+          val t0 = System.nanoTime()
+          var i = 0
+          while (i < 256) { block.rewind(); ch.write(block); i += 1 }
+          256 * 4096 / 1e6 / ((System.nanoTime() - t0) / 1e9)
+        } finally ch.close()
+        val big = java.nio.ByteBuffer.allocate(1 << 20)
+        val ch2 = java.nio.channels.FileChannel.open(f, CREATE, WRITE, TRUNCATE_EXISTING)
+        val bulkMBs = try {
+          val t1 = System.nanoTime()
+          var i = 0
+          while (i < 64) { big.rewind(); ch2.write(big); i += 1 }
+          ch2.force(false)
+          64 * (1 << 20) / 1e6 / ((System.nanoTime() - t1) / 1e9)
+        } finally ch2.close()
+        (dsyncMBs, bulkMBs)
+      } catch { case _: Throwable => (-1.0, -1.0) }
+      finally if (dir != null) try {
+        java.nio.file.Files.deleteIfExists(dir.resolve("probe"))
+        java.nio.file.Files.deleteIfExists(dir)
+      } catch { case _: Throwable => }
+    }
     // pre-flight defense: if another process is already loading the box,
     // every timing below inflates and the round grades as a phantom
     // regression (r6: load 8.07 before a 65% "regression" with zero code
@@ -164,6 +170,11 @@ object Bench {
       Thread.sleep(15000); waitedSec += 15
     }
     val loadBefore = loadAvg()
+    // probe AFTER the settle wait, bracketing the same quiet window the
+    // gate timings run in — probing before it would pair quiet-box
+    // timings with a contended box factor and misattribute plan changes
+    // as disk weather (the exact normalization ask #8 exists for)
+    val (dsyncMBs, bulkMBs) = boxProbe()
     val firstPass: Seq[(String, Option[(Double, Double)])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> median3(name, () => force(fn(spark, sfDir)))

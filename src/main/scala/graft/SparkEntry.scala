@@ -3526,7 +3526,7 @@ object SparkEntry {
   // x59b's capped LM (mirror of TextStats.cappedBigramLm + the
   // known-bigram scoring convention of ensembleVerdictAgainstLm): rank by
   // (count desc, doc-frequency desc, bigram asc) — a deterministic total
-  // order — keep the top 2000, score docs over KNOWN bigrams only
+  // order — keep the top 500, score docs over KNOWN bigrams only
   private lazy val x59bCappedLmSql: String =
     "WITH big AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bigram " +
     "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +

@@ -41,10 +41,14 @@ object DocDedup {
     * broadcast ceiling with headroom). */
   private[graft] def requireBoundedMembership(members: DataFrame,
       site: String): Unit = {
-    val bound = members.sparkSession.conf
-      .get("graft.cc.maxTouchedMembership", "5000000").toLong
-    val probe = math.min(bound + 1, Int.MaxValue.toLong).toInt
-    val seen = members.limit(probe).count()
+    // clamp: a bound past Int.MaxValue-1 rows could never fire (LIMIT is
+    // Int-typed) and could never broadcast either (2³¹ × 16-byte rows ≫
+    // any broadcast ceiling) — clamping keeps the guard live instead of
+    // silently reintroducing the raw OOM for absurd configured bounds
+    val bound = math.min(members.sparkSession.conf
+      .get("graft.cc.maxTouchedMembership", "5000000").toLong,
+      Int.MaxValue.toLong - 1)
+    val seen = members.limit(bound.toInt + 1).count()
     if (seen > bound) throw new TouchedMembershipExceeded(seen, bound, site)
   }
 

@@ -705,16 +705,9 @@ object TextStats {
         when(col("p.w1").isNotNull,
           concat(col("p.w1"), lit(" "), col("p.w2"))).as("bigram"))
       .localCheckpoint(eager = false)
-    val real = bigrams.filter(col("bigram").isNotNull)
-    val cBig = real.groupBy("w1", "bigram")
-      .agg(count(lit(1)).as("c_big"), countDistinct("doc_id").as("df"))
-    val cUni = real.groupBy("w1").agg(count(lit(1)).as("c_uni"))
-    val lm = cBig.join(cUni, "w1")
-      .select(col("bigram"), expr("c_big * 1000000L div c_uni").as("ppm"),
-        col("c_big"), col("df"))
-      .orderBy(desc("c_big"), desc("df"), asc("bigram"))
-      .limit(topV)
-      .select("bigram", "ppm")
+    val lm = cappedLmFrom(
+      bigrams.filter(col("bigram").isNotNull).select("doc_id", "w1", "bigram"),
+      topV)
     // left join: sentinel (null-bigram) and outside-the-cap rows keep a
     // null ppm; count(ppm) = KNOWN bigrams only — the capped-LM scoring
     // convention (no known bigram → 0 vote), mirrored by the oracle's
@@ -746,12 +739,23 @@ object TextStats {
       .select(col("doc_id"), col("p.w1").as("w1"),
         concat(col("p.w1"), lit(" "), col("p.w2")).as("bigram"))
       .localCheckpoint(eager = false)
-    val cBig = bigrams.groupBy("w1", "bigram")
+    cappedLmFrom(bigrams, topV)
+  }
+
+  /** The capped-LM tail shared by the trained-model builder
+    * (`cappedBigramLm`) and the fused gate (`filterEnsembleCapped`):
+    * (doc_id, w1, bigram) occurrence rows → top-V conditional-ppm table
+    * under the (c_big desc, df desc, bigram asc) total order. ONE
+    * definition of the selection and the ppm formula, so the gate and
+    * the inference-path model can never drift from each other (both are
+    * mirrored by the x59b oracle SQL). */
+  private[llm] def cappedLmFrom(occurrences: DataFrame, topV: Int): DataFrame = {
+    val cBig = occurrences.groupBy("w1", "bigram")
       .agg(count(lit(1)).as("c_big"), countDistinct("doc_id").as("df"))
-    val cUni = bigrams.groupBy("w1").agg(count(lit(1)).as("c_uni"))
+    val cUni = occurrences.groupBy("w1").agg(count(lit(1)).as("c_uni"))
     cBig.join(cUni, "w1")
-      .select(col("bigram"), col("c_big"), col("df"),
-        expr("c_big * 1000000L div c_uni").as("ppm"))
+      .select(col("bigram"), expr("c_big * 1000000L div c_uni").as("ppm"),
+        col("c_big"), col("df"))
       .orderBy(desc("c_big"), desc("df"), asc("bigram"))
       .limit(topV)
       .select("bigram", "ppm")
