@@ -766,6 +766,45 @@ object EventsStream {
       covered.foreach(deleteRecursively)
     }
 
+  /** BYTES-ratio fold signal — the production cadence knob for schedulers
+    * (the in-stream default uses a fixed every-N): the deltas accumulated
+    * since the newest committed fold, as ppm of that fold's on-disk bytes.
+    * A scheduler folds when this crosses its threshold (e.g. 100000 ppm =
+    * 10%), amortizing the one O(corpus) fold write against a bounded
+    * fraction of read-side union/LWW work, whatever the batch rate or
+    * delta sizes. Filesystem metadata only — no Spark job. Conventions:
+    * no committed fold → MaxValue (fold now), empty fold with pending
+    * deltas → MaxValue, no uncovered deltas → 0. */
+  private[graft] def labelDeltaRatioPpm(storeDir: java.nio.file.Path): Long =
+    deltaRatioPpm(storeDir, committedLabelFolds(storeDir),
+      "labels_fold_g", "labels_d")
+
+  /** The split-store twin of `labelDeltaRatioPpm`. */
+  private[graft] def splitDeltaRatioPpm(storeDir: java.nio.file.Path): Long =
+    deltaRatioPpm(storeDir, committedFolds(storeDir),
+      "split_fold_g", "split_b")
+
+  private def deltaRatioPpm(storeDir: java.nio.file.Path, folds: Seq[Long],
+      foldPrefix: String, deltaPrefix: String): Long = {
+    def bytes(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(bytes).sum)
+      else f.length()
+    folds.lastOption.fold(Long.MaxValue) { g =>
+      val foldBytes = bytes(storeDir.resolve(s"$foldPrefix$g").toFile)
+      val deltaBytes = Option(storeDir.toFile.listFiles())
+        .fold(Seq.empty[java.io.File])(_.toSeq)
+        .filter { f =>
+          val n = f.getName
+          n.startsWith(deltaPrefix) && !n.startsWith(foldPrefix) &&
+            scala.util.Try(n.drop(deltaPrefix.length).toLong).toOption
+              .exists(_ >= g)
+        }.map(bytes).sum
+      if (deltaBytes == 0L) 0L
+      else if (foldBytes <= 0L) Long.MaxValue
+      else deltaBytes * 1000000L / foldBytes
+    }
+  }
+
   /** The checkpoint's committed frontier: max batch id in `<ck>/commits`
     * plus 1 (0 when none) — every batch with id < frontier has committed,
     * and a pending replay can only be of ids ≥ frontier, which read at or

@@ -18,14 +18,24 @@ import org.apache.spark.sql.SparkSession
   * not racing a LIVE trigger's reads mid-flight — schedule it the way any
   * lake table's snapshot-expiry job is scheduled.
   *
+  * An optional third argument `<minDeltaRatioPpm>` makes the fold
+  * CONDITIONAL on the bytes-ratio signal (`labelDeltaRatioPpm` /
+  * `splitDeltaRatioPpm`): a store whose uncovered deltas hold less than
+  * that many ppm of the newest fold's bytes is left alone — the
+  * production cadence policy (e.g. 100000 = fold once deltas reach 10%
+  * of the fold), so the one O(corpus) fold write is amortized against a
+  * bounded fraction of read-side union/LWW work whatever the batch rate.
+  *
   * Usage: scripts/run.sh graft.streaming.Maintenance <storeDir> <ckDir>
+  *        [minDeltaRatioPpm]
   */
 object Maintenance {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: Maintenance <storeDir> <checkpointDir>")
+      "usage: Maintenance <storeDir> <checkpointDir> [minDeltaRatioPpm]")
     val storeDir = java.nio.file.Paths.get(args(0))
     val ckDir = java.nio.file.Paths.get(args(1))
+    val minRatioPpm = args.lift(2).map(_.toLong).getOrElse(0L)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
@@ -37,18 +47,28 @@ object Maintenance {
     if (frontier > 0) {
       // label store (e17/e18)
       if (EventsStream.committedLabelFolds(storeDir).nonEmpty) {
-        EventsStream.compactLabelStore(spark, storeDir, frontier, ckDir)
-        EventsStream.vacuumLabelStore(storeDir)
-        println(s"label store folded at g$frontier and vacuumed")
+        val ratio = EventsStream.labelDeltaRatioPpm(storeDir)
+        if (ratio >= minRatioPpm) {
+          EventsStream.compactLabelStore(spark, storeDir, frontier, ckDir)
+          EventsStream.vacuumLabelStore(storeDir)
+          println(s"label store folded at g$frontier and vacuumed " +
+            s"(delta ratio $ratio ppm)")
+        } else println(s"label store below fold threshold " +
+          s"($ratio < $minRatioPpm ppm) — skipped")
       }
       // split store (e18) — present only for the frozen-split chain
       val hasSplit = Option(storeDir.toFile.listFiles())
         .exists(_.exists(f => f.getName == "split_init" ||
           f.getName.startsWith("split_fold_g")))
       if (hasSplit) {
-        EventsStream.compactSplitStore(spark, storeDir, frontier, ckDir)
-        EventsStream.vacuumSplitStore(storeDir)
-        println(s"split store folded at g$frontier and vacuumed")
+        val ratio = EventsStream.splitDeltaRatioPpm(storeDir)
+        if (ratio >= minRatioPpm) {
+          EventsStream.compactSplitStore(spark, storeDir, frontier, ckDir)
+          EventsStream.vacuumSplitStore(storeDir)
+          println(s"split store folded at g$frontier and vacuumed " +
+            s"(delta ratio $ratio ppm)")
+        } else println(s"split store below fold threshold " +
+          s"($ratio < $minRatioPpm ppm) — skipped")
       }
     } else println("no committed batches — nothing to fold")
     spark.stop()

@@ -12,6 +12,29 @@ import org.apache.spark.sql.functions._
   * histories, including histories compacted mid-way. */
 class LabelStorePropertiesSpec extends SparkSpec {
 
+  test("bytes-ratio fold signal: MaxValue pre-seed, 0 with no uncovered deltas, monotone, reset by fold") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_ratio_")
+    assert(EventsStream.labelDeltaRatioPpm(store) == Long.MaxValue,
+      "a store with no committed fold must demand a fold")
+    (0L until 50L).map(d => (d, d)).toDF("doc_id", "cluster_id")
+      .write.parquet(store.resolve("labels_fold_g0").toString)
+    assert(EventsStream.labelDeltaRatioPpm(store) == 0L,
+      "no uncovered deltas → 0")
+    (0L until 10L).map(d => (d, d + 1)).toDF("doc_id", "cluster_id")
+      .write.parquet(store.resolve("labels_d0").toString)
+    val r1 = EventsStream.labelDeltaRatioPpm(store)
+    assert(r1 > 0L, s"uncovered delta bytes → positive ratio, got $r1")
+    (0L until 10L).map(d => (d, d + 2)).toDF("doc_id", "cluster_id")
+      .write.parquet(store.resolve("labels_d1").toString)
+    val r2 = EventsStream.labelDeltaRatioPpm(store)
+    assert(r2 > r1, s"more delta bytes must raise the signal: $r1 → $r2")
+    EventsStream.compactLabelStore(spark, store, upTo = 2L)
+    EventsStream.vacuumLabelStore(store)
+    assert(EventsStream.labelDeltaRatioPpm(store) == 0L,
+      "fold must reset the signal (its deltas are covered)")
+  }
+
   test("property: labelStoreView == naive LWW replay across random histories and fold points") {
     import spark.implicits._
     val rnd = new scala.util.Random(4242)
