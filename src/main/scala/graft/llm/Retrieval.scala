@@ -39,13 +39,24 @@ object Retrieval {
 
   /** BM25 scores for the query made of vocabulary ranks [qLo, qHi] (by
     * corpus frequency desc, token asc — mid-frequency terms, so the
-    * ranking exercises both idf spread and tf saturation). */
+    * ranking exercises both idf spread and tf saturation).
+    *
+    * r16 (closing the r15 `weak`): the query terms only ever need the
+    * top `qHi` vocabulary rows, so they come from two distributed
+    * TakeOrdered top-k's (ranks 1..qHi minus ranks 1..qLo-1 via an
+    * anti-join on the ≤qHi survivors) — the `hybridRrf` pattern below —
+    * never a `row_number` window over the full (unbounded) vocabulary.
+    * The vocab aggregate is computed once behind a lazy checkpoint and
+    * both top-k's read it. */
   def bm25Scores(spark: SparkSession, dir: String,
       qLo: Int = 10, qHi: Int = 14): DataFrame = {
     val tf = tfIndex(spark, dir)
     val vocab = tf.groupBy("token").agg(sum("tf").as("n"))
-      .withColumn("rnk", row_number().over(Window.orderBy(desc("n"), asc("token"))))
-    val q = vocab.filter(col("rnk").between(qLo, qHi)).select("token")
+      .localCheckpoint(eager = false)
+    val top = vocab.orderBy(desc("n"), asc("token")).limit(qHi)
+    val skip = vocab.orderBy(desc("n"), asc("token")).limit(qLo - 1)
+    val q = top.join(skip.select("token"), Seq("token"), "left_anti")
+      .select("token")
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("sum_dl"))
       .select(col("n"), expr("sum_dl * 1000000L div n").as("avgdl_ppm"))

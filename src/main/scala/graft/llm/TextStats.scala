@@ -295,15 +295,24 @@ object TextStats {
     rarityScoreDocs(docsWide(spark, dir))
 
   /** Core of x41 over an arbitrary (doc_id, text) frame — split out so
-    * specs can run it on planted fixtures. */
+    * specs can run it on planted fixtures.
+    *
+    * r16 (closing the r15 `weak`): the vocabulary rank is a DISTRIBUTED
+    * prefix-rank (range-partition on (n desc, token), per-partition
+    * row_number + partition-offset sums — `DistributedRank`), never a
+    * single-partition global window, and the occurrence→rank lookup is a
+    * plain shuffle join on `token`, never `broadcast(vocab)`: the vocab
+    * is Heaps-sublinear but UNBOUNDED (O(10⁹) tokens for 100 TB of web
+    * text) — at gate scale AQE is free to pick a broadcast from measured
+    * sizes, but the plan must not demand one. */
   def rarityScoreDocs(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tokens = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val vocab = tokens.groupBy("token").agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(Window.orderBy(desc("n"), asc("token"))).cast("long"))
+    val vocab = graft.operators.DistributedRank.rank(
+        tokens.groupBy("token").agg(count(lit(1)).as("n")),
+        Seq(desc("n"), asc("token")), "rank")
       .select("token", "rank")
-    tokens.join(broadcast(vocab), Seq("token"))
+    tokens.join(vocab, Seq("token"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum("rank").as("sum_rank"),
@@ -882,22 +891,22 @@ object TextStats {
     * be for ≤1% OOV?".
     *
     * Scale: the heavy step is the token-frequency aggregate (map-side
-    * combine, shuffle carries distinct tokens); the ranking window runs
-    * over the VOCAB table, not the corpus — Heaps' law keeps it sublinear
-    * in corpus size. All arithmetic is exact longs and integer ppm; the
-    * one-row output hashes bit-for-bit. */
+    * combine, shuffle carries distinct tokens); the rank AND the running
+    * occurrence sum are a DISTRIBUTED prefix-rank over the vocab table
+    * (r16, closing the r15 `weak`: Heaps' law keeps the vocab sublinear
+    * in corpus size but UNBOUNDED — the old vocab-wide
+    * `sum().over(Window.orderBy(...))` ran the whole vocabulary through
+    * one task; `DistributedRank` range-partitions it and stitches
+    * per-partition running sums with P-row offsets). All arithmetic is
+    * exact longs and integer ppm; the one-row output hashes bit-for-bit. */
   def vocabCoverage(spark: SparkSession, dir: String,
       targetPpm: Long = 990000L): DataFrame = {
     val freq = docsWide(spark, dir)
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .localCheckpoint(eager = false)
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(desc("n"), col("token"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = freq
-      .withColumn("rank", row_number().over(Window.orderBy(desc("n"), col("token"))))
-      .withColumn("cum", sum("n").over(w))
+    val ranked = graft.operators.DistributedRank.rankWithRunningSums(
+      freq, Seq(desc("n"), asc("token")), "rank", Seq("n" -> "cum"))
     val totals = freq.agg(sum("n").as("total_tokens"),
       count(lit(1)).as("distinct_tokens"))
     // `div` (integer division), not `/` (Spark's / on longs yields

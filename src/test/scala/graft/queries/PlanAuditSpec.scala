@@ -64,8 +64,12 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row stat frames crossed for one output row
     // x70: the corpus top-V vocabulary collapsed to a ONE-ROW array and
     // broadcast onto the scan — the same sanctioned 1-row-probe shape
-    // x91: three 1-row broadcast stat frames (totals, the cut row, the
-    // 2×-budget row) crossed onto the vocab table — the same shape
+    // x41/x91: DistributedRank's partition-offset prefix sums are a
+    // triangular (pid < pid) self-join of a P-row frame — P = shuffle
+    // parallelism, a config bound, never data; the NLJ is the point (no
+    // window, no driver collect). x91 additionally crosses three 1-row
+    // broadcast stat frames (totals, the cut row, the 2×-budget row)
+    // onto the vocab table — the sanctioned 1-row-probe shape
     // x92: the 1-row Σ sqrt_scaled frame crossed onto the ≤|sources|
     // budget table — the same shape
     // x99: the two 1-row totals frames (Σ unigrams, Σ bigrams) crossed
@@ -83,7 +87,7 @@ class PlanAuditSpec extends SparkSpec {
     // of the sanctioned all-pairs similarity shapes
     val allowed = allPairsByDesign + "x128_ivf_cell_profile" +
       "x130_key_skew_profile" + "sql3_dot_pairs_text" +
-      "j8_range_bin_join" + "x36_length_filter" +
+      "j8_range_bin_join" + "x36_length_filter" + "x41_rarity_score" +
       "x38_training_set" + "x47_bm25_rank" + "x48_hybrid_rrf" + "x66_dedup_stats" +
       "x70_oov_rate" + "x91_vocab_coverage" + "x92_source_budget" +
       "x99_pmi_collocations" + "x124_token_funnel"
@@ -148,6 +152,37 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"global windows over unaggregated (unbounded) input in: $offenders")
+  }
+
+  test("the r15-weak vocab gates rank distributed — no single-partition window") {
+    // x41/x91/x47 rank the token VOCABULARY — Heaps-sublinear but
+    // unbounded (O(10⁹) tokens at 100 TB). r16 replaced their global
+    // row_number/running-sum windows with DistributedRank (range
+    // partition + per-partition window + P-row offsets) and x47's with
+    // two TakeOrdered top-k's. Enforced structurally: no WindowExec in
+    // these plans may be unpartitioned or sit above an
+    // Exchange SinglePartition (the remaining SinglePartition exchanges
+    // are the final stages of one-row scalar aggregates — P partial rows,
+    // metadata-sized at any scale).
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (name <- Seq("x41_rarity_score", "x91_vocab_coverage", "x47_bm25_rank")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      spark.catalog.clearCache()
+      val offenders = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty ||
+            w.collectFirst { case e: ShuffleExchangeExec
+              if e.outputPartitioning == SinglePartition => e }.nonEmpty => w
+      }
+      assert(offenders.isEmpty,
+        s"$name funnels an unbounded frame through one task:\n$plan")
+    }
   }
 
   test("dim_time never plans a window — its key is arithmetic (scale-safe at second grain)") {
