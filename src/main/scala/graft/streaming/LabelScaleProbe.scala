@@ -43,7 +43,46 @@ object LabelScaleProbe {
       val r = measureAt(spark, k, b)
       println(f"| $k | $b | ${r._1}%d | ${r._2}%d | ${r._3}%.2f | ${r._4}%d | ${r._5}%d | ${r._6}%.2f |")
     }
+    // r16 (VERDICT ask #2): the FOLD itself — r15's one remaining
+    // O(corpus) write — must now be ∝ touched buckets, not the known set:
+    // a fixed-size delta confined to 2 of 16 buckets must fold ~2/16 of
+    // the base's bytes at both K and 10·K.
+    println()
+    println("| known K | buckets touched/total | base bytes | fold bytes | fold/base ppm | fold (s) |")
+    println("|---|---|---|---|---|---|")
+    for (k <- Seq(k0, k0 * 10)) {
+      val r = measureFoldAt(spark, k)
+      println(f"| $k | ${r._1}%d/16 | ${r._2}%d | ${r._3}%d | ${r._4}%d | ${r._5}%.2f |")
+    }
     spark.stop()
+  }
+
+  /** (touchedBuckets, baseBytes, foldBytes, foldPerBasePpm, foldSec): a
+    * 10k-row delta confined to buckets {0,1} of 16, folded over a K-doc
+    * bucketed seed — the r16 sharded-fold write cost. */
+  def measureFoldAt(spark: SparkSession, k: Long): (Int, Long, Long, Long, Double) = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_foldscale_$k")
+    graft.Tables.registerArtifactCleanup(tmp)
+    java.nio.file.Files.writeString(tmp.resolve("fold_buckets"), "16")
+    spark.range(0, k)
+      .select(col("id").as("doc_id"),
+        (col("id") - col("id") % 4).as("cluster_id"),
+        pmod(col("id"), lit(16L)).cast("int").as("bucket"))
+      .write.partitionBy("bucket")
+      .parquet(tmp.resolve("labels_fold_g0").toString)
+    // fixed-size delta: 10k known docs relabeled, all in buckets {0,1}
+    spark.range(0, 80000L)
+      .filter(pmod(col("id"), lit(16L)) <= 1)
+      .select(col("id").as("doc_id"), lit(0L).as("cluster_id"))
+      .write.parquet(tmp.resolve("labels_d0").toString)
+    val t0 = System.nanoTime()
+    EventsStream.compactLabelStore(spark, tmp, upTo = 1L)
+    val foldSec = (System.nanoTime() - t0) / 1e9
+    val baseBytes = dirBytes(tmp.resolve("labels_fold_g0").toFile)
+    val foldBytes = dirBytes(tmp.resolve("labels_fold_g1").toFile)
+    val touched = Option(tmp.resolve("labels_fold_g1").toFile.listFiles())
+      .fold(0)(_.count(_.getName.startsWith("bucket=")))
+    (touched, baseBytes, foldBytes, foldBytes * 1000000L / baseBytes, foldSec)
   }
 
   private def dirBytes(f: java.io.File): Long =

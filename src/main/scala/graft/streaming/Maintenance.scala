@@ -21,21 +21,24 @@ import org.apache.spark.sql.SparkSession
   * An optional third argument `<minDeltaRatioPpm>` makes the fold
   * CONDITIONAL on the bytes-ratio signal (`labelDeltaRatioPpm` /
   * `splitDeltaRatioPpm`): a store whose uncovered deltas hold less than
-  * that many ppm of the newest fold's bytes is left alone — the
-  * production cadence policy (e.g. 100000 = fold once deltas reach 10%
-  * of the fold), so the one O(corpus) fold write is amortized against a
-  * bounded fraction of read-side union/LWW work whatever the batch rate.
+  * that many ppm of the base's bytes is left alone — the production
+  * cadence policy, amortizing the touched-bucket fold write against a
+  * bounded fraction of read-side union/LWW work whatever the batch
+  * rate. DEFAULT 100000 (fold once deltas reach 10% of the base —
+  * r15 ADVICE: an unconditional default would pay the fold for a few KB
+  * of deltas); pass an explicit 0 to fold unconditionally.
   *
   * Usage: scripts/run.sh graft.streaming.Maintenance <storeDir> <ckDir>
-  *        [minDeltaRatioPpm]
+  *        [minDeltaRatioPpm=100000; 0 folds unconditionally]
   */
 object Maintenance {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: Maintenance <storeDir> <checkpointDir> [minDeltaRatioPpm]")
+      "usage: Maintenance <storeDir> <checkpointDir> " +
+        "[minDeltaRatioPpm=100000; 0 folds unconditionally]")
     val storeDir = java.nio.file.Paths.get(args(0))
     val ckDir = java.nio.file.Paths.get(args(1))
-    val minRatioPpm = args.lift(2).map(_.toLong).getOrElse(0L)
+    val minRatioPpm = args.lift(2).map(_.toLong).getOrElse(100000L)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))

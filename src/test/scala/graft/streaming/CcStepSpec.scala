@@ -104,11 +104,19 @@ class CcStepSpec extends SparkSpec {
       "below=1 must see fold+d0 only")
     assert(view(0L) == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L),
       "below=0 must be the fold verbatim")
-    // compacting at 2 then vacuuming leaves one fold that reads the same
+    // compacting at 2 then vacuuming: r16 folds are BUCKETED — the new
+    // generation holds only the buckets the deltas touched (docs 2,3,4,9
+    // → buckets 2,3,4,9 under the default 16), the monolithic g0 keeps
+    // serving the cold buckets (doc 1), and both deltas are covered
     EventsStream.compactLabelStore(spark, store, upTo = 2L)
     EventsStream.vacuumLabelStore(store)
     val names = store.toFile.listFiles().map(_.getName).toSet
-    assert(names == Set("labels_fold_g2"), s"vacuum left $names")
+    assert(names == Set("labels_fold_g0", "labels_fold_g2", "fold_buckets"),
+      s"vacuum left $names")
+    val foldBuckets = store.resolve("labels_fold_g2").toFile.listFiles()
+      .map(_.getName).filter(_.startsWith("bucket=")).toSet
+    assert(foldBuckets == Set("bucket=2", "bucket=3", "bucket=4", "bucket=9"),
+      s"fold must hold exactly the touched buckets: $foldBuckets")
     assert(view(Long.MaxValue) ==
       Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L, 9L -> 3L),
       "fold+vacuum changed what the reader sees")

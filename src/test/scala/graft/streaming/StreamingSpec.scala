@@ -677,14 +677,15 @@ class StreamingSpec extends SparkSpec {
     EventsStream.runIncrementalCcStream(spark, sfDir, srcDir.toString,
       storeDir, ckDir).count()
     val versionsAfter1 = storeDir.toFile.listFiles().map(_.getName).toSet
-    assert(versionsAfter1 == Set("labels_fold_g0", "labels_d0"),
+    assert(versionsAfter1 == Set("labels_fold_g0", "labels_d0", "fold_buckets"),
       s"phase 1 should leave exactly the seed fold + batch-0 delta: $versionsAfter1")
     dumpPart(srcDir, h2, "half2.parquet")
     val resumed = EventsStream.runIncrementalCcStream(spark, sfDir,
       srcDir.toString, storeDir, ckDir)
     // exactly one MORE delta: half 1 was not reprocessed (offset log)
     val versionsAfter2 = storeDir.toFile.listFiles().map(_.getName).toSet
-    assert(versionsAfter2 == Set("labels_fold_g0", "labels_d0", "labels_d1"),
+    assert(versionsAfter2 == Set("labels_fold_g0", "labels_d0", "labels_d1",
+      "fold_buckets"),
       s"restart must append exactly d1: $versionsAfter2")
     // the e17 oracle contract: incremental-with-restart ≡ full recompute
     val pairs = graft.llm.DocDedup.pairArtifact(spark, sfDir).select("id_a", "id_b")
@@ -767,14 +768,20 @@ class StreamingSpec extends SparkSpec {
     EventsStream.vacuumSplitStore(storeDir)
     EventsStream.compactLabelStore(spark, storeDir, upTo = 1L, ckDir)
     EventsStream.vacuumLabelStore(storeDir)
+    // r16 bucketed folds: the new generation holds only the buckets the
+    // deltas touched; the seed keeps serving cold buckets (and is vacuumed
+    // outright once every bucket is covered). Either way the DELTAS below
+    // the fold must be gone and nothing else may remain.
     val afterVacuum = storeDir.toFile.listFiles().map(_.getName)
       .filter(_.startsWith("split_")).toSet
-    assert(afterVacuum == Set("split_fold_g1"),
-      s"vacuum must leave exactly the fold: $afterVacuum")
+    assert(afterVacuum.contains("split_fold_g1") &&
+      afterVacuum.subsetOf(Set("split_init", "split_fold_g1")),
+      s"vacuum must leave the fold plus at most the cold-bucket seed: $afterVacuum")
     val labelsAfter = storeDir.toFile.listFiles().map(_.getName)
       .filter(_.startsWith("labels_")).toSet
-    assert(labelsAfter == Set("labels_fold_g1"),
-      s"label vacuum must leave exactly the newest fold: $labelsAfter")
+    assert(labelsAfter.contains("labels_fold_g1") &&
+      labelsAfter.subsetOf(Set("labels_fold_g0", "labels_fold_g1")),
+      s"label vacuum must cover every delta: $labelsAfter")
     dumpPart(srcDir, h2, "half2.parquet")
     val resumed = EventsStream.runFrozenSplitStream(spark, sfDir,
       srcDir.toString, storeDir, ckDir).collect()
@@ -803,9 +810,19 @@ class StreamingSpec extends SparkSpec {
         s"slice$i.parquet")
     val rows = EventsStream.runFrozenSplitStream(spark, sfDir,
       srcDir.toString, storeDir, ckDir).collect()
+    // r16 bucketed folds: maintenance at batch 4 folds the touched
+    // buckets into g4 and covers deltas 0–3; the seeds may survive for
+    // cold buckets, but the artifact set stays BOUNDED (≤ seed + newest
+    // fold + post-fold deltas per store) however long the stream runs
     val names = storeDir.toFile.listFiles().map(_.getName).toSet
-    assert(names == Set("labels_fold_g4", "labels_d4", "labels_d5",
-      "split_fold_g4", "split_b4", "split_b5"),
+    assert(names.filter(_.startsWith("labels_d")) == Set("labels_d4", "labels_d5"),
+      s"label deltas below the fold must be vacuumed: $names")
+    assert(names.filter(_.startsWith("split_b")) == Set("split_b4", "split_b5"),
+      s"split deltas below the fold must be vacuumed: $names")
+    assert(names.subsetOf(Set("labels_fold_g0", "labels_fold_g4",
+      "labels_d4", "labels_d5", "split_init", "split_fold_g4",
+      "split_b4", "split_b5", "fold_buckets")) &&
+      names.contains("labels_fold_g4") && names.contains("split_fold_g4"),
       s"in-stream maintenance left the wrong artifact set: $names")
     // correctness THROUGH maintenance: every doc present exactly once,
     // grouped exactly as a full CC recompute over the whole corpus
