@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
 object MediaScaleProbe {
 
   def main(args: Array[String]): Unit = {
-    val n0 = args.headOption.map(_.toLong).getOrElse(200000L)
+    val n0 = args.headOption.map(_.toLong).getOrElse(50000L)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

@@ -57,6 +57,7 @@ object Multimodal {
     * ENCODE goes through `encodeGrayPng` below — the decode side here is
     * the real javax.imageio codec and validates those streams.) */
   private final class PngCodec {
+    PngCodec.disableFileCache
     private val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
     private var dest: java.awt.image.BufferedImage = null
 
@@ -70,7 +71,12 @@ object Multimodal {
       if (!isPng(payload))
         javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       else try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        // MemoryCache explicitly: the default createImageInputStream wraps
+        // an InputStream in a FileCacheImageInputStream — a TEMP FILE
+        // written per decode (r16 probe: the hidden I/O in the m1/m4
+        // per-asset cost). The payload is already an in-memory array;
+        // nothing about the decode should touch a disk.
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(payload))
         try {
           reader.setInput(iis, true, true)
@@ -89,10 +95,63 @@ object Multimodal {
 
   }
   private object PngCodec {
+    /** Process-wide, once: the `ImageIO.read(InputStream)` fallback paths
+      * otherwise spool every in-memory payload through a temp FILE
+      * (FileCacheImageInputStream is ImageIO's default wrapping). */
+    lazy val disableFileCache: Unit = javax.imageio.ImageIO.setUseCache(false)
     private val tl = new ThreadLocal[PngCodec] {
       override def initialValue(): PngCodec = new PngCodec
     }
     def get(): PngCodec = tl.get()
+  }
+
+  /** Thread-local cache of the JDK's `AudioFileReader` SPI instances.
+    * `AudioSystem.getAudioInputStream` re-resolves the provider list on
+    * EVERY call through a synchronized static registry — with 32 executor
+    * threads in the m1/m4 decode loops, the r16 probe's thread dumps
+    * showed 28/32 threads convoyed on that lock. The readers are
+    * stateless; resolving them once per thread through the same public
+    * `ServiceLoader` SPI keeps the decode the REAL JDK codec with zero
+    * shared state on the hot path (the audio analogue of `PngCodec`). */
+  private object WavCodec {
+    private val tl = new ThreadLocal[Seq[javax.sound.sampled.spi.AudioFileReader]] {
+      override def initialValue(): Seq[javax.sound.sampled.spi.AudioFileReader] = {
+        import scala.jdk.CollectionConverters._
+        val all = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+          .iterator().asScala.toSeq
+        // RIFF/WAVE readers first: the registry order probes AIFF (9 µs
+        // reject), AU (8 µs), and Gervill's SoftMidi reader (89 µs
+        // reject — it attempts a full MIDI parse) before WaveFileReader
+        // accepts in 0.6 µs (measured, SCALE.md r16). Audio formats have
+        // disjoint magics, so the accepting reader — and thus the
+        // result — is identical under any order; non-WAV payloads (the
+        // video arm) still fall through the full list to a rejection.
+        val (wave, rest) = all.partition(_.getClass.getSimpleName.startsWith("Wave"))
+        wave ++ rest
+      }
+    }
+
+    /** AudioSystem.getAudioInputStream semantics: first provider that
+      * accepts the stream wins; UnsupportedAudioFileException when none
+      * does (ByteArrayInputStream supports the mark/reset the SPI
+      * contract requires between attempts). */
+    def stream(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      val readers = tl.get()
+      val in = new java.io.ByteArrayInputStream(payload)
+      if (readers.isEmpty) // no SPI visible (exotic runtime): registry path
+        return javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+      val it = readers.iterator
+      while (it.hasNext) {
+        val r = it.next()
+        try return r.getAudioInputStream(in)
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => in.reset()
+        }
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        s"no AudioFileReader accepts this ${payload.length}-byte payload")
+    }
   }
 
   /** Minimal 8-bit-grayscale PNG ENCODER (sig + IHDR + one IDAT + IEND,
@@ -188,14 +247,46 @@ object Multimodal {
     hist.map(_ / n)
   }
 
+  /** Canonical 44-byte RIFF/WAVE container around 16-bit mono LE PCM —
+    * the FIXTURE side of the audio gates, the audio analogue of
+    * `encodeGrayPng`: `AudioSystem.write` resolves its writer through the
+    * same synchronized registry as the read side and serialized the m4
+    * synthesis loop (r16 probe: 87 µs/asset with 28/32 threads parked).
+    * Chunk layout is the public WAV spec; byte-identical to the JDK
+    * writer's output for this format (a spec pins that), and the REAL
+    * `javax.sound.sampled` codec still parses every byte on the decode
+    * side. */
+  private def riffWav(data: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val out = new Array[Byte](44 + data.length)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte; out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def tag(off: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); le32(4, 36 + data.length); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16) // PCM fmt chunk is 16 bytes
+    le16(20, 1) // audio format 1 = PCM
+    le16(22, 1) // mono
+    le32(24, sampleRate)
+    le32(28, sampleRate * 2) // byte rate = rate × blockAlign
+    le16(32, 2) // blockAlign = channels × bytesPerSample
+    le16(34, 16) // bits per sample
+    tag(36, "data"); le32(40, data.length)
+    System.arraycopy(data, 0, out, 44, data.length)
+    out
+  }
+
   /** Deterministic 16-bit mono PCM WAV: sample i = ((seed + i) % 65536) −
-    * 32768, wrapped in a REAL RIFF/WAVE container by the JDK's
-    * `javax.sound.sampled` writer — the audio analogue of `pngPayload`:
-    * the decoded sample statistics are arithmetically predictable, so the
-    * decode path is oracle-checkable without shipping audio files. */
+    * 32768, in a REAL RIFF/WAVE container (`riffWav`) — the audio
+    * analogue of `pngPayload`: the decoded sample statistics are
+    * arithmetically predictable, so the decode path is oracle-checkable
+    * without shipping audio files. */
   def wavPayload(seed: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
-    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
-      /* signed = */ true, /* bigEndian = */ false)
     val data = new Array[Byte](nSamples * 2)
     var i = 0
     while (i < nSamples) {
@@ -204,12 +295,7 @@ object Multimodal {
       data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
       i += 1
     }
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    riffWav(data, sampleRate)
   }
 
   /** REAL audio decode (javax.sound.sampled, executor-side): parses the
@@ -219,8 +305,7 @@ object Multimodal {
     * (the video arm: H.264 has no JDK codec and stays a marked stub). */
   def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Long)] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val ais = WavCodec.stream(payload)
       try {
         val fmt = ais.getFormat
         if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian) None
@@ -249,8 +334,7 @@ object Multimodal {
     * running-sum shape for m1. */
   def decodePcm(payload: Array[Byte]): Option[(Int, Array[Int])] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val ais = WavCodec.stream(payload)
       try {
         val fmt = ais.getFormat
         if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian) None
@@ -272,8 +356,6 @@ object Multimodal {
 
   /** Wrap raw 16-bit mono samples in a REAL RIFF/WAVE container. */
   def wavOf(samples: Array[Int], sampleRate: Int = 8000): Array[Byte] = {
-    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
-      /* signed = */ true, /* bigEndian = */ false)
     val data = new Array[Byte](samples.length * 2)
     var i = 0
     while (i < samples.length) {
@@ -281,12 +363,7 @@ object Multimodal {
       data(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
       i += 1
     }
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    riffWav(data, sampleRate)
   }
 
   /** m4 fixture samples: s(i) = (id·131 + i·997) % 65536 − 32768 — an

@@ -871,6 +871,30 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodeAudio("not a riff container".getBytes("UTF-8")).isEmpty)
   }
 
+  test("hand-rolled RIFF container is byte-identical to the JDK WAVE writer") {
+    // r16: wavOf/wavPayload write the 44-byte canonical header directly
+    // (AudioSystem.write serialized the fixture loop on its provider
+    // registry). The contract: SAME bytes as the JDK writer, so nothing
+    // downstream — including the real javax.sound decode — can tell.
+    for ((seed, n) <- Seq((7L, 100), (0L, 1), (123456789L, 977))) {
+      val ours = Multimodal.wavPayload(seed, n)
+      val data = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = (((seed + i) % 65536) - 32768).toInt
+        data(2 * i) = (s & 0xFF).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      assert(java.util.Arrays.equals(ours, bos.toByteArray),
+        s"riffWav(seed=$seed, n=$n) diverges from the JDK writer")
+    }
+  }
+
   test("hash split: ~80/20, deterministic, and append-stable") {
     val s1 = TextStats.hashSplit(spark, sfDir).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val s2 = TextStats.hashSplit(spark, sfDir).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
