@@ -593,12 +593,10 @@ object EventsStream {
     if (committedLabelFolds(storeDir).isEmpty) {
       val b = ensureBucketMarker(spark, storeDir)
       val evenPairs = pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
-      docs.filter(col("doc_id") % 2 === 0).select("doc_id")
+      writeBucketed(docs.filter(col("doc_id") % 2 === 0).select("doc_id")
         .join(graft.llm.DocDedup.dedupClusters(evenPairs), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-        .withColumn("bucket", pmod(col("doc_id"), lit(b.toLong)).cast("int"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(storeDir.resolve("labels_fold_g0").toString)
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id")),
+        b, storeDir.resolve("labels_fold_g0"))
     }
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -760,6 +758,22 @@ object EventsStream {
       b
     }
   }
+  /** Bucketed store write: ONE file per bucket. A bare
+    * `partitionBy("bucket")` splits every upstream task across every
+    * bucket it holds rows for — tasks × buckets small files per
+    * generation (256 measured for the sf0.1 seed), each paying its own
+    * commit+fsync, and every later view read lists and schedules them
+    * all. The repartition routes each bucket to exactly one task (B
+    * distinct values hash to B owners). A production corpus raises B
+    * with the data; if one bucket outgrows a comfortable file,
+    * `spark.sql.files.maxRecordsPerFile` re-splits it at write time. */
+  private def writeBucketed(df: DataFrame, b: Int,
+      dest: java.nio.file.Path): Unit =
+    df.withColumn("bucket", pmod(col("doc_id"), lit(b.toLong)).cast("int"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(dest.toString)
+
   private def ensureBucketMarker(spark: org.apache.spark.sql.SparkSession,
       storeDir: java.nio.file.Path): Int = {
     val b = foldBucketCount(spark, storeDir)
@@ -937,12 +951,10 @@ object EventsStream {
         val touched = resolved
           .select(pmod(col("doc_id"), lit(b.toLong)).cast("int").as("k"))
           .distinct().collect().map(_.getInt(0)).toSet // ≤ B rows (config)
-        storeBase(spark, storeDir, labelLayout, eligible, b, Some(touched))
+        writeBucketed(storeBase(spark, storeDir, labelLayout, eligible, b, Some(touched))
           .join(broadcast(resolved.select("doc_id")), Seq("doc_id"), "left_anti")
-          .unionByName(resolved.select("doc_id", "cluster_id"))
-          .withColumn("bucket", pmod(col("doc_id"), lit(b.toLong)).cast("int"))
-          .write.mode("overwrite").partitionBy("bucket")
-          .parquet(storeDir.resolve(s"labels_fold_g$upTo").toString)
+          .unionByName(resolved.select("doc_id", "cluster_id")),
+          b, storeDir.resolve(s"labels_fold_g$upTo"))
       }
     }
   }
@@ -1120,11 +1132,9 @@ object EventsStream {
         val touched = deltas
           .select(pmod(col("doc_id"), lit(b.toLong)).cast("int").as("k"))
           .distinct().collect().map(_.getInt(0)).toSet // ≤ B rows (config)
-        storeBase(spark, storeDir, splitLayout, eligible, b, Some(touched))
-          .unionByName(deltas)
-          .withColumn("bucket", pmod(col("doc_id"), lit(b.toLong)).cast("int"))
-          .write.mode("overwrite").partitionBy("bucket")
-          .parquet(storeDir.resolve(s"split_fold_g$upTo").toString)
+        writeBucketed(storeBase(spark, storeDir, splitLayout, eligible, b, Some(touched))
+          .unionByName(deltas),
+          b, storeDir.resolve(s"split_fold_g$upTo"))
       }
     }
   }
@@ -1328,25 +1338,20 @@ object EventsStream {
     if (!seedCommitted(storeDir, "split_init") &&
         committedGens(storeDir, splitLayout).isEmpty) {
       val b = ensureBucketMarker(spark, storeDir)
-      val bucketOf = pmod(col("doc_id"), lit(b.toLong)).cast("int")
       val evens = docs.filter(col("doc_id") % 2 === 0).select("doc_id")
       val evenPairs = pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
-      evens
+      writeBucketed(evens
         .join(graft.llm.DocDedup.dedupClusters(evenPairs), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-        .withColumn("bucket", bucketOf)
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(storeDir.resolve("labels_fold_g0").toString)
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id")),
+        b, storeDir.resolve("labels_fold_g0"))
       // the seed rows store only the IMMUTABLE facts (split + when
       // assigned); group_id is derived at read time from the CURRENT
       // labels, so frozen rows never need rewriting when clusters merge
-      graft.llm.DocDedup.leakSafeSplitOf(evens,
+      writeBucketed(graft.llm.DocDedup.leakSafeSplitOf(evens,
           labelStoreView(spark, storeDir, below = 0L))
         .select(col("doc_id"), col("split"), lit("frozen").as("assignment"),
-          lit(-1L).as("assigned_batch"))
-        .withColumn("bucket", bucketOf)
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(initPath.toString)
+          lit(-1L).as("assigned_batch")),
+        b, initPath)
     }
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -1357,13 +1362,24 @@ object EventsStream {
       val priorL = labelStoreView(spark, storeDir, batchId)
       val batchIds = batch.select("doc_id")
       // r15: persist ONLY the relabeled rows (∝ batch + touched
-      // membership) — the corpus-sized label table is never rewritten
-      ccStepDelta(pairs, priorL, batchIds).write.mode("overwrite")
+      // membership) — the corpus-sized label table is never rewritten.
+      // r16: checkpoint the delta (small, eager) so the batch's label
+      // view is prior ⊕ delta built IN-MEMORY instead of a second full
+      // store re-read + LWW re-resolve per trigger. Identity:
+      // labelStoreView(b+1) = LWW(base, deltas ≤ b) and the delta holds
+      // exactly one newest row per relabeled doc, so overriding the
+      // prior view with it IS the b+1 view — on replay too, since prior
+      // is read from disk at the same boundary and the delta recomputes.
+      val delta = ccStepDelta(pairs, priorL, batchIds)
+        .localCheckpoint(eager = true)
+      delta.write.mode("overwrite")
         .parquet(storeDir.resolve(s"labels_d$batchId").toString)
-      // re-read through the store view: the split delta consumes labels
-      // twice (group lookup + touched-member semi-join) and must not
-      // re-run CC — the view is parquet reads + a delta-sized LWW resolve
-      val labels = labelStoreView(spark, storeDir, batchId + 1)
+      // the split delta consumes labels twice (group lookup +
+      // touched-member semi-join) and must not re-run CC — both reads
+      // resolve against the checkpointed delta's local blocks
+      val labels = priorL
+        .join(broadcast(delta.select("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(delta.select("doc_id", "cluster_id"))
       val priorAssigned = splitStoreView(spark, storeDir, batchId)
       graft.llm.DocDedup.leakSafeSplitDelta(batchIds, labels, priorAssigned)
         .select(col("doc_id"), col("split"), col("assignment"),
