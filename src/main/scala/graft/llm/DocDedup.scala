@@ -1612,9 +1612,13 @@ object DocDedup {
     * counts (the x92 budgeter's correct input).
     *
     * Scale: reads the materialized cluster-label artifact (built once per
-    * corpus, shared by 8 consumers); losers are a tiny broadcast side of
-    * the corpus anti-join; both aggregates are per-source hash-aggs over
-    * exact longs. Ratios are single long/long IEEE divisions. */
+    * corpus, shared by 8 consumers); both aggregates are per-source
+    * hash-aggs over exact longs. Ratios are single long/long IEEE
+    * divisions. The losers join is UNHINTED (r16): dedup losers are a
+    * corpus FRACTION (30–50% of a web crawl), not a dim — a broadcast
+    * hint would demand an O(corpus) build at 100 TB, while unhinted
+    * planning broadcasts from the artifact's measured size at gate scale
+    * and degrades to a shuffle join past the threshold. */
   def dedupSurvivorship(spark: SparkSession, dir: String): DataFrame = {
     val losers = clusterLabels(spark, dir)
       .filter(col("doc_id") =!= col("cluster_id"))
@@ -1622,7 +1626,7 @@ object DocDedup {
     docsWide(spark, dir)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .join(broadcast(losers), Seq("doc_id"), "left")
+      .join(losers, Seq("doc_id"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("is_loser").isNull, 1L).otherwise(0L)).as("n_survivors"),
@@ -1645,15 +1649,19 @@ object DocDedup {
     *
     * Scale: reads the materialized CC-label artifact; two short hash-aggs
     * (labels→sizes→histogram, both keyed by longs); singletons come from
-    * one anti-join against the label table (broadcastable — labels hold
-    * only docs in ≥1 pair) collapsed map-side to a single row. */
+    * one anti-join against the label table collapsed map-side to a single
+    * row. The anti-join is UNHINTED (r16): the label table covers every
+    * doc in ≥1 verified pair — a corpus FRACTION at 100 TB, the same
+    * hazard class as x41's broadcast(vocab); unhinted planning broadcasts
+    * from the artifact's measured size at gate scale and degrades to a
+    * shuffle anti-join past the threshold. */
   def clusterSizeProfile(spark: SparkSession, dir: String): DataFrame = {
     val labels = clusterLabels(spark, dir)
     val hist = labels.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
     val singles = Tables.documents(spark, dir).select("doc_id")
-      .join(broadcast(labels.select("doc_id")), Seq("doc_id"), "left_anti")
+      .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
       .agg(count(lit(1)).as("n_clusters"))
       .select(lit(1L).as("cluster_size"), col("n_clusters"))
     hist.unionByName(singles)
@@ -1835,12 +1843,15 @@ object DocDedup {
     * recomputed); the corpus is semi-join-pruned to the paired ids
     * BEFORE cleaning and shingling (x110's pattern), so the rescore
     * touches only paired documents; mean similarity sums micro-quantized
-    * exact longs. */
+    * exact longs. The semi-join is UNHINTED (r16): paired ids are a
+    * corpus FRACTION — a hint would demand an O(dup-docs) broadcast at
+    * 100 TB; unhinted planning broadcasts from measured sizes at gate
+    * scale and degrades to a shuffle semi-join past the threshold. */
   def normalizationRobustness(spark: SparkSession, dir: String): DataFrame = {
     val pairs = pairArtifact(spark, dir)
     val ids = pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
     val cleaned = Tables.documents(spark, dir)
-      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         array_join(Curation.cleanedTokens(col("text")), " ").as("text"))
     val re = ngramJaccard(cleaned, pairs.select("id_a", "id_b"))
@@ -1880,11 +1891,13 @@ object DocDedup {
   def bandRecallAudit(spark: SparkSession, dir: String): DataFrame = {
     // the witness sample is itself refresh-persistable (same contract as
     // pairArtifact); docs are semi-join-pruned to the sampled pair ids
-    // before shingling — the rescore touches only sampled documents
+    // before shingling — the rescore touches only sampled documents.
+    // UNHINTED semi-join (r16): witness ids are a corpus fraction — let
+    // the planner broadcast from measured sizes, never demand it
     val sim = graft.Tables.materializeOnce(spark, s"x4c_pairs:$dir")(
       simhashPairsMd5(spark, dir)).select("id_a", "id_b")
     val ids = sim.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
-    val docs = Tables.documents(spark, dir).join(broadcast(ids), Seq("doc_id"), "left_semi")
+    val docs = Tables.documents(spark, dir).join(ids, Seq("doc_id"), "left_semi")
     val truth = ngramJaccard(docs, sim).filter(col("jaccard") >= 0.5)
     val band = pairArtifact(spark, dir)
       .select(col("id_a"), col("id_b"), lit(1L).as("in_band"))

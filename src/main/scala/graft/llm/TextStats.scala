@@ -988,9 +988,13 @@ object TextStats {
     * Scale: pair counts via the x25 zip-with-tail Generator (no self
     * join); both count aggregates shuffle DISTINCT pairs / tokens
     * (vocabulary-sized, Heaps-sublinear). The unigram side joins twice on
-    * the pair endpoints (broadcast — it IS the vocabulary), and the two
-    * 1-row totals frames are the sanctioned broadcast-stat-probe shape
-    * (PlanAuditSpec). */
+    * the pair endpoints as PLAIN equi-joins (r16: it IS the vocabulary —
+    * Heaps-sublinear but UNBOUNDED, the exact frame the x41 fix stopped
+    * broadcasting; a hint would demand an O(vocab) broadcast at 100 TB,
+    * while unhinted planning broadcasts from MEASURED sizes at gate scale
+    * and degrades to a shuffle join when the vocab outgrows the
+    * threshold). The two 1-row totals frames stay the sanctioned
+    * broadcast-stat-probe shape (PlanAuditSpec). */
   def pmiCollocations(spark: SparkSession, dir: String,
       minCount: Int = 5, topN: Int = 30): DataFrame = {
     val t = split(col("text"), " ")
@@ -1011,8 +1015,8 @@ object TextStats {
     // min-count screen — the screen gates OUTPUT, not the distribution
     val pairTotal = pairsAll.agg(sum("n_ab").as("n_bi"))
     pairs
-      .join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_a"))), "w1")
-      .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_b"))), "w2")
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
       .crossJoin(broadcast(totals))
       .crossJoin(broadcast(pairTotal))
       .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
